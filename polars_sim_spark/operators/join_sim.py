@@ -1,0 +1,295 @@
+"""Approximate string-similarity join — the reference's single operator
+(P1, reference ``python/polars_sim/dataframe/join.py:15-149``), rebuilt as
+a declarative Spark pipeline.
+
+Semantics (pinned by SURVEY.md §1.4 / FIXTURES.md):
+
+* each key string → set of distinct in-vocab ``[a-z]{3}`` character
+  trigrams, binary weights;
+* ``normalization="l2"``: sim = |T(x) ∩ T(y)| / (√|T(x)| · √|T(y)|)
+  (cosine over binary vectors); ``"count"``: sim = |T(x) ∩ T(y)|;
+* per left row keep the ``top_n`` highest sims (reference ties are
+  arbitrary, ``src/cossim.rs:120-127``; we refine to the deterministic
+  tiebreak ``ORDER BY sim DESC, col`` so results are reproducible and
+  oracle-comparable);
+* left rows with no nonzero-sim candidate are absent from the output
+  (inner-join semantics, reference ``join.py:145-146``);
+* null / <3-char keys → no match (deviation: the reference panics on
+  null, ``src/cossim.rs:42``).
+
+Physical design (Spark-first, NOT a port of the Rust kernel):
+
+The reference's multithreaded CSR sparse-matrix product with fused top-n
+(``src/cossim.rs:62-141``, sparse_dot_topn) is algebraically an equi-join
+on trigram token followed by a grouped count and a per-group top-k. We
+declare exactly that and let Catalyst/Tungsten choose the execution:
+
+    tokens(L) ⋈_token tokens(R) → groupBy(row,col).count → window top-n
+
+* ``strategy="broadcast"``: the right side's token postings are broadcast
+  (the analog of the reference holding all of B in memory per thread,
+  ``src/cossim.rs:277``) — no shuffle of the big left side at all.
+* ``strategy="shuffle"``: both posting lists shuffle-partition BY TOKEN —
+  this is the 100 TB path; work distributes over executors with no
+  single-machine memory bound (the reference's dense accumulator is
+  O(|B|) per thread; we have no such bound).
+* ``strategy="auto"``: like the reference's ``threading_dimension="auto"``
+  heuristic (``join.py:107-114``) we pick by size: broadcast when the
+  right side is small enough.
+
+Scale notes (100 TB): the trigram vocabulary is only 26³ = 17,576, so
+ultra-frequent tokens create join fan-out skew. Mitigations built in:
+AQE skew-join splitting is enabled by the session factory, and
+``max_token_df`` optionally prunes tokens whose document frequency
+exceeds a cutoff (a documented deviation — such tokens carry almost no
+cosine signal but dominate the pair count). Spark 3.5+ pushes the
+``row_number() <= k`` predicate into a WindowGroupLimit, so the top-n is
+applied partially before the final sort of each group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+
+_ROW = "__pss_row"
+_COL = "__pss_col"
+
+#: Auto-strategy: broadcast the right postings when the right side has at
+#: most this many rows (each row expands to ~|tokens| posting entries of a
+#: few dozen bytes — 2M rows ≈ low hundreds of MB broadcast, safe for
+#: typical executor memory; mirrors the reference's auto heuristic role at
+#: ``join.py:107-114``).
+BROADCAST_RIGHT_MAX_ROWS = 2_000_000
+
+
+def _tokens_long(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    out_id: str,
+    apply_word_normalization: bool,
+    n_tok_name: str,
+) -> DataFrame:
+    """(id, key) → exploded posting list (out_id, n_tok, token)."""
+    s: Column = F.col(key)
+    if apply_word_normalization:
+        s = normalize_string_col(s)
+    toks = trigram_tokens(s)
+    return (
+        df.select(F.col(id_col).alias(out_id), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .select(
+            out_id,
+            F.size("__toks").alias(n_tok_name),
+            F.explode("__toks").alias("__token"),
+        )
+    )
+
+
+def similarity_mapping(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    top_n: int = 10,
+    normalization: str = "l2",
+    apply_word_normalization: bool = False,
+    strategy: str = "auto",
+    left_id: str = _ROW,
+    right_id: str = _COL,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Compute the (row, col, sim) mapping table — the Spark equivalent of
+    the reference kernel's COO output (``src/cossim.rs:203-262``).
+
+    ``left``/``right`` must already carry unique id columns ``left_id`` /
+    ``right_id``. Returns columns: ``left_id``, ``right_id``, ``sim``
+    (double).
+    """
+    if normalization not in ("l2", "count"):
+        raise ValueError(f"normalization must be 'l2' or 'count', got {normalization!r}")
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'auto', 'broadcast' or 'shuffle', got {strategy!r}")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+
+    lt = _tokens_long(left, left_on, left_id, left_id, apply_word_normalization, "__nl")
+    rt = _tokens_long(right, right_on, right_id, right_id, apply_word_normalization, "__nr")
+
+    if max_token_df is not None:
+        # Prune ultra-frequent tokens on the right side (skew guard).
+        hot = (
+            rt.groupBy("__token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_token_df)
+            .select("__token")
+        )
+        rt = rt.join(F.broadcast(hot), "__token", "left_anti")
+
+    if strategy == "auto":
+        # Mirrors the reference's row-count heuristic (join.py:107-114):
+        # pick the physical variant from the size of the right side.
+        strategy = "broadcast" if right.count() <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
+
+    rt_side = F.broadcast(rt) if strategy == "broadcast" else rt
+
+    # Binary weights ⇒ the sparse dot product (src/cossim.rs:88-108) is a
+    # plain overlap count per (row, col) pair.
+    pairs = (
+        lt.join(rt_side, "__token")
+        .groupBy(left_id, right_id)
+        .agg(
+            F.count(F.lit(1)).alias("__overlap"),
+            F.first("__nl").alias("__nl"),
+            F.first("__nr").alias("__nr"),
+        )
+    )
+
+    if normalization == "l2":
+        # L2 row-normalization (src/csr.rs:194-210) folded into one final
+        # multiply: with binary weights ‖x‖₂ = √|T(x)|.
+        sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+    else:
+        sim = F.col("__overlap").cast("double")
+
+    scored = pairs.select(left_id, right_id, sim.alias("sim"))
+
+    # Per-left-row top-n (src/cossim.rs:110-133) with deterministic
+    # tiebreak; Catalyst rewrites rank<=k into WindowGroupLimit (partial
+    # top-k before the shuffle — the analog of the reference's
+    # partial→final merge in csr.rs:213-269).
+    w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.asc(right_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+
+
+def join_sim(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | None = None,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    top_n: int = 10,
+    normalization: str = "l2",
+    apply_word_normalization: bool = False,
+    suffix: str = "_right",
+    add_mapping: bool = False,
+    add_similarity: bool = True,
+    strategy: str = "auto",
+    left_id: str | None = None,
+    right_id: str | None = None,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Approximate string-similarity join (reference ``join_sim``,
+    ``join.py:15-149``), keyword-compatible where Spark semantics allow.
+
+    Differences from the reference, all deliberate and documented:
+
+    * ``threads`` / ``threading_dimension`` → ``strategy`` — Spark owns
+      parallelism; the left/right threading choice maps to the
+      broadcast-vs-shuffle physical strategy (SURVEY.md §3.2/§3.4).
+    * row identity: Spark has no stable row order, so ``row``/``col`` ids
+      come from ``left_id``/``right_id`` columns you supply (natural
+      keys); if omitted, non-contiguous ids are generated with
+      ``monotonically_increasing_id`` (fine for join-back, not stable
+      across runs — pass natural keys for reproducible output).
+    * null/short keys yield no match instead of panicking.
+    * top-n ties are broken deterministically (sim DESC, col ASC).
+    """
+    if on is not None:
+        if left_on is not None or right_on is not None:
+            raise ValueError("pass either on= or left_on=/right_on=, not both")
+        left_on, right_on = on, on
+    if left_on is None or right_on is None:
+        raise ValueError("must pass on= or both left_on= and right_on=")
+    if left_on not in left.columns:
+        raise ValueError(f"column {left_on!r} not in left frame")
+    if right_on not in right.columns:
+        raise ValueError(f"column {right_on!r} not in right frame")
+
+    gen_left = left_id is None
+    gen_right = right_id is None
+    if gen_left:
+        left_id = _ROW
+        left = left.withColumn(_ROW, F.monotonically_increasing_id())
+    if gen_right:
+        right_id = _COL
+        right = right.withColumn(_COL, F.monotonically_increasing_id())
+    if not gen_left and left_id not in left.columns:
+        raise ValueError(f"left_id column {left_id!r} not in left frame")
+    if not gen_right and right_id not in right.columns:
+        raise ValueError(f"right_id column {right_id!r} not in right frame")
+
+    # Cache generated-id frames: monotonically_increasing_id is
+    # plan-position dependent, so the mapping pass and the re-assembly
+    # pass must observe identical ids.
+    if gen_left:
+        left = left.cache()
+    if gen_right:
+        right = right.cache()
+
+    map_left_id = left_id if left_id != right_id else "__pss_lid"
+    map_right_id = right_id if left_id != right_id else "__pss_rid"
+    mapping = similarity_mapping(
+        left.withColumnRenamed(left_id, map_left_id) if map_left_id != left_id else left,
+        right.withColumnRenamed(right_id, map_right_id) if map_right_id != right_id else right,
+        left_on=left_on,
+        right_on=right_on,
+        top_n=top_n,
+        normalization=normalization,
+        apply_word_normalization=apply_word_normalization,
+        strategy=strategy,
+        left_id=map_left_id,
+        right_id=map_right_id,
+        max_token_df=max_token_df,
+    )
+
+    # Re-assembly (join.py:143-149): net-inner join of both payloads onto
+    # the mapping. Right-side name collisions get ``suffix`` (Spark has no
+    # join-suffix option, so rename up front).
+    collisions = {c for c in right.columns if c in left.columns and c != right_id}
+    right_renamed = right
+    for c in collisions:
+        right_renamed = right_renamed.withColumnRenamed(c, f"{c}{suffix}")
+
+    lj = left if map_left_id == left_id else left.withColumnRenamed(left_id, map_left_id)
+    rj = (
+        right_renamed
+        if map_right_id == right_id
+        else right_renamed.withColumnRenamed(right_id, map_right_id)
+    )
+
+    out = mapping.join(lj, map_left_id, "inner").join(rj, map_right_id, "inner")
+
+    # Column-set semantics of add_mapping/add_similarity (join.py:147-148).
+    left_payload = [c for c in lj.columns if c != map_left_id]
+    right_payload = [c for c in rj.columns if c != map_right_id]
+    cols: list[str] = []
+    if add_mapping:
+        cols += [map_left_id, map_right_id]
+    elif not gen_left or not gen_right:
+        # Natural-key ids stay (they are real payload columns) — but only
+        # the ones the caller supplied.
+        if not gen_left:
+            cols.append(map_left_id)
+        if not gen_right:
+            cols.append(map_right_id)
+    cols += left_payload + right_payload
+    if add_similarity:
+        cols.append("sim")
+    out = out.select(*cols)
+    # Undo the internal id rename from the self-join-key collision case.
+    if map_left_id != left_id and map_left_id in out.columns:
+        out = out.withColumnRenamed(map_left_id, left_id)
+    if map_right_id != right_id and map_right_id in out.columns:
+        new_name = right_id if right_id not in out.columns else f"{right_id}{suffix}"
+        out = out.withColumnRenamed(map_right_id, new_name)
+    return out

@@ -1,0 +1,39 @@
+"""Parquet sources for the driver testdata star schema (TESTDATA.md).
+
+The reference has no IO layer at all (in-memory DataFrames only,
+reference ``src/lib.rs:14-25``); this engine reads columnar parquet so
+Catalyst gets predicate pushdown + column pruning for free. At cluster
+scale the same code reads a partitioned lake path — nothing here assumes
+local files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
