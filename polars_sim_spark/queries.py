@@ -1,0 +1,405 @@
+"""Query registry: every implemented operator exposed as a named query
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle SQL string that must
+produce identical rows (same column names; floats rounded identically).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+
+* money/measure sums go through ``CAST(... AS DECIMAL(18,6))`` so the
+  aggregation is exact and order-independent; the final value is rounded
+  and cast back to double;
+* per-row float math is written with identical association in both
+  engines (IEEE doubles are deterministic given the same expression);
+* rankings that could tie on floats rank on ``round(x, 6)`` with an
+  integer-key tiebreak;
+* every computed column is aliased to the same name in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+from polars_sim_spark.functions.vectors import cosine_similarity
+from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+def duck_trigrams_cte(table: str, id_col: str, str_col: str, normalize: bool = False) -> str:
+    """Distinct in-vocab trigram postings ``(id, tok)`` — the oracle twin of
+    functions.text.trigram_tokens (semantics: SURVEY.md §1.4)."""
+    s = f"lower(regexp_replace({str_col}, '[^a-zA-Z0-9]', '', 'g'))" if normalize else str_col
+    return f"""
+  SELECT id, unnest(toks) AS tok FROM (
+    SELECT {id_col} AS id,
+           list_distinct([g FOR g IN
+             [substr(s, CAST(i AS INT), 3) FOR i IN range(1, greatest(length(s) - 2, 0) + 1)]
+             IF regexp_matches(g, '^[a-z]{{3}}$')]) AS toks
+    FROM (SELECT {id_col}, {s} AS s FROM {table})
+  )"""
+
+
+def duck_join_sim_sql(
+    table: str,
+    id_col: str,
+    str_col: str,
+    top_n: int,
+    normalization: str = "l2",
+    normalize_words: bool = False,
+) -> str:
+    sim_expr = (
+        "CAST(overlap AS DOUBLE) / (sqrt(ca.n) * sqrt(cb.n))"
+        if normalization == "l2"
+        else "CAST(overlap AS DOUBLE)"
+    )
+    return f"""
+WITH tok AS ({duck_trigrams_cte(table, id_col, str_col, normalize_words)}),
+cnt AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+ov AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS overlap
+  FROM tok a JOIN tok b USING (tok)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT l_id, r_id, {sim_expr} AS sim
+  FROM ov JOIN cnt ca ON ca.id = l_id JOIN cnt cb ON cb.id = r_id
+)
+SELECT l_id, r_id, round(sim, 6) AS sim_r
+FROM (SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY sim DESC, r_id) AS rn FROM sim)
+WHERE rn <= {top_n}
+"""
+
+
+def _self_join_sim(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    str_col: str,
+    top_n: int,
+    normalization: str = "l2",
+    normalize_words: bool = False,
+) -> DataFrame:
+    df = load_table(spark, sf_dir, table)
+    left = df.select(F.col(id_col).alias("l_id"), F.col(str_col).alias("__s"))
+    right = df.select(F.col(id_col).alias("r_id"), F.col(str_col).alias("__s"))
+    m = similarity_mapping(
+        left,
+        right,
+        left_on="__s",
+        right_on="__s",
+        top_n=top_n,
+        normalization=normalization,
+        apply_word_normalization=normalize_words,
+        left_id="l_id",
+        right_id="r_id",
+    )
+    return m.select("l_id", "r_id", F.round("sim", 6).alias("sim_r"))
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (join_sim and its pieces)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_sim_parts_l2",
+    duck_join_sim_sql("part", "p_partkey", "p_name", top_n=3, normalization="l2"),
+)
+def join_sim_parts_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: for each part, top-3 most similarly-named parts (cosine)."""
+    return _self_join_sim(spark, sf_dir, "part", "p_partkey", "p_name", top_n=3)
+
+
+@register(
+    "join_sim_parts_count",
+    duck_join_sim_sql("part", "p_partkey", "p_name", top_n=5, normalization="count"),
+)
+def join_sim_parts_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count-normalization mode: sim = raw trigram overlap (reference join.py:54-59)."""
+    return _self_join_sim(
+        spark, sf_dir, "part", "p_partkey", "p_name", top_n=5, normalization="count"
+    )
+
+
+@register(
+    "join_sim_suppliers_normalized",
+    duck_join_sim_sql(
+        "supplier", "s_suppkey", "s_name", top_n=3, normalization="l2", normalize_words=True
+    ),
+)
+def join_sim_suppliers_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_word_normalization path (reference join.py:61-66,126-130)."""
+    return _self_join_sim(
+        spark, sf_dir, "supplier", "s_suppkey", "s_name", top_n=3, normalize_words=True
+    )
+
+
+@register(
+    "normalize_part_names",
+    """
+SELECT p_partkey, lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS norm_name
+FROM part
+""",
+)
+def normalize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_string_col as a standalone operator (reference P2, join.py:6-12)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", normalize_string_col("p_name").alias("norm_name"))
+
+
+@register(
+    "trigram_token_df",
+    f"""
+WITH tok AS ({duck_trigrams_cte("part", "p_partkey", "p_name")})
+SELECT tok AS token, count(*) AS df FROM tok GROUP BY tok
+""",
+)
+def trigram_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency of every trigram token over part names — pins the
+    tokenizer (src/cossim.rs:27-60 semantics) against an independent SQL
+    implementation."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.col("p_partkey"), F.explode(trigram_tokens(F.col("p_name"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-shaped: scan→filter→join→agg→window, all Catalyst)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(charge)), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join; small dims broadcast automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (same shape as join_sim's final stage; WindowGroupLimit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_json_stats",
+    """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text analysis / similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    """
+SELECT text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min-id) representative per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "text_token_count",
+    """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"), F.length("text").alias("n_chars_actual")
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+SELECT q_id, n_id, sim_r FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim_r,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+) WHERE rn <= 5
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column — the exact
+    baseline every ANN variant is measured against. The query set is
+    broadcast; the corpus streams (scales to any corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sim = F.round(cosine_similarity("q_emb", "embedding"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("n_id"))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim_r"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )

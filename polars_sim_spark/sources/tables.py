@@ -26,7 +26,26 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects. Read nanos as long (legacy conf,
+    dynamic) and convert to a microsecond TimestampType column — the
+    conversion is exact for this data and keeps the scan distributed
+    (no driver-side materialization)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_field = next(f for f in df.schema.fields if f.name == "ts")
+    if isinstance(ts_field.dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
