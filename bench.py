@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end including the action (count-style
+materialization of every result row; nothing collected to the driver
+beyond counts). A warmup query absorbs JVM/session startup so the
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from polars_sim_spark import queries as q
+from polars_sim_spark.session import get_spark
+
+HEADLINE = [
+    "join_sim_parts_l2",
+    "join_sim_parts_count",
+    "join_sim_suppliers_normalized",
+    "trigram_token_df",
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "events_hourly",
+    "events_json_stats",
+    "dedup_exact_docs",
+    "text_token_count",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench")
+
+    # Warmup: spin up the JVM and touch the biggest table.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

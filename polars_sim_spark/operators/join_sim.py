@@ -102,6 +102,8 @@ def similarity_mapping(
     left_id: str = _ROW,
     right_id: str = _COL,
     max_token_df: int | None = None,
+    dedup_keys: bool = True,
+    _rank_ties: bool = False,
 ) -> DataFrame:
     """Compute the (row, col, sim) mapping table — the Spark equivalent of
     the reference kernel's COO output (``src/cossim.rs:203-262``).
@@ -109,6 +111,15 @@ def similarity_mapping(
     ``left``/``right`` must already carry unique id columns ``left_id`` /
     ``right_id``. Returns columns: ``left_id``, ``right_id``, ``sim``
     (double).
+
+    ``dedup_keys=True`` (default) computes similarities over DISTINCT key
+    strings and expands back to rows afterwards — an exact optimization
+    (identical strings have identical token sets) that collapses the
+    quadratic token-join fan-out when keys repeat. On high-duplication
+    data this is the difference between O(|distinct|²·sel) and O(|rows|²·
+    sel) intermediate pairs; on all-unique data it costs one cheap
+    pre-aggregation. Standard practice in set-similarity-join literature;
+    the reference has no such step (it recomputes per row).
     """
     if normalization not in ("l2", "count"):
         raise ValueError(f"normalization must be 'l2' or 'count', got {normalization!r}")
@@ -116,6 +127,21 @@ def similarity_mapping(
         raise ValueError(f"strategy must be 'auto', 'broadcast' or 'shuffle', got {strategy!r}")
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
+
+    if dedup_keys:
+        return _similarity_mapping_distinct(
+            left,
+            right,
+            left_on=left_on,
+            right_on=right_on,
+            top_n=top_n,
+            normalization=normalization,
+            apply_word_normalization=apply_word_normalization,
+            strategy=strategy,
+            left_id=left_id,
+            right_id=right_id,
+            max_token_df=max_token_df,
+        )
 
     lt = _tokens_long(left, left_on, left_id, left_id, apply_word_normalization, "__nl")
     rt = _tokens_long(right, right_on, right_id, right_id, apply_word_normalization, "__nr")
@@ -161,13 +187,75 @@ def similarity_mapping(
     # Per-left-row top-n (src/cossim.rs:110-133) with deterministic
     # tiebreak; Catalyst rewrites rank<=k into WindowGroupLimit (partial
     # top-k before the shuffle — the analog of the reference's
-    # partial→final merge in csr.rs:213-269).
-    w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.asc(right_id))
+    # partial→final merge in csr.rs:213-269). With _rank_ties (the
+    # distinct-key pre-pass), boundary ties are kept via rank() so the
+    # later row-level tiebreak sees every candidate string.
+    if _rank_ties:
+        w = Window.partitionBy(left_id).orderBy(F.desc("sim"))
+        rankf = F.rank()
+    else:
+        w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.asc(right_id))
+        rankf = F.row_number()
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", rankf.over(w))
         .where(F.col("__rn") <= top_n)
         .drop("__rn")
     )
+
+
+def _similarity_mapping_distinct(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    top_n: int,
+    normalization: str,
+    apply_word_normalization: bool,
+    strategy: str,
+    left_id: str,
+    right_id: str,
+    max_token_df: int | None,
+) -> DataFrame:
+    """Distinct-key evaluation of the similarity mapping (exact).
+
+    1. sims over distinct (left string × right string) pairs;
+    2. per left string keep ``rank() <= top_n`` by sim DESC (rank, not
+       row_number: boundary ties must survive because the row-level
+       tiebreak crosses strings that share a sim);
+    3. expand the kept string pairs to right rows, take the true row-level
+       top-n per left string (sim DESC, right_id ASC);
+    4. expand to left rows.
+    """
+    ldist = left.select(F.col(left_on).alias("__ls")).where(F.col(left_on).isNotNull()).distinct()
+    rdist = right.select(F.col(right_on).alias("__rs")).where(F.col(right_on).isNotNull()).distinct()
+
+    smap = similarity_mapping(
+        ldist,
+        rdist,
+        left_on="__ls",
+        right_on="__rs",
+        top_n=top_n,
+        normalization=normalization,
+        apply_word_normalization=apply_word_normalization,
+        strategy=strategy,
+        left_id="__ls",
+        right_id="__rs",
+        max_token_df=max_token_df,
+        dedup_keys=False,
+        _rank_ties=True,
+    )
+
+    rrows = right.select(F.col(right_id), F.col(right_on).alias("__rs"))
+    cand = smap.join(rrows, "__rs").select("__ls", right_id, "sim")
+    w = Window.partitionBy("__ls").orderBy(F.desc("sim"), F.asc(right_id))
+    per_string = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+    lrows = left.select(F.col(left_id), F.col(left_on).alias("__ls"))
+    return per_string.join(lrows, "__ls").select(left_id, right_id, "sim")
 
 
 def join_sim(
