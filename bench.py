@@ -32,7 +32,14 @@ HEADLINE = [
     "events_hourly",
     "events_json_stats",
     "dedup_exact_docs",
+    "dedup_jaccard_docs",
+    "dedup_minhash_lsh_docs",
+    "dedup_simhash_docs",
+    "dedup_embedding_cosine",
     "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
     "ann_topk_bruteforce",
 ]
 

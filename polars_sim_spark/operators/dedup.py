@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not in the reference (its only operator is the string-similarity join);
+these are the natural generalizations called for by the repo north star:
+exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup. All are pure DataFrame compositions — no
+Python UDFs — so they inherit Catalyst optimization and scale by
+shuffle partitioning.
+
+Determinism: token hashing is the first 8 hex chars of md5 (identical in
+any engine), and MinHash permutation constants are fixed literals, so
+every operator is reproducible and oracle-checkable.
+
+Scale notes (100 TB):
+* exact dedup = hash aggregation on the content key — one shuffle,
+  map-side partial aggregation applies;
+* MinHash-LSH: signatures are one groupBy over exploded shingles
+  (shuffle by shingle-hash is NOT needed — groupBy doc); candidate
+  generation shuffles by (band, band_key), which self-balances unless a
+  band bucket is hot (near-identical boilerplate docs) — cap bucket
+  size with ``max_bucket_size`` to bound the pair blowup;
+* verification joins touch only candidate pairs, ≪ n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from polars_sim_spark.functions.text import word_shingles
+
+#: MinHash universal-hash parameters (a, b) over the Mersenne prime 2^31-1,
+#: fixed so signatures are reproducible across engines and runs.
+MINHASH_PRIME = 2_147_483_647
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1203114875, 1150108406), (1691728127, 521443186), (326839489, 814169737),
+    (865946248, 1774039634), (1146627839, 1810528713), (230945377, 1687763801),
+    (959354615, 1034567493), (153524507, 1782631803), (1312429380, 433954902),
+    (1222959086, 69316007), (1707977812, 1286571817), (1616778099, 554394214),
+    (1398954861, 1654464965), (586322012, 642903983), (1666696809, 277167616),
+    (1110310895, 1121297303),
+]
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = 4
+
+
+def md5_hash64(c: Column) -> Column:
+    """Deterministic 32-bit-range token hash: first 8 hex chars of md5.
+
+    Chosen over Spark's xxhash64 because it is reproducible in any SQL
+    engine (md5 is universal), which makes the whole dedup pipeline
+    oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh): exploded distinct word n-gram shingles per document."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    postings: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, s0..s{k-1}): MinHash signature per document from shingle postings."""
+    h = md5_hash64(F.col("sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
+    ]
+    return postings.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS_PER_BAND) -> DataFrame:
+    """(id, band, band_key): banded signature for LSH bucketing."""
+    parts = []
+    for b in range(bands):
+        key = F.concat_ws(",", *[F.col(f"s{b * rows + r}") for r in range(rows)])
+        parts.append(
+            signatures.select(F.col("id"), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """(l_id, r_id): distinct unordered candidate pairs sharing ≥1 LSH bucket.
+
+    ``max_bucket_size`` drops pathologically hot buckets (boilerplate
+    spam at web scale) before the quadratic self-join — a recall/cost
+    knob, disabled by default.
+    """
+    if max_bucket_size is not None:
+        sizes = bands_df.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
+        keep = sizes.where(F.col("__n") <= max_bucket_size).select("band", "band_key")
+        bands_df = bands_df.join(keep, ["band", "band_key"])
+    a = bands_df.select("band", "band_key", F.col("id").alias("l_id"))
+    b = bands_df.select("band", "band_key", F.col("id").alias("r_id"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    postings: DataFrame, min_jaccard: float | None = None
+) -> DataFrame:
+    """(l_id, r_id, jac): exact Jaccard over shingle sets for every pair
+    sharing ≥1 shingle (optionally thresholded on the rounded value)."""
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = postings.select(F.col("id").alias("l_id"), "sh")
+    b = postings.select(F.col("id").alias("r_id"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("l_id") < F.col("r_id"))
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    na = sizes.select(F.col("id").alias("l_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("r_id"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(na, "l_id")
+        .join(nb, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))).alias("jac"),
+        )
+    )
+    if min_jaccard is not None:
+        jac = jac.where(F.round("jac", 6) >= min_jaccard)
+    return jac
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    bucket self-join → exact-Jaccard verification of candidates only.
+    Returns (l_id, r_id, jac)."""
+    postings = shingle_postings(df, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(postings)
+    cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
+    verified = jaccard_pairs(postings, min_jaccard=None).join(cands, ["l_id", "r_id"])
+    return verified.where(F.round("jac", 6) >= min_jaccard)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): per-document SimHash over distinct word tokens.
+
+    bit_j(doc) = 1 iff sum over tokens of ±1 (sign of bit j of the token
+    hash) is ≥ 0. Pure conditional aggregation — one shuffle by doc id.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))).alias("w"),
+    ).where(F.col("w") != "")
+    h = md5_hash64(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = words.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    block_col: str | None = None,
+    min_cosine: float = 0.35,
+) -> DataFrame:
+    """(l_id, r_id, sim): pairs with cosine ≥ threshold.
+
+    With ``block_col`` the pair space is restricted to same-block pairs
+    (e.g. a cluster/partition key) — the classic blocking strategy that
+    turns O(n²) into Σ O(block²). Without it, a full cross-join: only
+    for small n (use the LSH ANN operator at scale).
+    """
+    from polars_sim_spark.functions.vectors import cosine_similarity
+
+    a_cols = [F.col(id_col).alias("l_id"), F.col(vec_col).alias("__va")]
+    b_cols = [F.col(id_col).alias("r_id"), F.col(vec_col).alias("__vb")]
+    if block_col is not None:
+        a = df.select(*a_cols, F.col(block_col).alias("__blk"))
+        b = df.select(*b_cols, F.col(block_col).alias("__blk"))
+        pairs = a.join(b, "__blk")
+    else:
+        pairs = df.select(*a_cols).crossJoin(df.select(*b_cols))
+    sim = cosine_similarity("__va", "__vb")
+    return (
+        pairs.where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", sim.alias("sim"))
+        .where(F.round("sim", 6) >= min_cosine)
+    )

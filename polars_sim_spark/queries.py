@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
 from polars_sim_spark.functions.vectors import cosine_similarity
+from polars_sim_spark.operators import dedup
 from polars_sim_spark.operators.join_sim import similarity_mapping
 from polars_sim_spark.sources.tables import load_table
 
@@ -367,6 +368,234 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", n_tok.alias("n_tokens"), F.length("text").alias("n_chars_actual")
     )
+
+
+# -- dedup oracle fragments (DuckDB twins of operators/dedup.py) ------------
+
+DUCK_HASH = "CAST(('0x' || substr(md5({c}),1,8)) AS BIGINT)"
+
+
+def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
+    """Distinct 3-word shingle postings (id, sh) — twin of
+    dedup.shingle_postings / functions.text.word_shingles."""
+    return f"""
+  SELECT id, unnest(shs) AS sh FROM (
+    SELECT {id_col} AS id,
+           list_distinct([concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1], w[CAST(i AS INT)+2])
+                          FOR i IN range(1, greatest(len(w)-2, 0)+1)]) AS shs
+    FROM (SELECT {id_col}, string_split_regex(trim(lower({text_col})), '\\s+') AS w FROM {table})
+  )"""
+
+
+def duck_jaccard_sql(min_jac: float, lsh: bool) -> str:
+    sig_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, concat_ws(',', s{b*4}, s{b*4+1}, s{b*4+2}, s{b*4+3}) AS band_key FROM sigs"
+        for b in range(dedup.LSH_BANDS)
+    )
+    lsh_ctes = f""",
+hashed AS (SELECT id, {DUCK_HASH.format(c='sh')} AS h FROM sh),
+sigs AS (SELECT id, {sig_exprs} FROM hashed GROUP BY id),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+)"""
+    cand_join = "JOIN cands ON cands.l_id = inter.l_id AND cands.r_id = inter.r_id" if lsh else ""
+    return f"""
+WITH sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}){lsh_ctes if lsh else ''},
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter
+  JOIN n na ON na.id = inter.l_id
+  JOIN n nb ON nb.id = inter.r_id
+  {cand_join}
+)
+SELECT l_id AS l_doc, r_id AS r_doc, round(jac, 6) AS jac_r
+FROM jac WHERE round(jac, 6) >= {min_jac}
+"""
+
+
+def duck_simhash_sql(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS w
+  FROM documents
+),
+hashed AS (SELECT id, {DUCK_HASH.format(c='w')} AS h FROM words WHERE w != ''),
+sums AS (SELECT id, {sums} FROM hashed GROUP BY id)
+SELECT id AS doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("dedup_jaccard_docs", duck_jaccard_sql(0.5, lsh=False))
+def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (all pairs sharing a shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    jac = dedup.jaccard_pairs(postings, min_jaccard=0.5)
+    return jac.select(
+        F.col("l_id").alias("l_doc"),
+        F.col("r_id").alias("r_doc"),
+        F.round("jac", 6).alias("jac_r"),
+    )
+
+
+@register("dedup_minhash_lsh_docs", duck_jaccard_sql(0.5, lsh=True))
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded-signature candidates, exact-Jaccard
+    verified. The scale path — pair generation touches only bucket
+    collisions, never n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+    return pairs.select(
+        F.col("l_id").alias("l_doc"),
+        F.col("r_id").alias("r_doc"),
+        F.round("jac", 6).alias("jac_r"),
+    )
+
+
+@register("dedup_simhash_docs", duck_simhash_sql())
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (near-dup clustering key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+SELECT l_vec, r_vec, sim_r FROM (
+  SELECT a.vec_id AS l_vec, b.vec_id AS r_vec,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim_r
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE sim_r >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (Σ block² ≪ n²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", block_col="label", min_cosine=0.35
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_vec"),
+        F.col("r_id").alias("r_vec"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
+# -- text analysis ----------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "und", "ist"),
+    "es": ("el", "que", "y"),
+    "fr": ("les", "et", "dans"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN {STOPWORDS})) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+FROM documents
+WHERE length(text) > 0
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, alpha/punct ratios, stopword
+    ratio — the standard pre-training quality-filter features."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    words_l = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_chars = F.length("text")
+    stop = F.size(F.filter(words_l, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        F.size(words).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / n_chars, 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double") / n_chars, 6
+        ).alias("punct_ratio"),
+        F.round(stop.cast("double") / F.size(words), 6).alias("stopword_ratio"),
+    )
+
+
+def _duck_langid_sql() -> str:
+    counts = ",\n       ".join(
+        f"len(list_filter(w, x -> x IN {m})) AS c_{lang}" for lang, m in LANG_MARKERS.items()
+    )
+    others = {lang: [o for o in LANG_MARKERS if o != lang] for lang in LANG_MARKERS}
+    cases = "\n            ".join(
+        f"WHEN c_{lang} > greatest({', '.join('c_' + o for o in others[lang])}) THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+c AS (SELECT doc_id, {counts} FROM w)
+SELECT doc_id,
+       CASE {cases}
+            ELSE 'unk' END AS pred_lang
+FROM c
+"""
+
+
+@register("text_langid", _duck_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax, 'unk' on
+    ties/zero evidence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    def _marker_count(markers):
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    counts = {lang: _marker_count(m) for lang, m in LANG_MARKERS.items()}
+    pred = F.lit("unk")
+    langs = list(LANG_MARKERS)
+    for lang in reversed(langs):
+        other = [counts[o] for o in langs if o != lang]
+        pred = F.when(counts[lang] > F.greatest(*other), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized content fingerprint (md5) — the exact-dedup
+    key for large corpora (hash once, groupBy the 32-byte digest instead
+    of the full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
 @register(
