@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring the engine's join_sim strategy split:
+
+* ``ann_topk_bruteforce`` — exact cosine top-k: broadcast the (small)
+  query set against the full corpus. O(|Q|·n) dot products, fully
+  distributed, no shuffle of the corpus. The baseline every approximate
+  variant is measured against.
+* ``ann_topk_lsh`` — random-hyperplane (sign) LSH: corpus and queries
+  hash to sign-pattern buckets per band; candidates = bucket collisions;
+  exact cosine re-ranks candidates only. At 100 TB the bucket join
+  shuffles a tiny (id, band, bucket) projection instead of the vectors,
+  and candidate verification touches ≪ n pairs per query.
+
+The hyperplanes are pseudo-random ±1 vectors derived from xxhash64 of
+(plane, dim) — deterministic across runs, no fitting step, no driver-side
+randomness, no data movement to build the "index".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_sim_spark.functions.vectors import cosine_similarity
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Returns (q_id, n_id, sim). Ranking uses round(sim, 6) with an id
+    tiebreak so results are deterministic across engines.
+    """
+    sim = F.round(cosine_similarity(query_vec_col, vec_col), 6)
+    out = corpus.crossJoin(F.broadcast(queries))
+    if exclude_same_id:
+        out = out.where(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        out.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(id_col).alias("n_id"),
+            sim.alias("sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _sign_buckets(
+    df: DataFrame, id_col: str, vec_col: str, num_planes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket): sign-LSH bucket per band.
+
+    Pipeline is fully relational: posexplode the vector, join the
+    broadcast plane-weight table (plane, dim, w∈{+1,-1}), aggregate the
+    signed sums, fold sign bits into per-band bucket ints.
+    """
+    spark = df.sparkSession
+    planes = (
+        spark.range(num_planes)
+        .withColumnRenamed("id", "plane")
+        .crossJoin(spark.range(256).withColumnRenamed("id", "dim"))
+        .select(
+            "plane",
+            "dim",
+            F.when(
+                F.abs(F.xxhash64(F.col("plane") * 1000003 + F.col("dim"))) % 2 == 0, F.lit(1.0)
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("w"),
+        )
+    )
+    comps = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "dim")
+        .groupBy("id", "plane")
+        .agg(F.sum(F.col("val").cast("double") * F.col("w")).alias("dot"))
+    )
+    rows_per_band = num_planes // bands
+    bit = F.when(F.col("dot") >= 0, F.lit(1)).otherwise(F.lit(0))
+    with_band = dots.select(
+        "id",
+        (F.col("plane") / rows_per_band).cast("int").alias("band"),
+        (F.col("plane") % rows_per_band).alias("pos"),
+        bit.alias("bit"),
+    )
+    bucket = F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("pos")).cast("long")).cast("long")
+    return with_band.groupBy("id", "band").agg(bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH bucketing + exact re-rank.
+
+    Recall is governed by (num_planes, bands): a candidate needs all
+    ``num_planes/bands`` sign bits of some band to agree. Returns
+    (q_id, n_id, sim) with ≤ k rows per query (possibly fewer — it's
+    approximate).
+    """
+    cb = _sign_buckets(corpus, id_col, vec_col, num_planes, bands)
+    qb = _sign_buckets(queries, query_id_col, query_vec_col, num_planes, bands)
+    cand = (
+        cb.join(
+            qb.select(F.col("id").alias("q_id"), "band", "bucket"), ["band", "bucket"]
+        )
+        .select(F.col("id").alias("n_id"), "q_id")
+        .distinct()
+    )
+    if exclude_same_id:
+        cand = cand.where(F.col("n_id") != F.col("q_id"))
+    pairs = (
+        cand.join(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv")), "n_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col).alias("__qv"))
+            ),
+            "q_id",
+        )
+    )
+    sim = F.round(cosine_similarity("__qv", "__cv"), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -599,6 +599,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(16 + octet_length(encode(text)) % 97 AS INT) AS width,
+       CAST(16 + octet_length(encode(text)) % 83 AS INT) AS height,
+       'stub' AS decoder
+FROM documents
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode metadata through the Arrow mapInPandas path.
+    The codec is stubbed (deterministic dims from payload size) but the
+    distributed plumbing — binary column, batch iteration, typed output
+    schema — is the real thing, and the oracle checks it end-to-end."""
+    from polars_sim_spark.operators.multimodal import attach_binary_payload, decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+@register("ann_topk_lsh")  # approximate by design → rows-only driver check
+def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (16 planes, 4 bands) with exact re-rank.
+    No SQL oracle: the operator is approximate; tests/test_similarity.py
+    checks its candidates against the brute-force baseline instead."""
+    from polars_sim_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_lsh(emb, queries, k=5)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register(
     "ann_topk_bruteforce",
     """
 SELECT q_id, n_id, sim_r FROM (
@@ -618,17 +656,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column — the exact
     baseline every ANN variant is measured against. The query set is
     broadcast; the corpus streams (scales to any corpus size)."""
+    from polars_sim_spark.operators.similarity import ann_topk_bruteforce as ann_bf
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    sim = F.round(cosine_similarity("q_emb", "embedding"), 6)
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("n_id"))
-    return (
-        emb.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"), sim.alias("sim_r"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .drop("rn")
-    )
+    out = ann_bf(emb, queries, k=5)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))

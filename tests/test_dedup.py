@@ -1,0 +1,83 @@
+"""Dedup operator unit tests on hand-computable synthetic frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different words appear here only today"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles_and_jaccard(spark, docs):
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    # doc 1: 9 words → 7 distinct 3-shingles; doc 3: 7 words → 5
+    sizes = {r["id"]: r["n"] for r in postings.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    assert sizes[1] == 7 and sizes[3] == 5
+    jac = {(r["l_id"], r["r_id"]): r["jac"] for r in dedup.jaccard_pairs(postings).collect()}
+    assert jac[(1, 4)] == pytest.approx(1.0)
+    # docs 1,2 differ in last word → share 6 of 7 shingles; 6/(7+7-6)=0.75
+    assert jac[(1, 2)] == pytest.approx(0.75)
+    assert (1, 3) not in jac
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
+    got = {(r["l_id"], r["r_id"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got  # jac 0.56 with 4x4 bands: collides on identical bands
+    assert all(3 not in p for p in got)
+
+
+def test_minhash_identical_signatures(spark, docs):
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    sigs = {r["id"]: tuple(r[f"s{i}"] for i in range(16)) for r in dedup.minhash_signatures(postings).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[4]  # identical text → identical signature
+    assert 0 <= sh[1] < 2**32
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),  # same vector, different block → never paired
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", block_col="label", min_cosine=0.9)
+    got = {(r["l_id"], r["r_id"]): r["sim"] for r in out.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_lsh_hot_bucket_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated everywhere online") for i in range(10)],
+        "doc_id long, text string",
+    )
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(postings))
+    uncapped = dedup.lsh_candidate_pairs(bands).count()
+    capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=5).count()
+    assert uncapped == 45  # 10 choose 2
+    assert capped == 0  # hot bucket dropped entirely

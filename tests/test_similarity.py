@@ -1,0 +1,65 @@
+"""ANN operators: brute-force exactness + LSH candidate quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+
+def _emb(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/embeddings.parquet")
+
+
+def _queries(emb, n=10):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_bruteforce_shape_and_order(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    out = ann_topk_bruteforce(emb, _queries(emb), k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r["sim"])
+    assert len(per_q) == 10
+    for sims in per_q.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_bruteforce_self_similarity(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    out = ann_topk_bruteforce(emb, _queries(emb), k=5, exclude_same_id=False)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    top1 = out.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    # with self included, every query's nearest neighbor is itself (sim 1.0)
+    assert all(r["n_id"] == r["q_id"] and r["sim"] == 1.0 for r in top1)
+
+
+def test_lsh_subset_of_space_and_exact_sims(spark, sf_small):
+    """LSH output must be ≤k rows per query, and each reported sim must
+    equal the exact cosine (re-rank is exact even if recall isn't)."""
+    emb = _emb(spark, sf_small)
+    qs = _queries(emb)
+    lsh = ann_topk_lsh(emb, qs, k=5).collect()
+    exact = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in ann_topk_bruteforce(emb, qs, k=10**9).collect()
+    }
+    per_q = {}
+    for r in lsh:
+        per_q.setdefault(r["q_id"], 0)
+        per_q[r["q_id"]] += 1
+        assert exact[(r["q_id"], r["n_id"])] == r["sim"]
+    assert all(n <= 5 for n in per_q.values())
+
+
+def test_lsh_bucket_determinism(spark, sf_small):
+    emb = _emb(spark, sf_small)
+    qs = _queries(emb)
+    a = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
+    b = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
+    assert a == b

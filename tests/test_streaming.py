@@ -1,0 +1,100 @@
+"""Structured Streaming operators: file source → availableNow → memory sink."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.streaming.stream_ops import (
+    stream_static_token_enrich,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_small):
+    """Materialize the (ns-timestamp-fixed) events table as a stream source."""
+    d = tempfile.mkdtemp(prefix="pss_stream_")
+    load_table(spark, sf_small, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_match_batch(spark, sf_small, events_stream_dir):
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"wincounts_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(windowed_event_counts(stream), name, "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["hour"], r["event_type"]): (r["n"], r["s"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    # Append mode only emits windows the watermark has closed: windows whose
+    # end <= max(event time) - watermark delay. The tail windows stay in state.
+    from datetime import timedelta
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in expected.items() if k[0] + timedelta(hours=1) <= cutoff
+    }
+    assert got == finalized
+    assert len(got) > 0
+
+
+def test_stream_static_enrich(spark, sf_small, events_stream_dir):
+    """Each streaming event's type fuzzy-matches the static 'catalog' of
+    event-type names via shared trigrams (stream-static join per batch)."""
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    stream = stream.select("event_id", "event_type")
+    catalog = spark.createDataFrame(
+        [(1, "purchase"), (2, "errors"), (3, "signups")], "cat_id long, cat_name string"
+    )
+    enriched = stream_static_token_enrich(
+        stream,
+        catalog,
+        stream_text_col="event_type",
+        right_text_col="cat_name",
+        right_id_col="cat_id",
+        min_overlap=2,
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, "complete")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(rows) > 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], set()).add(r["cat_id"])
+    # 'purchase' events overlap the 'purchase' catalog entry on all trigrams
+    assert 1 in by_type["purchase"]
+    # 'error' shares 'err'/'rro'/'ror' with 'errors'
+    assert 2 in by_type["error"]
