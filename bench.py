@@ -40,7 +40,12 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_bpe_token_count",
     "ann_topk_bruteforce",
+    "asof_error_last_click",
+    "dedup_cluster_docs",
+    "revenue_rollup",
+    "custkey_setops_9596",
 ]
 
 

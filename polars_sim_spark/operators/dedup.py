@@ -113,10 +113,24 @@ def jaccard_pairs(
     postings: DataFrame, min_jaccard: float | None = None
 ) -> DataFrame:
     """(l_id, r_id, jac): exact Jaccard over shingle sets for every pair
-    sharing ≥1 shingle (optionally thresholded on the rounded value)."""
+    sharing ≥1 shingle (optionally thresholded on the rounded value).
+
+    Exact optimization: shingles occurring in exactly one document cannot
+    produce a cross-document pair, so they are pruned from the pair join
+    (NOT from the set sizes, which stay exact). On natural corpora most
+    word 3-shingles are unique, so this collapses the self-join input by
+    an order of magnitude while leaving the result bit-identical.
+    """
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = postings.select(F.col("id").alias("l_id"), "sh")
-    b = postings.select(F.col("id").alias("r_id"), "sh")
+    shared_sh = (
+        postings.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__dfc"))
+        .where(F.col("__dfc") >= 2)
+        .select("sh")
+    )
+    shared = postings.join(shared_sh, "sh")
+    a = shared.select(F.col("id").alias("l_id"), "sh")
+    b = shared.select(F.col("id").alias("r_id"), "sh")
     inter = (
         a.join(b, "sh")
         .where(F.col("l_id") < F.col("r_id"))
@@ -154,8 +168,32 @@ def minhash_lsh_dedup_pairs(
     postings = shingle_postings(df, id_col, text_col, shingle_n)
     sigs = minhash_signatures(postings)
     cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
-    verified = jaccard_pairs(postings, min_jaccard=None).join(cands, ["l_id", "r_id"])
-    return verified.where(F.round("jac", 6) >= min_jaccard)
+
+    # Verification touches ONLY the candidate pairs (this is the whole
+    # point of LSH): expand each candidate by the left document's
+    # shingles, keep those present in the right document, count.
+    # Never recomputes the all-pairs intersection.
+    a = postings.select(F.col("id").alias("l_id"), "sh")
+    b = postings.select(F.col("id").alias("r_id"), "sh")
+    inter = (
+        cands.join(a, "l_id")
+        .join(b, ["r_id", "sh"])
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("id").alias("l_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("r_id"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(na, "l_id")
+        .join(nb, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))).alias("jac"),
+        )
+    )
+    return jac.where(F.round("jac", 6) >= min_jaccard)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -183,6 +221,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select("id", sig.cast("long").alias("simhash"))
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "id",
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster_id): connected components by iterative min-label
+    propagation — the dedup clustering step that turns near-dup PAIRS into
+    KEEP/DROP groups (cluster_id = smallest member id, the canonical doc).
+
+    Each iteration = one neighbor-min step + one pointer-jump step (label
+    := label of my label), so convergence takes O(log diameter) rounds
+    even on adversarial chains, not O(diameter). Every round ends with
+    ``localCheckpoint`` — without it the logical plan (and Catalyst
+    analysis time) grows superlinearly across iterations, the classic
+    iterative-algorithm pitfall on Spark. The driver only reads the
+    converged flag; all data stays distributed.
+    """
+    both = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    both = both.localCheckpoint(eager=True)
+
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # 1. Neighbor-min: label := min(own, min over neighbors' labels).
+        nbr = (
+            both.join(labels, both.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, labels.id == nbr.dst, "left").select(
+            "id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        # 2. Pointer jump: label := label(label). cluster_id is always an
+        # existing node id, so the join is total; doubles the propagation
+        # distance per round.
+        lab2 = stepped.select(F.col("id").alias("__pid"), F.col("cluster_id").alias("__plab"))
+        jumped = (
+            stepped.join(lab2, stepped.cluster_id == lab2.__pid)
+            .select("id", F.least("cluster_id", "__plab").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+            .where(F.col("cluster_id") != F.col("__old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -198,17 +297,28 @@ def embedding_near_dup_pairs(
     turns O(n²) into Σ O(block²). Without it, a full cross-join: only
     for small n (use the LSH ANN operator at scale).
     """
-    from polars_sim_spark.functions.vectors import cosine_similarity
+    from polars_sim_spark.functions.vectors import dot, l2_norm
 
-    a_cols = [F.col(id_col).alias("l_id"), F.col(vec_col).alias("__va")]
-    b_cols = [F.col(id_col).alias("r_id"), F.col(vec_col).alias("__vb")]
+    # Norms once per vector, not per pair (pairs are quadratic in the
+    # block size; the dot product is then the only per-pair array pass).
+    a_cols = [
+        F.col(id_col).alias("l_id"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("r_id"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
+    ]
     if block_col is not None:
         a = df.select(*a_cols, F.col(block_col).alias("__blk"))
         b = df.select(*b_cols, F.col(block_col).alias("__blk"))
         pairs = a.join(b, "__blk")
     else:
         pairs = df.select(*a_cols).crossJoin(df.select(*b_cols))
-    sim = cosine_similarity("__va", "__vb")
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom > F.lit(0.0), dot("__va", "__vb") / denom).otherwise(F.lit(0.0))
     return (
         pairs.where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id", sim.alias("sim"))

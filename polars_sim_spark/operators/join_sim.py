@@ -123,10 +123,30 @@ def similarity_mapping(
     """
     if normalization not in ("l2", "count"):
         raise ValueError(f"normalization must be 'l2' or 'count', got {normalization!r}")
-    if strategy not in ("auto", "broadcast", "shuffle"):
-        raise ValueError(f"strategy must be 'auto', 'broadcast' or 'shuffle', got {strategy!r}")
+    if strategy not in ("auto", "broadcast", "shuffle", "kernel"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast', 'shuffle' or 'kernel', got {strategy!r}"
+        )
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
+
+    if strategy == "kernel":
+        # Broadcast dense-accumulator kernel (the reference's physical
+        # plan, src/cossim.rs:62-141, as mapInPandas) — see
+        # operators/join_sim_kernel.py. Right side must fit in memory.
+        from polars_sim_spark.operators.join_sim_kernel import similarity_mapping_kernel
+
+        return similarity_mapping_kernel(
+            left,
+            right,
+            left_on=left_on,
+            right_on=right_on,
+            top_n=top_n,
+            normalization=normalization,
+            apply_word_normalization=apply_word_normalization,
+            left_id=left_id,
+            right_id=right_id,
+        )
 
     if dedup_keys:
         return _similarity_mapping_distinct(
@@ -275,6 +295,8 @@ def join_sim(
     left_id: str | None = None,
     right_id: str | None = None,
     max_token_df: int | None = None,
+    threads: int | None = None,
+    threading_dimension: str | None = None,
 ) -> DataFrame:
     """Approximate string-similarity join (reference ``join_sim``,
     ``join.py:15-149``), keyword-compatible where Spark semantics allow.
@@ -284,6 +306,13 @@ def join_sim(
     * ``threads`` / ``threading_dimension`` → ``strategy`` — Spark owns
       parallelism; the left/right threading choice maps to the
       broadcast-vs-shuffle physical strategy (SURVEY.md §3.2/§3.4).
+      Both reference keywords are ACCEPTED for drop-in compatibility:
+      ``threading_dimension="left"`` selects the broadcast path (the
+      analog of the reference's whole-B-per-thread kernel,
+      ``src/cossim.rs:277``), ``"right"`` the shuffle path
+      (``src/cossim.rs:281-288``), ``"auto"`` the size heuristic
+      (``join.py:107-114``); ``threads`` is advisory and ignored
+      (cluster parallelism comes from partitioning, not a thread count).
     * row identity: Spark has no stable row order, so ``row``/``col`` ids
       come from ``left_id``/``right_id`` columns you supply (natural
       keys); if omitted, non-contiguous ids are generated with
@@ -292,6 +321,15 @@ def join_sim(
     * null/short keys yield no match instead of panicking.
     * top-n ties are broken deterministically (sim DESC, col ASC).
     """
+    if threading_dimension is not None:
+        mapped = {"left": "broadcast", "right": "shuffle", "auto": "auto"}
+        if threading_dimension not in mapped:
+            raise ValueError(
+                f"threading_dimension must be 'left', 'right' or 'auto', got {threading_dimension!r}"
+            )
+        strategy = mapped[threading_dimension]
+    del threads  # advisory only; Spark owns parallelism (see docstring)
+
     if on is not None:
         if left_on is not None or right_on is not None:
             raise ValueError("pass either on= or left_on=/right_on=, not both")

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_sim_spark.functions.vectors import cosine_similarity
+from polars_sim_spark.functions.vectors import dot, l2_norm
+
+
+def _cosine_with_norms(qv: str, cv: str, qn: str, cn: str):
+    """cosine using PRE-COMPUTED norms — one array pass per pair instead
+    of three. Bit-identical to functions.vectors.cosine_similarity
+    (float multiplication is commutative in IEEE 754)."""
+    denom = F.col(qn) * F.col(cn)
+    return F.when(denom > F.lit(0.0), dot(qv, cv) / denom).otherwise(F.lit(0.0))
 
 
 def ann_topk_bruteforce(
@@ -39,19 +47,25 @@ def ann_topk_bruteforce(
     """Exact cosine top-k of each query against the corpus.
 
     Returns (q_id, n_id, sim). Ranking uses round(sim, 6) with an id
-    tiebreak so results are deterministic across engines.
+    tiebreak so results are deterministic across engines. Norms are
+    computed once per vector (n + |Q| array passes), not once per pair
+    (n·|Q|).
     """
-    sim = F.round(cosine_similarity(query_vec_col, vec_col), 6)
-    out = corpus.crossJoin(F.broadcast(queries))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"), l2_norm(vec_col).alias("__cn")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(query_vec_col).alias("__qv"),
+        l2_norm(query_vec_col).alias("__qn"),
+    )
+    sim = F.round(_cosine_with_norms("__qv", "__cv", "__qn", "__cn"), 6)
+    out = c.crossJoin(F.broadcast(q))
     if exclude_same_id:
-        out = out.where(F.col(id_col) != F.col(query_id_col))
+        out = out.where(F.col("n_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
-        out.select(
-            F.col(query_id_col).alias("q_id"),
-            F.col(id_col).alias("n_id"),
-            sim.alias("sim"),
-        )
+        out.select("q_id", "n_id", sim.alias("sim"))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
@@ -134,15 +148,26 @@ def ann_topk_lsh(
     if exclude_same_id:
         cand = cand.where(F.col("n_id") != F.col("q_id"))
     pairs = (
-        cand.join(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv")), "n_id")
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                F.col(vec_col).alias("__cv"),
+                l2_norm(vec_col).alias("__cn"),
+            ),
+            "n_id",
+        )
         .join(
             F.broadcast(
-                queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col).alias("__qv"))
+                queries.select(
+                    F.col(query_id_col).alias("q_id"),
+                    F.col(query_vec_col).alias("__qv"),
+                    l2_norm(query_vec_col).alias("__qn"),
+                )
             ),
             "q_id",
         )
     )
-    sim = F.round(cosine_similarity("__qv", "__cv"), 6)
+    sim = F.round(_cosine_with_norms("__qv", "__cv", "__qn", "__cn"), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (
         pairs.select("q_id", "n_id", sim.alias("sim"))

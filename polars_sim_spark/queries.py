@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
-from polars_sim_spark.functions.vectors import cosine_similarity
 from polars_sim_spark.operators import dedup
 from polars_sim_spark.operators.join_sim import similarity_mapping
 from polars_sim_spark.sources.tables import load_table
@@ -619,6 +618,170 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_meta(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# As-of join / clustering / grouping sets / set ops (coverage beyond the
+# reference surface — SURVEY.md §2.4 rows Spark covers built-in or by
+# composition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_error_last_click",
+    """
+WITH l AS (SELECT * FROM events WHERE event_type = 'error'),
+r AS (SELECT * FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT l.event_id, l.user_id, l.value,
+         r.event_id AS click_event_id, r.value AS click_value,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, value, click_event_id, click_value FROM j WHERE rn = 1
+""",
+)
+def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the most recent preceding click by the same
+    user — the temporal as-of join (operators/asof_join.py), one shuffle."""
+    from polars_sim_spark.operators.asof_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "ts", "user_id", "value")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_seq="click_event_id", how="inner"
+    )
+    return out.select("event_id", "user_id", "value", "click_event_id", "click_value")
+
+
+@register(
+    "dedup_cluster_docs",
+    f"""
+WITH RECURSIVE sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter JOIN n na ON na.id = inter.l_id JOIN n nb ON nb.id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard pairs → connected components (min-label
+    propagation). cluster_id = smallest doc_id in the component = the
+    canonical keeper; everything else in the cluster is a drop candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    pairs = dedup.jaccard_pairs(postings, min_jaccard=0.5).select("l_id", "r_id")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = dedup.connected_components(nodes, pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "revenue_rollup",
+    """
+SELECT r_name, n_name,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total (GROUP BY ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+        )
+    )
+
+
+@register(
+    "custkey_setops_9596",
+    """
+SELECT 'both' AS grp, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT 'only95' AS grp, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+""",
+)
+def custkey_setops_9596(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): customer retention 1995→1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select(F.lit("both").alias("grp"), "o_custkey")
+    only95 = y95.subtract(y96).select(F.lit("only95").alias("grp"), "o_custkey")
+    return both.unionByName(only95)
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS n_uniq_tokens
+FROM documents
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting: letter runs, digit runs, and single
+    punctuation marks — the standard pre-tokenizer split, counted JVM-side
+    with regexp_extract_all (no Python in the loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+    )
 
 
 @register("ann_topk_lsh")  # approximate by design → rows-only driver check

@@ -81,3 +81,20 @@ def test_lsh_hot_bucket_cap(spark):
     capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=5).count()
     assert uncapped == 45  # 10 choose 2
     assert capped == 0  # hot bucket dropped entirely
+
+
+def test_connected_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # components: {1,2,3} via chain, {4,5}, singletons {6},{7}
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "l_id long, r_id long")
+    cc = dedup.connected_components(nodes, edges)
+    got = {r["id"]: r["cluster_id"] for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_long_chain(spark):
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "l_id long, r_id long")
+    cc = dedup.connected_components(nodes, edges)
+    assert {r["cluster_id"] for r in cc.collect()} == {0}
