@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from polars_sim_spark.functions.text import word_shingles
 
@@ -109,18 +109,80 @@ def lsh_candidate_pairs(
     )
 
 
+def _verify_jaccard_pairs(
+    postings: DataFrame, cands: DataFrame, min_jaccard: float | None
+) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs only: expand each (l_id, r_id)
+    by the left document's shingles, keep those the right document also
+    has, count. Cost ∝ |cands|·avg-set-size, never all-pairs."""
+    a = postings.select(F.col("id").alias("l_id"), "sh")
+    b = postings.select(F.col("id").alias("r_id"), "sh")
+    inter = (
+        cands.join(a, "l_id")
+        .join(b, ["r_id", "sh"])
+        .groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("id").alias("l_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("r_id"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(na, "l_id")
+        .join(nb, "r_id")
+        .select(
+            "l_id",
+            "r_id",
+            (F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))).alias("jac"),
+        )
+    )
+    if min_jaccard is not None:
+        jac = jac.where(F.round("jac", 6) >= min_jaccard)
+    return jac
+
+
 def jaccard_pairs(
     postings: DataFrame, min_jaccard: float | None = None
 ) -> DataFrame:
     """(l_id, r_id, jac): exact Jaccard over shingle sets for every pair
     sharing ≥1 shingle (optionally thresholded on the rounded value).
 
-    Exact optimization: shingles occurring in exactly one document cannot
-    produce a cross-document pair, so they are pruned from the pair join
-    (NOT from the set sizes, which stay exact). On natural corpora most
-    word 3-shingles are unique, so this collapses the self-join input by
-    an order of magnitude while leaving the result bit-identical.
+    Exact optimizations (results bit-identical):
+
+    * shingles occurring in exactly one document cannot produce a
+      cross-document pair → pruned from the pair join (NOT from the set
+      sizes);
+    * with a threshold t, PREFIX FILTERING (the ppjoin family,
+      Xiao et al., "Efficient Similarity Joins for Near Duplicate
+      Detection", WWW'08 — public literature): order each document's
+      shingles by ascending global frequency; two sets with Jaccard ≥ t
+      MUST share a token among each side's first n - ⌈t·n⌉ + 1 tokens.
+      Candidate generation joins only these short, rare-token prefixes;
+      candidates are then verified exactly. This is the standard exact
+      set-similarity-join plan at web scale.
     """
+    if min_jaccard is not None and min_jaccard > 0:
+        dfc = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("__dfc"))
+        ranked = postings.join(dfc, "sh").withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("__dfc"), F.asc("sh"))
+            ),
+        )
+        sized = ranked.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        prefix_len = F.col("__n") - F.ceil(F.lit(float(min_jaccard)) * F.col("__n")) + 1
+        prefix = (
+            sized.where((F.col("__rk") <= prefix_len) & (F.col("__dfc") >= 2))
+            .select("id", "sh")
+        )
+        cands = (
+            prefix.select(F.col("id").alias("l_id"), "sh")
+            .join(prefix.select(F.col("id").alias("r_id"), "sh"), "sh")
+            .where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id")
+            .distinct()
+        )
+        return _verify_jaccard_pairs(postings, cands, min_jaccard)
+
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     shared_sh = (
         postings.groupBy("sh")
@@ -170,30 +232,8 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
 
     # Verification touches ONLY the candidate pairs (this is the whole
-    # point of LSH): expand each candidate by the left document's
-    # shingles, keep those present in the right document, count.
-    # Never recomputes the all-pairs intersection.
-    a = postings.select(F.col("id").alias("l_id"), "sh")
-    b = postings.select(F.col("id").alias("r_id"), "sh")
-    inter = (
-        cands.join(a, "l_id")
-        .join(b, ["r_id", "sh"])
-        .groupBy("l_id", "r_id")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("id").alias("l_id"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("r_id"), F.col("n").alias("nb"))
-    jac = (
-        inter.join(na, "l_id")
-        .join(nb, "r_id")
-        .select(
-            "l_id",
-            "r_id",
-            (F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))).alias("jac"),
-        )
-    )
-    return jac.where(F.round("jac", 6) >= min_jaccard)
+    # point of LSH); never recomputes the all-pairs intersection.
+    return _verify_jaccard_pairs(postings, cands, min_jaccard)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -784,6 +784,21 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_topk_ivf")  # approximate by design → rows-only driver check
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: hash-sampled centroids, nprobe=3 of 16 lists, exact
+    re-rank. No SQL oracle (approximate); tests/test_similarity.py pins
+    candidate sims to the brute-force values and full-probe == exact."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_ivf(emb, queries, k=5, num_centroids=16, nprobe=3)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
 @register("ann_topk_lsh")  # approximate by design → rows-only driver check
 def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (16 planes, 4 bands) with exact re-rank.

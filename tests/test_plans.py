@@ -1,0 +1,59 @@
+"""Physical-plan property tests: at 100 TB the PLAN is the product —
+these pin the properties that make the queries scale (broadcasts chosen,
+filters reaching the parquet scan, window top-k pushed down) so a
+refactor that silently degrades the plan fails CI even though rows stay
+correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_sim_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    formatted_plan,
+)
+from polars_sim_spark import queries as q
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_small):
+    df = q.revenue_by_nation(spark, sf_small)
+    assert_broadcast_join(df)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_small):
+    part = spark.read.parquet(f"{sf_small}/part.parquet")
+    df = part.where(F.col("p_size") > 20).select("p_partkey", "p_size")
+    assert_pushed_filters(df, "p_size")
+    # column pruning: scan must read only the 2 projected columns
+    plan = formatted_plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "p_name" not in scan[0]
+
+
+def test_join_sim_topk_uses_window_group_limit(spark, sf_small):
+    """Catalyst rewrites rank()<=k into WindowGroupLimit (partial top-k
+    before the final sort) — the analog of the reference's fused top-n."""
+    df = q.join_sim_parts_l2(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_small):
+    """The as-of join must plan exactly ONE exchange over the by-key —
+    the union + running-last trick never range-joins."""
+    from polars_sim_spark.operators.asof_join import asof_join
+
+    from polars_sim_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    out = asof_join(left, right, on="ts", by="user_id", right_seq="cid", how="inner")
+    import re
+
+    plan = formatted_plan(out)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"

@@ -63,3 +63,28 @@ def test_lsh_bucket_determinism(spark, sf_small):
     a = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
     b = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
     assert a == b
+
+
+def test_ivf_exact_sims_and_recall(spark, sf_small):
+    """IVF candidates re-rank with exact cosine; probing all centroids
+    must recover the brute-force result exactly."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf
+
+    emb = _emb(spark, sf_small)
+    qs = _queries(emb)
+    exact = {
+        (r["q_id"], r["n_id"]): r["sim"]
+        for r in ann_topk_bruteforce(emb, qs, k=10**9).collect()
+    }
+    ivf = ann_topk_ivf(emb, qs, k=5, num_centroids=8, nprobe=2).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["q_id"], 0)
+        per_q[r["q_id"]] += 1
+        assert exact[(r["q_id"], r["n_id"])] == r["sim"]
+    assert all(n <= 5 for n in per_q.values())
+
+    # nprobe = num_centroids ⇒ candidates = whole corpus ⇒ exact top-k
+    full = ann_topk_ivf(emb, qs, k=3, num_centroids=8, nprobe=8)
+    brute = ann_topk_bruteforce(emb, qs, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
