@@ -237,45 +237,90 @@ def _similarity_mapping_distinct(
     right_id: str,
     max_token_df: int | None,
 ) -> DataFrame:
-    """Distinct-key evaluation of the similarity mapping (exact).
+    """Distinct-TOKEN-SET evaluation of the similarity mapping (exact).
 
-    1. sims over distinct (left string × right string) pairs;
-    2. per left string keep ``rank() <= top_n`` by sim DESC (rank, not
+    Two strings with the same trigram set have identical similarity
+    vectors, so sims are computed once per distinct token SET — a
+    strictly coarser (and never larger) grouping than distinct strings.
+    On data whose keys collapse under tokenization (e.g. names differing
+    only in digits/punctuation, which the [a-z]³ vocabulary drops) this
+    shrinks the quadratic pair space by orders of magnitude.
+
+    1. distinct strings per side → token-set key (md5 of the sorted
+       token array) → one REPRESENTATIVE string per set (any string with
+       that set tokenizes identically);
+    2. sims over (left set × right set) pairs via the representatives;
+    3. per left set keep ``rank() <= top_n`` by sim DESC (rank, not
        row_number: boundary ties must survive because the row-level
-       tiebreak crosses strings that share a sim);
-    3. expand the kept string pairs to right rows, take the true row-level
-       top-n per left string (sim DESC, right_id ASC);
-    4. expand to left rows.
+       tiebreak crosses sets that share a sim);
+    4. expand kept set pairs → right strings → right rows, take the true
+       row-level top-n per left set (sim DESC, right_id ASC);
+    5. expand to left strings → left rows.
     """
-    ldist = left.select(F.col(left_on).alias("__ls")).where(F.col(left_on).isNotNull()).distinct()
-    rdist = right.select(F.col(right_on).alias("__rs")).where(F.col(right_on).isNotNull()).distinct()
+    def _keyed_strings(df, col, out_str):
+        base = (
+            df.select(F.col(col).alias(out_str))
+            .where(F.col(col).isNotNull())
+            .distinct()
+        )
+        s = F.col(out_str)
+        if apply_word_normalization:
+            s = normalize_string_col(s)
+        key = F.md5(F.concat_ws("\x01", F.sort_array(trigram_tokens(s))))
+        return base.withColumn("__key", key)
+
+    lstr = _keyed_strings(left, left_on, "__ls").cache()
+    rstr = _keyed_strings(right, right_on, "__rs").cache()
+
+    # One cheap aggregate per side decides whether tokenization collapses
+    # strings at all. If every distinct string already has a distinct
+    # token set, the set-level indirection buys nothing — fall back to
+    # string-keyed evaluation (two fewer joins).
+    lc = lstr.agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k")).first()
+    rc = rstr.agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k")).first()
+    set_keyed = lc["k"] < lc["n"] or rc["k"] < rc["n"]
+
+    if set_keyed:
+        lreps = lstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__lkey"), "__ls")
+        rreps = rstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__rkey"), "__rs")
+    else:
+        lreps = lstr.select(F.col("__ls").alias("__lkey"), "__ls")
+        rreps = rstr.select(F.col("__rs").alias("__rkey"), "__rs")
 
     smap = similarity_mapping(
-        ldist,
-        rdist,
+        lreps,
+        rreps,
         left_on="__ls",
         right_on="__rs",
         top_n=top_n,
         normalization=normalization,
         apply_word_normalization=apply_word_normalization,
         strategy=strategy,
-        left_id="__ls",
-        right_id="__rs",
+        left_id="__lkey",
+        right_id="__rkey",
         max_token_df=max_token_df,
         dedup_keys=False,
         _rank_ties=True,
     )
 
     rrows = right.select(F.col(right_id), F.col(right_on).alias("__rs"))
-    cand = smap.join(rrows, "__rs").select("__ls", right_id, "sim")
-    w = Window.partitionBy("__ls").orderBy(F.desc("sim"), F.asc(right_id))
-    per_string = (
+    if set_keyed:
+        smap = smap.join(rstr.withColumnRenamed("__key", "__rkey"), "__rkey")
+    else:
+        smap = smap.withColumnRenamed("__rkey", "__rs")
+    cand = smap.join(rrows, "__rs").select("__lkey", right_id, "sim")
+    w = Window.partitionBy("__lkey").orderBy(F.desc("sim"), F.asc(right_id))
+    per_set = (
         cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= top_n)
         .drop("__rn")
     )
     lrows = left.select(F.col(left_id), F.col(left_on).alias("__ls"))
-    return per_string.join(lrows, "__ls").select(left_id, right_id, "sim")
+    if set_keyed:
+        per_set = per_set.join(lstr.withColumnRenamed("__key", "__lkey"), "__lkey")
+    else:
+        per_set = per_set.withColumnRenamed("__lkey", "__ls")
+    return per_set.join(lrows, "__ls").select(left_id, right_id, "sim")
 
 
 def join_sim(

@@ -98,3 +98,17 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "l_id long, r_id long")
     cc = dedup.connected_components(nodes, edges)
     assert {r["cluster_id"] for r in cc.collect()} == {0}
+
+
+def test_prefix_filter_path_exact(spark, docs):
+    """Forced prefix filtering must give exactly the all-pairs result."""
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    plain = {
+        (r["l_id"], r["r_id"]): round(r["jac"], 9)
+        for r in dedup.jaccard_pairs(postings, 0.5, use_prefix_filter=False).collect()
+    }
+    pref = {
+        (r["l_id"], r["r_id"]): round(r["jac"], 9)
+        for r in dedup.jaccard_pairs(postings, 0.5, use_prefix_filter=True).collect()
+    }
+    assert plain == pref and (1, 4) in pref
