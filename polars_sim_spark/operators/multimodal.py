@@ -90,6 +90,74 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(op, DECODE_META_SCHEMA)
 
 
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """Stand-in for image resizing: binary in → binary out through
+    mapInPandas (the real thing once a codec ships; the stub truncates /
+    cycles payload bytes to exactly target_w*target_h bytes so output
+    sizes are shape-correct and deterministic)."""
+    n_out = target_w * target_h
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                data = bytes(b)
+                try:
+                    _try_real_decode(data)
+                except NotImplementedError:
+                    reps = (n_out // max(len(data), 1)) + 1 if data else 0
+                    out.append((data * reps)[:n_out] if data else b"")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.array([target_w] * len(out), dtype="int32"),
+                    "height": pd.array([target_h] * len(out), dtype="int32"),
+                    "resized": out,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "doc_id long, width int, height int, resized binary"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    bins: int = 16,
+) -> DataFrame:
+    """REAL feature extraction (no stub): L1-normalized byte histogram of
+    the payload as ``array<float>`` — the classic content-signature
+    feature for binary blobs. Output plugs straight into the ANN
+    operators (operators/similarity.py) for media near-dup search."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                data = np.frombuffer(bytes(b), dtype=np.uint8)
+                if data.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(data >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                feats.append((hist / data.size).astype(float).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "doc_id long, features array<double>"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -784,6 +784,30 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_stats",
+    """
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+FROM documents
+WHERE octet_length(encode(text)) > 0
+""",
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through mapInPandas (1→N fan-out),
+    validated by aggregate: frame count and reassembled byte total per
+    document must match the payload exactly."""
+    from polars_sim_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary_payload(docs), every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+    )
+
+
 @register("ann_topk_ivf")  # approximate by design → rows-only driver check
 def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: hash-sampled centroids, nprobe=3 of 16 lists, exact

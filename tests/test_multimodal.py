@@ -38,3 +38,45 @@ def test_schema_is_stable(spark):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "n_bytes", "content_md5", "width", "height", "decoder",
     ]
+
+
+def test_resize_shapes(spark, sf_small):
+    from polars_sim_spark.operators.multimodal import attach_binary_payload, resize_image
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    out = resize_image(attach_binary_payload(docs), target_w=8, target_h=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["resized"]) in (0, 64)  # empty payload stays empty
+
+
+def test_extract_features_histogram(spark, sf_small):
+    from polars_sim_spark.operators.multimodal import attach_binary_payload, extract_features
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    out = extract_features(attach_binary_payload(docs), bins=16).collect()
+    for r in out:
+        f = r["features"]
+        assert len(f) == 16
+        s = sum(f)
+        assert s == 0.0 or abs(s - 1.0) < 1e-9  # L1-normalized
+
+
+def test_features_feed_ann(spark, sf_small):
+    """Byte-histogram features flow into the ANN operator unchanged —
+    the media near-dup pipeline end-to-end."""
+    from pyspark.sql import functions as F
+
+    from polars_sim_spark.operators.multimodal import attach_binary_payload, extract_features
+    from polars_sim_spark.operators.similarity import ann_topk_bruteforce
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    feats = extract_features(attach_binary_payload(docs))
+    qs = feats.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("features").alias("q_emb")
+    )
+    out = ann_topk_bruteforce(
+        feats, qs, id_col="doc_id", vec_col="features", k=3
+    )
+    assert out.count() > 0
