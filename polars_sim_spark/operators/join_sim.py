@@ -129,6 +129,11 @@ def similarity_mapping(
         )
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must be distinct column names (both {left_id!r}); "
+            "alias one side first, or use join_sim() which handles the rename"
+        )
 
     if strategy == "kernel":
         # Broadcast dense-accumulator kernel (the reference's physical
