@@ -64,12 +64,15 @@ def minhash_signatures(
     postings: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
     """(id, s0..s{k-1}): MinHash signature per document from shingle postings."""
-    h = md5_hash64(F.col("sh"))
+    # Hash each shingle ONCE in a projection before the aggregate — the k
+    # min-aggregates then reuse the column instead of each re-evaluating
+    # the md5 (codegen does not CSE across aggregate expressions).
+    pre = postings.withColumn("__h", md5_hash64(F.col("sh")))
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
     ]
-    return postings.groupBy("id").agg(*aggs)
+    return pre.groupBy("id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS_PER_BAND) -> DataFrame:
@@ -241,7 +244,10 @@ def minhash_lsh_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket self-join → exact-Jaccard verification of candidates only.
     Returns (l_id, r_id, jac)."""
-    postings = shingle_postings(df, id_col, text_col, shingle_n)
+    # The postings feed four passes (signatures, both verification sides,
+    # set sizes); persist so shingling runs once. MEMORY_AND_DISK default
+    # spills rather than OOMs when the corpus outgrows executor memory.
+    postings = shingle_postings(df, id_col, text_col, shingle_n).persist()
     sigs = minhash_signatures(postings)
     cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
 

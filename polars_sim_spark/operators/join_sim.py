@@ -277,13 +277,29 @@ def _similarity_mapping_distinct(
     lstr = _keyed_strings(left, left_on, "__ls").cache()
     rstr = _keyed_strings(right, right_on, "__rs").cache()
 
-    # One cheap aggregate per side decides whether tokenization collapses
-    # strings at all. If every distinct string already has a distinct
-    # token set, the set-level indirection buys nothing — fall back to
-    # string-keyed evaluation (two fewer joins).
-    lc = lstr.agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k")).first()
-    rc = rstr.agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k")).first()
+    # One cheap aggregate decides whether tokenization collapses strings
+    # at all. If every distinct string already has a distinct token set,
+    # the set-level indirection buys nothing — fall back to string-keyed
+    # evaluation (two fewer joins). Both sides are unioned into a SINGLE
+    # Spark job (it also materializes both caches), and the same
+    # statistics resolve the auto broadcast-vs-shuffle choice so the
+    # inner call never needs its own count job.
+    stats = {
+        r["__side"]: r
+        for r in (
+            lstr.select(F.lit("l").alias("__side"), "__key")
+            .unionByName(rstr.select(F.lit("r").alias("__side"), "__key"))
+            .groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k"))
+            .collect()
+        )
+    }
+    empty = {"n": 0, "k": 0}  # a side with no rows contributes no group
+    lc, rc = stats.get("l", empty), stats.get("r", empty)
     set_keyed = lc["k"] < lc["n"] or rc["k"] < rc["n"]
+    if strategy == "auto":
+        n_right_reps = rc["k"] if set_keyed else rc["n"]
+        strategy = "broadcast" if n_right_reps <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
     if set_keyed:
         lreps = lstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__lkey"), "__ls")

@@ -444,7 +444,9 @@ SELECT id AS doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
 def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (all pairs sharing a shingle)."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    # jaccard_pairs makes three passes over the postings (pair join ×2,
+    # set sizes) — persist so shingling runs once.
+    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
     jac = dedup.jaccard_pairs(postings, min_jaccard=0.5)
     return jac.select(
         F.col("l_id").alias("l_doc"),
@@ -690,7 +692,7 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation). cluster_id = smallest doc_id in the component = the
     canonical keeper; everything else in the cluster is a drop candidate."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
     pairs = dedup.jaccard_pairs(postings, min_jaccard=0.5).select("l_id", "r_id")
     nodes = docs.select(F.col("doc_id").alias("id"))
     cc = dedup.connected_components(nodes, pairs)
