@@ -112,12 +112,23 @@ def lsh_candidate_pairs(
     )
 
 
+def _hashed_postings(postings: DataFrame) -> DataFrame:
+    """(id, sh): postings with the string shingle replaced by its 64-bit
+    xxhash. Every downstream pair join only tests shingle EQUALITY, so a
+    fixed-width long key shuffles a fraction of the bytes of a multi-word
+    string and hash-compares for free. Per-document distinctness (what the
+    intersection counts rely on) survives hashing up to 64-bit collisions
+    — odds ~n²/2⁶⁵, negligible against corpus sizes."""
+    return postings.select("id", F.xxhash64("sh").alias("sh"))
+
+
 def _verify_jaccard_pairs(
     postings: DataFrame, cands: DataFrame, min_jaccard: float | None
 ) -> DataFrame:
     """Exact Jaccard for CANDIDATE pairs only: expand each (l_id, r_id)
     by the left document's shingles, keep those the right document also
     has, count. Cost ∝ |cands|·avg-set-size, never all-pairs."""
+    postings = _hashed_postings(postings)
     a = postings.select(F.col("id").alias("l_id"), "sh")
     b = postings.select(F.col("id").alias("r_id"), "sh")
     inter = (
@@ -177,6 +188,8 @@ def jaccard_pairs(
     """
     if use_prefix_filter is None:
         use_prefix_filter = min_jaccard is not None and min_jaccard >= PREFIX_FILTER_MIN_T
+    orig_postings = postings
+    postings = _hashed_postings(postings)
     if use_prefix_filter and min_jaccard is not None and min_jaccard > 0:
         dfc = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("__dfc"))
         ranked = postings.join(dfc, "sh").withColumn(
@@ -198,7 +211,7 @@ def jaccard_pairs(
             .select("l_id", "r_id")
             .distinct()
         )
-        return _verify_jaccard_pairs(postings, cands, min_jaccard)
+        return _verify_jaccard_pairs(orig_postings, cands, min_jaccard)
 
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     shared_sh = (

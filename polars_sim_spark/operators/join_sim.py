@@ -64,6 +64,12 @@ _COL = "__pss_col"
 #: ``join.py:107-114``).
 BROADCAST_RIGHT_MAX_ROWS = 2_000_000
 
+#: Strings tokenized per side when probing whether token sets collapse
+#: distinct strings (the set-keyed fast path). Bounded so the probe cost
+#: is O(1) in corpus size; a collapse invisible in a 20k sample is too
+#: rare to pay full-corpus tokenization for up front.
+SET_KEY_SAMPLE_ROWS = 20_000
+
 
 def _tokens_long(
     df: DataFrame,
@@ -262,46 +268,72 @@ def _similarity_mapping_distinct(
        row-level top-n per left set (sim DESC, right_id ASC);
     5. expand to left strings → left rows.
     """
-    def _keyed_strings(df, col, out_str):
-        base = (
+    def _distinct_strings(df, col, out_str):
+        return (
             df.select(F.col(col).alias(out_str))
             .where(F.col(col).isNotNull())
             .distinct()
         )
+
+    def _set_key(out_str):
         s = F.col(out_str)
         if apply_word_normalization:
             s = normalize_string_col(s)
-        key = F.md5(F.concat_ws("\x01", F.sort_array(trigram_tokens(s))))
-        return base.withColumn("__key", key)
+        return F.md5(F.concat_ws("\x01", F.sort_array(trigram_tokens(s))))
 
-    lstr = _keyed_strings(left, left_on, "__ls").cache()
-    rstr = _keyed_strings(right, right_on, "__rs").cache()
+    lstr = _distinct_strings(left, left_on, "__ls").cache()
+    rstr = _distinct_strings(right, right_on, "__rs").cache()
 
-    # One cheap aggregate decides whether tokenization collapses strings
-    # at all. If every distinct string already has a distinct token set,
-    # the set-level indirection buys nothing — fall back to string-keyed
-    # evaluation (two fewer joins). Both sides are unioned into a SINGLE
-    # Spark job (it also materializes both caches), and the same
-    # statistics resolve the auto broadcast-vs-shuffle choice so the
-    # inner call never needs its own count job.
-    stats = {
+    # Two cheap scout jobs decide the plan shape before any quadratic work:
+    # 1. full per-side distinct-string counts (no tokenization — also
+    #    materializes both caches) resolve the auto broadcast-vs-shuffle
+    #    choice, so the inner call never needs its own count job;
+    # 2. a BOUNDED SAMPLE is tokenized to detect whether token sets
+    #    collapse strings at all. Tokenizing the full corpus just to
+    #    learn "no collapse" was the dominant first-run cost on
+    #    all-unique data; a collapse that a 20k-string sample misses
+    #    entirely is rare, and missing it only costs speed, never
+    #    correctness (both paths are exact).
+    counts = {
+        r["__side"]: r["n"]
+        for r in (
+            lstr.select(F.lit("l").alias("__side"))
+            .unionByName(rstr.select(F.lit("r").alias("__side")))
+            .groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    if strategy == "auto":
+        # Distinct right strings bound the right representatives from
+        # above, so this broadcast decision is safe for both key modes.
+        strategy = (
+            "broadcast" if counts.get("r", 0) <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
+        )
+    sample = {
         r["__side"]: r
         for r in (
-            lstr.select(F.lit("l").alias("__side"), "__key")
-            .unionByName(rstr.select(F.lit("r").alias("__side"), "__key"))
+            lstr.limit(SET_KEY_SAMPLE_ROWS)
+            .select(F.lit("l").alias("__side"), _set_key("__ls").alias("__key"))
+            .unionByName(
+                rstr.limit(SET_KEY_SAMPLE_ROWS)
+                .select(F.lit("r").alias("__side"), _set_key("__rs").alias("__key"))
+            )
             .groupBy("__side")
             .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k"))
             .collect()
         )
     }
     empty = {"n": 0, "k": 0}  # a side with no rows contributes no group
-    lc, rc = stats.get("l", empty), stats.get("r", empty)
+    lc, rc = sample.get("l", empty), sample.get("r", empty)
     set_keyed = lc["k"] < lc["n"] or rc["k"] < rc["n"]
-    if strategy == "auto":
-        n_right_reps = rc["k"] if set_keyed else rc["n"]
-        strategy = "broadcast" if n_right_reps <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
     if set_keyed:
+        # Collapse confirmed — now the full-corpus keys are worth their
+        # cost. Cached: the keyed frames feed both the representative
+        # pick and the final set→string expansion joins.
+        lstr = lstr.withColumn("__key", _set_key("__ls")).cache()
+        rstr = rstr.withColumn("__key", _set_key("__rs")).cache()
         lreps = lstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__lkey"), "__ls")
         rreps = rstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__rkey"), "__rs")
     else:
