@@ -284,49 +284,53 @@ def _similarity_mapping_distinct(
     lstr = _distinct_strings(left, left_on, "__ls").cache()
     rstr = _distinct_strings(right, right_on, "__rs").cache()
 
-    # Two cheap scout jobs decide the plan shape before any quadratic work:
-    # 1. full per-side distinct-string counts (no tokenization — also
-    #    materializes both caches) resolve the auto broadcast-vs-shuffle
-    #    choice, so the inner call never needs its own count job;
-    # 2. a BOUNDED SAMPLE is tokenized to detect whether token sets
-    #    collapse strings at all. Tokenizing the full corpus just to
-    #    learn "no collapse" was the dominant first-run cost on
-    #    all-unique data; a collapse that a 20k-string sample misses
-    #    entirely is rare, and missing it only costs speed, never
-    #    correctness (both paths are exact).
-    counts = {
-        r["__side"]: r["n"]
+    # ONE cheap scout job decides the whole plan shape before any
+    # quadratic work (every extra driver-blocking job costs ~0.5-1 s of
+    # fixed scheduling latency, which dominates small inputs). Per side
+    # it unions two branches over the cached distinct strings:
+    # * a FULL branch that only counts rows (no tokenization) — this
+    #   materializes the caches and resolves the auto broadcast-vs-
+    #   shuffle choice, so the inner call never needs its own count job;
+    # * a BOUNDED-SAMPLE branch that computes token-set keys to detect
+    #   whether tokenization collapses strings at all. Tokenizing the
+    #   full corpus just to learn "no collapse" was the dominant
+    #   first-run cost on all-unique data; a collapse a 20k-string
+    #   sample misses entirely is rare, and missing it only costs
+    #   speed, never correctness (both paths are exact).
+    def _tagged(df, out_str, side):
+        full = df.select(
+            F.lit(side).alias("__side"),
+            F.lit(0).alias("__samp"),
+            F.lit(None).cast("string").alias("__key"),
+        )
+        samp = df.limit(SET_KEY_SAMPLE_ROWS).select(
+            F.lit(side).alias("__side"),
+            F.lit(1).alias("__samp"),
+            _set_key(out_str).alias("__key"),
+        )
+        return full.unionByName(samp)
+
+    stats = {
+        r["__side"]: r
         for r in (
-            lstr.select(F.lit("l").alias("__side"))
-            .unionByName(rstr.select(F.lit("r").alias("__side")))
+            _tagged(lstr, "__ls", "l")
+            .unionByName(_tagged(rstr, "__rs", "r"))
             .groupBy("__side")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.when(F.col("__samp") == 0, 1)).alias("n"),
+                F.count(F.when(F.col("__samp") == 1, 1)).alias("sn"),
+                F.countDistinct("__key").alias("sk"),  # nulls (full branch) ignored
+            )
             .collect()
         )
     }
+    empty = {"n": 0, "sn": 0, "sk": 0}  # a side with no rows contributes no group
+    lc, rc = stats.get("l", empty), stats.get("r", empty)
+    set_keyed = lc["sk"] < lc["sn"] or rc["sk"] < rc["sn"]
     if strategy == "auto":
         # Distinct right strings bound the right representatives from
         # above, so this broadcast decision is safe for both key modes.
-        strategy = (
-            "broadcast" if counts.get("r", 0) <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
-        )
-    sample = {
-        r["__side"]: r
-        for r in (
-            lstr.limit(SET_KEY_SAMPLE_ROWS)
-            .select(F.lit("l").alias("__side"), _set_key("__ls").alias("__key"))
-            .unionByName(
-                rstr.limit(SET_KEY_SAMPLE_ROWS)
-                .select(F.lit("r").alias("__side"), _set_key("__rs").alias("__key"))
-            )
-            .groupBy("__side")
-            .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("__key").alias("k"))
-            .collect()
-        )
-    }
-    empty = {"n": 0, "k": 0}  # a side with no rows contributes no group
-    lc, rc = sample.get("l", empty), sample.get("r", empty)
-    set_keyed = lc["k"] < lc["n"] or rc["k"] < rc["n"]
+        strategy = "broadcast" if rc["n"] <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
     if set_keyed:
         # Collapse confirmed — now the full-corpus keys are worth their
