@@ -14,8 +14,11 @@ watermarks; nothing here collects to the driver.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from polars_sim_spark.functions.text import trigram_tokens
 
@@ -44,6 +47,57 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def streaming_dedup_first_seen(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Streaming exact dedup: emit each ``key_col`` value's first row
+    (smallest ``order_col``) the FIRST time the key is ever seen; drop
+    every later occurrence, across micro-batches and restarts.
+
+    The classic stateful operator of a streaming training-data ingest
+    (content-fingerprint dedup at the door). Built on
+    ``applyInPandasWithState``: one keyed state entry per fingerprint — a
+    single long — persisted in the state store, so memory is O(distinct
+    keys) per partition, spill-backed by RocksDB when configured, and
+    recovery is exactly-once from the checkpoint.
+
+    Scale notes: state is hash-partitioned by key (``groupBy``), so 1000
+    executors hold disjoint fingerprint shards; there is no driver-side
+    set. For unbounded key spaces, front it with a watermark-scoped
+    variant or periodic state TTL — deliberately NOT defaulted here
+    because dedup correctness usually wants unbounded memory of the past.
+    """
+    out_schema = stream.schema
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def first_seen(key, pdfs, state) -> Iterator:
+        if state.exists:
+            return  # key already emitted in an earlier micro-batch
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col).head(1)
+            if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield best
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

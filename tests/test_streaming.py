@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from polars_sim_spark.sources.tables import load_table
 from polars_sim_spark.streaming.stream_ops import (
     stream_static_token_enrich,
+    streaming_dedup_first_seen,
     windowed_event_counts,
 )
 
@@ -68,6 +69,54 @@ def test_windowed_counts_match_batch(spark, sf_small, events_stream_dir):
     }
     assert got == finalized
     assert len(got) > 0
+
+
+def test_streaming_dedup_first_seen(spark):
+    """Stateful dedup via applyInPandasWithState: within-run duplicates
+    collapse to the earliest row, and a SECOND run over the same
+    checkpoint drops keys already emitted (state survives restart)."""
+    src = tempfile.mkdtemp(prefix="pss_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_dedup_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_dedup_out_")
+    schema = "fp string, seq long, text string"
+    try:
+        def run():
+            # Memory sink can't recover from a checkpoint; the file sink
+            # is the restart-capable path (exactly-once via the ckpt).
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = streaming_dedup_first_seen(stream, key_col="fp", order_col="seq")
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", dst)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["fp"]: (r["seq"], r["text"])
+                for r in spark.read.schema(schema).parquet(dst).collect()
+            }
+
+        spark.createDataFrame(
+            [("a", 2, "dup of a"), ("a", 1, "first a"), ("b", 3, "first b")], schema
+        ).write.mode("append").parquet(src)
+        got1 = run()
+        # in-run dedup: smallest seq wins per key
+        assert got1 == {"a": (1, "first a"), "b": (3, "first b")}
+
+        spark.createDataFrame(
+            [("a", 4, "late dup of a"), ("c", 5, "first c")], schema
+        ).write.mode("append").parquet(src)
+        got2 = run()
+        # cross-run state: 'a' was already emitted → only the new key
+        # adds a row to the cumulative output
+        assert got2 == {"a": (1, "first a"), "b": (3, "first b"), "c": (5, "first c")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 def test_stream_static_enrich(spark, sf_small, events_stream_dir):
