@@ -33,6 +33,7 @@ HEADLINE = [
     "events_json_stats",
     "dedup_exact_docs",
     "dedup_jaccard_docs",
+    "dedup_jaccard_prefix_docs",
     "dedup_minhash_lsh_docs",
     "dedup_simhash_docs",
     "dedup_embedding_cosine",

@@ -455,6 +455,23 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_jaccard_prefix_docs", duck_jaccard_sql(0.7, lsh=False))
+def dedup_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard at t=0.7 — the threshold auto-activates ppjoin
+    prefix filtering (dedup.PREFIX_FILTER_MIN_T): candidates are
+    generated from each document's short rare-shingle prefix, then
+    verified exactly. Same results as the all-pairs plan, far fewer
+    candidate pairs; the oracle is threshold-parameterized plain SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
+    jac = dedup.jaccard_pairs(postings, min_jaccard=0.7)
+    return jac.select(
+        F.col("l_id").alias("l_doc"),
+        F.col("r_id").alias("r_doc"),
+        F.round("jac", 6).alias("jac_r"),
+    )
+
+
 @register("dedup_minhash_lsh_docs", duck_jaccard_sql(0.5, lsh=True))
 def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded-signature candidates, exact-Jaccard
