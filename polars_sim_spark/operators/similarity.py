@@ -108,10 +108,13 @@ def ann_topk_ivf(
         F.col(vec_col).alias("__centroid"),
         F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
     )
-    wpick = Window.orderBy(F.asc("__h"), F.asc("c_id"))
+    # orderBy + limit compiles to TakeOrderedAndProject — each partition
+    # keeps its local top-num_centroids, then they merge — unlike an
+    # unpartitioned window, which would drag the WHOLE corpus into a
+    # single partition to rank it.
     centroids = (
-        hashed.withColumn("__rn", F.row_number().over(wpick))
-        .where(F.col("__rn") <= num_centroids)
+        hashed.orderBy(F.asc("__h"), F.asc("c_id"))
+        .limit(num_centroids)
         .select("c_id", "__centroid", l2_norm("__centroid").alias("__cnorm"))
     )
 

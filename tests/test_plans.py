@@ -57,3 +57,12 @@ def test_asof_join_single_shuffle(spark, sf_small):
     plan = formatted_plan(out)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+
+
+def test_ivf_centroid_pick_is_distributed_topk(spark, sf_small):
+    """Centroid selection must compile to TakeOrderedAndProject (per-
+    partition top-k + merge), never an unpartitioned window that drags
+    the whole corpus into one partition."""
+    df = q.ann_topk_ivf_query(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
