@@ -18,6 +18,7 @@ and queries exercise a single audited path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def write_partitioned(
@@ -63,5 +64,30 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def read_back(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
-    return spark.read.format(format).load(path)
+def read_back(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    *,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a dataset written by the sinks above.
+
+    Self-describing formats (parquet/orc) carry their schema. For text
+    formats (csv/json) an EXPLICIT schema is required: schema inference
+    is a full extra pass over the data — a non-starter at 100 TB — and
+    silently types everything it can't parse as string. ``options``
+    pass through to the reader (e.g. ``header="true"`` for csv).
+    """
+    r = spark.read.format(format)
+    if schema is not None:
+        r = r.schema(schema)
+    elif format in ("csv", "json"):
+        raise ValueError(
+            f"{format} has no embedded schema; pass schema= explicitly "
+            "(inference would scan the whole dataset)"
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

@@ -35,3 +35,25 @@ def test_bucketed_table_roundtrip(spark, tmp_path):
     txt = "\n".join(str(r) for r in desc)
     assert "doc_id" in txt
     spark.sql("DROP TABLE t_docs_bucketed")
+
+
+def test_csv_json_roundtrip_require_schema(spark, tmp_path):
+    """Text-format round-trips: values survive, and schemaless reads of
+    csv/json are refused (inference = full extra scan at scale)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id long, name string, score double"
+    )
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        write_partitioned(df, path, format=fmt)
+        back = read_back(
+            spark, path, fmt, schema="id long, name string, score double"
+        )
+        assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+            (1, "alpha", 1.5),
+            (2, "beta", 2.5),
+        ]
+        with pytest.raises(ValueError, match="schema"):
+            read_back(spark, path, fmt)
