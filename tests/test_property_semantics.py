@@ -1,0 +1,93 @@
+"""Property-based differential test: join_sim vs a pure-Python model of
+the reference's vectorization semantics (SURVEY.md §1.4; reference
+``src/cossim.rs:27-60``, ``python/polars_sim/dataframe/join.py:6-12``).
+
+The 7 golden tests pin hand-computed values; hypothesis hunts the edge
+semantics — digits/punctuation/uppercase dropped from the [a-z]³
+vocabulary, <3-char strings vectorizing to zero, word normalization
+unlocking matches, count vs l2 — on inputs nobody thought to write down.
+Each example runs one tiny broadcast-strategy Spark job, so examples are
+few but adversarially shrunk.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators.join_sim import similarity_mapping
+
+ALPHABET = "abcdefg XY12.-é"
+
+
+def model_tokens(s: str, normalize: bool) -> frozenset[str]:
+    """The reference tokenizer: optional strip-non-alnum+lowercase, then
+    DISTINCT char trigrams restricted to the [a-z]³ vocabulary."""
+    if normalize:
+        s = "".join(c for c in s if c.isascii() and c.isalnum()).lower()
+    grams = {s[i : i + 3] for i in range(len(s) - 2)} if len(s) >= 3 else set()
+    return frozenset(
+        g for g in grams if all("a" <= c <= "z" for c in g)
+    )
+
+
+def model_mapping(lefts, rights, normalization, normalize_words):
+    out = {}
+    for li, ls in enumerate(lefts):
+        lt = model_tokens(ls, normalize_words)
+        for ri, rs in enumerate(rights):
+            rt = model_tokens(rs, normalize_words)
+            k = len(lt & rt)
+            if k == 0:
+                continue
+            sim = k if normalization == "count" else k / math.sqrt(len(lt) * len(rt))
+            out[(li, ri)] = sim
+    return out
+
+
+strings = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=10), min_size=1, max_size=8
+)
+
+
+@pytest.mark.parametrize(
+    "normalization,normalize_words",
+    [("l2", False), ("count", False), ("l2", True)],
+)
+@given(lefts=strings, rights=strings)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mapping_matches_python_model(
+    spark, lefts, rights, normalization, normalize_words
+):
+    ldf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lefts)], "lid long, ls string"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rights)], "rid long, rs string"
+    )
+    got = {
+        (r["lid"], r["rid"]): r["sim"]
+        for r in similarity_mapping(
+            ldf,
+            rdf,
+            left_on="ls",
+            right_on="rs",
+            top_n=len(rights) + 1,  # keep every match: no tie ambiguity
+            normalization=normalization,
+            apply_word_normalization=normalize_words,
+            strategy="broadcast",
+            left_id="lid",
+            right_id="rid",
+        ).collect()
+    }
+    expected = model_mapping(lefts, rights, normalization, normalize_words)
+    assert set(got) == set(expected)
+    for pair, sim in expected.items():
+        assert got[pair] == pytest.approx(sim, abs=1e-9), (pair, lefts, rights)
