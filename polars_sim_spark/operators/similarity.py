@@ -12,9 +12,10 @@ Two paths, mirroring the engine's join_sim strategy split:
   shuffles a tiny (id, band, bucket) projection instead of the vectors,
   and candidate verification touches ≪ n pairs per query.
 
-The hyperplanes are pseudo-random ±1 vectors derived from xxhash64 of
-(plane, dim) — deterministic across runs, no fitting step, no driver-side
-randomness, no data movement to build the "index".
+The hyperplanes are pseudo-random ±1 vectors derived from an md5-based
+hash of (plane, dim) — deterministic across runs AND engines (so the
+approximate pipelines are DuckDB-oracle-checkable), no fitting step, no
+driver-side randomness, no data movement to build the "index".
 """
 
 from __future__ import annotations
@@ -103,10 +104,14 @@ def ann_topk_ivf(
     # Deterministic centroid choice: the num_centroids smallest xxhash64
     # values over corpus ids. The rank is computed distributed; only the
     # chosen few are broadcast.
+    from polars_sim_spark.operators.dedup import md5_hash64
+
     hashed = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("__centroid"),
-        F.xxhash64(F.col(id_col).cast("string")).alias("__h"),
+        # md5-based (not xxhash64): reproducible in ANY engine, which is
+        # what lets the whole IVF pipeline be oracle-checked in DuckDB.
+        md5_hash64(F.col(id_col).cast("string")).alias("__h"),
     )
     # orderBy + limit compiles to TakeOrderedAndProject — each partition
     # keeps its local top-num_centroids, then they merge — unlike an
@@ -176,6 +181,8 @@ def _sign_buckets(
     broadcast plane-weight table (plane, dim, w∈{+1,-1}), aggregate the
     signed sums, fold sign bits into per-band bucket ints.
     """
+    from polars_sim_spark.operators.dedup import md5_hash64
+
     spark = df.sparkSession
     planes = (
         spark.range(num_planes)
@@ -184,8 +191,13 @@ def _sign_buckets(
         .select(
             "plane",
             "dim",
+            # md5-based plane signs (engine-portable): the bucket layout —
+            # and so the whole candidate set — is reproducible in DuckDB,
+            # making this approximate op fully oracle-checkable.
             F.when(
-                F.abs(F.xxhash64(F.col("plane") * 1000003 + F.col("dim"))) % 2 == 0, F.lit(1.0)
+                md5_hash64((F.col("plane") * 1000003 + F.col("dim")).cast("string")) % 2
+                == 0,
+                F.lit(1.0),
             )
             .otherwise(F.lit(-1.0))
             .alias("w"),

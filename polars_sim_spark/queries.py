@@ -827,11 +827,95 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf")  # approximate by design → rows-only driver check
+def _duck_ann_rerank(k: int) -> str:
+    """Shared exact-rerank tail over a ``cand(q_id, n_id)`` CTE."""
+    cos = (
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(n.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+SELECT q_id, n_id, sim_r FROM (
+  SELECT c.q_id, c.n_id, {cos} AS sim_r,
+         row_number() OVER (PARTITION BY c.q_id ORDER BY {cos} DESC, c.n_id) AS rn
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.q_id
+  JOIN embeddings n ON n.vec_id = c.n_id
+) WHERE rn <= {k}
+"""
+
+
+def duck_ann_ivf_sql(num_centroids: int = 16, nprobe: int = 3, k: int = 5) -> str:
+    """IVF is deterministic end-to-end (md5-hash-sampled centroids), so the
+    whole index+probe+rerank pipeline is plain SQL."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id AS n_id, c_id FROM nearest WHERE rn <= 1),
+probes AS (SELECT id AS q_id, c_id FROM nearest WHERE rn <= {nprobe} AND id < 20),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+def duck_ann_lsh_sql(num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """Sign-LSH is deterministic too (md5-derived ±1 hyperplanes): plane
+    weights, signed sums, band buckets, collisions, rerank — all SQL."""
+    rpb = num_planes // bands
+    hw = DUCK_HASH.format(c="CAST(p.plane * 1000003 + d.dim AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.plane, d.dim,
+         CASE WHEN ({hw}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+  FROM range({num_planes}) p(plane) CROSS JOIN range(256) d(dim)
+),
+comps AS (
+  SELECT e.vec_id AS id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN range(256) d(dim)
+  WHERE e.embedding[d.dim + 1] IS NOT NULL
+),
+dots AS (
+  SELECT c.id, p.plane, sum(c.val * p.w) AS dot
+  FROM comps c JOIN planes p USING (dim)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, plane // {rpb} AS band,
+         CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                  * CAST(pow(2.0, plane % {rpb}) AS BIGINT)) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS n_id
+  FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.id < 20 AND c.id != q.id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+@register("ann_topk_ivf", duck_ann_ivf_sql())
 def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: hash-sampled centroids, nprobe=3 of 16 lists, exact
-    re-rank. No SQL oracle (approximate); tests/test_similarity.py pins
-    candidate sims to the brute-force values and full-probe == exact."""
+    """IVF-flat ANN: md5-hash-sampled centroids, nprobe=3 of 16 lists,
+    exact re-rank. Deterministic across engines, so the full pipeline is
+    oracle-checked in DuckDB; tests/test_similarity.py additionally pins
+    candidate sims to brute-force values and full-probe == exact."""
     from polars_sim_spark.operators.similarity import ann_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -842,11 +926,11 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 
-@register("ann_topk_lsh")  # approximate by design → rows-only driver check
+@register("ann_topk_lsh", duck_ann_lsh_sql())
 def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (16 planes, 4 bands) with exact re-rank.
-    No SQL oracle: the operator is approximate; tests/test_similarity.py
-    checks its candidates against the brute-force baseline instead."""
+    """Sign-LSH bucketed ANN (16 md5-derived hyperplanes, 4 bands) with
+    exact re-rank — bucket layout reproducible in DuckDB, so this
+    approximate op still gets a full value-hash oracle check."""
     from polars_sim_spark.operators.similarity import ann_topk_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
