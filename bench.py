@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_lsh_docs",
     "dedup_simhash_docs",
     "dedup_embedding_cosine",
+    "sample_documents_stratified",
+    "corpus_stats_by_lang",
     "text_token_count",
     "text_quality",
     "text_langid",

@@ -374,6 +374,52 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUCK_HASH = "CAST(('0x' || substr(md5({c}),1,8)) AS BIGINT)"
 
 
+@register(
+    "sample_documents_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE ({DUCK_HASH.format(c="CAST(doc_id AS VARCHAR)")}) % 100 <
+      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep 10% of
+    the dominant language (en), 50% of the rest, decided by a hash of the
+    doc id — NOT an RNG. Hash-threshold sampling is reproducible across
+    engines/runs/partitionings (an RNG sample is none of those), runs
+    inside the scan as a plain filter, and needs no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    keep = dedup.md5_hash64(F.col("doc_id").cast("string")) % 100 < rate
+    return docs.where(keep).select("doc_id", "lang")
+
+
+@register(
+    "corpus_stats_by_lang",
+    """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+FROM documents GROUP BY lang
+""",
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc counts, mean/median/p95 lengths) —
+    the summary a curation pipeline checks before and after each filter
+    stage. Uses exact interpolated ``percentile`` (same definition as
+    DuckDB's ``quantile_cont``); at 100 TB swap to ``approx_percentile``,
+    whose sketch merges map-side instead of buffering whole groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95_chars"),
+    )
+
+
 def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
     """Distinct 3-word shingle postings (id, sh) — twin of
     dedup.shingle_postings / functions.text.word_shingles."""
