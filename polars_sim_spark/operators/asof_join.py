@@ -33,10 +33,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _TAG = "__asof_tag"
 _SEQ = "__asof_seq"
 _TS = "__asof_ts"
+_MATCH = "__asof_match"
 
 
 def asof_join(
@@ -71,12 +73,25 @@ def asof_join(
     payload = [c for c in right.columns if c not in by_cols]
     renamed = {c: (f"{c}{suffix}" if c in left.columns else c) for c in payload}
 
+    # ALL matched fields (match ts + every payload column) ride in ONE
+    # struct, so last(..., ignorenulls=True) atomically picks the whole
+    # matched right row — a NULL payload value on the matched row stays
+    # NULL instead of leaking an older row's value (per-column last()
+    # would stitch fields from different right rows).
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    match_type = T.StructType(
+        [T.StructField("ts", rtypes[right_on])]
+        + [T.StructField(renamed[c], rtypes[c]) for c in payload]
+    )
     r = right.select(
         *[F.col(c) for c in by_cols],
         F.col(right_on).alias(_TS),
         (F.col(right_seq) if right_seq else F.monotonically_increasing_id()).alias(_SEQ),
         F.lit(0).alias(_TAG),
-        *[F.col(c).alias(renamed[c]) for c in payload],
+        F.struct(
+            F.col(right_on).alias("ts"),
+            *[F.col(c).alias(renamed[c]) for c in payload],
+        ).alias(_MATCH),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
@@ -84,7 +99,7 @@ def asof_join(
         F.col(on).alias(_TS),
         F.lit(None).cast("long").alias(_SEQ),
         F.lit(1).alias(_TAG),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(renamed[c]) for c in payload],
+        F.lit(None).cast(match_type).alias(_MATCH),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
 
@@ -97,20 +112,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = r.unionByName(l)
-    matched = [F.last(renamed[c], ignorenulls=True).over(w).alias(renamed[c]) for c in payload]
-    match_ts = F.last(F.when(F.col(_TAG) == 0, F.col(_TS)), ignorenulls=True).over(w)
+    matched = F.last(F.col(_MATCH), ignorenulls=True).over(w)
 
     out = (
         u.select(
             F.col(_TAG),
             F.col(_TS),
-            match_ts.alias("__match_ts"),
+            matched.alias(_MATCH),
             *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-            *matched,
         )
         .where(F.col(_TAG) == 1)
         .drop(_TAG)
+        .withColumn("__match_ts", F.col(_MATCH).getField("ts"))
     )
+    for c in payload:
+        out = out.withColumn(renamed[c], F.col(_MATCH).getField(renamed[c]))
+    out = out.drop(_MATCH)
 
     if tolerance_seconds is not None:
         stale = (

@@ -413,8 +413,11 @@ def join_sim(
       analog of the reference's whole-B-per-thread kernel,
       ``src/cossim.rs:277``), ``"right"`` the shuffle path
       (``src/cossim.rs:281-288``), ``"auto"`` the size heuristic
-      (``join.py:107-114``); ``threads`` is advisory and ignored
-      (cluster parallelism comes from partitioning, not a thread count).
+      (``join.py:107-114``); ``threads`` (the reference sizes its rayon
+      pool with it, ``join.py:68-69``, ``src/cossim.rs:301``) maps to
+      ``repartition(threads)`` of the probe (left) side — the Spark
+      analog of "how many workers chew on the left rows". Omit it to
+      let Spark/AQE pick (the recommended default).
     * row identity: Spark has no stable row order, so ``row``/``col`` ids
       come from ``left_id``/``right_id`` columns you supply (natural
       keys); if omitted, non-contiguous ids are generated with
@@ -430,7 +433,12 @@ def join_sim(
                 f"threading_dimension must be 'left', 'right' or 'auto', got {threading_dimension!r}"
             )
         strategy = mapped[threading_dimension]
-    del threads  # advisory only; Spark owns parallelism (see docstring)
+    if threads is not None:
+        if threads < 1:
+            raise ValueError(f"threads must be >= 1, got {threads}")
+        # Parallelism hint (see docstring): partition the probe side the
+        # way the reference sizes its thread pool.
+        left = left.repartition(threads)
 
     if on is not None:
         if left_on is not None or right_on is not None:
@@ -482,11 +490,31 @@ def join_sim(
 
     # Re-assembly (join.py:143-149): net-inner join of both payloads onto
     # the mapping. Right-side name collisions get ``suffix`` (Spark has no
-    # join-suffix option, so rename up front).
-    collisions = {c for c in right.columns if c in left.columns and c != right_id}
+    # join-suffix option, so rename up front). The computed ``sim`` column
+    # is part of the namespace too: a payload column literally named "sim"
+    # (either side) must move out of its way, and a rename target that
+    # already exists keeps gaining the suffix until unique.
+    taken = set(left.columns)
+    if add_similarity:
+        taken.add("sim")
+
+    def _uniquify(name: str, *extra_taken: set[str]) -> str:
+        new = f"{name}{suffix}"
+        while new in taken or any(new in s for s in extra_taken):
+            new += suffix
+        return new
+
+    if add_similarity and "sim" in left.columns and left_id != "sim":
+        left = left.withColumnRenamed("sim", _uniquify("sim", set(right.columns)))
+        taken = set(left.columns) | {"sim"}
     right_renamed = right
-    for c in collisions:
-        right_renamed = right_renamed.withColumnRenamed(c, f"{c}{suffix}")
+    for c in right.columns:
+        if c == right_id:
+            continue
+        if c in taken:
+            new = _uniquify(c, set(right_renamed.columns))
+            right_renamed = right_renamed.withColumnRenamed(c, new)
+            taken.add(new)
 
     lj = left if map_left_id == left_id else left.withColumnRenamed(left_id, map_left_id)
     rj = (

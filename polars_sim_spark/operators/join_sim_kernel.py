@@ -39,6 +39,14 @@ _TRIGRAM_RE = re.compile(r"^[a-z]{3}$")
 _NORM_RE = re.compile(r"[^a-zA-Z0-9]")
 VOCAB_SIZE = 26 * 26 * 26
 
+#: The kernel path collects the whole right side onto the driver (the
+#: reference's in-memory regime). Above this bound it fails fast with a
+#: clear error instead of OOMing the driver; mirrors join_sim's
+#: BROADCAST_RIGHT_MAX_ROWS auto-strategy cutoff.
+KERNEL_RIGHT_MAX_ROWS = 2_000_000
+
+_INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
 
 def py_trigram_ids(s: str | None, apply_word_normalization: bool) -> np.ndarray:
     """Distinct in-vocab trigram ids of ``s`` — the Python twin of
@@ -70,6 +78,14 @@ def build_right_index(
     """
     from polars_sim_spark.functions.text import normalize_string_col, trigram_token_ids
 
+    n_right_rows = right.count()
+    if n_right_rows > KERNEL_RIGHT_MAX_ROWS:
+        raise ValueError(
+            f"strategy='kernel' collects the right side onto the driver; it has "
+            f"{n_right_rows} rows, above KERNEL_RIGHT_MAX_ROWS={KERNEL_RIGHT_MAX_ROWS}. "
+            "Use strategy='shuffle' (the distributed scale path) or 'broadcast'."
+        )
+
     s = F.col(right_on)
     if apply_word_normalization:
         s = normalize_string_col(s)
@@ -78,7 +94,13 @@ def build_right_index(
         .where(F.size("toks") > 0)
         .collect()
     )
-    ids = np.array([r["rid"] for r in rows], dtype=np.int64)
+    # Preserve the caller's id dtype: natural keys are often strings (the
+    # docstring recommends them), and forcing int64 crashed on them.
+    if dict(right.dtypes)[right_id] in _INT_DTYPES:
+        ids = np.array([r["rid"] for r in rows], dtype=np.int64)
+    else:
+        ids = np.empty(len(rows), dtype=object)
+        ids[:] = [r["rid"] for r in rows]
     n_tok = np.array([len(r["toks"]) for r in rows], dtype=np.int32)
     tok_of_pos: list[np.ndarray] = [np.asarray(r["toks"], dtype=np.int32) for r in rows]
     # Invert: token -> positions (counting sort over the token space,

@@ -311,7 +311,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_stats",
     """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events
 GROUP BY event_type
@@ -920,20 +920,25 @@ cand AS (
 """
 
 
-def duck_ann_lsh_sql(num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+def duck_ann_lsh_sql(num_planes: int = 16, bands: int = 4, k: int = 5, num_dims: int = 256) -> str:
     """Sign-LSH is deterministic too (md5-derived ±1 hyperplanes): plane
-    weights, signed sums, band buckets, collisions, rerank — all SQL."""
+    weights, signed sums, band buckets, collisions, rerank — all SQL.
+
+    ``num_dims`` here is an UPPER BOUND: dims past a vector's length are
+    NULL-filtered out of ``comps``, so any value ≥ the true dimension
+    yields identical buckets to the Spark side's derived-dim plane table.
+    """
     rpb = num_planes // bands
     hw = DUCK_HASH.format(c="CAST(p.plane * 1000003 + d.dim AS VARCHAR)")
     return f"""
 WITH planes AS (
   SELECT p.plane, d.dim,
          CASE WHEN ({hw}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
-  FROM range({num_planes}) p(plane) CROSS JOIN range(256) d(dim)
+  FROM range({num_planes}) p(plane) CROSS JOIN range({num_dims}) d(dim)
 ),
 comps AS (
   SELECT e.vec_id AS id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
-  FROM embeddings e CROSS JOIN range(256) d(dim)
+  FROM embeddings e CROSS JOIN range({num_dims}) d(dim)
   WHERE e.embedding[d.dim + 1] IS NOT NULL
 ),
 dots AS (

@@ -44,7 +44,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_field = next(f for f in df.schema.fields if f.name == "ts")
     if isinstance(ts_field.dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division: epoch nanos exceed 2^53, so the double round
+        # trip of col/1000 could land µs-aligned values 1µs off.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -66,3 +66,23 @@ def test_suffix_on_collision(spark):
     out = asof_join(left, right, on="ts", by="k", right_seq="seq")
     # right's ts collides with left's → suffixed
     assert "ts_right" in out.columns and "ts" in out.columns
+
+
+def test_null_payload_on_matched_row_stays_null(spark):
+    """Regression: a NULL payload value on the MATCHED right row must not be
+    back-filled from an older right row (per-column last(ignorenulls) bug)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), 0)], "k long, ts timestamp, lval long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 1, 9.5, "old"),
+            (1, _ts("2024-01-01T11:00:00"), 2, None, None),  # matched row, NULL payload
+        ],
+        "k long, ts timestamp, seq long, rval double, tag string",
+    )
+    out = asof_join(left, right, on="ts", by="k", right_seq="seq").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["seq"] == 2  # matched the 11:00 row...
+    assert row["rval"] is None and row["tag"] is None  # ...with ITS nulls intact

@@ -68,3 +68,42 @@ def test_threading_dimension_compat(spark, part):
     sa = sorted((r["l_id"], r["sim"]) for r in a.select("l_id", "sim").collect())
     sb = sorted((r["l_id"], r["sim"]) for r in b.select("l_id", "sim").collect())
     assert [x[0] for x in sa] == [x[0] for x in sb]
+
+
+def test_kernel_right_size_guard(spark, monkeypatch):
+    """Oversized right side must fail fast with the documented message,
+    not collect onto the driver (round-1 finding: unguarded OOM path)."""
+    import polars_sim_spark.operators.join_sim_kernel as jk
+
+    monkeypatch.setattr(jk, "KERNEL_RIGHT_MAX_ROWS", 2)
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "bcdefg"), (3, "cdefgh")], "rid long, s string"
+    )
+    with pytest.raises(ValueError, match="KERNEL_RIGHT_MAX_ROWS"):
+        similarity_mapping(
+            df.withColumnRenamed("rid", "l_id"),
+            df.withColumnRenamed("rid", "r_id"),
+            left_on="s",
+            right_on="s",
+            strategy="kernel",
+            left_id="l_id",
+            right_id="r_id",
+        )
+
+
+def test_kernel_preserves_string_ids(spark):
+    """strategy='kernel' with string natural keys (the docstring's own
+    recommendation) must work and match the declarative plan — round-1
+    forced ids into np.int64 and crashed."""
+    left = spark.createDataFrame(
+        [("L1", "spark engine"), ("L2", "sparkly engines")], "l_id string, ls string"
+    )
+    right = spark.createDataFrame(
+        [("Ra", "spark engine"), ("Rb", "spark end"), ("Rc", "zzz")],
+        "r_id string, rs string",
+    )
+    kw = dict(left_on="ls", right_on="rs", top_n=2, left_id="l_id", right_id="r_id")
+    kernel = similarity_mapping(left, right, strategy="kernel", **kw)
+    declarative = similarity_mapping(left, right, strategy="shuffle", **kw)
+    assert _collect_mapping(kernel) == _collect_mapping(declarative)
+    assert dict(kernel.dtypes)["r_id"] == "string"

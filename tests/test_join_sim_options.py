@@ -71,3 +71,54 @@ def test_payloads_carried_untouched(spark, left, right):
     row = out.where("lid = 3").collect()[0]
     assert row["payload_l"] == 30
     assert row["payload_r"] == f"r{row['rid']}"
+
+
+def test_threads_repartitions_probe_side(spark, left, right):
+    """`threads` maps to repartition(threads) of the probe side (the
+    reference sizes its rayon pool with it; round-1 parsed-then-ignored)."""
+    out = join_sim(
+        left, right, on="name", top_n=1, left_id="lid", right_id="rid", threads=4
+    )
+    plan = out._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning(4)" in plan
+    # and the hint must not change results
+    base = join_sim(left, right, on="name", top_n=1, left_id="lid", right_id="rid")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_threads_validation(spark, left, right):
+    with pytest.raises(ValueError, match="threads"):
+        join_sim(left, right, on="name", left_id="lid", right_id="rid", threads=0)
+
+
+def test_right_payload_named_sim_gets_suffixed(spark, left, right):
+    """A payload column literally named 'sim' must not collide with the
+    computed similarity column (round-1: ambiguous-select AnalysisException)."""
+    r2 = right.withColumnRenamed("payload_r", "sim")
+    out = join_sim(left, r2, on="name", top_n=1, left_id="lid", right_id="rid")
+    assert "sim" in out.columns and "sim_right" in out.columns
+    row = out.where("lid = 3").collect()[0]
+    assert row["sim_right"] == f"r{row['rid']}"  # payload rides with its row
+    assert 0.0 < row["sim"] <= 1.0  # computed similarity
+
+
+def test_left_payload_named_sim_gets_suffixed(spark, left, right):
+    l2 = left.withColumnRenamed("payload_l", "sim")
+    out = join_sim(l2, right, on="name", top_n=1, left_id="lid", right_id="rid")
+    assert "sim" in out.columns and "sim_right" in out.columns
+    row = out.where("lid = 3").collect()[0]
+    assert row["sim_right"] == 30  # left payload value
+    assert 0.0 < row["sim"] <= 1.0
+
+
+def test_collision_rename_target_already_exists(spark, left, right):
+    """left has both 'extra' and 'extra_right'; right's 'extra' must not
+    land on the occupied 'extra_right' name."""
+    l2 = left.withColumn("extra", left.payload_l).withColumn(
+        "extra_right", left.payload_l
+    )
+    r2 = right.withColumnRenamed("payload_r", "extra")
+    out = join_sim(l2, r2, on="name", top_n=1, left_id="lid", right_id="rid")
+    assert "extra" in out.columns and "extra_right" in out.columns
+    assert "extra_right_right" in out.columns
+    assert len(out.columns) == len(set(out.columns))

@@ -63,6 +63,30 @@ def test_ivf_centroid_pick_is_distributed_topk(spark, sf_small):
     """Centroid selection must compile to TakeOrderedAndProject (per-
     partition top-k + merge), never an unpartitioned window that drags
     the whole corpus into one partition."""
-    df = q.ann_topk_ivf_query(spark, sf_small)
-    plan = formatted_plan(df)
+    from polars_sim_spark.operators.similarity import pick_centroids
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    plan = formatted_plan(pick_centroids(emb, "vec_id", "embedding", 16))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assignment_zero_shuffle(spark, sf_small):
+    """Centroid ASSIGNMENT must be a pure projection of the corpus scan —
+    zero Exchange (round-1 finding: a window over a 16-way crossJoin
+    shuffled 16n rows to pick a per-row argmax)."""
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import _centroid_scores, pick_centroids
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cent_rows = pick_centroids(emb, "vec_id", "embedding", 8).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    side = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__vn"),
+    )
+    assign = side.select(
+        "n_id", F.array_max(_centroid_scores(cent_rows)).getField("c_id").alias("c_id")
+    )
+    plan = formatted_plan(assign)
+    assert "Exchange" not in plan, f"assignment must not shuffle:\n{plan}"

@@ -88,3 +88,49 @@ def test_ivf_exact_sims_and_recall(spark, sf_small):
     full = ann_topk_ivf(emb, qs, k=3, num_centroids=8, nprobe=8)
     brute = ann_topk_bruteforce(emb, qs, k=3)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_lsh_covers_dims_past_256(spark):
+    """Regression: plane table must cover the TRUE vector dimension.
+    Round-1 hardcoded range(256), silently dropping components ≥ 256.
+    Two 300-dim vectors identical in dims 0..255 but opposite in dims
+    256..299 must be able to land in different buckets."""
+    from polars_sim_spark.operators.similarity import _sign_buckets
+
+    base = [0.0] * 256
+    a = base + [1.0] * 44
+    b = base + [-1.0] * 44
+    df = spark.createDataFrame([(0, a), (1, b)], "vec_id long, embedding array<double>")
+    buckets = _sign_buckets(df, "vec_id", "embedding", 16, 4, num_dims=300).collect()
+    by_id = {}
+    for r in buckets:
+        by_id.setdefault(r["id"], {})[r["band"]] = r["bucket"]
+    # a and b differ ONLY past dim 255; with ±1 plane weights their signed
+    # sums are exact negations, so at least one band bucket must differ.
+    assert by_id[0] != by_id[1]
+
+
+def test_lsh_raises_on_wider_queries(spark):
+    from polars_sim_spark.operators.similarity import ann_topk_lsh
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0] * 16)], "q_id long, q_emb array<double>"
+    )
+    with pytest.raises(ValueError, match="num_dims"):
+        ann_topk_lsh(corpus, queries, k=1)
+
+
+def test_lsh_explicit_num_dims_matches_derived(spark, sf_small):
+    """num_dims larger than the true dim must be a no-op (extra planes
+    never meet a component) — pins oracle-equivalence of the 256 bound."""
+    from polars_sim_spark.operators.similarity import ann_topk_lsh
+
+    emb = _emb(spark, sf_small)
+    qs = _queries(emb)
+    derived = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
+    bounded = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5, num_dims=256).collect()))
+    assert derived == bounded
