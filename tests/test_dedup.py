@@ -112,3 +112,31 @@ def test_prefix_filter_path_exact(spark, docs):
         for r in dedup.jaccard_pairs(postings, 0.5, use_prefix_filter=True).collect()
     }
     assert plain == pref and (1, 4) in pref
+
+
+def test_lsh_hot_bucket_cap_preserves_recall_on_skewed_corpus(spark):
+    """Web-scale skew shape: one boilerplate cluster dominating the corpus
+    next to genuine near-dup pairs. The cap must (a) collapse the
+    quadratic boilerplate pair count and (b) keep every genuine pair —
+    this is the knob that decides whether MinHash-LSH survives
+    boilerplate at scale."""
+    hot = [(i, "same exact boilerplate legal disclaimer text repeated on every single page") for i in range(100)]
+    pairs_truth = []
+    legit = []
+    for j in range(8):
+        a, b = 1000 + 2 * j, 1001 + 2 * j
+        base = f"unique article number {j} with distinctive wording about topic {j} alpha beta gamma delta epsilon"
+        legit += [(a, base + " one"), (b, base + " two")]
+        pairs_truth.append((a, b))
+    docs = spark.createDataFrame(hot + legit, "doc_id long, text string")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(postings))
+    uncapped = dedup.lsh_candidate_pairs(bands)
+    capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped >= 100 * 99 // 2  # boilerplate alone is quadratic
+    # cap bound: each surviving bucket contributes <= C(cap,2) pairs
+    assert n_capped < 100
+    got = {(r["l_id"], r["r_id"]) for r in capped.collect()}
+    for p in pairs_truth:  # genuine near-dups all survive the cap
+        assert p in got
