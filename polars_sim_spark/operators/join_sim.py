@@ -58,11 +58,14 @@ _ROW = "__pss_row"
 _COL = "__pss_col"
 
 #: Auto-strategy: broadcast the right postings when the right side has at
-#: most this many rows (each row expands to ~|tokens| posting entries of a
-#: few dozen bytes — 2M rows ≈ low hundreds of MB broadcast, safe for
-#: typical executor memory; mirrors the reference's auto heuristic role at
-#: ``join.py:107-114``).
-BROADCAST_RIGHT_MAX_ROWS = 2_000_000
+#: most this many rows (each row expands to ~|tokens| posting entries;
+#: mirrors the reference's auto heuristic role at ``join.py:107-114``).
+#: MEASURED, not assumed (tools/bench_crossover.py, BASELINE.md): the
+#: broadcast build is a single-threaded driver collect+build that grows
+#: with the posting count — past ~250k right rows the shuffle path
+#: reliably wins (2× at 1M) and is far less variance-prone, so the
+#: cutoff sits at the measured break-even.
+BROADCAST_RIGHT_MAX_ROWS = 250_000
 
 #: Strings tokenized per side when probing whether token sets collapse
 #: distinct strings (the set-keyed fast path). Bounded so the probe cost

@@ -41,8 +41,9 @@ VOCAB_SIZE = 26 * 26 * 26
 
 #: The kernel path collects the whole right side onto the driver (the
 #: reference's in-memory regime). Above this bound it fails fast with a
-#: clear error instead of OOMing the driver; mirrors join_sim's
-#: BROADCAST_RIGHT_MAX_ROWS auto-strategy cutoff.
+#: clear error instead of OOMing the driver. This is a MEMORY bound, not
+#: a perf crossover (unlike join_sim's measured BROADCAST_RIGHT_MAX_ROWS):
+#: 2M rows of postings ≈ low hundreds of MB, safe for a typical driver.
 KERNEL_RIGHT_MAX_ROWS = 2_000_000
 
 _INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
