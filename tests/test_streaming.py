@@ -147,3 +147,34 @@ def test_stream_static_enrich(spark, sf_small, events_stream_dir):
     assert 1 in by_type["purchase"]
     # 'error' shares 'err'/'rro'/'ror' with 'errors'
     assert 2 in by_type["error"]
+
+
+def test_stream_equals_contract_batch_query(spark, sf_small, events_stream_dir):
+    """Contract-level batch-stream equivalence: the availableNow run of
+    windowed_event_counts must reproduce the registered (oracle-checked)
+    events_hourly contract query row-for-row on the same data, over the
+    windows the watermark has finalized. This pins the two surfaces to
+    each other, not to a third re-derivation."""
+    from datetime import timedelta
+
+    from polars_sim_spark import queries as q
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"wincontract_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(windowed_event_counts(stream), name, "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    contract = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in q.events_hourly(spark, sf_small).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in contract.items() if k[0] + timedelta(hours=1) <= cutoff
+    }
+    assert len(got) > 0
+    assert got == finalized
