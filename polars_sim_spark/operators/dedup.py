@@ -355,6 +355,41 @@ def connected_components(
     return labels
 
 
+def remove_near_dups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_jaccard: float = 0.5,
+    use_lsh: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The one-stop near-dup REMOVAL: return the surviving corpus — one
+    canonical document (smallest id) per near-dup cluster, all columns
+    intact. Composition of the pipeline pieces: shingle postings →
+    candidate pairs (exact all-pairs Jaccard, or MinHash-LSH when
+    ``use_lsh``) → connected components → keep rows whose id IS their
+    cluster's min label.
+
+    Scale: with ``use_lsh=True`` (+ ``max_bucket_size``) every stage is
+    bucketed/bounded — this is the web-scale plan; the exact path is the
+    oracle-checkable small-corpus twin.
+    """
+    postings = shingle_postings(docs, id_col, text_col).persist()
+    if use_lsh:
+        sigs = minhash_signatures(postings)
+        cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
+        pairs = _verify_jaccard_pairs(postings, cands, min_jaccard).select("l_id", "r_id")
+    else:
+        pairs = jaccard_pairs(postings, min_jaccard=min_jaccard).select("l_id", "r_id")
+    nodes = docs.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs)
+    keep = cc.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(keep, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -420,6 +420,71 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "split_documents_hash",
+    f"""
+SELECT doc_id,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({DUCK_HASH.format(c="CAST(doc_id AS VARCHAR) || 'r2'")}) % 1000 AS b
+      FROM documents)
+""",
+)
+def split_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/curation.py
+    hash_split): label is a pure md5 function of the doc id + salt, so it
+    is stable across runs/engines/partitionings and re-ingests never leak
+    documents across splits. Zero-shuffle scan-level projection."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", salt="r2").select("doc_id", "split")
+
+
+@register(
+    "events_sessionized",
+    """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions (operators/curation.py sessionize —
+    gaps-and-islands), aggregated to one row per session. ONE shuffle by
+    user: the lag window, running-sum window, and session aggregate all
+    reuse the user partitioning. Gap arithmetic is exact integer
+    microseconds, no float drift vs the oracle."""
+    from polars_sim_spark.operators.curation import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", order_col="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
     """Distinct 3-word shingle postings (id, sh) — twin of
     dedup.shingle_postings / functions.text.word_shingles."""
@@ -760,6 +825,46 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("id"))
     cc = dedup.connected_components(nodes, pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "dedup_remove_docs",
+    f"""
+WITH RECURSIVE sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter JOIN n na ON na.id = inter.l_id JOIN n nb ON nb.id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
+""",
+)
+def dedup_remove_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL end-to-end (dedup.remove_near_dups): the corpus
+    that SURVIVES dedup — one canonical (smallest-id) document per
+    Jaccard-0.5 cluster. This is the operation a training pipeline
+    actually ships: pairs and clusters are diagnostics, the deduped
+    corpus is the product."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_near_dups(docs, "doc_id", "text", min_jaccard=0.5)
+    return out.select("doc_id", "lang", "n_chars")
 
 
 @register(

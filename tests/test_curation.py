@@ -1,0 +1,117 @@
+"""Curation operators: deterministic splits, sessionization, near-dup
+removal — unit semantics plus the plan properties that make them scale."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators import dedup
+from polars_sim_spark.operators.curation import hash_split, sessionize
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    a = hash_split(docs, "doc_id").select("doc_id", "split")
+    b = hash_split(docs, "doc_id").select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    frac = {
+        r["split"]: r["n"] / docs.count()
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.1
+    assert abs(frac.get("val", 0) - 0.1) < 0.07
+    assert abs(frac.get("test", 0) - 0.1) < 0.07
+
+
+def test_hash_split_salt_changes_assignment(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="x").collect()}
+    assert a != b  # different salt, different assignment...
+    assert set(a) == set(b)  # ...same universe
+
+
+def test_hash_split_validation(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.5})
+
+
+def test_hash_split_zero_shuffle(spark, sf_small):
+    """The split label must be a scan-level projection — no Exchange."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_gaps_and_islands(spark):
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        # user 1: two sessions (40-min gap between event 2 and 3)
+        (1, base, 0),
+        (1, base + timedelta(minutes=10), 1),
+        (1, base + timedelta(minutes=50), 2),
+        # user 2: one session
+        (2, base, 3),
+        (2, base + timedelta(minutes=29), 4),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize(ev, user_col="user_id", ts_col="ts", order_col="event_id")
+    got = {(r["user_id"], r["event_id"]): r["session_id"] for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 1): 1, (1, 2): 2, (2, 3): 1, (2, 4): 1}
+
+
+def test_sessionize_boundary_is_strict(spark):
+    """A gap of exactly gap_minutes does NOT split (strict >)."""
+    base = _ts("2024-01-01T00:00:00")
+    ev = spark.createDataFrame(
+        [(1, base, 0), (1, base + timedelta(minutes=30), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = sessionize(ev, user_col="user_id", ts_col="ts", order_col="event_id")
+    assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_sessionize_single_exchange(spark, sf_small):
+    """Lag window, running sum, and the session aggregate must share ONE
+    user-hash exchange (hash(user_id) co-locates (user, session) groups)."""
+    from polars_sim_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", order_col="event_id")
+    agg = s.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_remove_near_dups_keeps_canonicals(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (3, "completely different words appear here only today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.remove_near_dups(docs, "doc_id", "text", min_jaccard=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert out.columns == docs.columns  # full payload survives
+
+
+def test_remove_near_dups_lsh_path_matches_exact(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(200)
+    exact = {r["doc_id"] for r in dedup.remove_near_dups(docs, "doc_id", "text").collect()}
+    lsh = {
+        r["doc_id"]
+        for r in dedup.remove_near_dups(docs, "doc_id", "text", use_lsh=True).collect()
+    }
+    # LSH may miss pairs (approximate recall) → keeps a superset of docs;
+    # on this corpus the 16x4 signature finds everything exact finds.
+    assert exact <= lsh
