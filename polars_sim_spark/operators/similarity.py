@@ -131,6 +131,69 @@ def _centroid_scores(cent_rows) -> Column:
     return F.array(*entries)
 
 
+def refine_centroids_kmeans(
+    corpus: DataFrame, vec_col: str, cent_rows: list, iters: int
+) -> list:
+    """``iters`` Lloyd iterations over collected centroid rows.
+
+    Each iteration: (1) assign every corpus vector to its nearest
+    centroid — the same ZERO-shuffle array-expression argmax as the index
+    assignment; (2) per-centroid component means via posexplode + one
+    hash aggregate — the only shuffle, of narrow (c_id, pos, val) rows;
+    (3) collect the ``num_centroids × dim`` means (an O(1) driver read,
+    ≤ a few thousand rows) and rebuild the literal centroid table.
+    Means are rounded to 6 decimals so any engine recomputes identical
+    centroids (the oracle-portability contract of this module). A
+    centroid that loses every member keeps its previous position.
+
+    Returns rows shaped like ``pick_centroids`` output (dicts with
+    ``c_id``/``__centroid``/``__cnorm``), sorted by c_id.
+    """
+    import math
+
+    cents = [
+        {
+            "c_id": r["c_id"],
+            "__centroid": [float(x) for x in r["__centroid"]],
+            "__cnorm": float(r["__cnorm"]),
+        }
+        for r in cent_rows
+    ]
+    vecs = corpus.select(
+        F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__vn")
+    )
+    for _ in range(iters):
+        scores = _centroid_scores(cents)
+        assigned = vecs.select(
+            F.array_max(scores).getField("c_id").alias("c_id"), F.col("__v")
+        )
+        means = (
+            assigned.select("c_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["c_id"], {})[r["pos"]] = r["m"]
+        nxt = []
+        for c in cents:
+            d = by_c.get(c["c_id"])
+            if d:
+                nv = [d[p] for p in sorted(d)]
+                nxt.append(
+                    {
+                        "c_id": c["c_id"],
+                        "__centroid": nv,
+                        "__cnorm": math.sqrt(sum(x * x for x in nv)),
+                    }
+                )
+            else:
+                nxt.append(c)
+        cents = nxt
+    return cents
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,16 +205,17 @@ def ann_topk_ivf(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 3,
+    kmeans_iters: int = 0,
     exclude_same_id: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
     Coarse quantizer = ``num_centroids`` corpus vectors chosen by a
-    deterministic hash of their id (no k-means fit: a random subset is
-    the standard "IVF-flat with sampled centroids" baseline, and keeping
-    it fit-free means the index is a pure DataFrame expression — no
-    driver-side training loop, fully reproducible). Every corpus vector
-    is assigned to its nearest centroid (one broadcast join); each query
+    deterministic hash of their id — the "IVF-flat with sampled
+    centroids" baseline — optionally refined by ``kmeans_iters`` Lloyd
+    iterations (``refine_centroids_kmeans``: tighter lists → better
+    recall at the same nprobe, at one narrow aggregate per iteration).
+    Every corpus vector is assigned to its nearest centroid; each query
     probes its ``nprobe`` nearest centroid lists and exact-reranks only
     those candidates. Recall improves with nprobe at linear cost.
 
@@ -164,6 +228,8 @@ def ann_topk_ivf(
     # sanctioned driver-read pattern.
     cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
     cent_rows.sort(key=lambda r: r["c_id"])
+    if kmeans_iters > 0:
+        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
 
     def _side(df, in_id, in_vec, out_id):
         return df.select(

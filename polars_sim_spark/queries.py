@@ -1025,6 +1025,61 @@ cand AS (
 """
 
 
+def duck_ann_ivf_kmeans_sql(
+    num_centroids: int = 16, nprobe: int = 3, k: int = 5, num_dims: int = 256
+) -> str:
+    """IVF with ONE Lloyd refinement iteration, unrolled into CTEs: seed
+    centroids (hash-sampled) → assign → per-component means rounded to 6
+    decimals (the engine-portability contract) → re-assign against the
+    refined centroids → probe → exact rerank. ``num_dims`` is an upper
+    bound (dims past a vector's length are NULL-filtered). A centroid
+    that loses every member keeps its seed position (COALESCE)."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    cos0 = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+n0 AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos0} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+a0 AS (SELECT id, c_id FROM n0 WHERE rn = 1),
+m1 AS (
+  SELECT a0.c_id, d.dim, round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS m
+  FROM a0 JOIN embeddings e ON e.vec_id = a0.id
+  CROSS JOIN range({num_dims}) d(dim)
+  WHERE e.embedding[d.dim + 1] IS NOT NULL
+  GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT c.c_id, COALESCE(m.mv, c.cv) AS cv
+  FROM cent c LEFT JOIN (
+    SELECT c_id, list(m ORDER BY dim) AS mv FROM m1 GROUP BY c_id
+  ) m USING (c_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos0} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent1 c
+),
+assign AS (SELECT id AS n_id, c_id FROM nearest WHERE rn <= 1),
+probes AS (SELECT id AS q_id, c_id FROM nearest WHERE rn <= {nprobe} AND id < 20),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
 def duck_ann_lsh_sql(num_planes: int = 16, bands: int = 4, k: int = 5, num_dims: int = 256) -> str:
     """Sign-LSH is deterministic too (md5-derived ±1 hyperplanes): plane
     weights, signed sums, band buckets, collisions, rerank — all SQL.
@@ -1079,6 +1134,23 @@ def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     out = ann_topk_ivf(emb, queries, k=5, num_centroids=16, nprobe=3)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register("ann_topk_ivf_kmeans", duck_ann_ivf_kmeans_sql())
+def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined coarse quantizer (one Lloyd iteration,
+    similarity.refine_centroids_kmeans): tighter inverted lists than the
+    hash-sampled baseline at the same nprobe. The refinement is engine-
+    portable (6-decimal-rounded means), so even the TRAINED index gets a
+    full value-hash oracle — the iteration is unrolled into SQL CTEs."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_ivf(emb, queries, k=5, num_centroids=16, nprobe=3, kmeans_iters=1)
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 

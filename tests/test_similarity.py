@@ -2,10 +2,15 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from polars_sim_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from polars_sim_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
 
 
 def _emb(spark, sf_small):
@@ -134,3 +139,53 @@ def test_lsh_explicit_num_dims_matches_derived(spark, sf_small):
     derived = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5).collect()))
     bounded = sorted(map(tuple, ann_topk_lsh(emb, qs, k=5, num_dims=256).collect()))
     assert derived == bounded
+
+
+def test_ivf_kmeans_full_probe_equals_brute(spark, sf_small):
+    """With nprobe = num_centroids the IVF result is exact regardless of
+    centroid quality — must hold for the k-means-refined quantizer too."""
+    emb = _emb(spark, sf_small)
+    qs = _queries(emb)
+    full = ann_topk_ivf(emb, qs, k=3, num_centroids=8, nprobe=8, kmeans_iters=2)
+    brute = ann_topk_bruteforce(emb, qs, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_kmeans_refinement_converges_to_cluster_means(spark):
+    """Two tight clusters, one seed in each: after refinement each
+    centroid must sit at (the 6-decimal rounding of) its cluster's mean."""
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import refine_centroids_kmeans
+
+    a = [[1.0, 0.0, 0.1 * i] for i in range(3)]   # cluster around +x
+    b = [[-1.0, 0.05 * i, 0.0] for i in range(3)]  # cluster around -x
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [
+        {"c_id": 0, "__centroid": a[0], "__cnorm": 1.0},
+        {"c_id": 3, "__centroid": b[0], "__cnorm": 1.0},
+    ]
+    out = refine_centroids_kmeans(df, "embedding", seeds, iters=2)
+    got = {c["c_id"]: c["__centroid"] for c in out}
+    mean_a = [round(sum(v[d] for v in a) / 3, 6) for d in range(3)]
+    mean_b = [round(sum(v[d] for v in b) / 3, 6) for d in range(3)]
+    assert got[0] == pytest.approx(mean_a)
+    assert got[3] == pytest.approx(mean_b)
+
+
+def test_kmeans_empty_centroid_keeps_position(spark):
+    """A seed that attracts no members (every vector is nearer the other
+    seed) must keep its previous position, not vanish."""
+    from polars_sim_spark.operators.similarity import refine_centroids_kmeans
+
+    rows = [(i, [1.0, float(i) * 0.01]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lonely = [0.0, -1.0]
+    seeds = [
+        {"c_id": 0, "__centroid": [1.0, 0.0], "__cnorm": 1.0},
+        {"c_id": 99, "__centroid": lonely, "__cnorm": 1.0},
+    ]
+    out = refine_centroids_kmeans(df, "embedding", seeds, iters=1)
+    got = {c["c_id"]: c["__centroid"] for c in out}
+    assert got[99] == lonely
+    assert got[0] != [1.0, 0.0]  # the populated one moved to the mean
