@@ -49,6 +49,11 @@ HEADLINE = [
     "dedup_cluster_docs",
     "revenue_rollup",
     "custkey_setops_9596",
+    # Added in round 2 (compare r1 totals on the 27-query subset above):
+    "split_documents_hash",
+    "events_sessionized",
+    "dedup_remove_docs",
+    "ann_topk_ivf_kmeans",
 ]
 
 

@@ -101,6 +101,80 @@ def streaming_dedup_first_seen(
     )
 
 
+def streaming_dedup_first_seen_tws(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    order_col: str,
+) -> DataFrame:
+    """``streaming_dedup_first_seen`` on the transformWithState API
+    (Spark 4.x ``transformWithStateInPandas``) — same semantics: emit each
+    key's first row (smallest ``order_col``) the first time the key is
+    ever seen; drop every later occurrence across micro-batches and
+    restarts.
+
+    Why both exist: ``applyInPandasWithState`` is the widely-deployed
+    API; transformWithState is its successor (typed state variables,
+    state TTL, timers, RocksDB-only provider) and the recommended target
+    for new pipelines. Keeping the two implementations equivalence-tested
+    against each other pins the semantics, not an API.
+
+    Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``); state is one
+    long per distinct key, hash-partitioned by ``key_col`` exactly like
+    the applyInPandasWithState version — no driver-side set.
+
+    Environment note: transformWithState's state-server protocol needs
+    the ``protobuf`` package at runtime (the worker imports
+    ``google.protobuf``); environments without it get a clear ImportError
+    here instead of an opaque mid-query worker crash. The
+    ``applyInPandasWithState`` twin has no such dependency.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state server speaks protobuf); install protobuf or use "
+            "streaming_dedup_first_seen (applyInPandasWithState), which is "
+            "dependency-free and semantically identical."
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = stream.schema
+
+    class _FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                return
+            best = None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                cand = pdf.sort_values(order_col).head(1)
+                if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
+                    best = cand
+            if best is not None:
+                self._seen.update((1,))
+                yield best
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def stream_static_token_enrich(
     stream: DataFrame,
     static_right: DataFrame,

@@ -178,3 +178,90 @@ def test_stream_equals_contract_batch_query(spark, sf_small, events_stream_dir):
     }
     assert len(got) > 0
     assert got == finalized
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state server needs protobuf (absent in this env); "
+    "the guard itself is covered by test_tws_raises_without_protobuf",
+)
+def test_streaming_dedup_first_seen_tws(spark):
+    """Same semantics as test_streaming_dedup_first_seen, on the
+    transformWithState successor API (typed state, RocksDB provider):
+    in-run duplicates collapse to the earliest row, cross-run state
+    survives the checkpoint. Equivalence of the two implementations pins
+    the SEMANTICS, not an API."""
+    from polars_sim_spark.streaming.stream_ops import streaming_dedup_first_seen_tws
+
+    src = tempfile.mkdtemp(prefix="pss_tws_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_tws_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_tws_out_")
+    schema = "fp string, seq long, text string"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = streaming_dedup_first_seen_tws(stream, key_col="fp", order_col="seq")
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", dst)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["fp"]: (r["seq"], r["text"])
+                for r in spark.read.schema(schema).parquet(dst).collect()
+            }
+
+        spark.createDataFrame(
+            [("a", 2, "dup of a"), ("a", 1, "first a"), ("b", 3, "first b")], schema
+        ).write.mode("append").parquet(src)
+        assert run() == {"a": (1, "first a"), "b": (3, "first b")}
+
+        spark.createDataFrame(
+            [("a", 4, "late dup of a"), ("c", 5, "first c")], schema
+        ).write.mode("append").parquet(src)
+        assert run() == {
+            "a": (1, "first a"),
+            "b": (3, "first b"),
+            "c": (5, "first c"),
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+@pytest.mark.skipif(_has_protobuf(), reason="protobuf present: the real test runs")
+def test_tws_raises_without_protobuf(spark):
+    """Without protobuf the operator must fail fast at call time with a
+    pointer to the dependency-free twin, not crash mid-query."""
+    from polars_sim_spark.streaming.stream_ops import streaming_dedup_first_seen_tws
+
+    d = tempfile.mkdtemp(prefix="pss_tws_guard_")
+    try:
+        stream = spark.readStream.schema("fp string, seq long").parquet(d)
+        with pytest.raises(ImportError, match="protobuf"):
+            streaming_dedup_first_seen_tws(stream, key_col="fp", order_col="seq")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
