@@ -91,3 +91,68 @@ def test_mapping_matches_python_model(
     assert set(got) == set(expected)
     for pair, sim in expected.items():
         assert got[pair] == pytest.approx(sim, abs=1e-9), (pair, lefts, rights)
+
+
+# ---------------------------------------------------------------------------
+# sessionize vs a pure-Python gaps-and-islands model
+# ---------------------------------------------------------------------------
+
+def model_sessions(rows, gap_us):
+    """rows: (user, ts_us, event_id). Returns {(user, event_id): session}."""
+    out = {}
+    by_user: dict = {}
+    for u, t, e in rows:
+        by_user.setdefault(u, []).append((t, e))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess, prev = 0, None
+        for t, e in evs:
+            if prev is None or t - prev > gap_us:
+                sess += 1
+            out[(u, e)] = sess
+            prev = t
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=10_000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    gap_minutes=st.sampled_from([1, 30]),
+)
+def test_sessionize_matches_python_model(spark, rows, gap_minutes):
+    """Differential: Spark gaps-and-islands == the obvious sequential
+    model, including ties broken by event_id and boundary gaps
+    (strict >). Timestamps at second granularity hunt exact-boundary
+    cases the unit tests hand-pick."""
+    from datetime import datetime, timezone
+
+    from polars_sim_spark.operators.curation import sessionize
+
+    data = [
+        (u, datetime.fromtimestamp(1704067200 + sec, tz=timezone.utc), i)
+        for i, (u, sec) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(
+            ev, user_col="user_id", ts_col="ts", order_col="event_id",
+            gap_minutes=gap_minutes,
+        ).collect()
+    }
+    expected = model_sessions(
+        [(u, (1704067200 + sec) * 1_000_000, i) for i, (u, sec) in enumerate(rows)],
+        gap_minutes * 60 * 1_000_000,
+    )
+    assert got == expected
