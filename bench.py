@@ -54,6 +54,7 @@ HEADLINE = [
     "events_sessionized",
     "dedup_remove_docs",
     "ann_topk_ivf_kmeans",
+    "curate_corpus_pipeline",
 ]
 
 

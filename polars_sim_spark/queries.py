@@ -497,6 +497,69 @@ def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
   )"""
 
 
+@register(
+    "curate_corpus_pipeline",
+    f"""
+WITH RECURSIVE fdocs AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  WHERE length(text) > 0
+    AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / length(text), 6) >= 0.82
+),
+sh AS ({duck_shingles_cte('fdocs', 'doc_id', 'text')}),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter JOIN n na ON na.id = inter.l_id JOIN n nb ON nb.id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM fdocs),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT f.doc_id, f.lang, f.n_chars,
+         ({DUCK_HASH.format(c="CAST(f.doc_id AS VARCHAR) || 'curate'")}) % 1000 AS b
+  FROM fdocs f JOIN cc ON f.doc_id = cc.doc_id
+  WHERE cc.doc_id = cc.cluster_id
+)
+""",
+)
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition a training-data
+    team actually ships, every stage an operator from this repo: quality
+    filter (alpha ratio ≥ 0.82, a scan-level predicate) → near-dup
+    removal (Jaccard-0.5 clusters, keep the canonical doc) →
+    deterministic train/val/test hash split (zero-shuffle projection).
+    One DuckDB oracle checks the WHOLE pipeline end-to-end, not just the
+    stages in isolation — composition bugs (filter ordering, id
+    mismatches across stages) have nowhere to hide."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    filtered = docs.where(alpha >= 0.82)
+    survivors = dedup.remove_near_dups(filtered, "doc_id", "text", min_jaccard=0.5)
+    out = hash_split(survivors, "doc_id", salt="curate")
+    return out.select("doc_id", "lang", "n_chars", "split")
+
+
 def duck_jaccard_sql(min_jac: float, lsh: bool) -> str:
     sig_exprs = ",\n         ".join(
         f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS s{i}"
