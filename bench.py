@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_remove_docs",
     "ann_topk_ivf_kmeans",
     "curate_corpus_pipeline",
+    "chunk_documents",
 ]
 
 

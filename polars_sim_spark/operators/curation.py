@@ -73,6 +73,61 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    out_prefix: str = "chunk",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``chunk_tokens``-word windows (stride ``chunk_tokens - overlap``) —
+    the preprocessing step that feeds embedding models and training
+    context windows. Returns one row per chunk:
+    ``(id_col, {prefix}_id, {prefix}_text, {prefix}_n_tokens)``.
+
+    Chunk k covers words ``[k·stride, k·stride + chunk_tokens)``; the
+    last chunk may be shorter, and a document never emits an empty
+    chunk (a doc with ≤ chunk_tokens words is exactly one chunk).
+    Whitespace tokenization, same as the token-count/quality signals.
+
+    Scale: a pure scan-stage projection + explode — ZERO shuffle, and
+    the output row count is ~n_words/stride per doc, predictable for
+    sizing downstream embedding batches.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    num_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.ceil((n - chunk_tokens) / F.lit(stride)) + 1)
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), num_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias(f"{out_prefix}_id"),
+            F.concat_ws(" ", F.slice(words, k * stride + 1, chunk_tokens)).alias(
+                f"{out_prefix}_text"
+            ),
+            F.least(n - k * stride, F.lit(chunk_tokens))
+            .cast("int")
+            .alias(f"{out_prefix}_n_tokens"),
+        ),
+    )
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(id_col, "__c.*")
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

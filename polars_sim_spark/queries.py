@@ -498,6 +498,37 @@ def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
 
 
 @register(
+    "chunk_documents",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (SELECT doc_id, w, len(w) AS n FROM w),
+k AS (
+  SELECT doc_id, w, n,
+         unnest(range(CASE WHEN n <= 64 THEN 1
+                           ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END)) AS k
+  FROM c
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_id,
+       array_to_string(w[(k * 48 + 1):(k * 48 + 64)], ' ') AS chunk_text,
+       CAST(least(n - k * 48, 64) AS INT) AS chunk_n_tokens
+FROM k
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (curation.chunk_text): 64-word windows
+    with 16-word overlap (stride 48) — the embedding/training-window
+    preprocessing step. Zero-shuffle scan projection + explode."""
+    from polars_sim_spark.operators.curation import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
     "curate_corpus_pipeline",
     f"""
 WITH RECURSIVE fdocs AS (

@@ -115,3 +115,37 @@ def test_remove_near_dups_lsh_path_matches_exact(spark, sf_small):
     # LSH may miss pairs (approximate recall) → keeps a superset of docs;
     # on this corpus the 16x4 signature finds everything exact finds.
     assert exact <= lsh
+
+
+def test_chunk_text_windows(spark):
+    from polars_sim_spark.operators.curation import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=4, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 10 words, stride 2 → chunks at 0,2,4,6 (ceil((10-4)/2)+1 = 4)
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w2 w3 w4 w5", 4)
+    assert got[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert (1, 4) not in got
+    # doc 2: shorter than one chunk → exactly one, short
+    assert got[(2, 0)] == ("a b", 2)
+    # doc 3: whitespace-only → no chunks at all
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_chunk_text_zero_shuffle_and_validation(spark, sf_small):
+    from polars_sim_spark.operators.curation import chunk_text
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = chunk_text(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
