@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_topk_ivf_kmeans",
     "curate_corpus_pipeline",
     "chunk_documents",
+    "customer_running_revenue",
 ]
 
 

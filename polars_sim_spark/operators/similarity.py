@@ -162,6 +162,11 @@ def refine_centroids_kmeans(
     vecs = corpus.select(
         F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__vn")
     )
+    if iters > 1:
+        # Each iteration scans the projected vectors once; for multi-iter
+        # training pay the materialization once instead of re-reading
+        # (and re-decoding) the source per iteration.
+        vecs = vecs.persist()
     for _ in range(iters):
         scores = _centroid_scores(cents)
         assigned = vecs.select(
@@ -191,6 +196,8 @@ def refine_centroids_kmeans(
             else:
                 nxt.append(c)
         cents = nxt
+    if iters > 1:
+        vecs.unpersist()
     return cents
 
 

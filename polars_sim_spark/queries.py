@@ -286,6 +286,33 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+FROM orders
+""",
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (explicit ROWS frame): cumulative revenue per
+    customer in order-date order. Complements the rank/top-k windows with
+    frame-spec coverage; decimal accumulation keeps the running sum
+    engine-exact at every prefix, not just the final total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+    return orders.select(
+        "o_custkey", "o_orderkey", running.cast("double").alias("running_revenue")
+    )
+
+
+@register(
     "events_hourly",
     """
 SELECT date_trunc('hour', ts) AS hour, event_type,
