@@ -1318,3 +1318,169 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ann_bf(emb, queries, k=5)
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: classic OLAP shapes (pushdown, join+top-k), quantile
+# filtering, text statistics, skew-safe aggregation, cleaning, vectors.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a pure scan-level filter + global aggregate.  The
+    whole WHERE clause is parquet-pushable (min/max row-group pruning on
+    ``l_shipdate``); ``tests/test_plans.py`` asserts the filters reach the
+    scan.  At 100 TB this query reads only the row groups whose shipdate
+    range overlaps 1996 — the canonical predicate-pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey < 10
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on three tables, a fact-fact join,
+    a broadcast dim join, grouped revenue, global top-10.  The
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — per-partition
+    heaps + a driver merge of 10 rows, never a global sort.  Ties on the
+    rounded revenue are broken by ``l_orderkey`` so the cut is
+    deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "docs_above_lang_median",
+    """
+SELECT doc_id, lang, n_chars, round(med, 6) AS lang_median
+FROM documents
+JOIN (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang) USING (lang)
+WHERE n_chars > med
+""",
+)
+def docs_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile + broadcast join-back filter: keep documents
+    longer than their language's median.  The median table is |langs| rows —
+    always broadcastable — so the corpus is filtered in a single narrow pass.
+    At 100 TB swap ``percentile`` for ``approx_percentile`` (documented in
+    SCALE.md) and nothing else changes."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .where(F.col("n_chars") > F.col("med"))
+        .select("doc_id", "lang", "n_chars", F.round("med", 6).alias("lang_median"))
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+), total AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok, tf, df, score FROM (
+  SELECT tf.doc_id AS doc_id, tf.tok AS tok, tf.tf AS tf, dfreq.df AS df,
+         round(tf.tf * ln(1 + CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(1 + CAST(n_docs AS DOUBLE) / dfreq.df), 6) DESC, tf.tok
+         ) AS rn
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN total
+) WHERE rn <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF, top-3 terms per document.  Three hash
+    aggregations (term-frequency, document-frequency, corpus size) — all
+    with map-side partial combine — then a token-keyed join and a
+    WindowGroupLimit top-k.  The corpus count rides along as a broadcast
+    1-row frame (no driver action).  Score = tf · ln(1 + N/df), rounded to
+    6 decimals in BOTH engines before ranking so the cut is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score")
+    )

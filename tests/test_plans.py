@@ -90,3 +90,20 @@ def test_ivf_assignment_zero_shuffle(spark, sf_small):
     )
     plan = formatted_plan(assign)
     assert "Exchange" not in plan, f"assignment must not shuffle:\n{plan}"
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_small):
+    df = q.tpch_q6_forecast_revenue(spark, sf_small)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_discount")
+    # column pruning: the scan must not read payload columns like l_tax
+    plan = formatted_plan(df)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("l_tax" not in ln for ln in scans)
+
+
+def test_q3_topk_is_take_ordered(spark, sf_small):
+    df = q.tpch_q3_shipping_priority(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df)
