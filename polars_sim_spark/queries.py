@@ -1484,3 +1484,34 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", "score")
     )
+
+
+@register(
+    "events_clicks_before_error",
+    """
+SELECT e.event_id, e.user_id, e.ts, count(c.u) AS n_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id AS u, ts AS c_ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.u
+ AND c.c_ts >= e.ts - INTERVAL 5 MINUTE
+ AND c.c_ts <= e.ts
+GROUP BY 1, 2, 3
+""",
+)
+def events_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every error event, how many clicks did
+    the same user make in the 5 minutes leading up to it.  Uses the banded
+    ``range_join`` operator — an equi-join on (user, time-bucket), never a
+    per-user cross product — then a grouped count.  Left-outer, so errors
+    with zero preceding clicks stay in the result with n_clicks = 0."""
+    from polars_sim_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(
+        errors, clicks, on="user_id", lower=-300, upper=0, how="left"
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count(F.col("ts_r")).alias("n_clicks")
+    )
