@@ -1515,3 +1515,39 @@ def events_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id", "ts").agg(
         F.count(F.col("ts_r")).alias("n_clicks")
     )
+
+
+@register(
+    "events_user_total_salted",
+    """
+SELECT e.event_id, e.user_id, t.user_total
+FROM events e
+JOIN (SELECT user_id,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS user_total
+      FROM events GROUP BY user_id) t
+  ON e.user_id = t.user_id
+""",
+)
+def events_user_total_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its user's lifetime value via the SALTED
+    join: the per-user totals (build side) replicate num_salts times, the
+    event stream (probe) salts deterministically on event_id, and the hot
+    user's rows spread across 8 reducers instead of pinning one.  Output
+    is row-identical to the plain join — which is exactly what the oracle
+    runs."""
+    from polars_sim_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("user_total")
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id"),
+        totals,
+        on="user_id",
+        num_salts=8,
+        salt_by=["event_id"],
+    )
+    return out.select("event_id", "user_id", "user_total")
