@@ -1551,3 +1551,109 @@ def events_user_total_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_by=["event_id"],
     )
     return out.select("event_id", "user_id", "user_total")
+
+
+@register(
+    "text_mask_entities",
+    """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{4,}', '<NUM>', 'g'),
+         'customer', '<ENTITY>', 'g') AS masked,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}'))
+          + len(regexp_extract_all(text, '[0-9]{4,}'))
+          + len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_masked
+FROM documents
+""",
+)
+def text_mask_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/entity masking pass: emails, long digit runs, and a demo
+    entity term are replaced with typed placeholders, with a per-doc
+    count of redactions.  Pure ``regexp_replace``/``regexp_extract_all``
+    Column expressions — JVM-side, whole-stage-codegen'd, zero shuffle;
+    at 100 TB this is a map-only pass at scan speed.  The regexes stick
+    to the Java∩RE2 common dialect so Spark and the DuckDB oracle agree
+    byte-for-byte."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+    digits = "[0-9]{4,}"
+    entity = "customer"
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), digits, "<NUM>"
+        ),
+        entity,
+        "<ENTITY>",
+    )
+    n_masked = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(digits), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(entity), F.lit(0)))
+    ).cast("long")
+    return docs.select("doc_id", masked.alias("masked"), n_masked.alias("n_masked"))
+
+
+@register(
+    "remove_boilerplate_tokens",
+    """
+WITH toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), total AS (SELECT count(*) AS n_docs FROM documents),
+kept AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         count(*) AS n_kept
+  FROM toks JOIN dfreq USING (tok) CROSS JOIN total
+  WHERE df <= 0.78 * n_docs
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id, coalesce(cleaned, '') AS cleaned,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+""",
+)
+def remove_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate scrub (the C4/CCNet move, applied at
+    token granularity because this corpus has no line structure): drop
+    every token present in more than 78% of documents, reassemble the
+    remainder in original order.  Shape: posexplode → DF aggregation →
+    broadcast join of the (tiny) high-DF vocabulary → order-preserving
+    re-agg via ``array_sort(collect_list(struct(pos, tok)))``.  Documents
+    reduced to nothing survive as empty strings (left join back), so the
+    op never changes corpus cardinality.  At web scale the DF table is
+    Zipf-small after the threshold cut — always broadcastable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(total))
+        .where(F.col("df") > 0.78 * F.col("n_docs"))
+        .select("tok")
+    )
+    kept = (
+        toks.join(F.broadcast(hot), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("cleaned"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return docs.select("doc_id").join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
