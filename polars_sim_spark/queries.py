@@ -1657,3 +1657,84 @@ def remove_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+WITH comps AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         unnest(embedding) AS c
+  FROM embeddings
+)
+SELECT label, CAST(idx AS BIGINT) AS idx,
+       round(CAST(sum(CAST(round(CAST(c AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM comps GROUP BY 1, 2
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), flattened to one row
+    per (label, dimension).  posexplode → hash aggregate with map-side
+    combine; each component is rounded and summed as DECIMAL(18,6) so the
+    reduction is exact and order-independent — float sums would differ
+    between engines (and between runs!) by reduction order.  One shuffle
+    keyed on (label, idx); at 100 TB, |labels|·dim cells, each a running
+    decimal sum — constant state per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select("label", F.posexplode("embedding").alias("idx", "c"))
+    comp6 = F.round(F.col("c").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        comps.groupBy("label", F.col("idx").cast("long").alias("idx"))
+        .agg(
+            F.round(
+                F.sum(comp6).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", "idx", "centroid_val", "n_vecs")
+    )
+
+
+@register(
+    "events_sliding_10m",
+    """
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL 5 MINUTE]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute windows every 5 minutes):
+    each event contributes to exactly 2 overlapping windows.  Batch twin
+    of ``streaming.sliding_event_counts`` — same ``F.window`` grouping
+    Structured Streaming uses, so the stream's availableNow output equals
+    this query row-for-row (asserted in tests/test_streaming.py).  The
+    oracle reproduces Spark's epoch-aligned window grid with two
+    time_bucket offsets per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -211,3 +211,36 @@ def stream_static_token_enrich(
         .where(F.col("overlap") >= min_overlap)
         .withColumnRenamed("__rid", right_id_col)
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+    watermark_delay: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked SLIDING-window counts+sums per key: every event lands
+    in duration/slide overlapping windows (2 here).  Streaming twin of
+    the batch ``events_sliding_10m`` contract query.  State per key is
+    bounded by (watermark span / slide) live windows; append mode emits
+    each window once when the watermark passes its end."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -265,3 +265,34 @@ def test_tws_raises_without_protobuf(spark):
             streaming_dedup_first_seen_tws(stream, key_col="fp", order_col="seq")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sliding_stream_equals_contract_batch_query(spark, sf_small, events_stream_dir):
+    """availableNow run of sliding_event_counts == the events_sliding_10m
+    contract query, restricted to watermark-finalized windows."""
+    from datetime import timedelta
+
+    from polars_sim_spark.queries import events_sliding_10m
+    from polars_sim_spark.streaming.stream_ops import sliding_event_counts
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sliding_event_counts(stream), name, "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_sliding_10m(spark, sf_small).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(minutes=30)
+    finalized = {
+        k: v
+        for k, v in expected.items()
+        if k[0] + timedelta(minutes=10) <= cutoff
+    }
+    assert got == finalized
+    assert len(got) > 0
