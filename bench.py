@@ -57,6 +57,17 @@ HEADLINE = [
     "curate_corpus_pipeline",
     "chunk_documents",
     "customer_running_revenue",
+    # Added in round 3:
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "docs_above_lang_median",
+    "text_tfidf_top_terms",
+    "events_clicks_before_error",
+    "events_user_total_salted",
+    "text_mask_entities",
+    "remove_boilerplate_tokens",
+    "embedding_label_centroids",
+    "events_sliding_10m",
 ]
 
 

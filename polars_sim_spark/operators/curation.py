@@ -162,3 +162,136 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn(out_col, F.sum(new_session).over(running))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+    out_col: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document that shares
+    at least one word ``n``-gram with the evaluation set (the standard
+    n-gram-overlap test applied before training).
+
+    Shape: the eval side collapses to its DISTINCT shingle set — for any
+    real benchmark suite that is thousands-to-millions of short strings,
+    always broadcastable — so the corpus side is one explode + broadcast
+    LEFT SEMI join + distinct ids.  The corpus text itself never
+    shuffles; only (id, matched) pairs do.  Returns the corpus with a
+    boolean ``out_col`` added (filter on it to drop; keeping the flag
+    preserves cardinality for auditing).
+    """
+    from polars_sim_spark.functions.text import word_shingles
+
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(eval_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    bad = (
+        sh.join(F.broadcast(ev), "sh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn(out_col, F.lit(True))
+    )
+    return corpus.join(bad, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(False))
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    shard_tokens: int,
+    num_parts: int = 64,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to training shards of ~``shard_tokens`` tokens
+    each, filling shards in deterministic ``id_col`` order (a document
+    whose tokens cross the boundary opens the next shard).
+
+    A naive global running sum is a single-partition window — dead at
+    scale.  This runs the scalable two-level plan: rows cumsum WITHIN
+    ``num_parts`` hash partitions (parallel windows), per-partition
+    totals (``num_parts`` rows) get a driver-free running offset, and
+    the broadcast offsets lift local cumsums to global ones.  The only
+    sequential structure is over ``num_parts`` rows.  Global order is
+    (partition, id): deterministic, reproducible in any SQL engine via
+    one ORDER BY — which is exactly what the oracle does.
+    """
+    part = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(num_parts))
+    dfp = df.withColumn("__part", part)
+    w_in = Window.partitionBy("__part").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_off = Window.orderBy("__part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        dfp.groupBy("__part")
+        .agg(F.sum(token_col).alias("__t"))
+        .select("__part", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"))
+    )
+    return (
+        dfp.withColumn("__within", F.sum(token_col).over(w_in))
+        .join(F.broadcast(offsets), "__part")
+        .withColumn(
+            out_col,
+            F.floor(
+                (F.col("__off") + F.col("__within") - F.col(token_col))
+                / F.lit(shard_tokens)
+            ),
+        )
+        .drop("__part", "__within", "__off")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the mC4/XLM-R language-mix
+    move): target share of group g ∝ n_g^alpha, so alpha=1 keeps the
+    natural mix and alpha→0 flattens it.  Groups over their target are
+    hash-downsampled to it; under-represented groups keep everything (no
+    replication).  The keep decision is a pure md5 function of the id —
+    deterministic, engine-portable, re-runnable.
+
+    The group-rate table is |groups| rows (computed with two tiny
+    aggregates), broadcast back; the data path is scan → broadcast join
+    → filter, zero wide shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    wsum = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__wsum"),
+        F.sum("__n").alias("__tot"),
+    )
+    rates = counts.crossJoin(F.broadcast(wsum)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (
+                F.col("__tot")
+                * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                / F.col("__wsum")
+            )
+            / F.col("__n"),
+        ).alias("__q"),
+    )
+    keep = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(resolution)) < F.floor(
+        F.col("__q") * resolution
+    )
+    return df.join(F.broadcast(rates), group_col).where(keep).drop("__q")

@@ -512,14 +512,15 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duck_shingles_cte(table: str, id_col: str, text_col: str) -> str:
-    """Distinct 3-word shingle postings (id, sh) — twin of
+def duck_shingles_cte(table: str, id_col: str, text_col: str, n: int = 3) -> str:
+    """Distinct n-word shingle postings (id, sh) — twin of
     dedup.shingle_postings / functions.text.word_shingles."""
+    terms = ", ".join(f"w[CAST(i AS INT)+{j}]" if j else "w[CAST(i AS INT)]" for j in range(n))
     return f"""
   SELECT id, unnest(shs) AS sh FROM (
     SELECT {id_col} AS id,
-           list_distinct([concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT)+1], w[CAST(i AS INT)+2])
-                          FOR i IN range(1, greatest(len(w)-2, 0)+1)]) AS shs
+           list_distinct([concat_ws(' ', {terms})
+                          FOR i IN range(1, greatest(len(w)-{n - 1}, 0)+1)]) AS shs
     FROM (SELECT {id_col}, string_split_regex(trim(lower({text_col})), '\\s+') AS w FROM {table})
   )"""
 
@@ -1738,3 +1739,85 @@ def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_DECON_EVAL = "(SELECT * FROM documents WHERE doc_id < 50)"
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+WITH c AS ({duck_shingles_cte("documents", "doc_id", "text", n=8)}),
+e AS (SELECT DISTINCT sh FROM ({duck_shingles_cte(_DECON_EVAL, "doc_id", "text", n=8)})),
+bad AS (SELECT DISTINCT c.id AS id FROM c JOIN e USING (sh))
+SELECT d.doc_id AS doc_id, (bad.id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN bad ON d.doc_id = bad.id
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any 8-word
+    shingle with the eval slice (doc_id < 50) are flagged.  Eval shingles
+    broadcast; corpus flagged via LEFT SEMI + left join back, preserving
+    cardinality."""
+    from polars_sim_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 50)
+    return decontaminate(docs, ev, n=8).select("doc_id", "contaminated")
+
+
+@register(
+    "pack_documents_shards",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(floor((sum(n_tok) OVER (ORDER BY part, doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+                  / 2000.0) AS BIGINT) AS shard
+FROM t
+""",
+)
+def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (~2000 tokens/shard) via the two-level
+    distributed cumulative sum in curation.pack_shards: parallel
+    within-partition windows + a 16-row offset table — no global window.
+    The oracle reproduces the identical assignment with one flat ORDER BY
+    (part, doc_id) running sum."""
+    from polars_sim_spark.operators.curation import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    out = pack_shards(
+        docs, id_col="doc_id", token_col="n_tok", shard_tokens=2000, num_parts=16
+    )
+    return out.select("doc_id", "n_tok", "shard")
+
+
+@register(
+    "temperature_sample_docs",
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS wsum, sum(n) AS tot FROM c),
+r AS (SELECT lang, least(1.0, ((tot * pow(CAST(n AS DOUBLE), 0.3)) / wsum) / n) AS q FROM c, s)
+SELECT d.doc_id AS doc_id, d.lang AS lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      < floor(q * 1000000)
+""",
+)
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix temperature resampling at alpha=0.3: over-represented
+    languages hash-downsample toward n^alpha shares, small ones keep all
+    rows.  Rate table is |langs| rows broadcast back; decision is a pure
+    md5(doc_id) threshold — deterministic in both engines."""
+    from polars_sim_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(docs, group_col="lang", id_col="doc_id", alpha=0.3)
+    return out.select("doc_id", "lang")

@@ -149,3 +149,79 @@ def test_chunk_text_zero_shuffle_and_validation(spark, sf_small):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate / pack_shards / temperature_sample
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    from polars_sim_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta kappa")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, ev, n=8).collect()}
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_pack_shards_matches_naive_global_cumsum(spark):
+    from pyspark.sql import Window
+
+    from polars_sim_spark.operators.curation import pack_shards
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 5).alias("n_tok")
+    )
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(
+            df, id_col="doc_id", token_col="n_tok", shard_tokens=100, num_parts=8
+        ).collect()
+    }
+    part = F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(8))
+    w = (
+        Window.orderBy("part", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in df.withColumn("part", part)
+        .withColumn(
+            "shard",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(100)),
+        )
+        .collect()
+    }
+    assert got == want
+    # shards fill contiguously: every shard id in [0, max] occurs
+    shards = sorted(set(got.values()))
+    assert shards == list(range(len(shards)))
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    from polars_sim_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 900, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(df, group_col="lang", id_col="doc_id", alpha=0.3)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # small group keeps everything; big group downsampled toward its
+    # n^alpha share (big target = 1000 * 900^.3/(900^.3+100^.3) ~ 660)
+    assert counts["small"] == 100
+    assert 500 < counts["big"] < 800
+    again = temperature_sample(df, group_col="lang", id_col="doc_id", alpha=0.3)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
