@@ -68,6 +68,11 @@ HEADLINE = [
     "remove_boilerplate_tokens",
     "embedding_label_centroids",
     "events_sliding_10m",
+    "decontaminate_docs",
+    "pack_documents_shards",
+    "temperature_sample_docs",
+    "dedup_incremental_docs",
+    "docs_length_quartiles",
 ]
 
 

@@ -1821,3 +1821,52 @@ def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = temperature_sample(docs, group_col="lang", id_col="doc_id", alpha=0.3)
     return out.select("doc_id", "lang")
+
+
+@register(
+    "dedup_incremental_docs",
+    """
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+hist AS (SELECT DISTINCT f FROM fp WHERE doc_id < 100)
+SELECT fp.doc_id AS doc_id, fp.f AS fingerprint
+FROM fp
+WHERE fp.doc_id >= 100 AND fp.f NOT IN (SELECT f FROM hist)
+""",
+)
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-crawl-vs-corpus) dedup: keep only new documents
+    whose content fingerprint is absent from the historical set — a LEFT
+    ANTI join on the whitespace-normalized md5.  At 100 TB the historical
+    side is a fingerprint-only table (one narrow column), bucketable by
+    fingerprint so nightly increments join exchange-free; the anti join
+    is the streaming-ingest primitive every growing corpus needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    hist = fp.where(F.col("doc_id") < 100).select("fingerprint").distinct()
+    return fp.where(F.col("doc_id") >= 100).join(hist, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "docs_length_quartiles",
+    """
+SELECT doc_id, lang,
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS quartile
+FROM documents
+""",
+)
+def docs_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quartiles (ntile window) — the bucketing move
+    behind length-balanced sampling.  Deterministic tie-break on doc_id;
+    one shuffle keyed by lang.  ntile semantics (larger leading buckets
+    on non-divisible counts) agree between Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "lang", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
