@@ -73,6 +73,7 @@ HEADLINE = [
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",
+    "events_session_windows",
 ]
 
 

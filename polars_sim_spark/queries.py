@@ -1870,3 +1870,52 @@ def docs_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.ntile(4).over(w).cast("int").alias("quartile")
     )
+
+
+@register(
+    "events_session_windows",
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merged session windows via Spark's native ``F.session_window``
+    (batch mode), one row per session with window bounds and totals.
+    Complements the gaps-and-islands ``events_sessionized`` — same idea,
+    two implementations; note the boundary semantics differ (a gap of
+    EXACTLY 30 minutes starts a new session here, matching
+    session_window's half-open [start, last+gap) merge rule — the oracle
+    uses >=), while sessionize keeps it open on >.  Session end is
+    last-event-ts + gap, as session_window defines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -244,3 +244,34 @@ def sliding_event_counts(
             "sum_value",
         )
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked session windows (gap-merged) per key — the native
+    Structured Streaming analog of curation.sessionize.  A session stays
+    open in state while events keep arriving within ``gap``; the
+    watermark closes and emits it.  Streaming twin of the batch
+    ``events_session_windows`` contract query (same ``F.session_window``
+    grouping; equality asserted in tests/test_streaming.py)."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

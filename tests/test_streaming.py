@@ -296,3 +296,30 @@ def test_sliding_stream_equals_contract_batch_query(spark, sf_small, events_stre
     }
     assert got == finalized
     assert len(got) > 0
+
+
+def test_session_stream_equals_contract_batch_query(spark, sf_small, events_stream_dir):
+    """availableNow run of session_event_counts == the
+    events_session_windows contract query on watermark-finalized sessions."""
+    from datetime import timedelta
+
+    from polars_sim_spark.queries import events_session_windows
+    from polars_sim_spark.streaming.stream_ops import session_event_counts
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(session_event_counts(stream), name, "append")
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in events_session_windows(spark, sf_small).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {k: v for k, v in expected.items() if k[1] <= cutoff}
+    assert got == finalized
+    assert len(got) > 0
