@@ -74,6 +74,9 @@ HEADLINE = [
     "dedup_incremental_docs",
     "docs_length_quartiles",
     "events_session_windows",
+    "events_type_value_pivot",
+    "events_cube_day_type",
+    "daily_high_clicks_vs_purchases",
 ]
 
 

@@ -1919,3 +1919,122 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_type_value_pivot",
+    """
+SELECT date_trunc('hour', ts) AS hour,
+       coalesce(CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS click,
+       coalesce(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS error,
+       coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS purchase,
+       coalesce(CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS signup,
+       coalesce(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS view
+FROM events GROUP BY 1
+""",
+)
+def events_type_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-hour value totals, one column per event
+    type.  The pivot values are EXPLICIT — with an inferred value list
+    Spark needs an extra distinct scan and the output schema becomes
+    data-dependent, which breaks both plan caching and any downstream
+    schema contract.  Compiles to one hash aggregate with conditional
+    sums (exactly what the oracle spells out); a single shuffle on the
+    hour key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "hour",
+            *[
+                F.coalesce(F.col(t), F.lit(0.0)).alias(t)
+                for t in ["click", "error", "purchase", "signup", "view"]
+            ],
+        )
+    )
+
+
+@register(
+    "events_cube_day_type",
+    """
+SELECT coalesce(day, TIMESTAMP '1900-01-01') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(GROUPING(day) AS INT) AS g_day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
+GROUP BY CUBE (day, event_type)
+""",
+)
+def events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 4 grouping combinations (day×type, day,
+    type, grand total) in one pass — Spark expands the grouping sets
+    before the aggregate, so it is still a single shuffle.  Completes
+    the grouping-sets family next to revenue_rollup's ROLLUP."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("1900-01-01").cast("timestamp")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "g_day",
+            "g_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "daily_high_clicks_vs_purchases",
+    """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' AND value > 4.5 GROUP BY 1
+),
+p AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' AND value < 0.5 GROUP BY 1
+)
+SELECT coalesce(c.day, p.day) AS day,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.day = p.day
+""",
+)
+def daily_high_clicks_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse daily aggregates (high-value clicks
+    vs low-value purchases): days present on either side survive with
+    zero-filled counts.  Completes the join-type coverage (inner/left/
+    semi/anti/cross elsewhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.where((F.col("event_type") == "click") & (F.col("value") > 4.5))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") < 0.5))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    pd_ = p.withColumnRenamed("day", "p_day")
+    return (
+        c.join(pd_, c.day == pd_.p_day, "full_outer")
+        .select(
+            F.coalesce(c.day, pd_.p_day).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
