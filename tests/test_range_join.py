@@ -115,3 +115,66 @@ def test_self_join_same_source(spark):
         .select("lid", "rid").collect()
     )
     assert [tuple(r) for r in got] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Property-based: banded range_join vs a pure-Python interval model
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_BASE = datetime(2024, 1, 1)
+
+
+def _model(lrows, rrows, lower, upper):
+    out = set()
+    for lid, k, lts in lrows:
+        for rid, rk, rts in rrows:
+            if k == rk and lower <= (rts - lts).total_seconds() <= upper:
+                out.add((lid, rid))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    data=st.data(),
+    bounds=st.tuples(
+        st.integers(min_value=-900, max_value=900),
+        st.integers(min_value=-900, max_value=900),
+    ).map(sorted),
+)
+def test_range_join_matches_interval_model(spark, data, bounds):
+    lower, upper = bounds
+    keys = st.sampled_from(["a", "b"])
+    offs = st.integers(min_value=0, max_value=3600)
+    lrows = [
+        (i, k, _BASE + timedelta(seconds=o))
+        for i, (k, o) in enumerate(
+            data.draw(st.lists(st.tuples(keys, offs), min_size=1, max_size=8))
+        )
+    ]
+    rrows = [
+        (i, k, _BASE + timedelta(seconds=o))
+        for i, (k, o) in enumerate(
+            data.draw(st.lists(st.tuples(keys, offs), min_size=0, max_size=8))
+        )
+    ]
+    left = spark.createDataFrame(
+        [(lid, k, ts) for lid, k, ts in lrows], ["lid", "k", "ts"]
+    )
+    right = (
+        spark.createDataFrame([(rid, k, ts) for rid, k, ts in rrows], ["rid", "k", "ts"])
+        if rrows
+        else spark.createDataFrame([], "rid long, k string, ts timestamp")
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, on="k", lower=lower, upper=upper).collect()
+    }
+    assert got == _model(lrows, rrows, lower, upper)
