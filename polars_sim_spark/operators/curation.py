@@ -216,8 +216,13 @@ def pack_shards(
     out_col: str = "shard",
 ) -> DataFrame:
     """Assign documents to training shards of ~``shard_tokens`` tokens
-    each, filling shards in deterministic ``id_col`` order (a document
-    whose tokens cross the boundary opens the next shard).
+    each by START OFFSET: a document goes to
+    ``floor(its_start_offset / shard_tokens)``, where start offsets are
+    the exclusive running token sum in the deterministic global order
+    ``(hash-partition of id, id)`` — NOT plain id order. A document whose
+    tokens cross a shard boundary stays in the shard where it STARTS, so
+    a shard's total can exceed ``shard_tokens`` by up to one document;
+    ``shard_tokens`` is a fill target, not a hard cap.
 
     A naive global running sum is a single-partition window — dead at
     scale.  This runs the scalable two-level plan: rows cumsum WITHIN

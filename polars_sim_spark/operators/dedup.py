@@ -376,14 +376,23 @@ def remove_near_dups(
     oracle-checkable small-corpus twin.
     """
     postings = shingle_postings(docs, id_col, text_col).persist()
-    if use_lsh:
-        sigs = minhash_signatures(postings)
-        cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
-        pairs = _verify_jaccard_pairs(postings, cands, min_jaccard).select("l_id", "r_id")
-    else:
-        pairs = jaccard_pairs(postings, min_jaccard=min_jaccard).select("l_id", "r_id")
-    nodes = docs.select(F.col(id_col).alias("id"))
-    cc = connected_components(nodes, pairs)
+    try:
+        if use_lsh:
+            sigs = minhash_signatures(postings)
+            cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
+            pairs = _verify_jaccard_pairs(postings, cands, min_jaccard).select("l_id", "r_id")
+        else:
+            pairs = jaccard_pairs(postings, min_jaccard=min_jaccard).select("l_id", "r_id")
+        nodes = docs.select(F.col(id_col).alias("id"))
+        # connected_components eagerly localCheckpoints both the edge set
+        # and every label iteration, so by the time it returns nothing
+        # downstream references the postings lineage...
+        cc = connected_components(nodes, pairs)
+    finally:
+        # ...which makes this the earliest safe unpersist point: without
+        # it every call leaks cached shingle blocks into executor storage
+        # memory for the life of the session.
+        postings.unpersist()
     keep = cc.where(F.col("id") == F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )

@@ -142,9 +142,14 @@ def refine_centroids_kmeans(
     hash aggregate — the only shuffle, of narrow (c_id, pos, val) rows;
     (3) collect the ``num_centroids × dim`` means (an O(1) driver read,
     ≤ a few thousand rows) and rebuild the literal centroid table.
-    Means are rounded to 6 decimals so any engine recomputes identical
-    centroids (the oracle-portability contract of this module). A
-    centroid that loses every member keeps its previous position.
+    Each component is rounded to 6 decimals and accumulated as
+    DECIMAL(18,6) — an EXACT, order-independent sum — then divided by the
+    member count and rounded to 6 decimals, so any engine (and any
+    partitioning) recomputes bit-identical centroids. A float ``avg``
+    would be reduction-order-dependent before the rounding, a latent
+    flaky mismatch near rounding boundaries (same contract as
+    ``embedding_label_centroids``). A centroid that loses every member
+    keeps its previous position.
 
     Returns rows shaped like ``pick_centroids`` output (dicts with
     ``c_id``/``__centroid``/``__cnorm``), sorted by c_id.
@@ -172,10 +177,15 @@ def refine_centroids_kmeans(
         assigned = vecs.select(
             F.array_max(scores).getField("c_id").alias("c_id"), F.col("__v")
         )
+        comp6 = F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
         means = (
             assigned.select("c_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("c_id", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .agg(
+                F.round(
+                    F.sum(comp6).cast("double") / F.count(F.lit(1)), 6
+                ).alias("m")
+            )
             .collect()
         )
         by_c: dict = {}
@@ -364,17 +374,25 @@ def ann_topk_lsh(
     (q_id, n_id, sim) with ≤ k rows per query (possibly fewer — it's
     approximate).
 
-    ``num_dims`` sizes the hyperplane table. Default: derived from the
-    first corpus row (one O(1) scout read). Pass it explicitly for a
-    mixed-dimension corpus — it must be ≥ the longest vector, or the
-    extra components silently stop influencing bucket assignment.
+    ``num_dims`` sizes the hyperplane table. Default: ``max(size(vec))``
+    over the CORPUS (one aggregate scout job, same cost class as the
+    query-side check below) — so a mixed-dimension corpus is covered in
+    full; components at positions ≥ num_dims would otherwise silently
+    stop influencing bucket assignment. An explicit ``num_dims`` smaller
+    than either side's longest vector raises.
     """
+    cdim = corpus.select(F.max(F.size(F.col(vec_col))).alias("d")).collect()
+    corpus_max = cdim[0]["d"] if cdim else None
     if num_dims is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        if not first:
+        if corpus_max is None:
             raise ValueError("ann_topk_lsh: empty corpus and no num_dims given")
-        num_dims = first[0]["d"]
-    qdim = queries.select(F.max(F.size(F.col(query_vec_col))).alias("d")).limit(1).collect()
+        num_dims = corpus_max
+    elif corpus_max is not None and corpus_max > num_dims:
+        raise ValueError(
+            f"ann_topk_lsh: corpus vectors have up to {corpus_max} dims but the "
+            f"plane table covers only {num_dims}; pass num_dims >= {corpus_max}"
+        )
+    qdim = queries.select(F.max(F.size(F.col(query_vec_col))).alias("d")).collect()
     if qdim and qdim[0]["d"] is not None and qdim[0]["d"] > num_dims:
         raise ValueError(
             f"ann_topk_lsh: query vectors have {qdim[0]['d']} dims but the plane "

@@ -619,7 +619,12 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "split")
 
 
-def duck_jaccard_sql(min_jac: float, lsh: bool) -> str:
+def duck_lsh_cand_ctes(max_bucket_size: int | None = None) -> str:
+    """MinHash-LSH candidate-pair CTEs over an in-scope ``sh`` postings
+    CTE — the oracle twin of dedup.minhash_signatures → lsh_bands →
+    lsh_candidate_pairs, including the hot-bucket cap: with
+    ``max_bucket_size`` buckets holding more than that many documents are
+    dropped BEFORE the bucket self-join, exactly like the Spark side."""
     sig_exprs = ",\n         ".join(
         f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS s{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
@@ -628,14 +633,28 @@ def duck_jaccard_sql(min_jac: float, lsh: bool) -> str:
         f"SELECT id, {b} AS band, concat_ws(',', s{b*4}, s{b*4+1}, s{b*4+2}, s{b*4+3}) AS band_key FROM sigs"
         for b in range(dedup.LSH_BANDS)
     )
-    lsh_ctes = f""",
+    if max_bucket_size is not None:
+        bucket_cte = f""",
+bkeep AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING count(*) <= {max_bucket_size}
+),
+cbands AS (SELECT bands.* FROM bands JOIN bkeep USING (band, band_key))"""
+    else:
+        bucket_cte = """,
+cbands AS (SELECT * FROM bands)"""
+    return f""",
 hashed AS (SELECT id, {DUCK_HASH.format(c='sh')} AS h FROM sh),
 sigs AS (SELECT id, {sig_exprs} FROM hashed GROUP BY id),
-bands AS ({band_selects}),
+bands AS ({band_selects}){bucket_cte},
 cands AS (
   SELECT DISTINCT a.id AS l_id, b.id AS r_id
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+  FROM cbands a JOIN cbands b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 )"""
+
+
+def duck_jaccard_sql(min_jac: float, lsh: bool) -> str:
+    lsh_ctes = duck_lsh_cand_ctes()
     cand_join = "JOIN cands ON cands.l_id = inter.l_id AND cands.r_id = inter.r_id" if lsh else ""
     return f"""
 WITH sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}){lsh_ctes if lsh else ''},
@@ -1151,11 +1170,14 @@ def duck_ann_ivf_kmeans_sql(
     num_centroids: int = 16, nprobe: int = 3, k: int = 5, num_dims: int = 256
 ) -> str:
     """IVF with ONE Lloyd refinement iteration, unrolled into CTEs: seed
-    centroids (hash-sampled) → assign → per-component means rounded to 6
-    decimals (the engine-portability contract) → re-assign against the
-    refined centroids → probe → exact rerank. ``num_dims`` is an upper
-    bound (dims past a vector's length are NULL-filtered). A centroid
-    that loses every member keeps its seed position (COALESCE)."""
+    centroids (hash-sampled) → assign → per-component means: each
+    component rounded to 6 decimals, summed as DECIMAL(18,6) (exact and
+    order-independent — mirrors refine_centroids_kmeans; a float avg
+    would be reduction-order-dependent before rounding), divided by the
+    member count, rounded to 6 decimals → re-assign against the refined
+    centroids → probe → exact rerank. ``num_dims`` is an upper bound
+    (dims past a vector's length are NULL-filtered). A centroid that
+    loses every member keeps its seed position (COALESCE)."""
     h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
     cos0 = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
     return f"""
@@ -1174,7 +1196,9 @@ n0 AS (
 ),
 a0 AS (SELECT id, c_id FROM n0 WHERE rn = 1),
 m1 AS (
-  SELECT a0.c_id, d.dim, round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)), 6) AS m
+  SELECT a0.c_id, d.dim,
+         round(CAST(sum(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
   FROM a0 JOIN embeddings e ON e.vec_id = a0.id
   CROSS JOIN range({num_dims}) d(dim)
   WHERE e.embedding[d.dim + 1] IS NOT NULL

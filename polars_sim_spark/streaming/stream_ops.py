@@ -30,16 +30,19 @@ def windowed_event_counts(
     watermark_delay: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked tumbling-window counts+sums per key — the streaming
     twin of the batch ``events_hourly`` query (same grouping semantics;
-    late rows beyond the watermark are dropped instead of restated)."""
+    late rows beyond the watermark are dropped instead of restated).
+    ``value_col`` names the summed measure, matching the other schema
+    knobs (ts_col/key_col) so any source schema fits."""
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -221,6 +224,7 @@ def sliding_event_counts(
     watermark_delay: str = "30 minutes",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked SLIDING-window counts+sums per key: every event lands
     in duration/slide overlapping windows (2 here).  Streaming twin of
@@ -235,7 +239,7 @@ def sliding_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -253,6 +257,7 @@ def session_event_counts(
     watermark_delay: str = "2 hours",
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Watermarked session windows (gap-merged) per key — the native
     Structured Streaming analog of curation.sessionize.  A session stays
@@ -265,7 +270,7 @@ def session_event_counts(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("session_start"),
