@@ -600,7 +600,9 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline — the composition a training-data
     team actually ships, every stage an operator from this repo: quality
     filter (alpha ratio ≥ 0.82, a scan-level predicate) → near-dup
-    removal (Jaccard-0.5 clusters, keep the canonical doc) →
+    removal (Jaccard-0.5 clusters, keep the canonical doc; EXACT
+    candidate generation — the oracle twin, see
+    ``curate_corpus_pipeline_lsh`` for the scale path) →
     deterministic train/val/test hash split (zero-shuffle projection).
     One DuckDB oracle checks the WHOLE pipeline end-to-end, not just the
     stages in isolation — composition bugs (filter ordering, id
@@ -1000,12 +1002,127 @@ WHERE cc.doc_id = cc.cluster_id
 def dedup_remove_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup REMOVAL end-to-end (dedup.remove_near_dups): the corpus
     that SURVIVES dedup — one canonical (smallest-id) document per
-    Jaccard-0.5 cluster. This is the operation a training pipeline
-    actually ships: pairs and clusters are diagnostics, the deduped
-    corpus is the product."""
+    Jaccard-0.5 cluster. EXACT candidate generation (all pairs sharing a
+    shingle) — the oracle-checkable small-corpus twin; the composition a
+    100 TB pipeline ships is ``dedup_remove_docs_lsh`` below."""
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.remove_near_dups(docs, "doc_id", "text", min_jaccard=0.5)
     return out.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "dedup_remove_docs_lsh",
+    f"""
+WITH RECURSIVE sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}){duck_lsh_cand_ctes(20)},
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter
+  JOIN n na ON na.id = inter.l_id
+  JOIN n nb ON nb.id = inter.r_id
+  JOIN cands ON cands.l_id = inter.l_id AND cands.r_id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id = cc.cluster_id
+""",
+)
+def dedup_remove_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL via the SCALE path: MinHash-LSH candidate
+    generation (banded bucket self-join with the max_bucket_size=20
+    hot-bucket cap) → exact-Jaccard verification of candidates only →
+    connected components → keep the canonical (smallest-id) doc per
+    cluster. Every stage is bucketed/bounded — this is the plan a
+    1000-executor 100 TB dedup job runs, oracle-pinned end-to-end
+    (the DuckDB twin mirrors signatures, banding, the bucket cap, and
+    the recursive-CTE component closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_near_dups(
+        docs, "doc_id", "text", min_jaccard=0.5, use_lsh=True, max_bucket_size=20
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "curate_corpus_pipeline_lsh",
+    f"""
+WITH RECURSIVE fdocs AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  WHERE length(text) > 0
+    AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / length(text), 6) >= 0.82
+),
+sh AS ({duck_shingles_cte('fdocs', 'doc_id', 'text')}){duck_lsh_cand_ctes(20)},
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter
+  JOIN n na ON na.id = inter.l_id
+  JOIN n nb ON nb.id = inter.r_id
+  JOIN cands ON cands.l_id = inter.l_id AND cands.r_id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM fdocs),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT f.doc_id, f.lang, f.n_chars,
+         ({DUCK_HASH.format(c="CAST(f.doc_id AS VARCHAR) || 'curate'")}) % 1000 AS b
+  FROM fdocs f JOIN cc ON f.doc_id = cc.doc_id
+  WHERE cc.doc_id = cc.cluster_id
+)
+""",
+)
+def curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with its dedup stage on the SCALE path:
+    quality filter (scan-level predicate) → MinHash-LSH near-dup removal
+    (banded buckets, hot-bucket cap, candidates-only verification) →
+    deterministic hash split. Same end-to-end oracle discipline as
+    ``curate_corpus_pipeline`` — one DuckDB query checks the whole
+    composition — but the dedup plan here is the one that survives a
+    100× scale-up (no all-pairs stage anywhere)."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    filtered = docs.where(alpha >= 0.82)
+    survivors = dedup.remove_near_dups(
+        filtered, "doc_id", "text", min_jaccard=0.5, use_lsh=True, max_bucket_size=20
+    )
+    out = hash_split(survivors, "doc_id", salt="curate")
+    return out.select("doc_id", "lang", "n_chars", "split")
 
 
 @register(
