@@ -13,12 +13,14 @@ Public API:
     normalize_string_col — strip non-alphanumerics + lowercase (reference P2)
 """
 
+from polars_sim_spark.cache import unpersist_all
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
 from polars_sim_spark.operators.join_sim import join_sim
 from polars_sim_spark.session import get_spark
 
 __all__ = [
     "join_sim",
+    "unpersist_all",
     "normalize_string_col",
     "trigram_tokens",
     "get_spark",

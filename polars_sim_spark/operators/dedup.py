@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from polars_sim_spark import cache as cache_registry
 from polars_sim_spark.functions.text import word_shingles
 
 #: MinHash universal-hash parameters (a, b) over the Mersenne prime 2^31-1,
@@ -260,7 +261,7 @@ def minhash_lsh_dedup_pairs(
     # The postings feed four passes (signatures, both verification sides,
     # set sizes); persist so shingling runs once. MEMORY_AND_DISK default
     # spills rather than OOMs when the corpus outgrows executor memory.
-    postings = shingle_postings(df, id_col, text_col, shingle_n).persist()
+    postings = cache_registry.track(shingle_postings(df, id_col, text_col, shingle_n))
     sigs = minhash_signatures(postings)
     cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
 

@@ -52,6 +52,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_sim_spark import cache as cache_registry
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
 
 _ROW = "__pss_row"
@@ -284,8 +285,8 @@ def _similarity_mapping_distinct(
             s = normalize_string_col(s)
         return F.md5(F.concat_ws("\x01", F.sort_array(trigram_tokens(s))))
 
-    lstr = _distinct_strings(left, left_on, "__ls").cache()
-    rstr = _distinct_strings(right, right_on, "__rs").cache()
+    lstr = cache_registry.track(_distinct_strings(left, left_on, "__ls"))
+    rstr = cache_registry.track(_distinct_strings(right, right_on, "__rs"))
 
     # ONE cheap scout job decides the whole plan shape before any
     # quadratic work (every extra driver-blocking job costs ~0.5-1 s of
@@ -339,8 +340,8 @@ def _similarity_mapping_distinct(
         # Collapse confirmed — now the full-corpus keys are worth their
         # cost. Cached: the keyed frames feed both the representative
         # pick and the final set→string expansion joins.
-        lstr = lstr.withColumn("__key", _set_key("__ls")).cache()
-        rstr = rstr.withColumn("__key", _set_key("__rs")).cache()
+        lstr = cache_registry.track(lstr.withColumn("__key", _set_key("__ls")))
+        rstr = cache_registry.track(rstr.withColumn("__key", _set_key("__rs")))
         lreps = lstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__lkey"), "__ls")
         rreps = rstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__rkey"), "__rs")
     else:
@@ -471,9 +472,9 @@ def join_sim(
     # plan-position dependent, so the mapping pass and the re-assembly
     # pass must observe identical ids.
     if gen_left:
-        left = left.cache()
+        left = cache_registry.track(left)
     if gen_right:
-        right = right.cache()
+        right = cache_registry.track(right)
 
     map_left_id = left_id if left_id != right_id else "__pss_lid"
     map_right_id = right_id if left_id != right_id else "__pss_rid"

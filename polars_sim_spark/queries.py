@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from polars_sim_spark import cache as cache_registry
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
 from polars_sim_spark.operators import dedup
 from polars_sim_spark.operators.join_sim import similarity_mapping
@@ -700,7 +701,7 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # jaccard_pairs makes three passes over the postings (pair join ×2,
     # set sizes) — persist so shingling runs once.
-    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
+    postings = cache_registry.track(dedup.shingle_postings(docs, "doc_id", "text"))
     jac = dedup.jaccard_pairs(postings, min_jaccard=0.5)
     return jac.select(
         F.col("l_id").alias("l_doc"),
@@ -717,7 +718,7 @@ def dedup_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified exactly. Same results as the all-pairs plan, far fewer
     candidate pairs; the oracle is threshold-parameterized plain SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
+    postings = cache_registry.track(dedup.shingle_postings(docs, "doc_id", "text"))
     jac = dedup.jaccard_pairs(postings, min_jaccard=0.7)
     return jac.select(
         F.col("l_id").alias("l_doc"),
@@ -963,7 +964,7 @@ def dedup_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation). cluster_id = smallest doc_id in the component = the
     canonical keeper; everything else in the cluster is a drop candidate."""
     docs = load_table(spark, sf_dir, "documents")
-    postings = dedup.shingle_postings(docs, "doc_id", "text").persist()
+    postings = cache_registry.track(dedup.shingle_postings(docs, "doc_id", "text"))
     pairs = dedup.jaccard_pairs(postings, min_jaccard=0.5).select("l_id", "r_id")
     nodes = docs.select(F.col("doc_id").alias("id"))
     cc = dedup.connected_components(nodes, pairs)
