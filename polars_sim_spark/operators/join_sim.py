@@ -193,8 +193,14 @@ def similarity_mapping(
 
     if strategy == "auto":
         # Mirrors the reference's row-count heuristic (join.py:107-114):
-        # pick the physical variant from the size of the right side.
-        strategy = "broadcast" if right.count() <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
+        # pick the physical variant from the size of the right side. The
+        # decision only needs "≤ cutoff or not", never the exact
+        # cardinality, so the scout is a column-pruned LIMIT cutoff+1
+        # count — CollectLimit short-circuits the scan after cutoff+1
+        # rows, keeping this O(cutoff) even on a billion-row right side
+        # (a bare right.count() here was a full O(N) blocking job).
+        bounded = right.select(right_id).limit(BROADCAST_RIGHT_MAX_ROWS + 1).count()
+        strategy = "broadcast" if bounded <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
     rt_side = F.broadcast(rt) if strategy == "broadcast" else rt
 
