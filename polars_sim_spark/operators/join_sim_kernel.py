@@ -8,11 +8,13 @@ parallelized over left-row slices as in ``src/cossim.rs:143-167``):
   (token id → numpy array of right row positions) and **broadcast** to
   every executor — the analog of each rayon worker holding all of Bᵀ
   (``src/cossim.rs:277``);
-* the LEFT side streams through ``mapInPandas`` in Arrow batches; each
-  batch tokenizes its strings in Python (same §1.4 semantics), scatters
-  into a dense per-row accumulator via ``np.bincount``, and keeps the
-  top-n via ``np.argpartition`` — the fused product+top-k of the
-  reference, never materializing the full similarity matrix row set.
+* the LEFT side is tokenized JVM-side (the same §1.4 Column exprs the
+  declarative plan uses — whole-stage codegen, not Python regex), then
+  streams through ``mapInPandas`` in Arrow batches carrying
+  ``array<long>`` token ids; Python only does the dense-accumulator
+  scatter via ``np.bincount`` and the fused top-n — the product+top-k
+  of the reference, never materializing the full similarity matrix
+  row set.
 
 Compared to the declarative token-join plan (operators/join_sim.py) this
 trades JVM codegen for zero shuffle: the only movement is the broadcast.
@@ -27,16 +29,12 @@ scatter-add; the result is identical).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TRIGRAM_RE = re.compile(r"^[a-z]{3}$")
-_NORM_RE = re.compile(r"[^a-zA-Z0-9]")
 VOCAB_SIZE = 26 * 26 * 26
 
 #: The kernel path collects the whole right side onto the driver (the
@@ -47,24 +45,6 @@ VOCAB_SIZE = 26 * 26 * 26
 KERNEL_RIGHT_MAX_ROWS = 2_000_000
 
 _INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
-
-
-def py_trigram_ids(s: str | None, apply_word_normalization: bool) -> np.ndarray:
-    """Distinct in-vocab trigram ids of ``s`` — the Python twin of
-    functions.text.trigram_token_ids (semantics: SURVEY.md §1.4)."""
-    if s is None:
-        return np.empty(0, dtype=np.int32)
-    if apply_word_normalization:
-        s = _NORM_RE.sub("", s).lower()
-    n = len(s)
-    if n < 3:
-        return np.empty(0, dtype=np.int32)
-    ids = {
-        (ord(g[0]) - 97) * 676 + (ord(g[1]) - 97) * 26 + (ord(g[2]) - 97)
-        for g in (s[i : i + 3] for i in range(n - 2))
-        if _TRIGRAM_RE.match(g)
-    }
-    return np.fromiter(ids, dtype=np.int32, count=len(ids))
 
 
 def build_right_index(
@@ -161,8 +141,8 @@ def similarity_mapping_kernel(
         sqrt_nr = np.sqrt(r_ntok_.astype(np.float64))
         for pdf in batches:
             out_l, out_r, out_s = [], [], []
-            for lid, s in zip(pdf["__lid"], pdf["__ls"]):
-                toks = py_trigram_ids(s, apply_word_normalization)
+            for lid, toks in zip(pdf["__lid"], pdf["__toks"]):
+                toks = np.asarray(toks, dtype=np.int64)
                 if toks.size == 0 or n_right == 0:
                     continue
                 hit_lists = [postings_[t] for t in toks]
@@ -186,7 +166,15 @@ def similarity_mapping_kernel(
                 out_s.extend(sums[cand])
             yield pd.DataFrame({"l_id": out_l, "r_id": out_r, "sim": out_s})
 
-    src = left.select(F.col(left_id).alias("__lid"), F.col(left_on).alias("__ls"))
+    from polars_sim_spark.functions.text import normalize_string_col, trigram_token_ids
+
+    ls = F.col(left_on)
+    if apply_word_normalization:
+        ls = normalize_string_col(ls)
+    # Tokenize in the JVM (codegen'd Column exprs, identical semantics to
+    # the declarative plan) so the Arrow boundary carries compact token-id
+    # arrays and Python is left with pure numpy scatter + top-n.
+    src = left.select(F.col(left_id).alias("__lid"), trigram_token_ids(ls).alias("__toks"))
     out = src.mapInPandas(compute, schema=schema)
     return out.select(
         F.col("l_id").alias(left_id), F.col("r_id").alias(right_id), F.col("sim")
