@@ -32,11 +32,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects. Read nanos as long (legacy conf,
-    dynamic) and convert to a microsecond TimestampType column — the
-    conversion is exact for this data and keeps the scan distributed
-    (no driver-side materialization)."""
+    """Normalize ``events.ts`` to a session-tz (UTC) TimestampType column
+    regardless of how the generator encoded it — the driver has shipped
+    both TIMESTAMP(NANOS) (which Spark reads as long under the legacy
+    conf) and plain µs timestamps without UTC adjustment (which Spark
+    reads as TIMESTAMP_NTZ, rejected by e.g. streaming watermarks). All
+    conversions are exact and keep the scan distributed."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -47,6 +48,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Integer division: epoch nanos exceed 2^53, so the double round
         # trip of col/1000 could land µs-aligned values 1µs off.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_field.dataType, T.TimestampNTZType):
+        # Session tz is pinned UTC (session.py), so this cast maps the
+        # wall-clock reading to the same instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

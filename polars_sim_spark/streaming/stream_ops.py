@@ -216,6 +216,82 @@ def stream_static_token_enrich(
     )
 
 
+def stream_static_best_match(
+    stream: DataFrame,
+    static_right: DataFrame,
+    *,
+    stream_text_col: str,
+    right_text_col: str,
+    right_id_col: str,
+    normalization: str = "l2",
+) -> DataFrame:
+    """Per-row BEST static candidate (top-1 by cosine) for each streaming
+    row — the finished top-n story that ``stream_static_token_enrich``'s
+    docstring previously delegated to callers.
+
+    Output: the stream's columns + ``right_id_col`` + ``sim``; rows with
+    no sharing candidate emit nothing (same contract as the batch
+    ``similarity_mapping``). Semantics are pinned to
+    ``similarity_mapping(top_n=1)`` — same trigram vocabulary, same
+    l2/count normalization (SURVEY.md §1.4/§2 K11), same deterministic
+    tiebreak (sim DESC, right id ASC) — by an availableNow equivalence
+    test (tests/test_streaming.py).
+
+    How it stays a SINGLE streaming aggregation (Structured Streaming
+    restricts chained stateful aggs): the usual count-shared-tokens
+    aggregation per (row, candidate) is replaced by carrying both full
+    token arrays through the token join and computing the exact cosine
+    per joined row with ``array_intersect`` — duplicate (row, candidate)
+    pairs (one per shared token) then carry identical sim and collapse
+    harmlessly in the final ``min_by``. The static side's exploded
+    postings are broadcast, so the token join shuffles nothing; the only
+    shuffle/state is the per-stream-row top-1 aggregation.
+
+    Like any unwatermarked streaming aggregation this needs
+    complete/update output mode; compose with a watermark + window
+    grouping upstream for append-mode pipelines.
+    """
+    if normalization not in ("l2", "count"):
+        raise ValueError(f"normalization must be 'l2' or 'count', got {normalization!r}")
+    s = stream.withColumn(
+        "__ltoks", trigram_tokens(F.col(stream_text_col))
+    ).withColumn("__tok", F.explode("__ltoks"))
+    r = (
+        static_right.select(
+            F.col(right_id_col).alias("__rid"),
+            trigram_tokens(F.col(right_text_col)).alias("__rtoks"),
+        )
+        .where(F.size("__rtoks") > 0)
+        .withColumn("__tok", F.explode("__rtoks"))
+    )
+    joined = s.join(F.broadcast(r), "__tok")
+    overlap = F.size(F.array_intersect("__ltoks", "__rtoks")).cast("double")
+    if normalization == "l2":
+        sim = overlap / F.sqrt(F.size("__ltoks") * F.size("__rtoks"))
+    else:
+        sim = overlap
+    group_cols = list(stream.columns)
+    # min_by over (-sim, rid): max similarity, then SMALLEST right id —
+    # the declarative plan's tiebreak, expressed without negating a
+    # possibly-non-numeric id.
+    best = (
+        joined.withColumn("__sim", sim)
+        .groupBy(*group_cols)
+        .agg(
+            F.min_by(
+                F.struct(F.col("__rid"), F.col("__sim")),
+                F.struct((-F.col("__sim")).alias("o1"), F.col("__rid").alias("o2")),
+            ).alias("__best")
+        )
+        .select(
+            *group_cols,
+            F.col("__best.__rid").alias(right_id_col),
+            F.col("__best.__sim").alias("sim"),
+        )
+    )
+    return best
+
+
 def sliding_event_counts(
     events: DataFrame,
     *,

@@ -1,0 +1,106 @@
+"""Generate a larger bench-only dataset by replicating an existing
+testdata scale factor with shifted keys (default: sf0.1 x10 -> "sf1.0").
+
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [replicas]
+
+Replication preserves referential integrity (every key column in every
+table shifts by the same per-replica offset) and — deliberately —
+DECORRELATES text/vector content across replicas:
+
+* ``documents.text`` gets a per-replica suffix on EVERY word, so shingle
+  sets of different replicas are disjoint. A naive 10x copy would make
+  every document a 10-clique of exact near-dups and inflate candidate
+  pairs by 100x — unrepresentative of a real 10x corpus, where the
+  near-dup RATE stays roughly constant and pair counts scale ~linearly.
+* ``embeddings.embedding`` is cyclically rolled by the replica index, so
+  cross-replica cosines are low instead of 1.0 (same reasoning).
+* ``part.p_name`` gets a short per-replica tag: enough to keep strings
+  distinct (so dedup_keys can't collapse the bench to the original
+  size) while preserving TPC-H's native shared-color-vocabulary
+  similarity structure.
+
+This is for BENCH scaling only (plans + throughput at ~10x rows);
+correctness stays pinned at sf0.01 against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_sim_spark.session import get_spark
+
+OFFSET = 100_000_000
+
+
+def _shift(df: DataFrame, cols: list[str], off: int) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c) + F.lit(off))
+    return df
+
+
+def replicate(spark, src: str, dst: str, replicas: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    letters = string.ascii_lowercase
+
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    key_cols = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for t, keys in key_cols.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = []
+        for r in range(replicas):
+            df = _shift(base, keys, r * OFFSET)
+            tag = letters[r % 26]
+            if t == "part":
+                df = df.withColumn("p_name", F.concat("p_name", F.lit(f" z{tag * 2}")))
+            elif t == "documents" and r > 0:
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1{tag * 2}")
+                ).withColumn("n_chars", F.length("text"))
+            elif t == "embeddings" and r > 0:
+                roll = r
+                df = df.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {roll + 1}, "
+                        f"size(embedding) - {roll}), slice(embedding, 1, {roll}))"
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        print(f"{t}: {replicas}x written", flush=True)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_sf1.0"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("make_scale_data")
+    replicate(spark, src, dst, replicas)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
