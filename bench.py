@@ -77,6 +77,10 @@ HEADLINE = [
     "events_type_value_pivot",
     "events_cube_day_type",
     "daily_high_clicks_vs_purchases",
+    "dedup_remove_docs_lsh",
+    "curate_corpus_pipeline_lsh",
+    "dedup_embedding_ivf",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -126,28 +126,32 @@ def _hashed_postings(postings: DataFrame) -> DataFrame:
 def _verify_jaccard_pairs(
     postings: DataFrame, cands: DataFrame, min_jaccard: float | None
 ) -> DataFrame:
-    """Exact Jaccard for CANDIDATE pairs only: expand each (l_id, r_id)
-    by the left document's shingles, keep those the right document also
-    has, count. Cost ∝ |cands|·avg-set-size, never all-pairs."""
-    postings = _hashed_postings(postings)
-    a = postings.select(F.col("id").alias("l_id"), "sh")
-    b = postings.select(F.col("id").alias("r_id"), "sh")
-    inter = (
-        cands.join(a, "l_id")
-        .join(b, ["r_id", "sh"])
-        .groupBy("l_id", "r_id")
-        .agg(F.count(F.lit(1)).alias("k"))
+    """Exact Jaccard for CANDIDATE pairs only.
+
+    Each candidate row is joined to the two documents' packed
+    hashed-shingle ARRAYS (one narrow join per side — AQE upgrades them
+    to broadcast when the doc-array table is small), and the
+    intersection size is a single in-expression ``array_intersect`` —
+    per-pair O(set size) inside codegen. The earlier plan expanded every
+    pair by the left document's postings (|cands|·avg-set-size rows
+    through a shuffle + re-aggregation); at 10x data that expansion was
+    the whole query's bottleneck, while the array plan moves each
+    shingle set once per candidate side and aggregates nothing."""
+    arrs = (
+        _hashed_postings(postings)
+        .groupBy("id")
+        .agg(F.collect_list("sh").alias("arr"), F.count(F.lit(1)).alias("n"))
     )
-    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("id").alias("l_id"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("r_id"), F.col("n").alias("nb"))
+    a = arrs.select(F.col("id").alias("l_id"), F.col("arr").alias("__la"), F.col("n").alias("na"))
+    b = arrs.select(F.col("id").alias("r_id"), F.col("arr").alias("__rb"), F.col("n").alias("nb"))
+    k = F.size(F.array_intersect("__la", "__rb")).cast("double")
     jac = (
-        inter.join(na, "l_id")
-        .join(nb, "r_id")
+        cands.join(a, "l_id")
+        .join(b, "r_id")
         .select(
             "l_id",
             "r_id",
-            (F.col("k").cast("double") / (F.col("na") + F.col("nb") - F.col("k"))).alias("jac"),
+            (k / (F.col("na") + F.col("nb") - k)).alias("jac"),
         )
     )
     if min_jaccard is not None:
@@ -158,9 +162,46 @@ def _verify_jaccard_pairs(
 #: Prefix filtering only pays above this threshold: the prefix length is
 #: n - ⌈t·n⌉ + 1, so at t=0.5 each side keeps ~half its postings (4× fewer
 #: candidate pairs but an extra df-ranking window and a verification join —
-#: roughly a wash), while at t≥0.7 the prefixes shrink to ≤30% (≥10× fewer
-#: pairs) and the filter wins decisively. Measured at sf0.1.
+#: roughly a wash), while at t≥0.7 the prefixes shrink to ≤30%. Measured
+#: at sf0.1.
 PREFIX_FILTER_MIN_T = 0.7
+
+#: ...but a short prefix only helps when the plain token join would
+#: actually blow up. Its pair-row volume is Σ df(sh)² ≈ DF_SKEW_RATIO ×
+#: |postings| (measured on the testdata corpus: ratio ≈ 11 at BOTH sf0.1
+#: and 10× that — near-linear, and the plain join beats the prefix plan
+#: there by 2-4×, BASELINE.md). Prefix filtering wins on hot-shingle
+#: corpora (shared boilerplate at web scale) where the ratio runs to
+#: hundreds+; auto mode therefore activates it only when a sampled scout
+#: estimates the ratio above this cutoff.
+PREFIX_BLOWUP_MIN_RATIO = 100.0
+
+#: The scout samples 1/16 of shingle GROUPS by hash — per-shingle df is
+#: exact for sampled shingles, so the ratio estimate is unbiased (11 vs
+#: 10.7 true on testdata) at a fraction of the aggregate size.
+DF_SKEW_SCOUT_MOD = 16
+
+
+def _df_skew_ratio(postings: DataFrame, mod: int = DF_SKEW_SCOUT_MOD) -> float:
+    """Estimated Σdf²/Σdf over shingles — the expansion factor of the
+    plain co-occurrence join — from a hashed shingle-group sample. A
+    corpus whose distinct-shingle count is tiny (extreme boilerplate) can
+    leave the sample empty/unrepresentative, so small samples fall back
+    to the exact aggregate — cheap precisely when few shingles exist."""
+
+    def stats(df: DataFrame):
+        dfc = df.groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
+        return dfc.agg(
+            F.sum(F.col("n") * F.col("n")).alias("q"), F.sum("n").alias("p")
+        ).collect()[0]
+
+    samp = postings.where(F.pmod(F.xxhash64(F.col("sh").cast("string")), F.lit(mod)) == 0)
+    row = stats(samp)
+    if row["p"] is None or row["p"] < 10_000:
+        row = stats(postings)
+    if not row["p"]:
+        return 0.0
+    return float(row["q"]) / float(row["p"])
 
 
 def jaccard_pairs(
@@ -181,14 +222,24 @@ def jaccard_pairs(
       Detection", WWW'08 — public literature): order each document's
       shingles by ascending global frequency; two sets with Jaccard ≥ t
       MUST share a token among each side's first n - ⌈t·n⌉ + 1 tokens.
-      Candidate generation joins only these short, rare-token prefixes;
-      candidates are then verified exactly. This is the standard exact
-      set-similarity-join plan at web scale. Applied automatically when
-      the threshold is high enough to pay (``PREFIX_FILTER_MIN_T``);
-      force with ``use_prefix_filter=True/False``.
+      Candidate generation joins only these short, rare-token prefixes
+      (plus the ppjoin LENGTH filter: t·|A| ≤ |B| ≤ |A|/t applied inside
+      the join); candidates are then verified exactly. This is the
+      standard exact set-similarity-join plan at web scale. Auto mode
+      applies it only when BOTH the threshold is high enough for short
+      prefixes (``PREFIX_FILTER_MIN_T``) AND a sampled scout finds the
+      plain join's expansion factor Σdf²/Σdf actually quadratic-ish
+      (``PREFIX_BLOWUP_MIN_RATIO`` — hot-shingle corpora); on low-df
+      corpora the plain join is near-linear and measured 2-4× faster
+      at both sf0.1 and 10× that (BASELINE.md). Force with
+      ``use_prefix_filter=True/False`` to skip the scout.
     """
     if use_prefix_filter is None:
-        use_prefix_filter = min_jaccard is not None and min_jaccard >= PREFIX_FILTER_MIN_T
+        use_prefix_filter = (
+            min_jaccard is not None
+            and min_jaccard >= PREFIX_FILTER_MIN_T
+            and _df_skew_ratio(postings) >= PREFIX_BLOWUP_MIN_RATIO
+        )
     orig_postings = postings
     postings = _hashed_postings(postings)
     if use_prefix_filter and min_jaccard is not None and min_jaccard > 0:
@@ -203,12 +254,22 @@ def jaccard_pairs(
         prefix_len = F.col("__n") - F.ceil(F.lit(float(min_jaccard)) * F.col("__n")) + 1
         prefix = (
             sized.where((F.col("__rk") <= prefix_len) & (F.col("__dfc") >= 2))
-            .select("id", "sh")
+            .select("id", "sh", "__n")
         )
+        # Length filter (ppjoin): J(A,B) ≥ t forces t·|A| ≤ |B| ≤ |A|/t,
+        # so size-incompatible prefix hits are dropped inside the join
+        # before the distinct — standard candidate pruning at no extra
+        # pass (sizes ride along with the prefix rows).
+        la = prefix.select(F.col("id").alias("l_id"), "sh", F.col("__n").alias("__nl"))
+        lb = prefix.select(F.col("id").alias("r_id"), "sh", F.col("__n").alias("__nr"))
+        t = float(min_jaccard)
         cands = (
-            prefix.select(F.col("id").alias("l_id"), "sh")
-            .join(prefix.select(F.col("id").alias("r_id"), "sh"), "sh")
-            .where(F.col("l_id") < F.col("r_id"))
+            la.join(lb, "sh")
+            .where(
+                (F.col("l_id") < F.col("r_id"))
+                & (F.col("__nr") * F.lit(t) <= F.col("__nl"))
+                & (F.col("__nl") * F.lit(t) <= F.col("__nr"))
+            )
             .select("l_id", "r_id")
             .distinct()
         )
@@ -398,6 +459,153 @@ def remove_near_dups(
         F.col("id").alias(id_col)
     )
     return docs.join(keep, id_col)
+
+
+def embedding_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    min_cosine: float = 0.35,
+    num_planes: int = 16,
+    bands: int = 4,
+    num_dims: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(l_id, r_id, sim): embedding near-dup pairs via SIGN-LSH bucketed
+    candidate generation + exact-cosine verification — the scale path
+    for ``embedding_near_dup_pairs``.
+
+    Semantic blocking (``block_col``) is quadratic in the block size:
+    at 10× the corpus with a fixed block vocabulary it measured 26×
+    slower (BASELINE.md). Here candidates come only from same-(band,
+    bucket) collisions of md5-derived ±1 hyperplane sign signatures
+    (deterministic — the same bucket layout is reproducible in DuckDB,
+    so the whole approximate pipeline is oracle-checkable), and bucket
+    population self-scales with the corpus. ``max_bucket_size`` caps
+    pathological buckets (mirror of the MinHash-LSH knob). Recall is
+    governed by (num_planes, bands), like any sign-LSH index.
+    """
+    from polars_sim_spark.operators.similarity import _sign_buckets
+
+    if num_dims is None:
+        row = df.agg(F.max(F.size(F.col(vec_col))).alias("d")).collect()
+        num_dims = row[0]["d"]
+        if num_dims is None:
+            raise ValueError("embedding_lsh_near_dup_pairs: empty input and no num_dims")
+    buckets = _sign_buckets(df, id_col, vec_col, num_planes, bands, num_dims)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        keep = sizes.where(F.col("__n") <= max_bucket_size).select("band", "bucket")
+        buckets = buckets.join(keep, ["band", "bucket"])
+    a = buckets.select("band", "bucket", F.col("id").alias("l_id"))
+    b = buckets.select("band", "bucket", F.col("id").alias("r_id"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    return _verify_cosine_pairs(df, id_col, vec_col, cands, min_cosine)
+
+
+def _verify_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, cands: DataFrame, min_cosine: float
+) -> DataFrame:
+    """Exact cosine for CANDIDATE pairs only: two narrow joins attach the
+    vectors + precomputed norms, the dot product is one in-expression
+    array pass per pair."""
+    from polars_sim_spark.functions.vectors import dot, l2_norm
+
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__nrm"),
+    )
+    pairs = cands.join(
+        vecs.select(
+            F.col("__vid").alias("l_id"), F.col("__v").alias("__va"), F.col("__nrm").alias("__na")
+        ),
+        "l_id",
+    ).join(
+        vecs.select(
+            F.col("__vid").alias("r_id"), F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb")
+        ),
+        "r_id",
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom > F.lit(0.0), dot("__va", "__vb") / denom).otherwise(F.lit(0.0))
+    return pairs.select("l_id", "r_id", sim.alias("sim")).where(
+        F.round("sim", 6) >= min_cosine
+    )
+
+
+def embedding_ivf_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    min_cosine: float = 0.35,
+    num_centroids: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(l_id, r_id, sim): embedding near-dup pairs via IVF blocking —
+    the preferred scale path for moderate thresholds.
+
+    Every vector is assigned to its ``nprobe`` nearest of
+    ``num_centroids`` deterministic (md5-hash-sampled) centroids;
+    candidates are pairs sharing an assigned centroid; candidates are
+    verified with the exact cosine. Why this scales where the
+    alternatives don't:
+
+    * semantic blocking (``embedding_near_dup_pairs(block_col=...)``)
+      is Σ block² with a FIXED block vocabulary — quadratic in corpus
+      growth (measured 26× at 10×, BASELINE.md);
+    * sign-LSH blocking (``embedding_lsh_near_dup_pairs``) needs high
+      thresholds for small buckets; at moderate thresholds its
+      recall/bucket-size tradeoff degenerates (BASELINE.md);
+    * IVF blocks ∝ n/num_centroids, and ``num_centroids`` defaults to
+      ⌈√n⌉ — block size √n, total pair work O(n^1.5), self-scaling
+      with the corpus. ``nprobe`` ≥ 2 catches near-boundary pairs
+      (each pair is found if the two assignment sets intersect).
+
+    Deterministic end-to-end (sampled centroids + 6-decimal-rounded
+    sims), so the approximate pipeline is DuckDB-oracle-checkable.
+    """
+    from polars_sim_spark.operators.similarity import _centroid_scores, pick_centroids
+
+    if num_centroids is None:
+        import math
+
+        # One count scout (metadata-cheap on parquet); √n keeps block
+        # size and block count balanced.
+        num_centroids = max(4, math.isqrt(df.count()) + 1)
+    cent_rows = pick_centroids(df, id_col, vec_col, num_centroids).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    from polars_sim_spark.functions.vectors import l2_norm
+
+    scores = _centroid_scores(cent_rows)
+    assigned = (
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__vn"),
+        )
+        .select(
+            "__vid",
+            F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)).alias("__s"),
+        )
+        .select("__vid", F.col("__s").getField("c_id").alias("c_id"))
+    )
+    a = assigned.select("c_id", F.col("__vid").alias("l_id"))
+    b = assigned.select("c_id", F.col("__vid").alias("r_id"))
+    cands = (
+        a.join(b, "c_id")
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    return _verify_cosine_pairs(df, id_col, vec_col, cands, min_cosine)
 
 
 def embedding_near_dup_pairs(

@@ -712,14 +712,16 @@ def dedup_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_jaccard_prefix_docs", duck_jaccard_sql(0.7, lsh=False))
 def dedup_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard at t=0.7 — the threshold auto-activates ppjoin
-    prefix filtering (dedup.PREFIX_FILTER_MIN_T): candidates are
-    generated from each document's short rare-shingle prefix, then
-    verified exactly. Same results as the all-pairs plan, far fewer
-    candidate pairs; the oracle is threshold-parameterized plain SQL."""
+    """Exact Jaccard at t=0.7 via ppjoin PREFIX FILTERING (forced):
+    candidates come from each document's short rare-shingle prefix with
+    the length filter applied in-join, then are verified exactly. Same
+    results as the all-pairs plan; the oracle is threshold-parameterized
+    plain SQL. Forced rather than auto because this corpus is low-df
+    (Σdf²/Σdf ≈ 11), where auto correctly prefers the plain join — this
+    query pins the hot-shingle-corpus plan's correctness."""
     docs = load_table(spark, sf_dir, "documents")
     postings = cache_registry.track(dedup.shingle_postings(docs, "doc_id", "text"))
-    jac = dedup.jaccard_pairs(postings, min_jaccard=0.7)
+    jac = dedup.jaccard_pairs(postings, min_jaccard=0.7, use_prefix_filter=True)
     return jac.select(
         F.col("l_id").alias("l_doc"),
         F.col("r_id").alias("r_doc"),
@@ -759,10 +761,137 @@ SELECT l_vec, r_vec, sim_r FROM (
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (Σ block² ≪ n²)."""
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Semantic blocking is Σ block² — quadratic in block size when the
+    block vocabulary is fixed (measured 26× at 10× corpus, BASELINE.md);
+    kept as the oracle-simple twin. ``dedup_embedding_lsh`` is the
+    scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_near_dup_pairs(
         emb, "vec_id", "embedding", block_col="label", min_cosine=0.35
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_vec"),
+        F.col("r_id").alias("r_vec"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
+def duck_embedding_lsh_dedup_sql(
+    num_planes: int = 16, bands: int = 4, num_dims: int = 256, min_cosine: float = 0.35
+) -> str:
+    """Sign-LSH bucketed embedding dedup, fully unrolled to SQL: the
+    md5-derived ±1 hyperplanes make bucket layout engine-portable, so
+    even the approximate candidate set is value-checkable. ``num_dims``
+    is an upper bound (dims past a vector's length NULL-filter out of
+    ``comps``), matching the Spark side's derived-dim plane table."""
+    rpb = num_planes // bands
+    hw = DUCK_HASH.format(c="CAST(p.plane * 1000003 + d.dim AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.plane, d.dim,
+         CASE WHEN ({hw}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+  FROM range({num_planes}) p(plane) CROSS JOIN range({num_dims}) d(dim)
+),
+comps AS (
+  SELECT e.vec_id AS id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN range({num_dims}) d(dim)
+  WHERE e.embedding[d.dim + 1] IS NOT NULL
+),
+dots AS (
+  SELECT c.id, p.plane, sum(c.val * p.w) AS dot
+  FROM comps c JOIN planes p USING (dim)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, plane // {rpb} AS band,
+         CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                  * CAST(pow(2.0, plane % {rpb}) AS BIGINT)) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT l_vec, r_vec, sim_r FROM (
+  SELECT c.l_id AS l_vec, c.r_id AS r_vec,
+         round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim_r
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.l_id
+  JOIN embeddings e2 ON e2.vec_id = c.r_id
+) WHERE sim_r >= {min_cosine}
+"""
+
+
+def duck_embedding_ivf_dedup_sql(
+    num_centroids: int = 16, nprobe: int = 2, min_cosine: float = 0.35
+) -> str:
+    """IVF-blocked embedding dedup unrolled to SQL: hash-sampled
+    centroids → every vector's top-nprobe centroid assignments →
+    same-centroid candidate pairs → exact-cosine verification."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id FROM nearest WHERE rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM assign a JOIN assign b USING (c_id)
+  WHERE a.id < b.id
+)
+SELECT l_vec, r_vec, sim_r FROM (
+  SELECT c.l_id AS l_vec, c.r_id AS r_vec,
+         round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim_r
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.l_id
+  JOIN embeddings e2 ON e2.vec_id = c.r_id
+) WHERE sim_r >= {min_cosine}
+"""
+
+
+@register("dedup_embedding_ivf", duck_embedding_ivf_dedup_sql())
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF blocking (√n-scaled centroid
+    count is the operator default; the contract pins 16 centroids /
+    nprobe=2 so the oracle SQL is a fixed unrolling) — the O(n^1.5)
+    scale path for moderate cosine thresholds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_ivf_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.35, num_centroids=16, nprobe=2
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_vec"),
+        F.col("r_id").alias("r_vec"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
+@register("dedup_embedding_lsh", duck_embedding_lsh_dedup_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH buckets + exact-cosine
+    verification — the 100 TB path: candidates come only from bucket
+    collisions (population self-scales with the corpus), never from a
+    fixed semantic block vocabulary, and the deterministic hyperplanes
+    keep the approximate pipeline fully oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_lsh_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.35
     )
     return pairs.select(
         F.col("l_id").alias("l_vec"),

@@ -140,3 +140,45 @@ def test_lsh_hot_bucket_cap_preserves_recall_on_skewed_corpus(spark):
     got = {(r["l_id"], r["r_id"]) for r in capped.collect()}
     for p in pairs_truth:  # genuine near-dups all survive the cap
         assert p in got
+
+
+def test_df_skew_scout_dispatch(spark, sf_small):
+    """Auto prefix-filter dispatch is DATA-dependent: the testdata corpus
+    is low-df (near-linear plain join) so the scout must say plain; a
+    boilerplate-dominated corpus is quadratic so it must say prefix."""
+    from polars_sim_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    low = dedup._df_skew_ratio(dedup.shingle_postings(docs, "doc_id", "text"))
+    assert 0 < low < dedup.PREFIX_BLOWUP_MIN_RATIO
+
+    hot_docs = spark.createDataFrame(
+        [(i, "identical boilerplate disclaimer repeated verbatim on every page of the site") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    hot = dedup._df_skew_ratio(dedup.shingle_postings(hot_docs, "doc_id", "text"))
+    assert hot >= dedup.PREFIX_BLOWUP_MIN_RATIO
+
+
+def test_embedding_ivf_near_dup_recall(spark, sf_small):
+    """IVF blocking with nprobe=2 must recover the high-sim pairs the
+    unblocked exact cross-join finds (near-dups concentrate inside a
+    centroid's cell; boundary pairs are caught by multi-assignment)."""
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["l_id"], r["r_id"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.6
+        ).collect()
+    }
+    ivf = {
+        (r["l_id"], r["r_id"])
+        for r in dedup.embedding_ivf_near_dup_pairs(
+            emb, "vec_id", "embedding", min_cosine=0.6, num_centroids=8, nprobe=2
+        ).collect()
+    }
+    assert ivf <= exact  # verification is exact -> no false positives
+    if exact:
+        assert len(ivf) / len(exact) >= 0.8  # high-sim recall
