@@ -437,3 +437,78 @@ def ann_topk_lsh(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def centroid_assignments_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent_rows: list,
+    nprobe: int,
+) -> DataFrame:
+    """(id, c_id): each vector's top-``nprobe`` centroids via one
+    Arrow-batched numpy GEMM per partition — the kernel twin of the
+    Column-expression assignment (``_centroid_scores``).
+
+    The expression path evaluates num_centroids HOF dot products per
+    row (one ``zip_with`` array allocation + ``aggregate`` each) —
+    zero-shuffle and oracle-exact, but allocation-bound once the
+    centroid count grows past a few dozen (measured: the √n-centroid
+    assignment dominated IVF dedup wall-clock at 10× data,
+    BASELINE.md). Here the centroid matrix is broadcast once and each
+    Arrow batch computes ``V @ Cᵀ`` as a single dense product — the
+    same physical idea as the reference's in-memory kernel regime
+    (``src/cossim.rs:62-141``: hold one side dense, stream the other).
+
+    Tiebreak matches the expression path exactly: sims rounded to 6
+    decimals, descending, ties by centroid rank (= c_id order,
+    ``cent_rows`` must be sorted by c_id) — ``np.argsort(kind='stable')``
+    preserves rank order on ties. Equivalence is pinned by tests;
+    contract/oracle queries keep the expression path.
+
+    Mixed-dimension corpora are rejected (the GEMM needs a rectangular
+    batch); the expression path handles them via zip_with semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = len(cent_rows[0]["__centroid"])
+    cmat = np.array([r["__centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.array([r["__cnorm"] for r in cent_rows], dtype=np.float64)
+    c_ids = np.array([r["c_id"] for r in cent_rows])
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm, c_ids))
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("id", T._parse_datatype_string(id_type)),
+            T.StructField("c_id", T._parse_datatype_string(id_type)),
+        ]
+    )
+
+    def compute(batches):
+        cmat_, cnorm_, cids_ = bc.value
+        k = min(nprobe, len(cids_))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vlens = pdf["__v"].map(len)
+            if (vlens != dim).any():
+                raise ValueError(
+                    f"centroid_assignments_kernel needs uniform {dim}-dim vectors; "
+                    f"found lengths {sorted(set(vlens) - {dim})} — use the "
+                    "expression assignment for mixed-dimension corpora"
+                )
+            vmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            vnorm = np.sqrt((vmat * vmat).sum(axis=1))
+            denom = np.outer(vnorm, cnorm_)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0.0, (vmat @ cmat_.T) / denom, 0.0)
+            sims = np.round(sims, 6)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            ids = np.repeat(pdf["__id"].to_numpy(), k)
+            yield pd.DataFrame({"id": ids, "c_id": cids_[top].ravel()})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return src.mapInPandas(compute, schema=schema)

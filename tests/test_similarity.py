@@ -189,3 +189,28 @@ def test_kmeans_empty_centroid_keeps_position(spark):
     got = {c["c_id"]: c["__centroid"] for c in out}
     assert got[99] == lonely
     assert got[0] != [1.0, 0.0]  # the populated one moved to the mean
+
+
+def test_centroid_assignment_kernel_equals_expr(spark, sf_small):
+    """The Arrow-batched GEMM assignment must produce EXACTLY the
+    assignments of the Column-expression path, including the
+    (sim desc, centroid-rank) tiebreak."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    kw = dict(min_cosine=0.2, num_centroids=12, nprobe=2)
+    expr = {
+        (r["l_id"], r["r_id"], round(r["sim"], 6))
+        for r in dedup.embedding_ivf_near_dup_pairs(
+            emb, "vec_id", "embedding", assignment="expr", **kw
+        ).collect()
+    }
+    kern = {
+        (r["l_id"], r["r_id"], round(r["sim"], 6))
+        for r in dedup.embedding_ivf_near_dup_pairs(
+            emb, "vec_id", "embedding", assignment="kernel", **kw
+        ).collect()
+    }
+    assert len(expr) > 0
+    assert expr == kern
