@@ -59,11 +59,15 @@ def build_right_index(
     """
     from polars_sim_spark.functions.text import normalize_string_col, trigram_token_ids
 
-    n_right_rows = right.count()
-    if n_right_rows > KERNEL_RIGHT_MAX_ROWS:
+    # Bound check only needs "> cap or not" — a column-pruned LIMIT
+    # cap+1 count short-circuits after cap+1 rows instead of scanning
+    # the full right side (same pattern as join_sim's auto-strategy
+    # scout).
+    bounded = right.select(right_id).limit(KERNEL_RIGHT_MAX_ROWS + 1).count()
+    if bounded > KERNEL_RIGHT_MAX_ROWS:
         raise ValueError(
             f"strategy='kernel' collects the right side onto the driver; it has "
-            f"{n_right_rows} rows, above KERNEL_RIGHT_MAX_ROWS={KERNEL_RIGHT_MAX_ROWS}. "
+            f"over {KERNEL_RIGHT_MAX_ROWS} rows (KERNEL_RIGHT_MAX_ROWS). "
             "Use strategy='shuffle' (the distributed scale path) or 'broadcast'."
         )
 

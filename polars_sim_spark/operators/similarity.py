@@ -224,6 +224,7 @@ def ann_topk_ivf(
     nprobe: int = 3,
     kmeans_iters: int = 0,
     exclude_same_id: bool = True,
+    assignment: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -240,7 +241,26 @@ def ann_topk_ivf(
     the corpus — see ``_centroid_scores``); the candidate join shuffles a
     narrow (id, centroid) projection by centroid id, so work is
     proportional to the probed lists, never the full corpus per query.
+
+    ``assignment`` governs the CORPUS-side scoring: ``"expr"`` = the
+    Column-expression path (oracle-exact, what the contract queries
+    use at their fixed small centroid counts); ``"kernel"`` = the
+    Arrow-batched GEMM (``centroid_assignments_kernel``; same
+    assignments, equivalence-tested, 6.6× cheaper at √n centroids —
+    BASELINE.md); ``"auto"`` flips to kernel above
+    ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``. The (typically tiny)
+    query-side probe scoring always uses the expression path.
     """
+    from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
+
+    if assignment not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"assignment must be 'auto', 'expr' or 'kernel', got {assignment!r}"
+        )
+    if assignment == "auto":
+        assignment = (
+            "kernel" if num_centroids > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
+        )
     # The collect is an O(num_centroids) scout read (16 rows), the one
     # sanctioned driver-read pattern.
     cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
@@ -259,9 +279,14 @@ def ann_topk_ivf(
     # expressions — no crossJoin, no window, no Exchange: the judge's
     # round-1 finding was a full-corpus shuffle of 16n rows here.
     scores = _centroid_scores(cent_rows)
-    assign = _side(corpus, id_col, vec_col, "n_id").select(
-        "n_id", F.array_max(scores).getField("c_id").alias("c_id")
-    )
+    if assignment == "kernel":
+        assign = centroid_assignments_kernel(
+            corpus, id_col, vec_col, cent_rows, nprobe=1
+        ).withColumnRenamed("id", "n_id")
+    else:
+        assign = _side(corpus, id_col, vec_col, "n_id").select(
+            "n_id", F.array_max(scores).getField("c_id").alias("c_id")
+        )
     probes = _side(queries, query_id_col, query_vec_col, "q_id").select(
         "q_id",
         F.explode(

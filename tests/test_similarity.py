@@ -214,3 +214,26 @@ def test_centroid_assignment_kernel_equals_expr(spark, sf_small):
     }
     assert len(expr) > 0
     assert expr == kern
+
+
+def test_ann_ivf_kernel_assignment_equals_expr(spark, sf_small):
+    """ann_topk_ivf with the GEMM corpus assignment must equal the
+    expression-path result exactly (num_centroids above the auto
+    crossover would pick it silently; pin the equivalence)."""
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    kw = dict(k=5, num_centroids=12, nprobe=3)
+    a = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ann_topk_ivf(emb, queries, assignment="expr", **kw).collect()
+    }
+    b = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ann_topk_ivf(emb, queries, assignment="kernel", **kw).collect()
+    }
+    assert len(a) > 0
+    assert a == b
