@@ -81,6 +81,7 @@ HEADLINE = [
     "curate_corpus_pipeline_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_lsh",
+    "quality_model_score_docs",
 ]
 
 

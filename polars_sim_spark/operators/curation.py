@@ -300,3 +300,57 @@ def temperature_sample(
         F.col("__q") * resolution
     )
     return df.join(F.broadcast(rates), group_col).where(keep).drop("__q")
+
+
+def score_linear_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    *,
+    bias: float = 0.0,
+    word_col: str = "word",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(id, score): bag-of-words LINEAR-model inference as a relational
+    plan — the fasttext-style quality-classifier scoring step of a
+    training-data pipeline, with the model weights as a broadcast table
+    instead of a UDF.
+
+    score = round(Σ w(token) / n_tokens + bias, 6) over whitespace
+    tokens (lowercased; out-of-vocabulary tokens weigh 0). This is the
+    logit of a linear classifier; thresholding the logit is equivalent
+    to thresholding the sigmoid probability (monotone), and keeping the
+    arithmetic to an exact DECIMAL sum + one division makes the score
+    reproducible across engines and partitionings (same contract as
+    ``embedding_label_centroids`` — a float Σ would be
+    reduction-order-dependent; ``exp`` would differ in the last ulp
+    across libm implementations).
+
+    Scale: tokens explode map-side, the weight table broadcasts
+    (vocabularies are ≪ corpora), the one shuffle is the per-document
+    aggregation — model size never touches the shuffle, corpus text
+    never moves. Swapping models = swapping a table, no redeploy.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__w"),
+    ).where(F.col("__w") != "")
+    wt = weights.select(
+        F.lower(F.col(word_col)).alias("__w"),
+        F.col(weight_col).cast("decimal(18,6)").alias("__wt"),
+    )
+    scored = (
+        toks.join(F.broadcast(wt), "__w", "left")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__wt"), F.lit(0).cast("decimal(18,6)")))
+                .cast("double")
+                / F.count(F.lit(1))
+                + F.lit(float(bias)),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored

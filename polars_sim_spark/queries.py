@@ -2309,3 +2309,56 @@ def daily_high_clicks_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+# -- model-based quality scoring (round 3) ----------------------------------
+
+#: A fixed toy vocabulary standing in for trained fasttext-style
+#: classifier weights: function words score negative (boilerplate-ish),
+#: content words positive. The POINT is the inference plan (broadcast
+#: weight table + decimal-exact aggregation — curation.score_linear_model),
+#: not the model quality; production swaps in a real exported weight
+#: table without touching the plan.
+QUALITY_MODEL_WEIGHTS: list[tuple[str, float]] = [
+    ("the", -0.08), ("a", -0.06), ("and", -0.07), ("of", -0.05),
+    ("to", -0.05), ("in", -0.04), ("is", -0.03), ("that", -0.03),
+    ("data", 0.09), ("model", 0.10), ("learning", 0.12), ("spark", 0.11),
+    ("query", 0.08), ("distributed", 0.13), ("results", 0.07),
+    ("performance", 0.10), ("analysis", 0.09), ("system", 0.06),
+]
+QUALITY_MODEL_BIAS = 0.05
+
+
+def _duck_quality_model_sql() -> str:
+    vals = ", ".join(f"('{w}', {x})" for w, x in QUALITY_MODEL_WEIGHTS)
+    return f"""
+WITH w(word, wt) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT id, tok FROM toks WHERE tok != '')
+SELECT nz.id AS doc_id,
+       round(CAST(sum(COALESCE(CAST(w.wt AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))) AS DOUBLE)
+             / count(*) + {QUALITY_MODEL_BIAS}, 6) AS score
+FROM nz LEFT JOIN w ON nz.tok = w.word
+GROUP BY nz.id
+"""
+
+
+@register("quality_model_score_docs", _duck_quality_model_sql())
+def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality-model logit per document — classifier
+    inference as a broadcast-join relational plan (no UDF): the model is
+    a table, the corpus text never shuffles, and the decimal-exact
+    aggregation makes scores engine-reproducible."""
+    from polars_sim_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(QUALITY_MODEL_WEIGHTS, "word string, w double")
+    out = curation.score_linear_model(
+        docs, "doc_id", "text", weights, bias=QUALITY_MODEL_BIAS
+    )
+    return out.withColumnRenamed("id", "doc_id")

@@ -225,3 +225,22 @@ def test_temperature_sample_flattens_and_is_deterministic(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_score_linear_model_values(spark):
+    """Hand-checkable BoW logits: score = mean token weight + bias,
+    OOV tokens weigh 0, tokenization is lowercased whitespace."""
+    from polars_sim_spark.operators.curation import score_linear_model
+
+    docs = spark.createDataFrame(
+        [(1, "the Model"), (2, "unknown words only"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame([("the", -0.08), ("model", 0.10)], "word string, w double")
+    got = {
+        r["id"]: r["score"]
+        for r in score_linear_model(docs, "doc_id", "text", w, bias=0.05).collect()
+    }
+    assert got[1] == round((-0.08 + 0.10) / 2 + 0.05, 6)
+    assert got[2] == 0.05  # all OOV -> bias only
+    assert 3 not in got  # whitespace-only doc has no tokens
