@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_embedding_ivf",
     "dedup_embedding_lsh",
     "quality_model_score_docs",
+    "tpch_q14_promo_revenue",
+    "tpch_q22_idle_rich_customers",
 ]
 
 

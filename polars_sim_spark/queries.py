@@ -2362,3 +2362,83 @@ def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", weights, bias=QUALITY_MODEL_BIAS
     )
     return out.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT round(100.00 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0 END) AS DECIMAL(28,6))
+             / CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,6)),
+             4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-02-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): date-filtered fact scan
+    (pushdown) joined to a BROADCAST dim, one conditional aggregation.
+    The ratio is computed on DECIMAL sums so the single output value is
+    reproduction-order-independent across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("decimal(28,6)")
+            / F.sum(rev).cast("decimal(28,6)"),
+            4,
+        )
+        .cast("double")
+        .alias("promo_pct")
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    """
+WITH avg_bal AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,6))) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT right(c.c_name, 1) AS name_digit,
+       count(*) AS n_cust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY 1
+""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average-balance customers with no HIGH-VALUE
+    orders — this corpus gives every customer some order, so the anti
+    join keys on o_totalprice > 400k to exercise real rows):
+    scalar-aggregate broadcast (1-row crossJoin — the sanctioned global-
+    scalar pattern), LEFT ANTI join against the fact, small grouped
+    aggregate. The anti join shuffles only customer keys. The average is
+    a DECIMAL mean so the threshold is engine-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,6)")).alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.expr("right(c_name, 1)").alias("name_digit")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "total_bal"
+        ),
+    )
