@@ -194,10 +194,9 @@ def stream_static_token_enrich(
     This is the streaming face of join_sim's decomposition: the static
     side's token postings behave like a broadcast index (Spark plans a
     stream-static join per micro-batch; no state store needed for the
-    join itself). The full top-n requires per-key ranking, which
-    Structured Streaming only allows post-aggregation — downstream
-    consumers typically keep the max-overlap candidate via
-    ``F.max_by`` as shown in tests.
+    join itself). For the per-row BEST candidate by exact cosine, use
+    ``stream_static_best_match`` (below), which packages the top-1
+    ranking inside Structured Streaming's single-aggregation limit.
     """
     s_tok = stream.select(
         "*", F.explode(trigram_tokens(F.col(stream_text_col))).alias("__token")

@@ -107,3 +107,21 @@ def test_q3_topk_is_take_ordered(spark, sf_small):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert_broadcast_join(df)
+
+
+def test_jaccard_verification_is_array_based(spark, sf_small):
+    """Round-3 regression pin: candidate verification must compute the
+    intersection with array_intersect over packed shingle arrays — the
+    pre-fix plan expanded |cands|·set-size rows through a shuffle and
+    was the measured bottleneck at 10× data (BASELINE.md)."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    for df in (
+        dedup.jaccard_pairs(postings, min_jaccard=0.7, use_prefix_filter=True),
+        dedup.minhash_lsh_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5),
+    ):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "array_intersect" in plan, f"verification reverted to join-expansion:\n{plan[:2000]}"
