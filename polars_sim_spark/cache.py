@@ -14,21 +14,40 @@ session owner calls :func:`unpersist_all` whenever the frames returned by
 prior operator calls are no longer needed (typically after their terminal
 action). This frees exactly the blocks this package created — unlike
 ``spark.catalog.clearCache()`` it never touches caches the application
-itself manages.
+itself manages. Two caveats to that promise:
+
+* operators only ever ``track`` frames DERIVED from caller input (a
+  ``withColumn``/``select``/``distinct`` of it, never the caller's
+  DataFrame object itself), and ``DataFrame.unpersist`` is non-cascading,
+  so a cache the application holds on the same source is a separate
+  CacheManager entry and survives ``unpersist_all``. If an application
+  persists the *identical derived plan* an operator builds internally,
+  Spark canonicalizes them to one entry and ``unpersist_all`` will drop
+  it — pathological, but possible;
+* the registry is guarded by a process-wide lock, so concurrent threads
+  sharing one SparkSession may interleave ``track``/``unpersist_all``
+  safely — but ``unpersist_all`` releases EVERY tracked frame, including
+  those another thread still computes over (whose results then silently
+  recompute from lineage). Scope one registry epoch per logical job if
+  you run operators concurrently.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK — spills rather than OOMs) and
     register it for :func:`unpersist_all`. Returns the persisted frame."""
     df = df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
@@ -39,9 +58,11 @@ def unpersist_all(blocking: bool = False) -> int:
     (unpersist only drops cached blocks; lineage recomputes on re-use).
     Returns the number of frames released.
     """
+    with _LOCK:
+        drained = list(_TRACKED)
+        _TRACKED.clear()
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist(blocking)
             n += 1

@@ -164,6 +164,13 @@ def _verify_jaccard_pairs(
     )
     if min_jaccard is not None:
         jac = jac.where(F.round("jac", 6) >= min_jaccard)
+    else:
+        # Unthresholded contract: pairs must actually SHARE a shingle.
+        # Band-collision candidates with zero real overlap would otherwise
+        # surface as spurious jac=0 rows here (the shared-shingle join of
+        # the all-pairs plan drops them structurally; this filter keeps
+        # the two plans' outputs identical).
+        jac = jac.where(F.col("jac") > 0.0)
     return jac
 
 

@@ -476,7 +476,10 @@ def join_sim(
 
     # Cache generated-id frames: monotonically_increasing_id is
     # plan-position dependent, so the mapping pass and the re-assembly
-    # pass must observe identical ids.
+    # pass must observe identical ids. Note `left`/`right` here are the
+    # withColumn DERIVATIVES, never the caller's own DataFrame, so a
+    # later cache.unpersist_all() (non-cascading) cannot evict a cache
+    # the application holds on its source frames (cache.py contract).
     if gen_left:
         left = cache_registry.track(left)
     if gen_right:

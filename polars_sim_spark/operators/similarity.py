@@ -488,8 +488,15 @@ def centroid_assignments_kernel(
     Tiebreak matches the expression path exactly: sims rounded to 6
     decimals, descending, ties by centroid rank (= c_id order,
     ``cent_rows`` must be sorted by c_id) — ``np.argsort(kind='stable')``
-    preserves rank order on ties. Equivalence is pinned by tests;
-    contract/oracle queries keep the expression path.
+    preserves rank order on ties. Equivalence to the expression path is
+    exact UP TO 6-DECIMAL ROUNDING BOUNDARIES: ``np.round`` is
+    half-to-even while Spark's ``F.round`` is HALF_UP, and the GEMM's
+    float reduction order differs from the HOF sum's, so a cosine landing
+    exactly on a boundary can round differently and flip an assignment.
+    Downstream verification is always exact, so only candidate recall
+    (not correctness) can drift; contract/oracle queries pin
+    ``assignment="expr"`` precisely so their outputs never depend on
+    this. The equivalence tests use corpora away from boundaries.
 
     Mixed-dimension corpora are rejected (the GEMM needs a rectangular
     batch); the expression path handles them via zip_with semantics.
@@ -518,6 +525,13 @@ def centroid_assignments_kernel(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if pdf["__v"].isnull().any():
+                bad = pdf.loc[pdf["__v"].isnull(), "__id"].head(3).tolist()
+                raise ValueError(
+                    "centroid_assignments_kernel: null embedding vectors "
+                    f"(e.g. ids {bad}); drop/impute nulls first, or use the "
+                    "expression assignment, which scores them as empty"
+                )
             vlens = pdf["__v"].map(len)
             if (vlens != dim).any():
                 raise ValueError(

@@ -2367,10 +2367,11 @@ def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     """
-SELECT round(100.00 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                    THEN l.l_extendedprice * (1 - l.l_discount)
-                                    ELSE 0 END) AS DECIMAL(28,6))
-             / CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(28,6)),
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                        THEN l.l_extendedprice * (1 - l.l_discount)
+                                        ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE),
              4) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-02-01'
@@ -2379,8 +2380,11 @@ WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-02-01'
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share): date-filtered fact scan
     (pushdown) joined to a BROADCAST dim, one conditional aggregation.
-    The ratio is computed on DECIMAL sums so the single output value is
-    reproduction-order-independent across engines."""
+    Each per-row revenue term is cast to DECIMAL(28,6) BEFORE the sum —
+    summing doubles first and casting after would leave the aggregation
+    partition-order-dependent (the round-3 ADVICE finding) — then the
+    single ratio is one double division of two exact sums, identical in
+    both engines."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-02-01"))
@@ -2392,12 +2396,10 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.round(
             F.lit(100.0)
-            * F.sum(promo).cast("decimal(28,6)")
-            / F.sum(rev).cast("decimal(28,6)"),
+            * F.sum(promo.cast("decimal(28,6)")).cast("double")
+            / F.sum(rev.cast("decimal(28,6)")).cast("double"),
             4,
-        )
-        .cast("double")
-        .alias("promo_pct")
+        ).alias("promo_pct")
     )
 
 
