@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from polars_sim_spark import cache as cache_registry
 from polars_sim_spark import queries as q
 from polars_sim_spark.session import get_spark
 
@@ -57,7 +58,7 @@ HEADLINE = [
     "curate_corpus_pipeline",
     "chunk_documents",
     "customer_running_revenue",
-    # Added in round 3:
+    # Added in round 2 (second batch — compare r1/r2 on the subsets above):
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "docs_above_lang_median",
@@ -77,6 +78,7 @@ HEADLINE = [
     "events_type_value_pivot",
     "events_cube_day_type",
     "daily_high_clicks_vs_purchases",
+    # Added in round 3:
     "dedup_remove_docs_lsh",
     "curate_corpus_pipeline_lsh",
     "dedup_embedding_ivf",
@@ -101,6 +103,15 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release the caches the query's operators tracked (distinct-string
+        # frames, shingle postings, …): this is the one long-lived
+        # multi-query session in the repo, and without the release ~60
+        # queries' worth of blocks pile up in executor storage for the
+        # whole run — a memory/measurement hygiene hazard, not a
+        # correctness one (unpersist never invalidates results). Outside
+        # the timed region: rounds 1-3 timed queries without cleanup, so
+        # keeping it out preserves round-over-round comparability.
+        cache_registry.unpersist_all()
 
     total = round(sum(timings.values()), 3)
     print(

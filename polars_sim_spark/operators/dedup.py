@@ -379,19 +379,33 @@ def connected_components(
     src_col: str = "l_id",
     dst_col: str = "r_id",
     max_iter: int = 25,
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """(id, cluster_id): connected components by iterative min-label
     propagation — the dedup clustering step that turns near-dup PAIRS into
     KEEP/DROP groups (cluster_id = smallest member id, the canonical doc).
 
-    Each iteration = one neighbor-min step + one pointer-jump step (label
-    := label of my label), so convergence takes O(log diameter) rounds
-    even on adversarial chains, not O(diameter). Every round ends with
-    ``localCheckpoint`` — without it the logical plan (and Catalyst
-    analysis time) grows superlinearly across iterations, the classic
-    iterative-algorithm pitfall on Spark. The driver only reads the
+    Each round = one neighbor-min step + one pointer-jump step (label :=
+    label of my label), so convergence takes O(log diameter) rounds even
+    on adversarial chains, not O(diameter).
+
+    Driver-blocking jobs are the fixed cost that dominates this operator
+    at bench scale (the LSH removal/curation pipelines were the two most
+    expensive bench entries in round 3), so they are batched:
+    ``rounds_per_check`` rounds run as one lazy plan, then a single
+    ``localCheckpoint`` materializes them WITH the previous labels
+    attached — without periodic checkpoints the logical plan (and
+    Catalyst analysis time) grows superlinearly across iterations, the
+    classic iterative-algorithm pitfall on Spark — and the convergence
+    probe is a short-circuiting ``isEmpty`` filter over the checkpointed
+    blocks instead of a join + full count job. Net: 2 blocking jobs per
+    ``rounds_per_check`` rounds instead of 2 per round, and pointer
+    jumping makes the (at most ``rounds_per_check - 1``) extra
+    post-convergence rounds nearly free. The driver only reads the
     converged flag; all data stays distributed.
     """
+    if rounds_per_check < 1:
+        raise ValueError(f"rounds_per_check must be >= 1, got {rounds_per_check}")
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -399,35 +413,39 @@ def connected_components(
 
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # 1. Neighbor-min: label := min(own, min over neighbors' labels).
-        nbr = (
-            both.join(labels, both.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr, labels.id == nbr.dst, "left").select(
-            "id",
-            F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
-                "cluster_id"
-            ),
-        )
-        # 2. Pointer jump: label := label(label). cluster_id is always an
-        # existing node id, so the join is total; doubles the propagation
-        # distance per round.
-        lab2 = stepped.select(F.col("id").alias("__pid"), F.col("cluster_id").alias("__plab"))
-        jumped = (
-            stepped.join(lab2, stepped.cluster_id == lab2.__pid)
-            .select("id", F.least("cluster_id", "__plab").alias("cluster_id"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-            .where(F.col("cluster_id") != F.col("__old"))
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+    done = 0
+    while done < max_iter:
+        start = labels
+        for _ in range(min(rounds_per_check, max_iter - done)):
+            # 1. Neighbor-min: label := min(own, min over neighbors').
+            nbr = (
+                both.join(labels, both.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            stepped = labels.join(nbr, labels.id == nbr.dst, "left").select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            # 2. Pointer jump: label := label(label). cluster_id is always
+            # an existing node id, so the join is total; doubles the
+            # propagation distance per round.
+            lab2 = stepped.select(
+                F.col("id").alias("__pid"), F.col("cluster_id").alias("__plab")
+            )
+            labels = stepped.join(lab2, stepped.cluster_id == lab2.__pid).select(
+                "id", F.least("cluster_id", "__plab").alias("cluster_id")
+            )
+            done += 1
+        # One materialization for the whole batch, carrying the previous
+        # labels so the convergence probe needs no further join.
+        merged = labels.join(
+            start.withColumnRenamed("cluster_id", "__old"), "id"
+        ).localCheckpoint(eager=True)
+        labels = merged.select("id", "cluster_id")
+        if merged.where(F.col("cluster_id") != F.col("__old")).isEmpty():
             break
     return labels
 
