@@ -223,18 +223,19 @@ def stream_static_best_match(
     right_text_col: str,
     right_id_col: str,
     normalization: str = "l2",
+    top_n: int = 1,
 ) -> DataFrame:
-    """Per-row BEST static candidate (top-1 by cosine) for each streaming
-    row — the finished top-n story that ``stream_static_token_enrich``'s
-    docstring previously delegated to callers.
+    """Per-row top-``top_n`` static candidates by cosine for each
+    streaming row — the streaming face of the batch ``similarity_mapping``
+    contract.
 
-    Output: the stream's columns + ``right_id_col`` + ``sim``; rows with
-    no sharing candidate emit nothing (same contract as the batch
-    ``similarity_mapping``). Semantics are pinned to
-    ``similarity_mapping(top_n=1)`` — same trigram vocabulary, same
-    l2/count normalization (SURVEY.md §1.4/§2 K11), same deterministic
-    tiebreak (sim DESC, right id ASC) — by an availableNow equivalence
-    test (tests/test_streaming.py).
+    Output: the stream's columns + ``right_id_col`` + ``sim``, one row
+    per kept candidate; rows with no sharing candidate emit nothing
+    (same contract as the batch ``similarity_mapping``). Semantics are
+    pinned to ``similarity_mapping(top_n=n)`` — same trigram vocabulary,
+    same l2/count normalization (SURVEY.md §1.4/§2 K11), same
+    deterministic tiebreak (sim DESC, right id ASC) — by availableNow
+    equivalence tests (tests/test_streaming.py, top-1 and top-3).
 
     How it stays a SINGLE streaming aggregation (Structured Streaming
     restricts chained stateful aggs): the usual count-shared-tokens
@@ -242,9 +243,14 @@ def stream_static_best_match(
     token arrays through the token join and computing the exact cosine
     per joined row with ``array_intersect`` — duplicate (row, candidate)
     pairs (one per shared token) then carry identical sim and collapse
-    harmlessly in the final ``min_by``. The static side's exploded
-    postings are broadcast, so the token join shuffles nothing; the only
-    shuffle/state is the per-stream-row top-1 aggregation.
+    harmlessly in the final aggregate: ``min_by`` for top-1;
+    ``collect_set`` of (-sim, id) structs (set semantics absorb the
+    duplicates), sorted ascending (= sim DESC, id ASC) and sliced to
+    ``top_n``, for n > 1. State per stream row is bounded by its DISTINCT
+    candidate set — the token join's fan-out never reaches the store. The
+    static side's exploded postings are broadcast, so the token join
+    shuffles nothing; the only shuffle/state is the per-stream-row top-n
+    aggregation.
 
     Like any unwatermarked streaming aggregation this needs
     complete/update output mode; compose with a watermark + window
@@ -252,6 +258,8 @@ def stream_static_best_match(
     """
     if normalization not in ("l2", "count"):
         raise ValueError(f"normalization must be 'l2' or 'count', got {normalization!r}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
     s = stream.withColumn(
         "__ltoks", trigram_tokens(F.col(stream_text_col))
     ).withColumn("__tok", F.explode("__ltoks"))
@@ -270,25 +278,44 @@ def stream_static_best_match(
     else:
         sim = overlap
     group_cols = list(stream.columns)
-    # min_by over (-sim, rid): max similarity, then SMALLEST right id —
-    # the declarative plan's tiebreak, expressed without negating a
-    # possibly-non-numeric id.
-    best = (
-        joined.withColumn("__sim", sim)
-        .groupBy(*group_cols)
-        .agg(
-            F.min_by(
-                F.struct(F.col("__rid"), F.col("__sim")),
-                F.struct((-F.col("__sim")).alias("o1"), F.col("__rid").alias("o2")),
-            ).alias("__best")
+    scored = joined.withColumn("__sim", sim)
+    if top_n == 1:
+        # min_by over (-sim, rid): max similarity, then SMALLEST right
+        # id — the declarative plan's tiebreak, expressed without
+        # negating a possibly-non-numeric id. O(1) state per stream row.
+        return (
+            scored.groupBy(*group_cols)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("__rid"), F.col("__sim")),
+                    F.struct((-F.col("__sim")).alias("o1"), F.col("__rid").alias("o2")),
+                ).alias("__best")
+            )
+            .select(
+                *group_cols,
+                F.col("__best.__rid").alias(right_id_col),
+                F.col("__best.__sim").alias("sim"),
+            )
         )
+    # Top-n: collect the DISTINCT (-sim, rid) structs (collect_set
+    # absorbs the token join's duplicate pairs — duplicates carry
+    # identical sim, so set identity == candidate identity), sort
+    # ascending (struct order: -sim ASC = sim DESC, then rid ASC) and
+    # keep the first n. Negation round-trips exactly in IEEE 754, so the
+    # emitted sim is bit-identical to the batch operator's.
+    cands = F.sort_array(
+        F.collect_set(F.struct((-F.col("__sim")).alias("ns"), F.col("__rid").alias("rid")))
+    )
+    return (
+        scored.groupBy(*group_cols)
+        .agg(F.slice(cands, 1, top_n).alias("__top"))
+        .select(*group_cols, F.explode("__top").alias("__c"))
         .select(
             *group_cols,
-            F.col("__best.__rid").alias(right_id_col),
-            F.col("__best.__sim").alias("sim"),
+            F.col("__c.rid").alias(right_id_col),
+            (-F.col("__c.ns")).alias("sim"),
         )
     )
-    return best
 
 
 def sliding_event_counts(

@@ -375,3 +375,56 @@ def test_best_match_equals_batch_top1(spark, sf_small):
         assert got == expected
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_best_match_topn_equals_batch_top3(spark, sf_small):
+    """availableNow run of stream_static_best_match(top_n=3) == batch
+    similarity_mapping(top_n=3) on the same data — extends the top-1 pin
+    to the general top-n contract (sim DESC, right id ASC, one row per
+    kept candidate, dupes from the token join absorbed by collect_set)."""
+    from polars_sim_spark.operators.join_sim import similarity_mapping
+    from polars_sim_spark.streaming.stream_ops import stream_static_best_match
+
+    part = load_table(spark, sf_small, "part").select("p_partkey", "p_name")
+    static = part.select(
+        F.col("p_partkey").alias("cat_id"), F.col("p_name").alias("cat_name")
+    ).where(F.col("cat_id") % 3 == 0)
+
+    src = tempfile.mkdtemp(prefix="pss_bm3_")
+    try:
+        part.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(part.schema).parquet(src)
+        name = f"bestmatch3_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            stream_static_best_match(
+                stream,
+                static,
+                stream_text_col="p_name",
+                right_text_col="cat_name",
+                right_id_col="cat_id",
+                top_n=3,
+            ),
+            name,
+            "complete",
+        )
+        got = {
+            (r["p_partkey"], r["cat_id"], round(r["sim"], 9))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        expected = {
+            (r["p_partkey"], r["cat_id"], round(r["sim"], 9))
+            for r in similarity_mapping(
+                part,
+                static.withColumnRenamed("cat_name", "p_name"),
+                left_on="p_name",
+                right_on="p_name",
+                top_n=3,
+                normalization="l2",
+                left_id="p_partkey",
+                right_id="cat_id",
+            ).collect()
+        }
+        assert len(got) > 0
+        assert got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
