@@ -1,0 +1,129 @@
+"""Property-based invariants tying the BUCKETED scale paths to their
+exact twins (VERDICT.md round 3, task #6): BASELINE.md measures recall
+on one corpus; these tests make the containment relations hold on
+hypothesis-generated corpora.
+
+Invariants (both follow from "bucketing can only DROP candidate pairs,
+verification is exact"):
+
+* MinHash-LSH pair recall: every LSH-surfaced pair is an exact-Jaccard
+  pair at the same threshold, with the identical jac value — and the
+  LSH REMOVAL therefore keeps a SUPERSET of the exact removal's
+  survivors (subgraph components refine exact components; each exact
+  component's canonical min-id survives either way).
+* IVF embedding pair recall: every IVF-surfaced pair is an exact
+  all-pairs cosine pair with the identical sim; probing EVERY centroid
+  list (nprobe = num_centroids) recovers the exact pair set in full.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from polars_sim_spark.operators import dedup
+
+VOCAB = ["alpha", "beta", "gamma", "delta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _pairs(df):
+    return {
+        (r["l_id"], r["r_id"]): round(r["jac"] if "jac" in df.columns else r["sim"], 9)
+        for r in df.collect()
+    }
+
+
+@given(docs=docs_strategy, min_jaccard=st.sampled_from([0.3, 0.6]))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_lsh_pairs_subset_of_exact_and_removal_superset(spark, docs, min_jaccard):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    )
+    postings = dedup.shingle_postings(df, "doc_id", "text")
+    exact = _pairs(dedup.jaccard_pairs(postings, min_jaccard=min_jaccard))
+    lsh = _pairs(
+        dedup.minhash_lsh_dedup_pairs(
+            df, "doc_id", "text", min_jaccard=min_jaccard
+        )
+    )
+    # Pair containment with identical verified values.
+    assert set(lsh) <= set(exact), (docs, min_jaccard)
+    for p, jac in lsh.items():
+        assert jac == pytest.approx(exact[p], abs=1e-9)
+
+    exact_keep = {
+        r["doc_id"]
+        for r in dedup.remove_near_dups(
+            df, "doc_id", "text", min_jaccard=min_jaccard
+        ).collect()
+    }
+    lsh_keep = {
+        r["doc_id"]
+        for r in dedup.remove_near_dups(
+            df, "doc_id", "text", min_jaccard=min_jaccard, use_lsh=True
+        ).collect()
+    }
+    assert exact_keep <= lsh_keep, (docs, min_jaccard)
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=-2, max_value=2).map(float), min_size=3, max_size=3
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(vecs=vectors_strategy, nprobe=st.sampled_from([1, 2]))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_ivf_pairs_subset_of_exact_and_full_probe_equality(spark, vecs, nprobe):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    num_centroids = min(4, len(vecs))
+    exact = _pairs(
+        dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", min_cosine=0.35)
+    )
+    ivf = _pairs(
+        dedup.embedding_ivf_near_dup_pairs(
+            df,
+            "vec_id",
+            "embedding",
+            min_cosine=0.35,
+            num_centroids=num_centroids,
+            nprobe=nprobe,
+            assignment="expr",
+        )
+    )
+    assert set(ivf) <= set(exact), (vecs, nprobe)
+    for p, sim in ivf.items():
+        assert sim == pytest.approx(exact[p], abs=1e-9)
+
+    # Probing every list makes candidate generation total: IVF == exact.
+    full = _pairs(
+        dedup.embedding_ivf_near_dup_pairs(
+            df,
+            "vec_id",
+            "embedding",
+            min_cosine=0.35,
+            num_centroids=num_centroids,
+            nprobe=num_centroids,
+            assignment="expr",
+        )
+    )
+    assert set(full) == set(exact), (vecs,)
