@@ -48,7 +48,10 @@ LSH_ROWS_PER_BAND = 4
 #: allocation-bound as centroids grow (measured at 10× data: 142
 #: centroids → 64.6 s expr vs 9.8 s GEMM kernel; at the contract's 16
 #: centroids expr is fine and oracle-exact). Auto mode flips to the
-#: kernel above this count.
+#: kernel above this count. Re-confirmed round 4 on the ANN query paths
+#: (BASELINE.md "Kernel crossover re-measured"): kernel ≥ expr at every
+#: count, but ≤32 the gap is ~0.5-1 s fixed overhead while expr is the
+#: engine-reproducible path, so contract-scale quantizers stay exact.
 KERNEL_ASSIGNMENT_MIN_CENTROIDS = 32
 
 
