@@ -382,7 +382,7 @@ def connected_components(
     src_col: str = "l_id",
     dst_col: str = "r_id",
     max_iter: int = 25,
-    rounds_per_check: int = 2,
+    rounds_per_check: int = 1,
 ) -> DataFrame:
     """(id, cluster_id): connected components by iterative min-label
     propagation — the dedup clustering step that turns near-dup PAIRS into
@@ -392,19 +392,31 @@ def connected_components(
     label of my label), so convergence takes O(log diameter) rounds even
     on adversarial chains, not O(diameter).
 
-    Driver-blocking jobs are the fixed cost that dominates this operator
-    at bench scale (the LSH removal/curation pipelines were the two most
-    expensive bench entries in round 3), so they are batched:
-    ``rounds_per_check`` rounds run as one lazy plan, then a single
-    ``localCheckpoint`` materializes them WITH the previous labels
-    attached — without periodic checkpoints the logical plan (and
-    Catalyst analysis time) grows superlinearly across iterations, the
-    classic iterative-algorithm pitfall on Spark — and the convergence
-    probe is a short-circuiting ``isEmpty`` filter over the checkpointed
-    blocks instead of a join + full count job. Net: 2 blocking jobs per
-    ``rounds_per_check`` rounds instead of 2 per round, and pointer
-    jumping makes the (at most ``rounds_per_check - 1``) extra
-    post-convergence rounds nearly free. The driver only reads the
+    Every round ends with ``localCheckpoint`` — without it the logical
+    plan (and Catalyst analysis time) grows superlinearly across
+    iterations AND each unrolled round re-evaluates the previous round's
+    joins wherever its label frame is referenced (measured: batching two
+    UN-checkpointed rounds per materialization regressed the converge-
+    in-one-round contract corpora ~40% — recomputation beat the saved
+    job latency).
+
+    What changed from round 3 is the CONVERGENCE PROBE, the other
+    per-round driver-blocking job: the probe-window-start label rides
+    along as a column (``__old`` — no probe-time join), and the probe is
+    a short-circuiting ``isEmpty`` filter over the just-checkpointed
+    blocks — replacing a per-round join + full count job. Measured ~10%
+    off the CC-dominated contract queries at sf0.1 (head-to-head vs the
+    round-3 implementation in one session).
+
+    ``rounds_per_check`` probes only every k-th round. The default is 1:
+    probing less often means running whole EXTRA propagation rounds
+    (neighbor-min join over the full edge set + two label joins) before
+    noticing convergence, and on the converge-in-1-2-rounds graphs real
+    dedup produces (tiny clusters) that measured ~25% SLOWER at k=2 than
+    probing every round — "pointer jumping makes extra rounds nearly
+    free" is false once the edge set dwarfs the label table. Raise it
+    only for graphs known to need many rounds (long chains), where a
+    probe per round is the waste instead. The driver only reads the
     converged flag; all data stays distributed.
     """
     if rounds_per_check < 1:
@@ -418,19 +430,20 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     done = 0
     while done < max_iter:
-        start = labels
+        cur = labels.withColumn("__old", F.col("cluster_id"))
         for _ in range(min(rounds_per_check, max_iter - done)):
             # 1. Neighbor-min: label := min(own, min over neighbors').
             nbr = (
-                both.join(labels, both.src == labels.id)
+                both.join(cur, both.src == cur.id)
                 .groupBy("dst")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            stepped = labels.join(nbr, labels.id == nbr.dst, "left").select(
+            stepped = cur.join(nbr, cur.id == nbr.dst, "left").select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                "__old",
             )
             # 2. Pointer jump: label := label(label). cluster_id is always
             # an existing node id, so the join is total; doubles the
@@ -438,17 +451,14 @@ def connected_components(
             lab2 = stepped.select(
                 F.col("id").alias("__pid"), F.col("cluster_id").alias("__plab")
             )
-            labels = stepped.join(lab2, stepped.cluster_id == lab2.__pid).select(
-                "id", F.least("cluster_id", "__plab").alias("cluster_id")
+            cur = (
+                stepped.join(lab2, stepped.cluster_id == lab2.__pid)
+                .select("id", F.least("cluster_id", "__plab").alias("cluster_id"), "__old")
+                .localCheckpoint(eager=True)
             )
             done += 1
-        # One materialization for the whole batch, carrying the previous
-        # labels so the convergence probe needs no further join.
-        merged = labels.join(
-            start.withColumnRenamed("cluster_id", "__old"), "id"
-        ).localCheckpoint(eager=True)
-        labels = merged.select("id", "cluster_id")
-        if merged.where(F.col("cluster_id") != F.col("__old")).isEmpty():
+        labels = cur.select("id", "cluster_id")
+        if cur.where(F.col("cluster_id") != F.col("__old")).isEmpty():
             break
     return labels
 

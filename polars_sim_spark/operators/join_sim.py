@@ -269,7 +269,9 @@ def _similarity_mapping_distinct(
 
     1. distinct strings per side → token-set key (md5 of the sorted
        token array) → one REPRESENTATIVE string per set (any string with
-       that set tokenizes identically);
+       that set tokenizes identically). The keying is decided and paid
+       PER SIDE: only a side whose sampled strings actually collapse is
+       re-tokenized in full and cached keyed;
     2. sims over (left set × right set) pairs via the representatives;
     3. per left set keep ``rank() <= top_n`` by sim DESC (rank, not
        row_number: boundary ties must survive because the row-level
@@ -336,22 +338,31 @@ def _similarity_mapping_distinct(
     }
     empty = {"n": 0, "sn": 0, "sk": 0}  # a side with no rows contributes no group
     lc, rc = stats.get("l", empty), stats.get("r", empty)
-    set_keyed = lc["sk"] < lc["sn"] or rc["sk"] < rc["sn"]
+    # PER-SIDE decision (exact either way: set-keying groups one side's
+    # strings by identical token sets, independent of the other side).
+    # A messy corpus joined against an already-clean dimension then pays
+    # the full-corpus key tokenization + keyed cache on the messy side
+    # ONLY — one fewer full pass and one fewer cached frame than the
+    # round-3 both-or-neither switch on such inputs.
+    l_keyed = lc["sk"] < lc["sn"]
+    r_keyed = rc["sk"] < rc["sn"]
     if strategy == "auto":
         # Distinct right strings bound the right representatives from
         # above, so this broadcast decision is safe for both key modes.
         strategy = "broadcast" if rc["n"] <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
-    if set_keyed:
+    if l_keyed:
         # Collapse confirmed — now the full-corpus keys are worth their
         # cost. Cached: the keyed frames feed both the representative
         # pick and the final set→string expansion joins.
         lstr = cache_registry.track(lstr.withColumn("__key", _set_key("__ls")))
-        rstr = cache_registry.track(rstr.withColumn("__key", _set_key("__rs")))
         lreps = lstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__lkey"), "__ls")
-        rreps = rstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__rkey"), "__rs")
     else:
         lreps = lstr.select(F.col("__ls").alias("__lkey"), "__ls")
+    if r_keyed:
+        rstr = cache_registry.track(rstr.withColumn("__key", _set_key("__rs")))
+        rreps = rstr.dropDuplicates(["__key"]).select(F.col("__key").alias("__rkey"), "__rs")
+    else:
         rreps = rstr.select(F.col("__rs").alias("__rkey"), "__rs")
 
     smap = similarity_mapping(
@@ -371,7 +382,7 @@ def _similarity_mapping_distinct(
     )
 
     rrows = right.select(F.col(right_id), F.col(right_on).alias("__rs"))
-    if set_keyed:
+    if r_keyed:
         smap = smap.join(rstr.withColumnRenamed("__key", "__rkey"), "__rkey")
     else:
         smap = smap.withColumnRenamed("__rkey", "__rs")
@@ -383,7 +394,7 @@ def _similarity_mapping_distinct(
         .drop("__rn")
     )
     lrows = left.select(F.col(left_id), F.col(left_on).alias("__ls"))
-    if set_keyed:
+    if l_keyed:
         per_set = per_set.join(lstr.withColumnRenamed("__key", "__lkey"), "__lkey")
     else:
         per_set = per_set.withColumnRenamed("__lkey", "__ls")
