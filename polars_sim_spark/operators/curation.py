@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_sim_spark.functions.text import let_col
 from polars_sim_spark.operators.dedup import md5_hash64
 
 #: Bucket granularity of the hash split: weights are resolved to integer
@@ -102,25 +103,30 @@ def chunk_text(
             f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
         )
     stride = chunk_tokens - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
-    num_chunks = (
-        F.when(n <= chunk_tokens, F.lit(1))
-        .otherwise(F.ceil((n - chunk_tokens) / F.lit(stride)) + 1)
-        .cast("int")
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), num_chunks - 1),
-        lambda k: F.struct(
-            k.cast("int").alias(f"{out_prefix}_id"),
-            F.concat_ws(" ", F.slice(words, k * stride + 1, chunk_tokens)).alias(
-                f"{out_prefix}_text"
-            ),
-            F.least(n - k * stride, F.lit(chunk_tokens))
+
+    # let-bound: the slice inside the transform lambda would otherwise
+    # re-split the whole document once per chunk (functions.text.let_col).
+    def body(words):
+        n = F.size(words)
+        num_chunks = (
+            F.when(n <= chunk_tokens, F.lit(1))
+            .otherwise(F.ceil((n - chunk_tokens) / F.lit(stride)) + 1)
             .cast("int")
-            .alias(f"{out_prefix}_n_tokens"),
-        ),
-    )
+        )
+        return F.transform(
+            F.sequence(F.lit(0), num_chunks - 1),
+            lambda k: F.struct(
+                k.cast("int").alias(f"{out_prefix}_id"),
+                F.concat_ws(" ", F.slice(words, k * stride + 1, chunk_tokens)).alias(
+                    f"{out_prefix}_text"
+                ),
+                F.least(n - k * stride, F.lit(chunk_tokens))
+                .cast("int")
+                .alias(f"{out_prefix}_n_tokens"),
+            ),
+        )
+
+    chunks = let_col(F.split(F.trim(F.col(text_col)), r"\s+"), body)
     return (
         df.where(F.length(F.trim(F.col(text_col))) > 0)
         .select(F.col(id_col), F.explode(chunks).alias("__c"))
