@@ -94,8 +94,17 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark("bench")
 
-    # Warmup: spin up the JVM and touch the biggest table.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warmup: spin up the JVM and touch EVERY table the queries read
+    # (footer parsing + first-scan costs otherwise land on whichever
+    # query happens to read a table first — at r4 the first headline
+    # query carried ~4.5 s of part.parquet first-read that its
+    # steady-state plan doesn't have). Rounds 1-3 warmed only lineitem;
+    # BASELINE.md records the comparability note.
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
