@@ -86,6 +86,8 @@ HEADLINE = [
     "quality_model_score_docs",
     "tpch_q14_promo_revenue",
     "tpch_q22_idle_rich_customers",
+    # Added in round 4:
+    "dedup_incremental_near_docs",
 ]
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from polars_sim_spark import cache as cache_registry
-from polars_sim_spark.functions.text import word_shingles
+from polars_sim_spark.functions.text import let_col, word_shingles
 
 #: MinHash universal-hash parameters (a, b) over the Mersenne prime 2^31-1,
 #: fixed so signatures are reproducible across engines and runs.
@@ -347,6 +347,110 @@ def minhash_lsh_dedup_pairs(
     # Verification touches ONLY the candidate pairs (this is the whole
     # point of LSH); never recomputes the all-pairs intersection.
     return _verify_jaccard_pairs(postings, cands, min_jaccard)
+
+
+def minhash_signature_array(sh_arr: Column, num_hashes: int = 16) -> Column:
+    """``array<long>`` MinHash signature computed per ROW from a shingle
+    array — ZERO shuffle, unlike :func:`minhash_signatures`' groupBy over
+    exploded postings. Same hash family and constants, so
+    ``minhash_signature_array(...)[i] == minhash_signatures(...).s{i}``
+    exactly; the two are interchangeable for banding.
+
+    The per-row form is what streaming needs (Structured Streaming
+    allows only one stateful aggregation per query — spending it on
+    signature-building would leave none for the real work) and is also
+    the cheaper batch plan when the shingle array is already in hand.
+    Empty array → all-null signature (callers must band only
+    ``size(sh_arr) > 0`` rows, as the groupBy form does structurally).
+    """
+    return let_col(
+        F.transform(sh_arr, md5_hash64),
+        lambda hs: F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+                )
+                for a, b in MINHASH_PARAMS[:num_hashes]
+            ]
+        ),
+    )
+
+
+def _banded_doc_side(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, prefix: str
+) -> DataFrame:
+    """Explode a corpus into LSH band rows carrying its verification
+    payload: ``({prefix}id, {prefix}arr, {prefix}n, band, band_key)``.
+    One row per (doc, band); zero-shingle docs emit nothing (they cannot
+    be near-dups). Band keys are identical to :func:`lsh_bands`'."""
+    base = df.select(F.col(id_col).alias(f"{prefix}id"), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    v = base.where(F.size("__sh") > 0).select(
+        f"{prefix}id",
+        F.transform("__sh", lambda g: F.xxhash64(g)).alias(f"{prefix}arr"),
+        F.size("__sh").alias(f"{prefix}n"),
+        minhash_signature_array(F.col("__sh")).alias("__sig"),
+    )
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("__sig", b * LSH_ROWS_PER_BAND + r + 1)
+                    for r in range(LSH_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return v.select(
+        f"{prefix}id", f"{prefix}arr", f"{prefix}n", F.posexplode(keys).alias("band", "band_key")
+    )
+
+
+def incremental_near_dups(
+    new: DataFrame,
+    hist: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: the surviving subset of ``new`` —
+    documents with no historical near-duplicate (word-shingle Jaccard ≥
+    ``min_jaccard`` against any ``hist`` row), all columns intact.
+
+    The near-dup generalization of the exact-fingerprint incremental
+    dedup (``dedup_incremental_docs``), i.e. the nightly-crawl /
+    streaming-ingest primitive when "duplicate" means near-identical
+    text, not byte-identical.
+
+    Plan (all candidate generation is bucketed — never new × hist):
+    per-row MinHash signatures on both sides (zero shuffle,
+    :func:`minhash_signature_array`) → band rows → equi-join on
+    ``(band, band_key)`` → exact-Jaccard verification in-expression on
+    the carried shingle-hash arrays → LEFT ANTI join of ``new`` against
+    the matched ids.
+
+    Scale: the historical side at 100 TB is a narrow precomputable
+    table ``(id, arr, n, band, band_key)`` — 4 rows per doc — that a
+    production pipeline materializes once and bucket-partitions by
+    ``band_key``, making nightly increments a co-located join; the new
+    side is typically ≪ hist and shuffles only its own band rows. Same
+    recall contract as :func:`minhash_lsh_dedup_pairs` (bucketing can
+    only DROP candidates; verification is exact).
+    """
+    nb = _banded_doc_side(new, id_col, text_col, shingle_n, "n_")
+    hb = _banded_doc_side(hist, id_col, text_col, shingle_n, "h_")
+    k = F.size(F.array_intersect("n_arr", "h_arr")).cast("double")
+    jac = k / (F.col("n_n") + F.col("h_n") - k)
+    matched = (
+        nb.join(hb, ["band", "band_key"])
+        .where(F.round(jac, 6) >= min_jaccard)
+        .select(F.col("n_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, id_col, "left_anti")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:

@@ -2123,6 +2123,67 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duck_incremental_near_sql(min_jac: float, split_id: int) -> str:
+    """Oracle twin of dedup.incremental_near_dups on the documents table
+    split at ``doc_id < split_id`` (historical) vs ``>= split_id`` (new):
+    cross-corpus MinHash-LSH candidates, exact-Jaccard verified, NOT-IN
+    survivors."""
+    sig_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, concat_ws(',', s{b*4}, s{b*4+1}, s{b*4+2}, s{b*4+3}) AS band_key FROM sigs"
+        for b in range(dedup.LSH_BANDS)
+    )
+    return f"""
+WITH sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}),
+hashed AS (SELECT id, {DUCK_HASH.format(c='sh')} AS h FROM sh),
+sigs AS (SELECT id, {sig_exprs} FROM hashed GROUP BY id),
+bands AS ({band_selects}),
+cpairs AS (
+  SELECT DISTINCT a.id AS n_id, b.id AS h_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.id >= {split_id} AND b.id < {split_id}
+),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT cp.n_id, cp.h_id, count(*) AS k
+  FROM cpairs cp
+  JOIN sh a ON a.id = cp.n_id
+  JOIN sh b ON b.id = cp.h_id AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT i.n_id
+  FROM inter i JOIN n na ON na.id = i.n_id JOIN n nb ON nb.id = i.h_id
+  WHERE round(CAST(i.k AS DOUBLE) / (na.n + nb.n - i.k), 6) >= {min_jac}
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id >= {split_id} AND doc_id NOT IN (SELECT n_id FROM dropped)
+"""
+
+
+@register("dedup_incremental_near_docs", duck_incremental_near_sql(0.5, 100))
+def dedup_incremental_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (new-crawl-vs-corpus at Jaccard ≥ 0.5):
+    the near-dup generalization of ``dedup_incremental_docs``. Per-row
+    MinHash signatures (zero shuffle) → banded cross-corpus candidates →
+    in-expression exact verify → anti join. The historical band table is
+    the precompute a 100 TB corpus maintains for ingest-time dedup; the
+    streaming face is stream_ops.stream_incremental_near_dedup (same
+    plan through a stream-static join, equivalence-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dedup.incremental_near_dups(
+        docs.where(F.col("doc_id") >= 100),
+        docs.where(F.col("doc_id") < 100),
+        "doc_id",
+        "text",
+        min_jaccard=0.5,
+    )
+    return surv.select("doc_id", "lang")
+
+
 @register(
     "docs_length_quartiles",
     """
@@ -2484,9 +2545,13 @@ _DRIVER_ORDER = [
     "dedup_jaccard_prefix_docs",
     "dedup_minhash_lsh_docs",
     "dedup_simhash_docs",
-    "dedup_embedding_cosine",
     "dedup_embedding_ivf",
     "dedup_embedding_lsh",
+    # round 4 addition — first official row this round; displaces
+    # dedup_embedding_cosine to the tail (green r02+r03; pair-level
+    # cosine semantics stay pinned in-window by the ivf/lsh queries,
+    # which share _verify_cosine_pairs):
+    "dedup_incremental_near_docs",
     "text_quality",
     "text_langid",
     "multimodal_decode_meta",
@@ -2529,6 +2594,7 @@ _DRIVER_ORDER = [
     "normalize_part_names",
     "trigram_token_df",
     "dedup_jaccard_docs",
+    "dedup_embedding_cosine",
     "revenue_by_nation",
     "top_orders_per_customer",
     "events_hourly",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from polars_sim_spark.functions.text import trigram_tokens
+from polars_sim_spark.functions.text import trigram_tokens, word_shingles
 
 
 def windowed_event_counts(
@@ -381,4 +381,86 @@ def session_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stream_incremental_near_dedup(
+    stream: DataFrame,
+    static_hist: DataFrame,
+    *,
+    stream_text_col: str,
+    hist_text_col: str,
+    hist_id_col: str,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming incremental NEAR-dup filter: emit only the streaming
+    documents with no historical near-duplicate (word-shingle Jaccard ≥
+    ``min_jaccard`` against the static corpus) — the streaming face of
+    the batch ``dedup.incremental_near_dups`` (equality pinned by an
+    availableNow equivalence test in tests/test_streaming.py).
+
+    This is the ingest-time gate of a growing training corpus: the
+    historical side is the already-accepted corpus (a static/periodically
+    refreshed table of banded MinHash buckets + shingle-hash arrays); the
+    stream is tonight's crawl. Near-dups against HISTORY are dropped
+    here; intra-stream exact dups are ``streaming_dedup_first_seen``'s
+    job (cross-row stream state needs the stateful API, not a join).
+
+    How it fits Structured Streaming's single-aggregation limit: each
+    stream row computes its MinHash signature PER ROW
+    (``dedup.minhash_signature_array`` — zero shuffle, no agg spent) and
+    explodes into its ≤4 band rows; a stream-static LEFT OUTER equi-join
+    on ``(band, band_key)`` attaches candidate historical docs (the
+    static band table broadcasts); the exact Jaccard is computed
+    in-expression on the carried shingle-hash arrays; and the ONE
+    aggregation takes ``max(jac)`` per stream row, filtered ``< t``.
+    A left ANTI join instead would check each band row in isolation and
+    wrongly re-emit a doc whose near-dup sits in a different band; the
+    outer-join + max form also keeps zero-candidate (and zero-shingle)
+    docs flowing. State per stream row is O(1) (one running max), so the
+    aggregation — not the fan-out — reaches the state store.
+
+    Like the other unwatermarked aggregations here, needs
+    update/complete output mode (each doc's verdict is final the batch
+    it arrives, since the static side doesn't change mid-query).
+    """
+    from polars_sim_spark.operators.dedup import _banded_doc_side, minhash_signature_array
+    from polars_sim_spark.operators.dedup import LSH_BANDS, LSH_ROWS_PER_BAND
+
+    hb = _banded_doc_side(static_hist, hist_id_col, hist_text_col, shingle_n, "h_")
+    s = stream.withColumn("__sh", word_shingles(F.col(stream_text_col), shingle_n))
+    s = s.withColumn("__arr", F.transform("__sh", lambda g: F.xxhash64(g))).withColumn(
+        "__n", F.size("__sh")
+    )
+    sig = minhash_signature_array(F.col("__sh"))
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, b * LSH_ROWS_PER_BAND + r + 1)
+                    for r in range(LSH_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    # Zero-shingle docs get a null band list: posexplode_outer keeps the
+    # row (they must still be emitted), the left join finds nothing.
+    s = s.withColumn(
+        "__keys", F.when(F.col("__n") > 0, keys).otherwise(F.lit(None).cast("array<string>"))
+    ).select("*", F.posexplode_outer("__keys").alias("band", "band_key"))
+
+    joined = s.join(F.broadcast(hb), ["band", "band_key"], "left")
+    k = F.size(F.array_intersect("__arr", "h_arr")).cast("double")
+    jac = F.round(k / (F.col("__n") + F.col("h_n") - k), 6)
+    scored = joined.withColumn("__jac", F.coalesce(jac, F.lit(0.0)))
+
+    group_cols = list(stream.columns)
+    return (
+        scored.groupBy(*group_cols)
+        .agg(F.max("__jac").alias("__max_jac"))
+        .where(F.col("__max_jac") < min_jaccard)
+        .select(*group_cols)
     )

@@ -182,3 +182,33 @@ def test_embedding_ivf_near_dup_recall(spark, sf_small):
     assert ivf <= exact  # verification is exact -> no false positives
     if exact:
         assert len(ivf) / len(exact) >= 0.8  # high-sim recall
+
+
+def test_incremental_near_dups_unit(spark):
+    """Hand-computable new-vs-historical near-dedup: exact dup and
+    near-dup (jac=0.75 via LSH band collision) of history are dropped,
+    novel/short/empty docs survive with all columns."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog", "dup"),
+            (102, "the quick brown fox jumps over the lazy cat", "near"),
+            (103, "completely different words appear here only today", "novel"),
+            (104, "too short", "short"),  # < 3 words: zero shingles
+            (105, "", "empty"),
+        ],
+        "doc_id long, text string, tag string",
+    )
+    surv = dedup.incremental_near_dups(new, hist, "doc_id", "text", min_jaccard=0.5)
+    rows = {r["doc_id"]: r["tag"] for r in surv.collect()}
+    # 101 exact (jac 1.0) always dropped; 102 at jac 0.75 — identical
+    # minhash on 6/7 shared shingles makes a band collision overwhelmingly
+    # likely, and with these fixed constants it does collide.
+    assert set(rows) == {103, 104, 105}
+    assert rows[103] == "novel"  # payload columns intact
+    # Threshold above the near-dup's jac keeps it:
+    surv9 = dedup.incremental_near_dups(new, hist, "doc_id", "text", min_jaccard=0.9)
+    assert set(r["doc_id"] for r in surv9.collect()) == {102, 103, 104, 105}

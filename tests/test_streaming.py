@@ -428,3 +428,49 @@ def test_best_match_topn_equals_batch_top3(spark, sf_small):
         assert got == expected
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_incremental_near_dedup_equals_batch(spark, sf_small):
+    """availableNow run of stream_incremental_near_dedup == batch
+    dedup.incremental_near_dups on the same new/historical split — pins
+    the streaming ingest gate (per-row signatures, stream-static banded
+    join, outer-join+max form) to the oracle-checked batch operator,
+    including zero-candidate and zero-shingle docs surviving."""
+    from polars_sim_spark.operators.dedup import incremental_near_dups
+    from polars_sim_spark.streaming.stream_ops import stream_incremental_near_dedup
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+
+    src = tempfile.mkdtemp(prefix="pss_inc_")
+    try:
+        new.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        name = f"incneardedup_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(
+            stream_incremental_near_dedup(
+                stream,
+                hist,
+                stream_text_col="text",
+                hist_text_col="text",
+                hist_id_col="doc_id",
+                min_jaccard=0.5,
+            ),
+            name,
+            "complete",
+        )
+        got = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+        expected = {
+            r["doc_id"]
+            for r in incremental_near_dups(new, hist, "doc_id", "text", min_jaccard=0.5)
+            .select("doc_id")
+            .collect()
+        }
+        assert len(got) > 0
+        assert got == expected
+        # The gate must actually drop something on this corpus, or the
+        # equivalence is vacuous.
+        assert got < {r["doc_id"] for r in new.select("doc_id").collect()}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
