@@ -439,7 +439,14 @@ def incremental_near_dups(
     side is typically ≪ hist and shuffles only its own band rows. Same
     recall contract as :func:`minhash_lsh_dedup_pairs` (bucketing can
     only DROP candidates; verification is exact).
+
+    ``min_jaccard`` must be positive: at t ≤ 0 "near-duplicate" loses
+    meaning (every bucket collision matches, including zero-overlap
+    ones) and the streaming twin's keep-if-max-below-t form would
+    diverge from this anti-join form on zero-candidate docs.
     """
+    if min_jaccard <= 0:
+        raise ValueError(f"min_jaccard must be > 0, got {min_jaccard}")
     nb = _banded_doc_side(new, id_col, text_col, shingle_n, "n_")
     hb = _banded_doc_side(hist, id_col, text_col, shingle_n, "h_")
     k = F.size(F.array_intersect("n_arr", "h_arr")).cast("double")

@@ -428,6 +428,10 @@ def stream_incremental_near_dedup(
     from polars_sim_spark.operators.dedup import _banded_doc_side, minhash_signature_array
     from polars_sim_spark.operators.dedup import LSH_BANDS, LSH_ROWS_PER_BAND
 
+    if min_jaccard <= 0:
+        # Same guard (and reasoning) as the batch incremental_near_dups:
+        # at t <= 0 the two forms diverge on zero-candidate docs.
+        raise ValueError(f"min_jaccard must be > 0, got {min_jaccard}")
     hb = _banded_doc_side(static_hist, hist_id_col, hist_text_col, shingle_n, "h_")
     s = stream.withColumn("__sh", word_shingles(F.col(stream_text_col), shingle_n))
     s = s.withColumn("__arr", F.transform("__sh", lambda g: F.xxhash64(g))).withColumn(

@@ -212,3 +212,9 @@ def test_incremental_near_dups_unit(spark):
     # Threshold above the near-dup's jac keeps it:
     surv9 = dedup.incremental_near_dups(new, hist, "doc_id", "text", min_jaccard=0.9)
     assert set(r["doc_id"] for r in surv9.collect()) == {102, 103, 104, 105}
+
+
+def test_incremental_near_dups_rejects_nonpositive_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_jaccard"):
+        dedup.incremental_near_dups(df, df, "doc_id", "text", min_jaccard=0.0)
