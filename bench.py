@@ -88,6 +88,7 @@ HEADLINE = [
     "tpch_q22_idle_rich_customers",
     # Added in round 4:
     "dedup_incremental_near_docs",
+    "dedup_passages_docs",
 ]
 
 

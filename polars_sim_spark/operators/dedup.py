@@ -460,6 +460,91 @@ def incremental_near_dups(
     return new.join(matched, id_col, "left_anti")
 
 
+def remove_duplicate_passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    passage_words: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup (the C4 move, at passage granularity):
+    split every document into non-overlapping ``passage_words``-word
+    passages, keep only the corpus-wide FIRST occurrence of each
+    distinct passage (ordered by ``(id, passage index)``), and rebuild
+    each document from its surviving passages in original order.
+
+    Repeated boilerplate — navigation chrome, license headers, quoted
+    reply chains — survives document-level dedup because the documents
+    AROUND it differ; this operator removes it at the span level while
+    exact/near document dedup (``remove_near_dups``) handles whole-doc
+    copies. Duplicates WITHIN one document collapse too (the second
+    occurrence is not the first).
+
+    Output: one row per input document — ``(id, cleaned_text, n_kept,
+    n_dropped)``; documents whose every passage was seen earlier survive
+    as empty strings, so corpus cardinality never changes.
+
+    Plan: zero-shuffle split+explode scan projection → ONE shuffle by
+    the passage's full md5 (narrow 32-char key, never the passage text)
+    with a rank-1 window filter (Catalyst rewrites it to
+    ``WindowGroupLimit``, so each map task pre-prunes to one candidate
+    per passage before the exchange) → order-preserving re-aggregation
+    by document. Passage-frequency skew is bounded by that same group
+    limit: a boilerplate passage occurring 10⁹ times contributes one row
+    per upstream partition to the shuffle, not 10⁹.
+    """
+    docid = F.col(id_col)
+    nonempty = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        docid.alias("__id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    w = F.lit(passage_words)
+    passages = nonempty.select(
+        "__id",
+        "__w",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("__w") / w).cast("int") - 1)
+        ).alias("pidx"),
+    ).select(
+        "__id",
+        "pidx",
+        F.concat_ws(" ", F.slice("__w", F.col("pidx") * w + 1, w)).alias("ptext"),
+    )
+    first = Window.partitionBy(F.md5("ptext")).orderBy("__id", "pidx")
+    kept = (
+        passages.withColumn("__rn", F.row_number().over(first))
+        .where(F.col("__rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
+                    lambda s: s.ptext,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = docs.select(
+        docid.alias("__id"),
+        F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.ceil(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) / w),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__n_passages"),
+    )
+    return totals.join(kept, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("__n_passages") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): per-document SimHash over distinct word tokens.
 

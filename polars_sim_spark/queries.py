@@ -2185,6 +2185,55 @@ def dedup_incremental_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_passages_docs",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+p AS (
+  SELECT doc_id, CAST(k AS INT) AS pidx,
+         array_to_string(w[(k*16+1):(k*16+16)], ' ') AS ptext
+  FROM (SELECT doc_id, w, unnest(range(CAST(ceil(len(w)/16.0) AS BIGINT))) AS k
+        FROM w)
+),
+r AS (
+  SELECT doc_id, pidx, ptext,
+         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pidx) AS rn
+  FROM p
+),
+kept AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS cleaned_text,
+         count(*) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN CAST(ceil(len(string_split_regex(trim(text), '\\s+'))/16.0)
+                        AS BIGINT)
+              ELSE 0 END AS n_passages
+  FROM documents
+)
+SELECT t.doc_id AS doc_id, coalesce(cleaned_text, '') AS cleaned_text,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_passages - coalesce(n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN kept ON t.doc_id = kept.doc_id
+""",
+)
+def dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (dedup.remove_duplicate_passages): C4's
+    duplicated-span removal re-expressed at 16-word passage granularity
+    — keep the corpus-wide first occurrence of every distinct passage,
+    rebuild documents from survivors. Complements whole-document dedup:
+    boilerplate spans shared across otherwise-distinct pages are exactly
+    what document-level near-dup keeps. One narrow shuffle on the
+    passage md5 with a WindowGroupLimit rank-1 filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_passages(docs, "doc_id", "text", passage_words=16)
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2552,6 +2601,11 @@ _DRIVER_ORDER = [
     # cosine semantics stay pinned in-window by the ivf/lsh queries,
     # which share _verify_cosine_pairs):
     "dedup_incremental_near_docs",
+    # round 4 addition — sub-document passage dedup; displaces
+    # ann_topk_bruteforce to the tail (green r02+r03; its exact-cosine
+    # top-k semantics are the rerank stage inside the three ANN queries
+    # that stay in-window, which share _ann_rerank):
+    "dedup_passages_docs",
     "text_quality",
     "text_langid",
     "multimodal_decode_meta",
@@ -2565,7 +2619,6 @@ _DRIVER_ORDER = [
     "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
     "ann_topk_lsh",
-    "ann_topk_bruteforce",
     "tpch_q3_shipping_priority",
     "docs_above_lang_median",
     "text_tfidf_top_terms",
@@ -2593,6 +2646,7 @@ _DRIVER_ORDER = [
     # tools/crosscheck.py ---------------------------------------------
     "normalize_part_names",
     "trigram_token_df",
+    "ann_topk_bruteforce",
     "dedup_jaccard_docs",
     "dedup_embedding_cosine",
     "revenue_by_nation",

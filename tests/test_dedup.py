@@ -218,3 +218,42 @@ def test_incremental_near_dups_rejects_nonpositive_threshold(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_jaccard"):
         dedup.incremental_near_dups(df, df, "doc_id", "text", min_jaccard=0.0)
+
+
+def test_remove_duplicate_passages_unit(spark):
+    # 4-word passages; doc 1 owns both passages of doc 2's text, doc 2 is
+    # pure boilerplate, doc 3 repeats a passage INSIDE itself, doc 4 is
+    # whitespace-only and must survive as an empty row.
+    rows = [
+        (1, "a b c d e f g h"),          # passages: "a b c d", "e f g h"
+        (2, "a b c d x y z w"),          # first passage already seen in doc 1
+        (3, "p q r s p q r s"),          # intra-doc duplicate passage
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.remove_duplicate_passages(
+            docs, "doc_id", "text", passage_words=4
+        ).collect()
+    }
+    assert len(out) == 4  # cardinality preserved
+    assert out[1] == ("a b c d e f g h", 2, 0)
+    assert out[2] == ("x y z w", 1, 1)  # shared boilerplate removed
+    assert out[3] == ("p q r s", 1, 1)  # second intra-doc occurrence removed
+    assert out[4] == ("", 0, 0)
+
+
+def test_remove_duplicate_passages_short_tail(spark):
+    # A trailing passage shorter than the window is still a passage, and
+    # identical short tails dedup across documents.
+    rows = [(1, "a b c d e"), (2, "z z z z e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.remove_duplicate_passages(
+            docs, "doc_id", "text", passage_words=4
+        ).collect()
+    }
+    assert out[1] == ("a b c d e", 2, 0)
+    assert out[2] == ("z z z z", 1, 1)  # its "e" tail was doc 1's tail first

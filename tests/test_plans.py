@@ -125,3 +125,12 @@ def test_jaccard_verification_is_array_based(spark, sf_small):
     ):
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "array_intersect" in plan, f"verification reverted to join-expansion:\n{plan[:2000]}"
+
+
+def test_passage_dedup_first_occurrence_is_window_group_limit(spark, sf_small):
+    """The keep-first filter must plan as WindowGroupLimit so a hot
+    boilerplate passage ships one row per map partition to the shuffle,
+    not its full occurrence count."""
+    df = q.dedup_passages_docs(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
