@@ -89,6 +89,7 @@ HEADLINE = [
     # Added in round 4:
     "dedup_incremental_near_docs",
     "dedup_passages_docs",
+    "text_repetition_signals",
 ]
 
 

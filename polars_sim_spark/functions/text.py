@@ -87,6 +87,80 @@ def trigram_token_ids(s: Column | str) -> Column:
     return F.transform(trigram_tokens(s), trigram_id)
 
 
+def _max_run(arr: Column) -> Column:
+    """Length of the longest run of consecutive equal elements in ``arr``
+    (0 for an empty array) — a single ``aggregate`` HOF pass carrying
+    ``(prev, run, best)``, so it stays a scan-stage expression."""
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: let_col(
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            lambda run: F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            ),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def repetition_signals(s: Column | str) -> Column:
+    """Gopher-style repetition signals of a text column as one struct:
+    ``n_words``, ``distinct_word_frac``, ``top_word_frac`` (fraction of
+    words taken by the single most frequent word), ``top_bigram_frac``
+    (same for word bigrams; 0 when fewer than 2 words), and
+    ``max_word_run`` (longest consecutive repeat of one word).
+
+    The repetition filters of Rae et al. (Gopher) / Penedo et al.
+    (RefinedWeb): machine-generated and boilerplate text shows up as a
+    high top-n-gram share or long single-word runs long before a
+    perplexity model sees it. Everything here is a zero-shuffle scan
+    projection — mode counts come from ``array_sort`` + a longest-run
+    ``aggregate`` pass instead of an explode + groupBy, so the operator
+    costs one map stage at any corpus size. Fractions round to 6 dp;
+    whitespace-only/null text yields ``(0, 0.0, 0.0, 0.0, 0)``.
+    """
+    def over_words(words: Column) -> Column:
+        n = F.size(words)
+        nd = F.size(F.array_distinct(words)).cast("double")
+        bigrams = F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return F.struct(
+            n.cast("long").alias("n_words"),
+            F.round(nd / n, 6).alias("distinct_word_frac"),
+            F.round(_max_run(F.array_sort(words)) / n, 6).alias("top_word_frac"),
+            F.when(
+                n >= 2,
+                F.round(_max_run(F.array_sort(bigrams)) / (n - 1).cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+            _max_run(words).cast("long").alias("max_word_run"),
+        )
+
+    empty = F.struct(
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0.0).alias("distinct_word_frac"),
+        F.lit(0.0).alias("top_word_frac"),
+        F.lit(0.0).alias("top_bigram_frac"),
+        F.lit(0).cast("long").alias("max_word_run"),
+    )
+    st = F.trim(F.lower(_as_col(s)))
+    return let_col(st, lambda t: F.when(
+        F.length(t) > 0,
+        let_col(F.split(t, r"\s+"), over_words),
+    ).otherwise(empty))
+
+
 def word_shingles(s: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of ``s`` as ``array<string>``.
 

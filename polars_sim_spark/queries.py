@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_sim_spark import cache as cache_registry
+from polars_sim_spark.functions import text as text_fns
 from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
 from polars_sim_spark.operators import dedup
 from polars_sim_spark.operators.join_sim import similarity_mapping
@@ -2234,6 +2235,70 @@ def dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_signals",
+    r"""
+WITH t AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lt, '\s+')) AS w,
+         generate_subscripts(string_split_regex(lt, '\s+'), 1) AS pos
+  FROM t WHERE length(lt) > 0
+),
+n AS (SELECT doc_id, count(*) AS n, count(DISTINCT w) AS nd FROM toks GROUP BY doc_id),
+topw AS (
+  SELECT doc_id, max(c) AS topw
+  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks
+),
+topb AS (
+  SELECT doc_id, max(c) AS topb
+  FROM (SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, w, pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS g
+  FROM toks
+),
+maxrun AS (
+  SELECT doc_id, max(c) AS maxrun
+  FROM (SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, w, g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_words,
+       round(coalesce(CAST(n.nd AS DOUBLE) / n.n, 0.0), 6) AS distinct_word_frac,
+       round(coalesce(CAST(topw AS DOUBLE) / n.n, 0.0), 6) AS top_word_frac,
+       CASE WHEN n.n >= 2 THEN round(CAST(topb AS DOUBLE) / (n.n - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       CAST(coalesce(maxrun, 0) AS BIGINT) AS max_word_run
+FROM documents d
+LEFT JOIN n ON d.doc_id = n.doc_id
+LEFT JOIN topw ON d.doc_id = topw.doc_id
+LEFT JOIN topb ON d.doc_id = topb.doc_id
+LEFT JOIN maxrun ON d.doc_id = maxrun.doc_id
+""",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition filters
+    (functions.text.repetition_signals): distinct-word fraction, top
+    word / top bigram share, longest single-word run — the signals that
+    catch machine-generated and boilerplate text before any model-based
+    scorer. The Spark side is ONE zero-shuffle scan projection (mode
+    counts via array_sort + a longest-run ``aggregate`` HOF instead of
+    explode + groupBy); the oracle needs four windowed/grouped
+    subqueries to say the same thing — the plan asymmetry is the point
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_fns.repetition_signals("text").alias("r")
+    ).select("doc_id", "r.*")
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2606,9 +2671,13 @@ _DRIVER_ORDER = [
     # top-k semantics are the rerank stage inside the three ANN queries
     # that stay in-window, which share _ann_rerank):
     "dedup_passages_docs",
+    # round 4 addition — Gopher-style repetition filters; displaces
+    # multimodal_decode_meta to the tail (green r02+r03; the decode-stub
+    # plumbing it pins stays in-window via multimodal_frame_stats, which
+    # runs the same mapInPandas decode path):
+    "text_repetition_signals",
     "text_quality",
     "text_langid",
-    "multimodal_decode_meta",
     "asof_error_last_click",
     "dedup_cluster_docs",
     "dedup_remove_docs",
@@ -2647,6 +2716,7 @@ _DRIVER_ORDER = [
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
+    "multimodal_decode_meta",
     "dedup_jaccard_docs",
     "dedup_embedding_cosine",
     "revenue_by_nation",

@@ -82,3 +82,30 @@ def test_output_bounded_by_topn(spark, edge_left, edge_right):
     out = join_sim(edge_left, edge_right, on="s", top_n=2, left_id="id", right_id="id")
     n_left = edge_left.count()
     assert out.count() <= n_left * 2
+
+
+def test_repetition_signals_hand_values(spark):
+    from polars_sim_spark.functions.text import repetition_signals
+
+    rows = [
+        (1, "a b a b a b"),   # top word a×3/6, top bigram "a b"×3/5
+        (2, "x x x y z"),     # run of 3 x's
+        (3, "  "),            # whitespace-only
+        (4, None),            # null text
+        (5, "solo"),          # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["n_words"], r["distinct_word_frac"], r["top_word_frac"],
+            r["top_bigram_frac"], r["max_word_run"],
+        )
+        for r in df.select(
+            "doc_id", repetition_signals("text").alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    assert out[1] == (6, 0.333333, 0.5, 0.6, 1)
+    assert out[2] == (5, 0.6, 0.6, 0.5, 3)
+    assert out[3] == (0, 0.0, 0.0, 0.0, 0)
+    assert out[4] == (0, 0.0, 0.0, 0.0, 0)
+    assert out[5] == (1, 1.0, 1.0, 0.0, 1)
