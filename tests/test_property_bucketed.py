@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from polars_sim_spark.operators import dedup
 
@@ -127,3 +128,51 @@ def test_ivf_pairs_subset_of_exact_and_full_probe_equality(spark, vecs, nprobe):
         )
     )
     assert set(full) == set(exact), (vecs,)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=9).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.sampled_from([2, 3]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_passage_dedup_conservation_and_idempotence(spark, docs, w):
+    """remove_duplicate_passages invariants on arbitrary corpora:
+
+    * cardinality preserved (one output row per input doc);
+    * passage conservation: kept-passage multiset == distinct passage
+      set of the corpus (each distinct passage survives exactly once);
+    * idempotence: a second pass over the cleaned corpus drops nothing.
+    """
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    )
+    out = dedup.remove_duplicate_passages(df, "doc_id", "text", passage_words=w)
+    rows = out.collect()
+    assert len(rows) == len(docs)
+
+    def passages(text):
+        ws = text.split()
+        return [" ".join(ws[i : i + w]) for i in range(0, len(ws), w)]
+
+    distinct_in = {p for s in docs for p in passages(s)}
+    kept = [p for r in rows for p in passages(r["cleaned_text"])]
+    assert sorted(kept) == sorted(distinct_in)
+
+    again = dedup.remove_duplicate_passages(
+        out.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id",
+        "text",
+        passage_words=w,
+    ).collect()
+    assert all(r["n_dropped"] == 0 for r in again)
+    assert {r["doc_id"]: r["cleaned_text"] for r in again} == {
+        r["doc_id"]: r["cleaned_text"] for r in rows
+    }
