@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_incremental_near_docs",
     "dedup_passages_docs",
     "text_repetition_signals",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_qty_revenue",
 ]
 
 

@@ -134,3 +134,15 @@ def test_passage_dedup_first_occurrence_is_window_group_limit(spark, sf_small):
     df = q.dedup_passages_docs(spark, sf_small)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_q17_thresholds_are_broadcast(spark, sf_small):
+    """The decorrelated per-part threshold table and the brand filter
+    must both ride broadcast joins — the lineitem probe side never
+    shuffles by join key."""
+    df = q.tpch_q17_small_qty_revenue(spark, sf_small)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    # every join is broadcast; the only exchanges are the narrow
+    # (partkey, thr) aggregate and the final 1-row aggregate
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
