@@ -92,6 +92,7 @@ HEADLINE = [
     "text_repetition_signals",
     "tpch_q4_order_priority",
     "tpch_q17_small_qty_revenue",
+    "customer_trailing_30d_revenue",
 ]
 
 

@@ -2299,6 +2299,40 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_trailing_30d_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+       AS trailing_30d
+FROM orders
+""",
+)
+def customer_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per customer order — the RANGE interval
+    frame (value-based window over the time axis), complementing the
+    ROWS frame pinned by ``customer_running_revenue``. The frame is
+    expressed on exact epoch microseconds (``unix_micros``) so the
+    boundary arithmetic is integral and engine-identical; one shuffle
+    keyed by customer, sums DECIMAL-exact per the house pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"),
+            2,
+        ).alias("trailing_30d"),
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2798,9 +2832,14 @@ _DRIVER_ORDER = [
     # text_repetition_signals):
     "tpch_q4_order_priority",
     "tpch_q17_small_qty_revenue",
-    # -- tail: official green rows in CORRECTNESS_r03; semantics
-    # subsumed by in-window queries; re-verified each round by
-    # tools/crosscheck.py ---------------------------------------------
+    # -- tail: re-verified each round by tools/crosscheck.py. Two
+    # populations: (a) official green rows from CORRECTNESS_r02/r03
+    # whose semantics are subsumed by in-window queries; (b) round-4
+    # additions past the 50-slot budget (customer_trailing_30d_revenue)
+    # — coverage ROLLS: next round these rotate into the window in
+    # place of queries that will then hold fresh CORRECTNESS_r04 rows.
+    # ------------------------------------------------------------------
+    "customer_trailing_30d_revenue",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
