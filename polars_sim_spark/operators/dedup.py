@@ -460,6 +460,37 @@ def incremental_near_dups(
     return new.join(matched, id_col, "left_anti")
 
 
+def passage_rows(
+    docs: DataFrame, id_col: str, text_col: str, passage_words: int = 16
+) -> DataFrame:
+    """``(id, pidx, ptext)``: every document exploded into its
+    non-overlapping ``passage_words``-word passages in order. A pure
+    narrow projection (split → sequence-explode → slice), so it composes
+    into batch plans AND streaming plans unchanged — the shared front
+    end of :func:`remove_duplicate_passages` and
+    ``streaming.stream_ops.stream_passage_dedup``."""
+    w = F.lit(passage_words)
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+        .select(
+            id_col,
+            "__w",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("__w") / w).cast("int") - 1)
+            ).alias("pidx"),
+        )
+        .select(
+            id_col,
+            "pidx",
+            F.concat_ws(" ", F.slice("__w", F.col("pidx") * w + 1, w)).alias("ptext"),
+        )
+    )
+
+
 def remove_duplicate_passages(
     docs: DataFrame,
     id_col: str,
@@ -493,21 +524,9 @@ def remove_duplicate_passages(
     limit: a boilerplate passage occurring 10⁹ times contributes one row
     per upstream partition to the shuffle, not 10⁹.
     """
-    docid = F.col(id_col)
-    nonempty = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
-        docid.alias("__id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
-    )
     w = F.lit(passage_words)
-    passages = nonempty.select(
-        "__id",
-        "__w",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.size("__w") / w).cast("int") - 1)
-        ).alias("pidx"),
-    ).select(
-        "__id",
-        "pidx",
-        F.concat_ws(" ", F.slice("__w", F.col("pidx") * w + 1, w)).alias("ptext"),
+    passages = passage_rows(docs, id_col, text_col, passage_words).withColumnRenamed(
+        id_col, "__id"
     )
     first = Window.partitionBy(F.md5("ptext")).orderBy("__id", "pidx")
     kept = (
@@ -526,7 +545,7 @@ def remove_duplicate_passages(
         )
     )
     totals = docs.select(
-        docid.alias("__id"),
+        F.col(id_col).alias("__id"),
         F.when(
             F.length(F.trim(F.col(text_col))) > 0,
             F.ceil(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) / w),

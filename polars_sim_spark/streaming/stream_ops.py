@@ -468,3 +468,49 @@ def stream_incremental_near_dedup(
         .where(F.col("__max_jac") < min_jaccard)
         .select(*group_cols)
     )
+
+
+def stream_passage_dedup(
+    stream_docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    passage_words: int = 16,
+) -> DataFrame:
+    """Streaming passage-novelty gate: explode each arriving document
+    into non-overlapping ``passage_words``-word passages and emit only
+    passages NEVER seen before — across documents, micro-batches, and
+    restarts. The streaming face of the batch
+    ``dedup.remove_duplicate_passages`` (same
+    ``dedup.passage_rows`` front end; equivalence pinned by an
+    availableNow test), completing the dedup symmetry: exact
+    (``streaming_dedup_first_seen``), near-dup
+    (``stream_incremental_near_dedup``), and sub-document spans (here)
+    all have ingest-time twins.
+
+    Output: ``(id, pidx, ptext)`` — the surviving passages; the consumer
+    reassembles documents (or feeds spans onward) since cross-batch
+    document reconstruction is unbounded state by definition.
+
+    Plan: the passage split is a narrow projection (streaming-safe), the
+    novelty decision is the SAME keyed-state operator as exact dedup —
+    one state entry per distinct passage md5, hash-sharded across
+    executors, RocksDB-backed in production. Within a micro-batch the
+    canonical occurrence is the smallest ``(id, pidx)``, matching the
+    batch operator's keep-first rule (ids are packed into one order key,
+    so per-document passage counts must stay below 2^20 — ~16M words at
+    the default width).
+    """
+    from polars_sim_spark.operators.dedup import passage_rows
+
+    p = passage_rows(stream_docs, id_col, text_col, passage_words)
+    keyed = p.select(
+        F.col(id_col),
+        "pidx",
+        "ptext",
+        F.md5("ptext").alias("__fp"),
+        (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pidx")).alias("__seq"),
+    )
+    return streaming_dedup_first_seen(
+        keyed, key_col="__fp", order_col="__seq"
+    ).select(id_col, "pidx", "ptext")

@@ -474,3 +474,62 @@ def test_incremental_near_dedup_equals_batch(spark, sf_small):
         assert got < {r["doc_id"] for r in new.select("doc_id").collect()}
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_passage_dedup_matches_first_occurrence(spark):
+    """stream_passage_dedup emits exactly the corpus-wide first
+    occurrence of every distinct passage (the batch
+    remove_duplicate_passages keep rule), and cross-run state drops
+    passages already emitted in an earlier micro-batch."""
+    from polars_sim_spark.streaming.stream_ops import stream_passage_dedup
+
+    src = tempfile.mkdtemp(prefix="pss_pass_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_pass_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_pass_out_")
+    schema = "doc_id long, text string"
+    W = 4
+
+    def expected_first(rows):
+        seen, keep = set(), set()
+        for doc_id, text in sorted(rows):
+            ws = text.split()
+            for k in range(0, max(len(ws), 0), W):
+                p = " ".join(ws[k : k + W])
+                if p and p not in seen:
+                    seen.add(p)
+                    keep.add((doc_id, k // W, p))
+        return keep
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_passage_dedup(
+            stream, id_col="doc_id", text_col="text", passage_words=W
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["pidx"], r["ptext"])
+            for r in spark.read.schema("doc_id long, pidx int, ptext string").parquet(dst).collect()
+        }
+
+    try:
+        batch1 = [(1, "a b c d e f g h"), (2, "a b c d x y z w"), (3, "p q r s p q r s")]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+        assert run() == expected_first(batch1)
+
+        # batch 2: one already-seen passage, one new doc repeating it plus
+        # a novel passage — only the novel span may appear
+        batch2 = [(4, "a b c d m n o p")]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+        assert run() == expected_first(batch1) | {(4, 1, "m n o p")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
