@@ -93,6 +93,7 @@ HEADLINE = [
     "tpch_q4_order_priority",
     "tpch_q17_small_qty_revenue",
     "customer_trailing_30d_revenue",
+    "text_bm25_topk",
 ]
 
 

@@ -551,3 +551,89 @@ def centroid_assignments_kernel(
 
     src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return src.mapInPandas(compute, schema=schema)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    doc_id_col: str,
+    doc_text_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Lexical top-k retrieval: BM25 score of every query against the
+    corpus, keeping each query's ``k`` best documents — the sparse
+    counterpart of :func:`ann_topk_bruteforce` and the standard
+    relevance-mining primitive of a curation pipeline (pull the corpus
+    slice that matches a topic/benchmark description).
+
+    Scoring (Robertson/Okapi, the +1 idf variant that stays positive):
+    ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``,
+    ``score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))``
+    over distinct query terms. Per-term contributions are rounded to 6
+    decimals and summed as DECIMAL(18,6), so the score — and therefore
+    the ranking — is reproduction-order-independent and
+    engine-identical (the oracle sums the same decimals).
+
+    Plan: ONE shuffle builds (doc, term, tf) postings + doc lengths;
+    the df/avgdl statistics are Zipf-small aggregates joined broadcast;
+    the query term table broadcasts (queries ≪ corpus always holds in
+    retrieval); scoring is a map-side hash join + one aggregation by
+    (query, doc); top-k is the WindowGroupLimit rank filter. Nothing
+    driver-side; corpus text crosses an exchange only as hashed-width
+    (term, tf) rows.
+    """
+    d_id, q_id = F.col(doc_id_col), F.col(query_id_col)
+    toks = docs.select(
+        d_id.alias("__d"),
+        F.explode(F.split(F.trim(F.lower(F.col(doc_text_col))), r"\s+")).alias("__t"),
+    ).where(F.col("__t") != "")
+    postings = toks.groupBy("__d", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = postings.groupBy("__d").agg(F.sum("__tf").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+
+    qterms = queries.select(
+        q_id.alias("__q"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(query_text_col))), r"\s+"))
+        ).alias("__t"),
+    ).where(F.col("__t") != "")
+
+    scored = (
+        postings.join(F.broadcast(qterms), "__t")
+        .join(F.broadcast(dfreq), "__t")
+        .join(dl, "__d")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("__tf").cast("double")
+    term_score = (
+        idf
+        * tf
+        * (F.lit(k1) + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+    )
+    per_pair = scored.groupBy("__q", "__d").agg(
+        F.sum(F.round(term_score, 6).cast("decimal(18,6)")).cast("double").alias("score")
+    )
+    win = Window.partitionBy("__q").orderBy(F.desc("score"), F.col("__d"))
+    return (
+        per_pair.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__d").alias(doc_id_col),
+            F.col("score"),
+        )
+    )

@@ -2333,6 +2333,71 @@ def customer_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "text_bm25_topk",
+    r"""
+WITH toks AS (
+  SELECT doc_id AS d, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+),
+postings AS (SELECT d, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY d, t),
+dl AS (SELECT d, sum(tf) AS dl FROM postings GROUP BY d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT t, count(*) AS df FROM postings GROUP BY t),
+qt AS (
+  SELECT DISTINCT doc_id AS q,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')[1:8])) AS t
+  FROM documents WHERE doc_id < 3
+),
+qt2 AS (SELECT q, t FROM qt WHERE t <> ''),
+scored AS (
+  SELECT qt2.q, p.d, p.tf, dfreq.df, dl.dl, stats.n_docs, stats.avgdl
+  FROM postings p JOIN qt2 ON p.t = qt2.t
+  JOIN dfreq ON p.t = dfreq.t JOIN dl ON p.d = dl.d CROSS JOIN stats
+),
+pair AS (
+  SELECT q, d,
+    CAST(sum(CAST(round(
+      ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+      * CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)
+      / (CAST(tf AS DOUBLE) + 1.2*(1.0 - 0.75 + 0.75*CAST(dl AS DOUBLE)/avgdl)),
+      6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM scored GROUP BY q, d
+)
+SELECT q AS query_id, d AS doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rn
+      FROM pair)
+WHERE rn <= 5
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (similarity.bm25_topk): top-5 documents
+    for 3 probe queries (each query = the first 8 words of one
+    document, so its source doc must rank first — a built-in sanity
+    anchor). Per-term scores round to 6 dp and sum as DECIMAL(18,6),
+    making the ranking reproduction-order-independent; the query-term
+    and corpus-statistics tables broadcast, so the only wide shuffles
+    are the postings build and the (query, doc) score aggregation."""
+    from polars_sim_spark.operators import similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)
+        ).alias("qtext"),
+    )
+    return similarity.bm25_topk(
+        docs,
+        qs,
+        doc_id_col="doc_id",
+        doc_text_col="text",
+        query_id_col="query_id",
+        query_text_col="qtext",
+        k=5,
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2840,6 +2905,7 @@ _DRIVER_ORDER = [
     # place of queries that will then hold fresh CORRECTNESS_r04 rows.
     # ------------------------------------------------------------------
     "customer_trailing_30d_revenue",
+    "text_bm25_topk",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -237,3 +237,57 @@ def test_ann_ivf_kernel_assignment_equals_expr(spark, sf_small):
     }
     assert len(a) > 0
     assert a == b
+
+
+def test_bm25_topk_matches_python_model(spark):
+    """bm25_topk agrees with a direct Python evaluation of the Okapi
+    formula (idf+1 variant) on a hand-sized corpus, including the
+    deterministic (score desc, doc_id) tie order."""
+    import math
+    from collections import Counter
+
+    from polars_sim_spark.operators.similarity import bm25_topk
+
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark tuning guide",
+        3: "completely unrelated cooking recipe text",
+        4: "data cluster guide",
+    }
+    qtext = {10: "spark cluster", 11: "recipe"}
+    k1, b = 1.2, 0.75
+
+    tf = {d: Counter(t.split()) for d, t in corpus.items()}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    n = len(corpus)
+
+    def score(q, d):
+        s = 0.0
+        for t in set(qtext[q].split()):
+            if tf[d][t] == 0:
+                continue
+            df = sum(1 for c in tf.values() if c[t] > 0)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            f = tf[d][t]
+            s += round(idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl)), 6)
+        return round(s, 6)
+
+    expected = {}
+    for q in qtext:
+        ranked = sorted(
+            ((score(q, d), d) for d in corpus if score(q, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        expected[q] = [(d, s) for s, d in ranked]
+
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    qs = spark.createDataFrame(list(qtext.items()), "query_id long, qtext string")
+    out = bm25_topk(
+        docs, qs, doc_id_col="doc_id", doc_text_col="text",
+        query_id_col="query_id", query_text_col="qtext", k=3,
+    )
+    got = {}
+    for r in out.orderBy("query_id", F.desc("score"), "doc_id").collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 6)))
+    assert got == expected
