@@ -94,6 +94,7 @@ HEADLINE = [
     "tpch_q17_small_qty_revenue",
     "customer_trailing_30d_revenue",
     "text_bm25_topk",
+    "weighted_sample_docs",
 ]
 
 

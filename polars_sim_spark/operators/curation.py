@@ -360,3 +360,49 @@ def score_linear_model(
         )
     )
     return scored
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    *,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows per
+    group (fewer if the group is smaller): Efraimidis-Spirakis
+    exponential keys, `"Weighted random sampling with a reservoir"
+    (IPL 2006)`, with the randomness replaced by the engine-portable
+    md5 hash of the id — so the sample is a pure FUNCTION of
+    (ids, weights), reproducible across runs, partitionings, and
+    engines, like every other sampling decision in this module.
+
+    Key: ``u = (md5_64(id)+1) / 2^32  ∈ (0,1]``;
+    ``key = -ln(u)/w`` — the k smallest keys per group are the sample
+    (equivalent to the classic "largest u^(1/w)" formulation). Rows
+    with non-positive weight are excluded (zero weight = never
+    sampled, matching the limit w→0).
+
+    The training-data use: "exactly 10k docs per language, preferring
+    higher quality" — temperature_sample reweights the MIX, this pins
+    exact per-group counts with within-group quality bias.
+
+    Plan: scan-stage key projection + ONE shuffle by group with a
+    rank-k filter (WindowGroupLimit: each map task forwards at most k
+    candidates per group, so group size never widens the exchange).
+    Keys round to 9 dp (the house float-boundary guard) with the id as
+    final tiebreak.
+    """
+    u = (md5_hash64(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        float(2**32)
+    )
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    win = Window.partitionBy(group_col).orderBy("__es_key", id_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .withColumn("__es_rn", F.row_number().over(win))
+        .where(F.col("__es_rn") <= k)
+        .drop("__es_key", "__es_rn")
+    )

@@ -2398,6 +2398,37 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    """
+WITH w AS (
+  SELECT doc_id, lang,
+         round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                         AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+  FROM w
+) WHERE rn <= 30
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (curation.weighted_sample_k): exactly 30 docs per language, chosen
+    by Efraimidis-Spirakis exponential keys weighted by document length
+    — deterministic md5 randomness, so the sample is a pure function of
+    the corpus. One WindowGroupLimit-bounded shuffle by language."""
+    from polars_sim_spark.operators.curation import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs, group_col="lang", weight_col="n_chars", id_col="doc_id", k=30
+    ).select("doc_id", "lang")
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2906,6 +2937,7 @@ _DRIVER_ORDER = [
     # ------------------------------------------------------------------
     "customer_trailing_30d_revenue",
     "text_bm25_topk",
+    "weighted_sample_docs",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

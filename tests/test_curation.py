@@ -244,3 +244,34 @@ def test_score_linear_model_values(spark):
     assert got[1] == round((-0.08 + 0.10) / 2 + 0.05, 6)
     assert got[2] == 0.05  # all OOV -> bias only
     assert 3 not in got  # whitespace-only doc has no tokens
+
+
+def test_weighted_sample_k_matches_model(spark):
+    """weighted_sample_k equals a direct Python evaluation of the
+    Efraimidis-Spirakis keys (same md5 randomness), and excludes
+    non-positive weights."""
+    import hashlib
+    import math
+
+    from polars_sim_spark.operators.curation import weighted_sample_k
+
+    rows = [(i, "g1" if i < 12 else "g2", float(1 + (i * 7) % 5)) for i in range(20)]
+    rows.append((99, "g1", 0.0))  # zero weight: never sampled
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return round(-math.log((h + 1) / 2**32) / w, 9)
+
+    expected = set()
+    for g in ("g1", "g2"):
+        members = [(key(i, w), i) for i, gg, w in rows if gg == g and w > 0]
+        expected |= {i for _, i in sorted(members)[:5]}
+
+    got = {
+        r["id"]
+        for r in weighted_sample_k(
+            df, group_col="g", weight_col="w", id_col="id", k=5
+        ).collect()
+    }
+    assert got == expected and 99 not in got
