@@ -95,6 +95,7 @@ HEADLINE = [
     "customer_trailing_30d_revenue",
     "text_bm25_topk",
     "weighted_sample_docs",
+    "text_unigram_surprisal",
 ]
 
 

@@ -2429,6 +2429,71 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_surprisal",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+freq AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+total AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT toks.doc_id,
+         round(-ln(CAST(c AS DOUBLE) / n), 6) AS surp
+  FROM toks JOIN freq USING (t) CROSS JOIN total
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(CAST(sum(CAST(surp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS mean_surprisal
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(mean_surprisal, 0.0) AS mean_surprisal
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM surprisal score per document — the relational stand-in
+    for the CCNet/KenLM perplexity filter: fit the unigram model ON the
+    corpus (one Zipf-small frequency aggregate, broadcast back) and
+    score each document by its mean per-token ``-ln p(t)``. Unusually
+    low surprisal flags degenerate/repetitive text; unusually high
+    flags noise — the two tails a perplexity filter trims. Per-token
+    surprisals round to 6 dp and sum as DECIMAL so the mean is
+    partition-order-independent. At web scale the frequency table
+    outgrows broadcast → the same plan degrades to a shuffled join on
+    the token (Zipf makes AQE's skew split the relevant guard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    surp = F.round(-F.log(F.col("c").cast("double") / F.col("n")), 6)
+    agg = (
+        toks.join(F.broadcast(freq), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(surp.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("mean_surprisal"), F.lit(0.0)).alias("mean_surprisal"),
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -2938,6 +3003,7 @@ _DRIVER_ORDER = [
     "customer_trailing_30d_revenue",
     "text_bm25_topk",
     "weighted_sample_docs",
+    "text_unigram_surprisal",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
