@@ -31,6 +31,14 @@ ROUND4_WINDOW_ENTRANTS = [
     "quality_model_score_docs",
     "tpch_q14_promo_revenue",
     "tpch_q22_idle_rich_customers",
+    # registered in round 4, first driver row is CORRECTNESS_r04 —
+    # rotating these out before that row lands would ship them
+    # driver-unverified:
+    "dedup_incremental_near_docs",
+    "dedup_passages_docs",
+    "text_repetition_signals",
+    "tpch_q4_order_priority",
+    "tpch_q17_small_qty_revenue",
 ]
 
 
