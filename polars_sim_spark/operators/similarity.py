@@ -425,9 +425,15 @@ def ann_topk_lsh(
         )
     cb = _sign_buckets(corpus, id_col, vec_col, num_planes, bands, num_dims)
     qb = _sign_buckets(queries, query_id_col, query_vec_col, num_planes, bands, num_dims)
+    # The query band table is |queries|×bands rows — broadcast it so the
+    # corpus band table streams map-side instead of shuffling by bucket
+    # (the probe-side analog of the brute-force path's broadcast).
     cand = (
         cb.join(
-            qb.select(F.col("id").alias("q_id"), "band", "bucket"), ["band", "bucket"]
+            F.broadcast(
+                qb.select(F.col("id").alias("q_id"), "band", "bucket")
+            ),
+            ["band", "bucket"],
         )
         .select(F.col("id").alias("n_id"), "q_id")
         .distinct()
