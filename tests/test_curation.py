@@ -275,3 +275,15 @@ def test_weighted_sample_k_matches_model(spark):
         ).collect()
     }
     assert got == expected and 99 not in got
+
+
+def test_weighted_sample_k_small_groups(spark):
+    from polars_sim_spark.operators.curation import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, "g", 2.0), (2, "g", 3.0)], "id long, g string, w double"
+    )
+    got = {r["id"] for r in weighted_sample_k(
+        df, group_col="g", weight_col="w", id_col="id", k=10
+    ).collect()}
+    assert got == {1, 2}  # k beyond group size returns the whole group

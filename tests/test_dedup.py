@@ -257,3 +257,16 @@ def test_remove_duplicate_passages_short_tail(spark):
     }
     assert out[1] == ("a b c d e", 2, 0)
     assert out[2] == ("z z z z", 1, 1)  # its "e" tail was doc 1's tail first
+
+
+def test_remove_duplicate_passages_null_text(spark):
+    rows = [(1, "a b c d"), (2, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.remove_duplicate_passages(
+            docs, "doc_id", "text", passage_words=4
+        ).collect()
+    }
+    assert out[1] == ("a b c d", 1, 0)
+    assert out[2] == ("", 0, 0)  # null text survives as an empty row

@@ -291,3 +291,22 @@ def test_bm25_topk_matches_python_model(spark):
     for r in out.orderBy("query_id", F.desc("score"), "doc_id").collect():
         got.setdefault(r["query_id"], []).append((r["doc_id"], round(r["score"], 6)))
     assert got == expected
+
+
+def test_bm25_unseen_terms_and_empty_query(spark):
+    from polars_sim_spark.operators.similarity import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(10, "zzz qqq"), (11, "   "), (12, "alpha")],
+        "query_id long, qtext string",
+    )
+    out = bm25_topk(
+        docs, qs, doc_id_col="doc_id", doc_text_col="text",
+        query_id_col="query_id", query_text_col="qtext", k=5,
+    ).collect()
+    got = {(r["query_id"], r["doc_id"]) for r in out}
+    # unseen-term and empty queries return nothing; no zero-score filler
+    assert got == {(12, 1)}
