@@ -156,3 +156,58 @@ def test_sessionize_matches_python_model(spark, rows, gap_minutes):
         gap_minutes * 60 * 1_000_000,
     )
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_repetition_signals_matches_python_model(spark, texts):
+    """repetition_signals (sort + longest-run aggregate HOFs) equals a
+    direct Python evaluation on arbitrary word sequences."""
+    from collections import Counter
+
+    from polars_sim_spark.functions.text import repetition_signals
+
+    def model(text):
+        ws = text.split()
+        n = len(ws)
+        if n == 0:
+            return (0, 0.0, 0.0, 0.0, 0)
+        cnt = Counter(ws)
+        bigrams = Counter(zip(ws, ws[1:]))
+        run = best = 1
+        for i in range(1, n):
+            run = run + 1 if ws[i] == ws[i - 1] else 1
+            best = max(best, run)
+        return (
+            n,
+            round(len(cnt) / n, 6),
+            round(max(cnt.values()) / n, 6),
+            round(max(bigrams.values()) / (n - 1), 6) if n >= 2 else 0.0,
+            best,
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["distinct_word_frac"], r["top_word_frac"],
+            r["top_bigram_frac"], r["max_word_run"],
+        )
+        for r in df.select(
+            "doc_id", repetition_signals("text").alias("r")
+        ).select("doc_id", "r.*").collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(texts)}
