@@ -515,14 +515,15 @@ def remove_duplicate_passages(
     n_dropped)``; documents whose every passage was seen earlier survive
     as empty strings, so corpus cardinality never changes.
 
-    Plan: zero-shuffle split+explode scan projection → ONE shuffle by
-    the passage's full md5 (narrow 32-char key, never the passage text)
+    Plan: zero-shuffle split+explode scan projection → a shuffle by the
+    passage's full md5 (narrow 32-char key, never the passage text)
     with a rank-1 window filter (Catalyst rewrites it to
     ``WindowGroupLimit``, so each map task pre-prunes to one candidate
-    per passage before the exchange) → order-preserving re-aggregation
-    by document. Passage-frequency skew is bounded by that same group
-    limit: a boilerplate passage occurring 10⁹ times contributes one row
-    per upstream partition to the shuffle, not 10⁹.
+    per passage before the exchange) → a second, per-document shuffle
+    for the order-preserving re-aggregation. Two exchanges total;
+    passage-frequency skew is bounded by the group limit: a boilerplate
+    passage occurring 10⁹ times contributes one row per upstream
+    partition to the first shuffle, not 10⁹.
     """
     w = F.lit(passage_words)
     passages = passage_rows(docs, id_col, text_col, passage_words).withColumnRenamed(

@@ -391,8 +391,15 @@ def ann_topk_lsh(
     bands: int = 4,
     num_dims: int | None = None,
     exclude_same_id: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH bucketing + exact re-rank.
+
+    ``broadcast_queries`` (default on) broadcasts the query band table
+    and the query vectors — right whenever queries ≪ corpus, which is
+    the retrieval norm. For batch-to-batch probing with a query set
+    past broadcast reach, pass ``False`` to fall back to shuffled
+    joins.
 
     Recall is governed by (num_planes, bands): a candidate needs all
     ``num_planes/bands`` sign bits of some band to agree. Returns
@@ -428,13 +435,11 @@ def ann_topk_lsh(
     # The query band table is |queries|×bands rows — broadcast it so the
     # corpus band table streams map-side instead of shuffling by bucket
     # (the probe-side analog of the brute-force path's broadcast).
+    qb_sel = qb.select(F.col("id").alias("q_id"), "band", "bucket")
+    if broadcast_queries:
+        qb_sel = F.broadcast(qb_sel)
     cand = (
-        cb.join(
-            F.broadcast(
-                qb.select(F.col("id").alias("q_id"), "band", "bucket")
-            ),
-            ["band", "bucket"],
-        )
+        cb.join(qb_sel, ["band", "bucket"])
         .select(F.col("id").alias("n_id"), "q_id")
         .distinct()
     )
@@ -450,7 +455,7 @@ def ann_topk_lsh(
             "n_id",
         )
         .join(
-            F.broadcast(
+            (F.broadcast if broadcast_queries else (lambda d: d))(
                 queries.select(
                     F.col(query_id_col).alias("q_id"),
                     F.col(query_vec_col).alias("__qv"),
@@ -612,9 +617,14 @@ def bm25_topk(
         ).alias("__t"),
     ).where(F.col("__t") != "")
 
+    # dfreq is full-vocabulary (corpus-scale at 100 TB — the surprisal
+    # operator's docstring concedes exactly this table outgrows
+    # broadcast). Reduce it FIRST against the broadcast query terms:
+    # (q, t, df) is bounded by the query vocabulary, and only that
+    # small table broadcasts to the postings probe.
+    q_df = dfreq.join(F.broadcast(qterms), "__t")
     scored = (
-        postings.join(F.broadcast(qterms), "__t")
-        .join(F.broadcast(dfreq), "__t")
+        postings.join(F.broadcast(q_df), "__t")
         .join(dl, "__d")
         .crossJoin(F.broadcast(stats))
     )

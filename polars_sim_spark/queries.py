@@ -2228,8 +2228,9 @@ def dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — keep the corpus-wide first occurrence of every distinct passage,
     rebuild documents from survivors. Complements whole-document dedup:
     boilerplate spans shared across otherwise-distinct pages are exactly
-    what document-level near-dup keeps. One narrow shuffle on the
-    passage md5 with a WindowGroupLimit rank-1 filter."""
+    what document-level near-dup keeps. Two narrow shuffles: the passage
+    md5 window (WindowGroupLimit rank-1 filter) and the per-document
+    re-aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_passages(docs, "doc_id", "text", passage_words=16)
 

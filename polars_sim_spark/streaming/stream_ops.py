@@ -501,8 +501,21 @@ def stream_passage_dedup(
     so per-document passage counts must stay below 2^20 — ~16M words at
     the default width).
     """
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
     from polars_sim_spark.operators.dedup import passage_rows
 
+    id_type = stream_docs.schema[id_col].dataType
+    if not isinstance(id_type, (LongType, IntegerType, ShortType, ByteType)):
+        # cast("long") on a non-numeric id would yield NULL order keys,
+        # silently breaking the smallest-(id, pidx) equivalence with the
+        # batch operator (which orders by the raw id column).
+        raise TypeError(
+            f"stream_passage_dedup needs an integral {id_col!r} to build its "
+            f"order key; got {id_type.simpleString()} — map string ids to "
+            "longs upstream (e.g. xxhash64) or extend the op with a "
+            "composite order key"
+        )
     p = passage_rows(stream_docs, id_col, text_col, passage_words)
     keyed = p.select(
         F.col(id_col),
