@@ -96,6 +96,7 @@ HEADLINE = [
     "text_bm25_topk",
     "weighted_sample_docs",
     "text_unigram_surprisal",
+    "tpch_q10_returned_revenue",
 ]
 
 

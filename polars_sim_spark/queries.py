@@ -2495,6 +2495,69 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q10_returned_revenue",
+    """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top-20 customers by returned-item revenue in a
+    quarter — the widest join tree in the contract (lineitem ⋈ orders ⋈
+    customer ⋈ nation). The date filter pushes to the orders scan and
+    prunes the join's probe side; customer and nation broadcast; the
+    global top-20 over an ordered aggregate plans as
+    TakeOrderedAndProject (partial top-k per partition, no global
+    sort). Revenue sums as DECIMAL(28,6) per the house pattern, with
+    c_custkey as the deterministic tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    # round to the 6-dp grid BEFORE the decimal cast: a raw double
+    # landing exactly on a cast-rounding boundary resolves differently
+    # across engines (observed at sf0.01: one half-boundary row moved
+    # the final cent)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        # round the DECIMAL sum, then cast: rounding after a double cast
+        # diverges across engines when the cents digit sits on a half
+        # boundary (Spark rounds the shortest decimal rendering of the
+        # double, DuckDB the exact binary value — observed on this very
+        # query: 307843.595 → .60 vs .59)
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3005,6 +3068,7 @@ _DRIVER_ORDER = [
     "text_bm25_topk",
     "weighted_sample_docs",
     "text_unigram_surprisal",
+    "tpch_q10_returned_revenue",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
