@@ -11,7 +11,15 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
   engines (IEEE doubles are deterministic given the same expression);
 * rankings that could tie on floats rank on ``round(x, 6)`` with an
   integer-key tiebreak;
-* every computed column is aliased to the same name in both engines.
+* every computed column is aliased to the same name in both engines;
+* round DECIMAL sums BEFORE casting to double: ``round(cast(sum ..
+  double), 2)`` diverges across engines when the target digit sits on a
+  half boundary — Spark's double round goes through the shortest
+  decimal rendering while DuckDB rounds the exact binary value
+  (``tpch_q10_returned_revenue`` hit this: decimal 307843.595 → .60 vs
+  .59). ``round(sum_decimal, 2)`` then cast agrees everywhere. Older
+  queries using the cast-first order are green on the fixed testdata
+  and stay untouched; new queries must round decimal-first.
 """
 
 from __future__ import annotations
