@@ -38,6 +38,37 @@ def rows_to_canon(cols, rows):
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+def _canon_dtype(t: str) -> str:
+    t = t.lower()
+    for cls, names in (
+        ("int", ("tinyint", "smallint", "int", "bigint", "long", "integer", "hugeint", "utinyint", "usmallint", "uinteger", "ubigint")),
+        ("float", ("float", "double", "real")),
+        ("dec", ("decimal",)),
+        ("str", ("string", "varchar", "char", "text")),
+        ("bool", ("boolean", "bool")),
+        ("ts", ("timestamp", "datetime")),
+        ("date", ("date",)),
+        ("bin", ("binary", "blob")),
+        ("list", ("array", "list", "[]")),
+    ):
+        if any(n in t for n in names):
+            return cls
+    return t
+
+
+def dtype_drift(sdf, dcols, dtypes):
+    """Advisory dtype comparison by canonical class (int/float/dec/str/
+    bool/ts/date/bin/list); returns [(col, spark_type, duck_type)] for
+    columns whose classes disagree."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out = []
+    for col, dt in zip(dcols, dtypes):
+        st = stypes.get(col)
+        if st is not None and _canon_dtype(st) != _canon_dtype(str(dt)):
+            out.append((col, st, str(dt)))
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -67,6 +98,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
@@ -87,7 +119,13 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             failures.append(name)
             continue
-        print(f"PASS {name}: {len(srows)} rows")
+        drift = dtype_drift(sdf, dcols, dtypes)
+        if drift:
+            # advisory only: canonical values already matched, but the
+            # driver's schema compare may be stricter than value hashing
+            print(f"PASS {name}: {len(srows)} rows (dtype drift: {drift})")
+        else:
+            print(f"PASS {name}: {len(srows)} rows")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
