@@ -122,3 +122,29 @@ def test_collision_rename_target_already_exists(spark, left, right):
     assert "extra" in out.columns and "extra_right" in out.columns
     assert "extra_right_right" in out.columns
     assert len(out.columns) == len(set(out.columns))
+
+
+def test_max_token_df_prunes_hot_tokens(spark):
+    """max_token_df (the documented skew/recall knob): pairs whose ONLY
+    shared trigram exceeds the right-side document-frequency cap vanish;
+    pairs sharing a rare trigram survive untouched."""
+    lt = spark.createDataFrame(
+        [(1, "abc"), (2, "xyz")], "lid long, name string"
+    )
+    rt = spark.createDataFrame(
+        [(10, "abcqrs"), (11, "abctuv"), (12, "abcxyz")],
+        "rid long, name string",
+    )
+    kwargs = dict(
+        on="name", top_n=5, strategy="shuffle",
+        left_id="lid", right_id="rid", add_mapping=True,
+    )
+    full = join_sim(lt, rt, **kwargs)
+    assert {(r["lid"], r["rid"]) for r in full.collect()} == {
+        (1, 10), (1, 11), (1, 12), (2, 12)
+    }
+    # df("abc") = 3 on the right; cap at 2 removes it from the postings,
+    # so left "abc" (whose only token is the hot one) matches nothing,
+    # while "xyz" still reaches rid=12 via its rare trigram.
+    pruned = join_sim(lt, rt, **kwargs, max_token_df=2)
+    assert {(r["lid"], r["rid"]) for r in pruned.collect()} == {(2, 12)}
