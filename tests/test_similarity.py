@@ -310,3 +310,22 @@ def test_bm25_unseen_terms_and_empty_query(spark):
     got = {(r["query_id"], r["doc_id"]) for r in out}
     # unseen-term and empty queries return nothing; no zero-score filler
     assert got == {(12, 1)}
+
+
+def test_ann_lsh_broadcast_optout_same_values(spark, sf_small):
+    """broadcast_queries=False (shuffled-join fallback for oversized
+    query sets) must return exactly the broadcast path's rows."""
+    from polars_sim_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    def run(flag):
+        return {
+            (r["q_id"], r["n_id"], r["sim"])
+            for r in ann_topk_lsh(
+                emb, qs, k=3, broadcast_queries=flag
+            ).collect()
+        }
+    assert run(True) == run(False)

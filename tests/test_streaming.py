@@ -533,3 +533,14 @@ def test_stream_passage_dedup_matches_first_occurrence(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_stream_passage_dedup_rejects_string_ids(spark):
+    from polars_sim_spark.streaming.stream_ops import stream_passage_dedup
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr("CAST(value AS STRING) AS doc_id", "'a b c d' AS text")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        stream_passage_dedup(stream, id_col="doc_id", text_col="text", passage_words=4)
