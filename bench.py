@@ -97,6 +97,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "text_unigram_surprisal",
     "tpch_q10_returned_revenue",
+    "embedding_cluster_medoids",
 ]
 
 

@@ -653,3 +653,58 @@ def bm25_topk(
             F.col("score"),
         )
     )
+
+
+def cluster_medoids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """One representative example per cluster: assign every vector to
+    its nearest (hash-sampled, optionally k-means-refined) centroid and
+    return, per cluster, the member closest to the centroid by cosine
+    (ties → smallest id) together with the cluster size — the
+    "show me what each cluster looks like" primitive of corpus
+    triage/visualization, and the seed-selection step of
+    cluster-balanced sampling.
+
+    Plan: the assignment is the same zero-shuffle score projection as
+    IVF (``_centroid_scores``); the only exchange is ONE shuffle by
+    centroid id for the medoid rank + cluster-size window pair (same
+    partitioning, shared Exchange). Output: (c_id, medoid_id, sim,
+    cluster_size).
+    """
+    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    if kmeans_iters > 0:
+        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
+    scores = _centroid_scores(cent_rows)
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__vn"),
+        )
+        .select("id", F.array_max(scores).alias("__b"))
+        .select(
+            "id",
+            F.col("__b").getField("c_id").alias("c_id"),
+            F.col("__b").getField("sim").alias("sim"),
+        )
+    )
+    rank_w = Window.partitionBy("c_id").orderBy(F.desc("sim"), F.asc("id"))
+    size_w = Window.partitionBy("c_id")
+    return (
+        assigned.withColumn("__rn", F.row_number().over(rank_w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "c_id",
+            F.col("id").alias("medoid_id"),
+            "sim",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

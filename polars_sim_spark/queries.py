@@ -2566,6 +2566,51 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_medoids",
+    f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id,
+           {DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT 16
+  ) s USING (vec_id)
+),
+scored AS (
+  SELECT e.vec_id AS id, c.c_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+           AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id, sim FROM scored WHERE rn = 1),
+med AS (
+  SELECT c_id, id, sim,
+         row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, id) AS mrn,
+         count(*) OVER (PARTITION BY c_id) AS cluster_size
+  FROM assign
+)
+SELECT c_id, id AS medoid_id, sim, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM med WHERE mrn = 1
+""",
+)
+def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster medoids (similarity.cluster_medoids): one representative
+    vector per hash-sampled centroid cell plus the cell population —
+    corpus triage and cluster-balanced seed selection. Assignment is the
+    zero-shuffle IVF score projection; the single exchange serves both
+    the medoid rank and the cluster-size window."""
+    from polars_sim_spark.operators.similarity import cluster_medoids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_medoids(emb, num_centroids=16)
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3077,6 +3122,7 @@ _DRIVER_ORDER = [
     "weighted_sample_docs",
     "text_unigram_surprisal",
     "tpch_q10_returned_revenue",
+    "embedding_cluster_medoids",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -329,3 +329,44 @@ def test_ann_lsh_broadcast_optout_same_values(spark, sf_small):
             ).collect()
         }
     assert run(True) == run(False)
+
+
+def test_cluster_medoids_matches_model(spark, sf_small):
+    """cluster_medoids equals a numpy evaluation over the same
+    deterministic centroids: sizes sum to the corpus, each medoid is
+    its cluster's max-cosine member (ties → smallest id)."""
+    import numpy as np
+
+    from polars_sim_spark.operators.similarity import cluster_medoids, pick_centroids
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    cents = {
+        r["c_id"]: np.array(r["__centroid"], dtype=float)
+        for r in pick_centroids(emb, "vec_id", "embedding", 8).collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), 6) if na > 0 and nb > 0 else 0.0
+
+    ordered = sorted(cents)  # tie = -rank over c_id-ascending order
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((cos(v, cents[c]), -r, c) for r, c in enumerate(ordered)),
+        )
+        assign[vid] = (best[2], best[0])
+    expected = {}
+    for c in ordered:
+        members = [(s, vid) for vid, (cc, s) in assign.items() if cc == c]
+        if members:
+            s, vid = max(((s, -vid) for s, vid in members))
+            expected[c] = (-vid, s, len(members))
+
+    got = {
+        r["c_id"]: (r["medoid_id"], r["sim"], r["cluster_size"])
+        for r in cluster_medoids(emb, num_centroids=8).collect()
+    }
+    assert got == expected
+    assert sum(v[2] for v in got.values()) == len(vecs)
