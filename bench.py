@@ -98,6 +98,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "tpch_q10_returned_revenue",
     "embedding_cluster_medoids",
+    "embedding_cluster_balanced_sample",
 ]
 
 

@@ -655,6 +655,39 @@ def bm25_topk(
     )
 
 
+def nearest_centroid_assignments(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """``(id, c_id, sim)``: every corpus vector labeled with its nearest
+    deterministic (hash-sampled, optionally k-means-refined) centroid
+    and the cosine to it — the shared front end of
+    :func:`cluster_medoids` and cluster-balanced sampling. A zero-
+    shuffle scan projection (``_centroid_scores``)."""
+    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    if kmeans_iters > 0:
+        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
+    scores = _centroid_scores(cent_rows)
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__vn"),
+        )
+        .select("id", F.array_max(scores).alias("__b"))
+        .select(
+            "id",
+            F.col("__b").getField("c_id").alias("c_id"),
+            F.col("__b").getField("sim").alias("sim"),
+        )
+    )
+
+
 def cluster_medoids(
     corpus: DataFrame,
     *,
@@ -677,23 +710,12 @@ def cluster_medoids(
     partitioning, shared Exchange). Output: (c_id, medoid_id, sim,
     cluster_size).
     """
-    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
-    cent_rows.sort(key=lambda r: r["c_id"])
-    if kmeans_iters > 0:
-        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
-    scores = _centroid_scores(cent_rows)
-    assigned = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("__v"),
-            l2_norm(vec_col).alias("__vn"),
-        )
-        .select("id", F.array_max(scores).alias("__b"))
-        .select(
-            "id",
-            F.col("__b").getField("c_id").alias("c_id"),
-            F.col("__b").getField("sim").alias("sim"),
-        )
+    assigned = nearest_centroid_assignments(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        kmeans_iters=kmeans_iters,
     )
     rank_w = Window.partitionBy("c_id").orderBy(F.desc("sim"), F.asc("id"))
     size_w = Window.partitionBy("c_id")

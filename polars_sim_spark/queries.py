@@ -2611,6 +2611,61 @@ def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_balanced_sample",
+    f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id,
+           {DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT 16
+  ) s USING (vec_id)
+),
+scored AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id FROM scored WHERE rn = 1),
+keyed AS (
+  SELECT id, c_id,
+         round(-ln(({DUCK_HASH.format(c="CAST(id AS VARCHAR)")} + 1)
+                   / 4294967296.0), 9) AS es_key
+  FROM assign
+)
+SELECT c_id, id AS vec_id FROM (
+  SELECT c_id, id,
+         row_number() OVER (PARTITION BY c_id ORDER BY es_key, id) AS srn
+  FROM keyed
+) WHERE srn <= 5
+""",
+)
+def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling: exactly 5 vectors per centroid cell
+    (fewer in smaller cells), drawn by the deterministic
+    Efraimidis-Spirakis keys — the diversity-preserving downsample
+    behind cluster-balanced data mixtures (keep every mode of the
+    distribution, cap each mode's mass). Composition of two existing
+    pieces: the zero-shuffle IVF assignment
+    (similarity.nearest_centroid_assignments) and uniform-weight
+    curation.weighted_sample_k over the cell id."""
+    from polars_sim_spark.operators.curation import weighted_sample_k
+    from polars_sim_spark.operators.similarity import nearest_centroid_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = nearest_centroid_assignments(emb, num_centroids=16).withColumn(
+        "__w", F.lit(1.0)
+    )
+    return weighted_sample_k(
+        assigned, group_col="c_id", weight_col="__w", id_col="id", k=5
+    ).select("c_id", F.col("id").alias("vec_id"))
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3123,6 +3178,7 @@ _DRIVER_ORDER = [
     "text_unigram_surprisal",
     "tpch_q10_returned_revenue",
     "embedding_cluster_medoids",
+    "embedding_cluster_balanced_sample",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
