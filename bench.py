@@ -99,6 +99,7 @@ HEADLINE = [
     "tpch_q10_returned_revenue",
     "embedding_cluster_medoids",
     "embedding_cluster_balanced_sample",
+    "dedup_remove_embeddings",
 ]
 
 

@@ -723,6 +723,47 @@ def remove_near_dups(
     return docs.join(keep, id_col)
 
 
+def remove_embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    min_cosine: float = 0.35,
+    num_centroids: int | None = None,
+    nprobe: int = 2,
+    assignment: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC removal: the surviving corpus after
+    collapsing every cosine-≥``min_cosine`` cluster of embeddings to
+    its canonical (smallest-id) member, all columns intact — the
+    embedding-space twin of :func:`remove_near_dups` (Abbas et al.,
+    "SemDeDup", 2023: semantic duplicates — paraphrases, re-renders,
+    near-identical images — survive text-level dedup; their embeddings
+    don't).
+
+    Composition of the proven pieces: IVF-blocked candidate pairs with
+    exact cosine verification (:func:`embedding_ivf_near_dup_pairs`,
+    O(n^1.5) with √n centroids) → :func:`connected_components`
+    (pointer-jump min-label) → keep rows whose id IS their cluster's
+    label. Same bounded-stage scale posture as the text removal.
+    """
+    pairs = embedding_ivf_near_dup_pairs(
+        df,
+        id_col,
+        vec_col,
+        min_cosine=min_cosine,
+        num_centroids=num_centroids,
+        nprobe=nprobe,
+        assignment=assignment,
+    ).select("l_id", "r_id")
+    nodes = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs)
+    keep = cc.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(keep, id_col)
+
+
 def embedding_lsh_near_dup_pairs(
     df: DataFrame,
     id_col: str,

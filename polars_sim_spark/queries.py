@@ -2666,6 +2666,78 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "dedup_remove_embeddings",
+    f"""
+WITH RECURSIVE cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id,
+           {DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT 16
+  ) s USING (vec_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id FROM nearest WHERE rn <= 2),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM assign a JOIN assign b USING (c_id)
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT l_id, r_id FROM (
+    SELECT c.l_id, c.r_id,
+           round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                        CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.l_id
+    JOIN embeddings e2 ON e2.vec_id = c.r_id
+  ) WHERE sim >= 0.35
+),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT vec_id AS id FROM embeddings),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT emb.vec_id AS vec_id, emb.label AS label
+FROM embeddings emb JOIN cc ON emb.vec_id = cc.id
+WHERE cc.id = cc.cluster_id
+""",
+)
+def dedup_remove_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic removal end-to-end
+    (dedup.remove_embedding_near_dups): IVF-blocked cosine pairs (16
+    centroids, nprobe=2, t=0.35 — the dedup_embedding_ivf contract
+    settings) → connected components → one canonical vector per
+    semantic cluster. The embedding-space twin of dedup_remove_docs:
+    paraphrases and re-renders that text dedup can't see collapse
+    here. Oracle mirrors blocking, verification, and the
+    recursive-CTE component closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.remove_embedding_near_dups(
+        emb,
+        "vec_id",
+        "embedding",
+        min_cosine=0.35,
+        num_centroids=16,
+        nprobe=2,
+        assignment="expr",
+    )
+    return out.select("vec_id", "label")
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3179,6 +3251,7 @@ _DRIVER_ORDER = [
     "tpch_q10_returned_revenue",
     "embedding_cluster_medoids",
     "embedding_cluster_balanced_sample",
+    "dedup_remove_embeddings",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -270,3 +270,21 @@ def test_remove_duplicate_passages_null_text(spark):
     }
     assert out[1] == ("a b c d", 1, 0)
     assert out[2] == ("", 0, 0)  # null text survives as an empty row
+
+
+def test_remove_embedding_near_dups_unit(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # exact semantic dup of 1
+        (3, [0.9, 0.1]),   # near 1 (cos ~0.994)
+        (4, [0.0, 1.0]),   # distinct
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]
+        for r in dedup.remove_embedding_near_dups(
+            emb, "vec_id", "embedding",
+            min_cosine=0.9, num_centroids=4, nprobe=2,
+        ).collect()
+    }
+    assert out == {1, 4}  # the 1-2-3 semantic cluster keeps its min id
