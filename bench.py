@@ -100,6 +100,7 @@ HEADLINE = [
     "embedding_cluster_medoids",
     "embedding_cluster_balanced_sample",
     "dedup_remove_embeddings",
+    "events_multires_rollup",
 ]
 
 

@@ -2738,6 +2738,64 @@ def dedup_remove_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multires_rollup",
+    """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS w, value
+  FROM events
+),
+g AS (
+  SELECT h, d, w, count(*) AS n_events,
+         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+  FROM b
+  GROUP BY GROUPING SETS ((h), (d), (w))
+)
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day' ELSE 'week' END AS resolution,
+       coalesce(h, d, w) AS bucket, n_events, total_value
+FROM g
+""",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): hourly, daily, AND weekly aggregates of the event stream in
+    ONE pass via GROUPING SETS over pre-projected time buckets — one
+    scan, one shuffle, three resolutions, instead of three jobs.
+    Complements `revenue_rollup` (hierarchical ROLLUP) and
+    `events_cube_day_type` (CUBE) with the explicit-sets form. Values
+    sum as rounded DECIMAL per the house rule."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        "value",
+    )
+    g = b.groupingSets([["h"], ["d"], ["w"]], "h", "d", "w").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                F.round(F.col("value").cast("double"), 6).cast("decimal(18,6)")
+            ).cast("double"),
+            6,
+        ).alias("total_value"),
+    )
+    # NULL group keys from the non-active sets fold into an explicit
+    # (resolution, bucket) pair so the output carries no NULLs
+    return g.select(
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("week")
+        .alias("resolution"),
+        F.coalesce("h", "d", "w").alias("bucket"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3252,6 +3310,7 @@ _DRIVER_ORDER = [
     "embedding_cluster_medoids",
     "embedding_cluster_balanced_sample",
     "dedup_remove_embeddings",
+    "events_multires_rollup",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
