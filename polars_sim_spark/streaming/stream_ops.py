@@ -527,3 +527,54 @@ def stream_passage_dedup(
     return streaming_dedup_first_seen(
         keyed, key_col="__fp", order_col="__seq"
     ).select(id_col, "pidx", "ptext")
+
+
+def stream_centroid_assign(
+    stream_vecs: DataFrame,
+    static_corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_id_col: str | None = None,
+    corpus_vec_col: str | None = None,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Streaming centroid assignment: label every arriving embedding
+    with its nearest centroid cell (and the cosine to it) — the
+    ingest-time router of a vector index: incoming vectors go straight
+    to the right IVF shard/partition, so the index grows without
+    reclustering per batch. Extends the streaming surface to the
+    vector half of the engine.
+
+    Centroids are the deterministic hash-sample of the STATIC corpus
+    (``similarity.pick_centroids`` — an O(num_centroids) driver read at
+    plan-build time); assignment itself is the same zero-shuffle,
+    stateless score projection as batch IVF, so it runs in append mode
+    with no state store and no aggregation spent. Batch/stream
+    equivalence is pinned by an availableNow test against
+    ``similarity.nearest_centroid_assignments``.
+    """
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import _centroid_scores, pick_centroids
+
+    cent_rows = pick_centroids(
+        static_corpus,
+        corpus_id_col or id_col,
+        corpus_vec_col or vec_col,
+        num_centroids,
+    ).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    scores = _centroid_scores(cent_rows)
+    return (
+        stream_vecs.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__vn"),
+        )
+        .select("id", F.array_max(scores).alias("__b"))
+        .select(
+            "id",
+            F.col("__b").getField("c_id").alias("c_id"),
+            F.col("__b").getField("sim").alias("sim"),
+        )
+    )

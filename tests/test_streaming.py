@@ -544,3 +544,31 @@ def test_stream_passage_dedup_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         stream_passage_dedup(stream, id_col="doc_id", text_col="text", passage_words=4)
+
+
+def test_stream_centroid_assign_equals_batch(spark, sf_small):
+    """Streaming centroid assignment (availableNow over the embeddings
+    table) emits exactly the batch nearest_centroid_assignments rows."""
+    from polars_sim_spark.operators.similarity import nearest_centroid_assignments
+    from polars_sim_spark.streaming.stream_ops import stream_centroid_assign
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    expected = {
+        (r["id"], r["c_id"], r["sim"])
+        for r in nearest_centroid_assignments(emb, num_centroids=8).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pss_vec_stream_")
+    try:
+        emb.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(emb.schema).parquet(d)
+        out = stream_centroid_assign(stream, emb, num_centroids=8)
+        name = f"vecassign_{uuid.uuid4().hex[:8]}"
+        _run_to_memory(out, name, "append")
+        got = {
+            (r["id"], r["c_id"], r["sim"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
