@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_cluster_balanced_sample",
     "dedup_remove_embeddings",
     "events_multires_rollup",
+    "docs_quality_unpivot",
 ]
 
 

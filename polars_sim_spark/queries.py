@@ -2796,6 +2796,43 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_quality_unpivot",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_m,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_words_m,
+         round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS alpha_frac_m
+  FROM documents
+)
+SELECT doc_id, metric, value
+FROM m UNPIVOT (value FOR metric IN (n_chars_m, n_words_m, alpha_frac_m))
+""",
+)
+def docs_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt — the inverse of
+    events_type_value_pivot): three per-document quality metrics leave
+    as (doc_id, metric, value) rows, the layout metric stores and
+    dashboard sinks ingest. A zero-shuffle scan projection: unpivot is
+    a per-row expansion, no exchange anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("n_chars_m"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("n_words_m"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("alpha_frac_m"),
+    )
+    return m.unpivot(
+        "doc_id", ["n_chars_m", "n_words_m", "alpha_frac_m"], "metric", "value"
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3311,6 +3348,7 @@ _DRIVER_ORDER = [
     "embedding_cluster_balanced_sample",
     "dedup_remove_embeddings",
     "events_multires_rollup",
+    "docs_quality_unpivot",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
