@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_remove_embeddings",
     "events_multires_rollup",
     "docs_quality_unpivot",
+    "events_user_funnel",
 ]
 
 

@@ -2833,6 +2833,63 @@ def docs_quality_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_funnel",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_click, first_purchase,
+       CASE WHEN first_click IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_click
+            -- floored whole seconds from exact integer microseconds:
+            -- date_diff('second', ...) would count boundary CROSSINGS,
+            -- one off from the floor on sub-second timestamps
+            THEN CAST((epoch_us(first_purchase) - epoch_us(first_click))
+                      // 1000000 AS BIGINT)
+            END AS secs_to_convert
+FROM f
+""",
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel per user: first click, first
+    purchase, and seconds-to-convert when the purchase followed the
+    click — the sequential-stages analytic (conditional min aggregates,
+    ONE shuffle by user; no self-join, no window). Users missing a
+    stage carry NULLs, so the funnel's drop-off is a count over this
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    return f.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.when(
+            converted,
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_click").cast("timestamp"))
+            )
+            / 1_000_000,
+        )
+        .cast("long")
+        .alias("secs_to_convert"),
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3349,6 +3406,7 @@ _DRIVER_ORDER = [
     "dedup_remove_embeddings",
     "events_multires_rollup",
     "docs_quality_unpivot",
+    "events_user_funnel",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
