@@ -103,6 +103,7 @@ HEADLINE = [
     "events_multires_rollup",
     "docs_quality_unpivot",
     "events_user_funnel",
+    "tpch_q21_sole_late_suppliers",
 ]
 
 

@@ -2890,6 +2890,80 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q21_sole_late_suppliers",
+    """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM base
+  WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+),
+allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base)
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM allsupp l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers-who-kept-orders-waiting; "late" =
+    shipped > 80 days after the order date, the available-column
+    adaptation): for each supplier, count multi-supplier orders on
+    which they were the ONLY late supplier; top 10.
+
+    The textbook form is a correlated EXISTS + NOT EXISTS against the
+    same table — the hardest classic decorrelation — and the ORACLE
+    keeps that form verbatim. The Spark plan is the decorrelated
+    aggregate: one per-order frame carrying (distinct supplier count,
+    distinct LATE supplier count) replaces both subqueries — a wait is
+    a late (order, supplier) row whose order has ≥2 suppliers and
+    exactly 1 late one. The crosscheck therefore proves the rewrite,
+    not just the numbers. One orders⋈lineitem join, two aggregates
+    sharing the order key, broadcast supplier names,
+    TakeOrderedAndProject top-10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("timestamp")
+            > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 80 DAYS")
+        ).alias("__late"),
+    )
+    pairs = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__late")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__late").cast("int")).alias("__n_late"),
+    )
+    waits = (
+        pairs.where(F.col("__late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        waits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3407,6 +3481,7 @@ _DRIVER_ORDER = [
     "events_multires_rollup",
     "docs_quality_unpivot",
     "events_user_funnel",
+    "tpch_q21_sole_late_suppliers",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
