@@ -104,6 +104,7 @@ HEADLINE = [
     "docs_quality_unpivot",
     "events_user_funnel",
     "tpch_q21_sole_late_suppliers",
+    "langid_confusion",
 ]
 
 

@@ -2964,6 +2964,41 @@ def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "langid_confusion",
+    f"""
+SELECT d.lang AS true_lang, p.pred_lang AS pred_lang,
+       count(*) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS frac_of_true
+FROM documents d JOIN ({_duck_langid_sql()}) p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID heuristic's
+    confusion matrix against the labeled ``lang`` column — (true,
+    predicted, count, share of the true class). The eval loop every
+    curation filter needs before it gates data, expressed as the same
+    scan projection plus one aggregation; ``frac_of_true`` is a window
+    over the grouped counts, reusing the aggregation's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_langid(spark, sf_dir)
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    counts = joined.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("frac_of_true"),
+    )
+
+
+@register(
     "docs_length_quartiles",
     """
 SELECT doc_id, lang,
@@ -3482,6 +3517,7 @@ _DRIVER_ORDER = [
     "docs_quality_unpivot",
     "events_user_funnel",
     "tpch_q21_sole_late_suppliers",
+    "langid_confusion",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
