@@ -572,3 +572,57 @@ def test_stream_centroid_assign_equals_batch(spark, sf_small):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows_across_batches(spark):
+    """A row older than the recovered watermark, arriving in a later
+    micro-batch, is DROPPED — it neither reopens its already-emitted
+    window nor appears anywhere in the cumulative output."""
+    from datetime import datetime
+
+    from polars_sim_spark.streaming.stream_ops import windowed_event_counts
+
+    src = tempfile.mkdtemp(prefix="pss_late_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_late_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_late_out_")
+    schema = "ts timestamp, event_type string, value double"
+    out_schema = "window_start timestamp, event_type string, n_events long, sum_value double"
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = windowed_event_counts(
+            stream, window_duration="1 hour", watermark_delay="1 hour"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"].hour, r["n_events"])
+            for r in spark.read.schema(out_schema).parquet(dst).collect()
+        }
+
+    try:
+        # run 1: watermark advances to 12:00; the 10:00 window closes with 2
+        got1 = run([(ts(10, 15), "click", 1.0), (ts(10, 45), "click", 1.0),
+                    (ts(13, 0), "click", 1.0)])
+        assert (10, 2) in got1
+        # run 2: 10:50 is behind the RECOVERED watermark -> dropped; the
+        # 15:30 row advances the watermark and closes 13:00 with exactly 2
+        got2 = run([(ts(10, 50), "click", 1.0), (ts(13, 10), "click", 1.0),
+                    (ts(15, 30), "click", 1.0)])
+        assert (10, 2) in got2 and (13, 2) in got2
+        assert not any(h == 10 and n != 2 for h, n in got2)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
