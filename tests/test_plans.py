@@ -146,3 +146,11 @@ def test_q17_thresholds_are_broadcast(spark, sf_small):
     # every join is broadcast; the only exchanges are the narrow
     # (partkey, thr) aggregate and the final 1-row aggregate
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_unpivot_is_zero_exchange(spark, sf_small):
+    """UNPIVOT is a per-row expansion — the wide→long reshape must not
+    plan any exchange."""
+    df = q.docs_quality_unpivot(spark, sf_small)
+    plan = formatted_plan(df)
+    assert ") Exchange" not in plan and "Expand" in plan
