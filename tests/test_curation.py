@@ -287,3 +287,28 @@ def test_weighted_sample_k_small_groups(spark):
         df, group_col="g", weight_col="w", id_col="id", k=10
     ).collect()}
     assert got == {1, 2}  # k beyond group size returns the whole group
+
+
+def test_events_user_funnel_hand_values(spark, tmp_path):
+    """Funnel semantics on hand-built events: conversion only when the
+    first purchase strictly follows the first click; missing stages
+    carry NULLs."""
+    from datetime import datetime
+
+    from polars_sim_spark import queries as q
+
+    rows = [
+        (1, "click", datetime(2024, 1, 1, 10, 0, 0)),
+        (1, "purchase", datetime(2024, 1, 1, 10, 0, 30)),   # converts in 30s
+        (2, "purchase", datetime(2024, 1, 1, 9, 0, 0)),
+        (2, "click", datetime(2024, 1, 1, 10, 0, 0)),       # purchase BEFORE click
+        (3, "click", datetime(2024, 1, 1, 8, 0, 0)),        # never purchases
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    df = df.withColumn("value", F.lit(1.0))
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+    # the query loads {sf_dir}/events.parquet
+    out = {r["user_id"]: r["secs_to_convert"]
+           for r in q.events_user_funnel(spark, str(tmp_path)).collect()}
+    assert out == {1: 30, 2: None, 3: None}
