@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
+stdout line is a compact totals-only JSON ({"metric": ..., "value":
+total_sec, "unit": "sec", "sf": ..., "n_queries": ..., "queries_file":
+"BENCH_local.json"}) sized to survive the driver's tail capture; the
+full per-query map is printed on the preceding line AND persisted to
+BENCH_local.json at the repo root.
 
 Each query is timed end-to-end including the action (count-style
 materialization of every result row; nothing collected to the driver
@@ -142,14 +145,36 @@ def main() -> None:
         cache_registry.unpersist_all()
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver records only a tail window of stdout and parses the last
+    # line: a single JSON line carrying the full per-query map (~5 KB at
+    # 78 queries) gets truncated mid-object (BENCH_r04.json parsed: null,
+    # VERDICT.md round 4 "What's wrong" #1). So: persist the complete
+    # record to BENCH_local.json (committed alongside BASELINE.md), print
+    # the full line first for human eyes, and make the LAST stdout line a
+    # compact totals-only JSON that always survives the tail capture.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_local.json",
             }
         )
     )
