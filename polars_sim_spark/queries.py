@@ -2311,9 +2311,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_trailing_30d_revenue",
     """
 SELECT o_custkey, o_orderkey,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
-         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
        AS trailing_30d
 FROM orders
 """,
@@ -2334,10 +2334,13 @@ def customer_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return orders.select(
         "o_custkey",
         "o_orderkey",
+        # round the DECIMAL window sum, then cast (house rule — cast-first
+        # rounding diverges across engines on half-boundary cents)
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"),
-            2,
-        ).alias("trailing_30d"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2
+        )
+        .cast("double")
+        .alias("trailing_30d"),
     )
 
 

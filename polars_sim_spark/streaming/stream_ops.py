@@ -517,12 +517,31 @@ def stream_passage_dedup(
             "composite order key"
         )
     p = passage_rows(stream_docs, id_col, text_col, passage_words)
+    packed = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pidx")
+    # Runtime guard for the packing domain (docstring limit, enforced):
+    # a pidx >= 2^20 or a negative id would silently corrupt the
+    # smallest-(id, pidx) keep-first ordering. assert_true is embedded
+    # in the __seq expression itself so column pruning can't drop it.
+    packing_ok = (F.col("pidx") < F.lit(1 << 20)) & (
+        F.col(id_col).cast("long") >= 0
+    )
+    guard = F.assert_true(
+        packing_ok,
+        F.concat_ws(
+            " ",
+            F.lit("stream_passage_dedup order-key packing overflow:"),
+            F.lit("need 0 <= id and pidx < 2^20, got id="),
+            F.col(id_col).cast("string"),
+            F.lit("pidx="),
+            F.col("pidx").cast("string"),
+        ),
+    )
     keyed = p.select(
         F.col(id_col),
         "pidx",
         "ptext",
         F.md5("ptext").alias("__fp"),
-        (F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pidx")).alias("__seq"),
+        F.when(guard.isNull(), packed).otherwise(packed).alias("__seq"),
     )
     return streaming_dedup_first_seen(
         keyed, key_col="__fp", order_col="__seq"

@@ -39,19 +39,36 @@ def rows_to_canon(cols, rows):
 
 
 def _canon_dtype(t: str) -> str:
-    t = t.lower()
-    for cls, names in (
-        ("int", ("tinyint", "smallint", "int", "bigint", "long", "integer", "hugeint", "utinyint", "usmallint", "uinteger", "ubigint")),
-        ("float", ("float", "double", "real")),
-        ("dec", ("decimal",)),
-        ("str", ("string", "varchar", "char", "text")),
-        ("bool", ("boolean", "bool")),
-        ("ts", ("timestamp", "datetime")),
-        ("date", ("date",)),
-        ("bin", ("binary", "blob")),
-        ("list", ("array", "list", "[]")),
-    ):
-        if any(n in t for n in names):
+    """Canonical dtype class from the type name's leading token — exact
+    base-name match, not substring containment (substring matching
+    classified e.g. 'interval' as int and 'datetime' as date)."""
+    t = t.lower().strip()
+    if t.endswith("[]"):
+        return "list"
+    # leading identifier: 'decimal(18,6)' -> 'decimal', 'array<long>' -> 'array'
+    base = ""
+    for ch in t:
+        if ch.isalnum() or ch == "_":
+            base += ch
+        else:
+            break
+    classes = {
+        "int": ("tinyint", "smallint", "int", "bigint", "long", "integer",
+                "hugeint", "utinyint", "usmallint", "uinteger", "ubigint",
+                "int8", "int16", "int32", "int64", "uint8", "uint16",
+                "uint32", "uint64", "short", "byte"),
+        "float": ("float", "double", "real", "float32", "float64"),
+        "dec": ("decimal", "numeric"),
+        "str": ("string", "varchar", "char", "text"),
+        "bool": ("boolean", "bool"),
+        "ts": ("timestamp", "datetime", "timestamp_ns", "timestamp_ms",
+               "timestamp_s", "timestamptz"),
+        "date": ("date", "date32", "date64"),
+        "bin": ("binary", "blob", "bytea", "varbinary"),
+        "list": ("array", "list"),
+    }
+    for cls, names in classes.items():
+        if base in names:
             return cls
     return t
 
