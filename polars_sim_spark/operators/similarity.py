@@ -248,8 +248,11 @@ def ann_topk_ivf(
     Arrow-batched GEMM (``centroid_assignments_kernel``; same
     assignments, equivalence-tested, 6.6× cheaper at √n centroids —
     BASELINE.md); ``"auto"`` flips to kernel above
-    ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``. The (typically tiny)
-    query-side probe scoring always uses the expression path.
+    ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``. Kernel mode scores the
+    probe side against the broadcast centroid matrix too, so the
+    num_centroids × dim literal array is never built — at large centroid
+    counts constructing/compiling those plan literals is itself the
+    binding cost (BASELINE.md "probe scorer at large centroid counts").
     """
     from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
 
@@ -278,22 +281,40 @@ def ann_topk_ivf(
     # argmax / top-nprobe over the centroid scores as pure array
     # expressions — no crossJoin, no window, no Exchange: the judge's
     # round-1 finding was a full-corpus shuffle of 16n rows here.
-    scores = _centroid_scores(cent_rows)
+    #
+    # In kernel mode BOTH sides score against the broadcast centroid
+    # matrix and the num_centroids × dim literal array is never built:
+    # past a few hundred centroids the literal plan itself (construction
+    # + codegen of c×dim constants) becomes the binding cost even when
+    # only the tiny probe side evaluates it (measured — BASELINE.md
+    # "probe scorer at large centroid counts").
     if assignment == "kernel":
         assign = centroid_assignments_kernel(
             corpus, id_col, vec_col, cent_rows, nprobe=1
         ).withColumnRenamed("id", "n_id")
+        probes = centroid_assignments_kernel(
+            queries,
+            query_id_col,
+            query_vec_col,
+            cent_rows,
+            nprobe=nprobe,
+            c_id_type=dict(corpus.dtypes)[id_col],
+        ).withColumnRenamed("id", "q_id")
     else:
+        scores = _centroid_scores(cent_rows)
         assign = _side(corpus, id_col, vec_col, "n_id").select(
             "n_id", F.array_max(scores).getField("c_id").alias("c_id")
         )
-    probes = _side(queries, query_id_col, query_vec_col, "q_id").select(
-        "q_id",
-        F.explode(
-            F.slice(F.sort_array(scores, asc=False), 1, nprobe)
-        ).alias("__s"),
-    ).select("q_id", F.col("__s").getField("c_id").alias("c_id"))
-    cand = assign.join(probes, "c_id").select("q_id", "n_id").distinct()
+        probes = _side(queries, query_id_col, query_vec_col, "q_id").select(
+            "q_id",
+            F.explode(
+                F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+            ).alias("__s"),
+        ).select("q_id", F.col("__s").getField("c_id").alias("c_id"))
+    # |Q|·nprobe rows — broadcast so the corpus-sized assignment side
+    # never shuffles for the candidate join (mapInPandas sources carry
+    # no size stats, so without the hint this planned as SortMergeJoin).
+    cand = assign.join(F.broadcast(probes), "c_id").select("q_id", "n_id").distinct()
     if exclude_same_id:
         cand = cand.where(F.col("n_id") != F.col("q_id"))
 
@@ -481,6 +502,7 @@ def centroid_assignments_kernel(
     vec_col: str,
     cent_rows: list,
     nprobe: int,
+    c_id_type: str | None = None,
 ) -> DataFrame:
     """(id, c_id): each vector's top-``nprobe`` centroids via one
     Arrow-batched numpy GEMM per partition — the kernel twin of the
@@ -523,10 +545,13 @@ def centroid_assignments_kernel(
     bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm, c_ids))
 
     id_type = dict(df.dtypes)[id_col]
+    # c_id values come from the CORPUS that produced cent_rows; when the
+    # scored side is a different table (the probe path), its id type may
+    # differ from the centroid id type — let callers say so.
     schema = T.StructType(
         [
             T.StructField("id", T._parse_datatype_string(id_type)),
-            T.StructField("c_id", T._parse_datatype_string(id_type)),
+            T.StructField("c_id", T._parse_datatype_string(c_id_type or id_type)),
         ]
     )
 
