@@ -108,6 +108,9 @@ HEADLINE = [
     "events_user_funnel",
     "tpch_q21_sole_late_suppliers",
     "langid_confusion",
+    # Added in round 5:
+    "dedup_substring_spans",
+    "dedup_remove_substrings",
 ]
 
 

@@ -565,6 +565,172 @@ def remove_duplicate_passages(
     )
 
 
+def sliding_window_rows(
+    docs: DataFrame, id_col: str, text_col: str, window_words: int = 16
+) -> DataFrame:
+    """``(id, i, wtext)``: every STRIDE-1 ``window_words``-word window of
+    every document (positions ``0 .. n_words - window_words``). The
+    overlapping twin of :func:`passage_rows` — same narrow
+    split → sequence-explode → slice projection, zero shuffles — used by
+    :func:`duplicate_substring_spans` to catch exact repeats at
+    ARBITRARY word offsets, which fixed passage boundaries miss."""
+    k = F.lit(window_words)
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
+        )
+        .where(F.size("__w") >= window_words)
+        .select(
+            id_col,
+            "__w",
+            F.explode(F.sequence(F.lit(0), F.size("__w") - k)).alias("i"),
+        )
+        .select(
+            id_col,
+            "i",
+            F.concat_ws(" ", F.slice("__w", F.col("i") + 1, k)).alias("wtext"),
+        )
+    )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_words: int = 16,
+) -> DataFrame:
+    """Maximal exact-duplicate substring spans at arbitrary word
+    offsets — the Spark-shaped counterpart of suffix-array substring
+    dedup on training corpora (ExactSubstr in "Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022):
+    :func:`remove_duplicate_passages` only sees repeats aligned to its
+    fixed passage grid; this operator slides a ``window_words``-word
+    window with stride 1, marks every window occurrence that is not the
+    corpus-wide FIRST occurrence of its word sequence (ordered by
+    ``(id, position)``), and merges runs of adjacent duplicate windows
+    into maximal spans via gaps-and-islands.
+
+    Output: one row per maximal span — ``(id, span_start, span_end,
+    span_words, n_windows)``, word positions inclusive. Every exact
+    repeat of ≥ ``window_words`` words is covered: for each distinct
+    window text, all occurrences except the first lie inside some span
+    (property-tested in tests/test_dedup.py).
+
+    Plan (100 TB shape): the window expansion is a zero-shuffle scan
+    projection (~one row per corpus WORD — the honest stride-1 cost;
+    a suffix array touches the same order of positions). First-occurrence
+    detection is groupBy(window-md5).agg(min(struct(id, i)), count) —
+    map-side partial aggregation, so a boilerplate window repeated 10⁹
+    times contributes one row per upstream partition to the shuffle,
+    NOT 10⁹ (this is why it is an agg + join back, not a window rank:
+    ranking all occurrences admits no group limit and lands the hot key
+    in one task). The join back on the md5 is SortMergeJoin with both
+    sides corpus-sized — AQE skew-split applies; the island merge is
+    one narrow per-document window.
+    """
+    wins = sliding_window_rows(
+        docs, id_col, text_col, window_words
+    ).select(
+        F.col(id_col).alias("__id"), "i", F.md5("wtext").alias("__h")
+    )
+    firsts = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col("__id"), F.col("i"))).alias("__first"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    dups = wins.join(firsts, "__h").where(
+        (F.col("__c") > 1)
+        & ~(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.i") == F.col("i"))
+        )
+    )
+    wpos = Window.partitionBy("__id").orderBy("i")
+    return (
+        dups.select("__id", "i")
+        .withColumn("__isl", F.col("i") - F.row_number().over(wpos))
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + window_words - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_windows",
+        )
+    )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_words: int = 16,
+) -> DataFrame:
+    """Cut every :func:`duplicate_substring_spans` span out of its
+    document (keep-first: the earliest occurrence of each repeated
+    substring survives) and rebuild the text from the remaining words in
+    order — the removal face of substring dedup, mirroring
+    ``remove_duplicate_passages``'s output contract: one row per input
+    document, ``(id, cleaned_text, n_kept, n_dropped)`` counted in
+    WORDS. Documents whose every word is covered survive as empty
+    strings, so corpus cardinality never changes. Whitespace is
+    normalized (text is rebuilt word-by-word) whether or not anything
+    was removed — same as the passage operator.
+
+    The span table aggregates to one small array per affected document
+    (documents average a handful of maximal spans), so the cut itself is
+    a per-row ``filter`` HOF over the word array after ONE join by id —
+    no explode of the corpus words through a shuffle.
+    """
+    spans = duplicate_substring_spans(
+        docs, id_col, text_col, window_words=window_words
+    )
+    spans_by_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    w_arr = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    joined = docs.join(spans_by_doc, id_col, "left").select(
+        F.col(id_col),
+        w_arr.alias("__w"),
+        F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ).alias("__spans"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__w"), lambda x, j: F.struct(x.alias("x"), j.alias("j"))
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (sp.span_start <= s.j) & (s.j <= sp.span_end),
+        ),
+    )
+    # Bind the HOF result in its own projection: CollapseProject keeps
+    # non-cheap multiply-referenced expressions un-inlined, so the
+    # filter+exists pass runs once per row, not once per output column.
+    bound = joined.select(F.col(id_col), "__w", kept.alias("__kept"))
+    return bound.select(
+        id_col,
+        F.concat_ws(
+            " ", F.transform("__kept", lambda s: s.x)
+        ).alias("cleaned_text"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        (F.size("__w") - F.size("__kept")).cast("long").alias("n_dropped"),
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): per-document SimHash over distinct word tokens.
 

@@ -2244,6 +2244,123 @@ def dedup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+wins AS (
+  SELECT doc_id, i, array_to_string(w[(i+1):(i+8)], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+        FROM w WHERE len(w) >= 8)
+),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS c
+  FROM wins
+),
+dups AS (SELECT doc_id, i FROM ranked WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dups
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + 7 AS BIGINT) AS span_end,
+       CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS span_words,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-repeat substring spans at arbitrary word offsets
+    (dedup.duplicate_substring_spans, 8-word windows): the stride-1
+    generalization of passage dedup — the ExactSubstr treatment of Lee
+    et al. 2022 re-expressed as sliding hashed windows + gaps-and-
+    islands run merging. First-occurrence detection is a map-side-
+    combining groupBy on the window md5 (skew-safe for 10⁹×-repeated
+    boilerplate), not a window rank; the oracle says the same thing
+    with two window functions and a gaps-and-islands group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_spans(docs, "doc_id", "text", window_words=8)
+
+
+@register(
+    "dedup_remove_substrings",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+wins AS (
+  SELECT doc_id, i, array_to_string(w[(i+1):(i+8)], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i
+        FROM w WHERE len(w) >= 8)
+),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS c
+  FROM wins
+),
+dups AS (SELECT doc_id, i FROM ranked WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM dups
+),
+spans AS (
+  SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+docw AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE CAST([] AS VARCHAR[]) END AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, j, w[j+1] AS word
+  FROM (SELECT doc_id, w, unnest(range(len(w))) AS j
+        FROM docw WHERE len(w) > 0)
+),
+kept AS (
+  SELECT p.doc_id, p.j, p.word
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS cleaned_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(a.cleaned_text, '') AS cleaned_text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(d.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM docw d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+)
+def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring removal (dedup.remove_duplicate_substrings):
+    cut every duplicated ≥8-word span out of its document and rebuild
+    the text from surviving words — the removal face of
+    dedup_substring_spans, mirroring dedup_passages_docs' output
+    contract (one row per document, word-counted n_kept/n_dropped).
+    The cut is a per-row filter HOF over the word array after one join
+    against the per-document span arrays — the corpus words never
+    explode through a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_substrings(docs, "doc_id", "text", window_words=8)
+
+
+@register(
     "text_repetition_signals",
     r"""
 WITH t AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
@@ -3558,6 +3675,9 @@ _MANIFEST = [
     "events_user_funnel",
     "tpch_q21_sole_late_suppliers",
     "langid_confusion",
+    # round 5:
+    "dedup_substring_spans",
+    "dedup_remove_substrings",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -288,3 +288,97 @@ def test_remove_embedding_near_dups_unit(spark):
         ).collect()
     }
     assert out == {1, 4}  # the 1-2-3 semantic cluster keeps its min id
+
+
+def test_remove_duplicate_substrings_unit(spark):
+    # 8-word windows; doc 2 carries doc 1's boilerplate at a DIFFERENT
+    # word offset than any passage grid would align to.
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7"
+    rows = [
+        (1, "alpha " + boiler + " omega"),
+        (2, "start " + boiler + " end tail words"),
+        (3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicate_substring_spans(
+        docs, "doc_id", "text", window_words=8
+    ).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
+        (2, 1, 8)
+    ]
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.remove_duplicate_substrings(
+            docs, "doc_id", "text", window_words=8
+        ).collect()
+    }
+    assert len(out) == 3  # cardinality preserved
+    assert out[1] == ("alpha " + boiler + " omega", 10, 0)
+    assert out[2] == ("start end tail words", 4, 8)
+    assert out[3] == ("", 0, 0)
+
+
+def test_substring_spans_cover_all_but_first():
+    """ExactSubstr guarantee, property-tested on a seeded random corpus:
+    for every k-gram occurring c >= 2 times, at most ONE occurrence
+    survives uncovered by the emitted spans (keep-first), and every span
+    covers only genuinely duplicated windows."""
+    import random
+
+    from polars_sim_spark.session import get_spark
+
+    spark = get_spark("polars_sim_spark-tests", shuffle_partitions=8)
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = [rng.choice(vocab) for _ in range(12)]
+    rows = []
+    for d in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        if d % 3 == 0:
+            pos = rng.randint(0, len(words))
+            words = words[:pos] + boiler + words[pos:]
+        rows.append((d, " ".join(words)))
+    k = 6
+    spans = dedup.duplicate_substring_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        window_words=k,
+    ).collect()
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+
+    def covered(doc_id, i):
+        return any(
+            s <= i and i + k - 1 <= e for s, e in by_doc.get(doc_id, [])
+        )
+
+    occ: dict = {}
+    for doc_id, text in rows:
+        words = text.split()
+        for i in range(len(words) - k + 1):
+            occ.setdefault(" ".join(words[i : i + k]), []).append((doc_id, i))
+    assert spans  # the spliced boilerplate guarantees duplicates exist
+    n_dup_grams = 0
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        n_dup_grams += 1
+        uncovered = [p for p in places if not covered(*p)]
+        assert len(uncovered) <= 1, (g, places, uncovered)
+    assert n_dup_grams > 0
+    # Soundness: every position inside a span belongs to at least one
+    # window whose k-gram text occurs more than once in the corpus.
+    dup_positions = {
+        (doc_id, i)
+        for g, places in occ.items()
+        if len(places) > 1
+        for (doc_id, i) in places
+    }
+    for doc_id, ranges in by_doc.items():
+        for s, e in ranges:
+            for i in range(s, e - k + 2):
+                assert (doc_id, i) in dup_positions
