@@ -447,12 +447,72 @@ def incremental_near_dups(
     """
     if min_jaccard <= 0:
         raise ValueError(f"min_jaccard must be > 0, got {min_jaccard}")
-    nb = _banded_doc_side(new, id_col, text_col, shingle_n, "n_")
     hb = _banded_doc_side(hist, id_col, text_col, shingle_n, "h_")
+    return incremental_near_dups_against_bands(
+        new, hb, id_col, text_col, min_jaccard=min_jaccard, shingle_n=shingle_n
+    )
+
+
+def materialize_history_bands(
+    hist: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    *,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the historical corpus's LSH band table
+    (:func:`_banded_doc_side` output: 4 narrow rows per doc) as a
+    catalog table BUCKETED on the band-join keys ``(band, band_key)``.
+
+    This is the cross-run half of incremental near-dedup at 100 TB: the
+    history side's signatures/bands are a pure function of its text, so
+    recomputing them every nightly increment re-scans and re-shuffles
+    the whole archive. Materialized once and bucket-partitioned, every
+    future :func:`incremental_near_dups_against_bands` run reads it
+    co-located: the band join carries NO Exchange on the history side
+    (plan-asserted in tests/test_sinks.py) — only the (small) new batch
+    shuffles, by its own band rows. Set ``num_buckets`` to the shuffle
+    parallelism the increments will run with so the new side's exchange
+    lands bucket-aligned. Append the new batch's own bands to the table
+    after each run to roll history forward.
+    """
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    hb = _banded_doc_side(hist, id_col, text_col, shingle_n, "h_")
+    write_bucketed(
+        hb,
+        table,
+        bucket_by=["band", "band_key"],
+        num_buckets=num_buckets,
+        sort_by=["band", "band_key"],
+    )
+
+
+def incremental_near_dups_against_bands(
+    new: DataFrame,
+    hist_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`incremental_near_dups` against a PRECOMPUTED history band
+    table — ``hist_bands`` is :func:`_banded_doc_side` output (columns
+    ``h_id, h_arr, h_n, band, band_key``), typically
+    ``spark.table(...)`` over a :func:`materialize_history_bands`
+    bucketed table so the history side of the band join is shuffle-free.
+    Candidate semantics, verification, and the anti-join are identical
+    to the recompute-everything form (equivalence-tested)."""
+    if min_jaccard <= 0:
+        raise ValueError(f"min_jaccard must be > 0, got {min_jaccard}")
+    nb = _banded_doc_side(new, id_col, text_col, shingle_n, "n_")
     k = F.size(F.array_intersect("n_arr", "h_arr")).cast("double")
     jac = k / (F.col("n_n") + F.col("h_n") - k)
     matched = (
-        nb.join(hb, ["band", "band_key"])
+        nb.join(hist_bands, ["band", "band_key"])
         .where(F.round(jac, 6) >= min_jaccard)
         .select(F.col("n_id").alias(id_col))
         .distinct()
