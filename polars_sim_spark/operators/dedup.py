@@ -868,18 +868,38 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     both = both.localCheckpoint(eager=True)
 
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    # Round-1 fusion (round 5): initial labels are identities, so round
+    # 1's neighbor-min needs neither an edge ⋈ label join (min neighbor
+    # id comes straight off the checkpointed edge frame) nor an initial
+    # label checkpoint. Rounds 2+ keep the round-4 structure unchanged.
+    # (A fuller jump-first restructure that also skipped round 1's
+    # pointer jump and probed right after each neighbor-min was measured
+    # SLOWER at sf0.1 — median 6.1 s vs 4.6 s on dedup_cluster_docs —
+    # because the un-checkpointed jump product is referenced twice by
+    # the next neighbor-min and re-evaluates; honest negative result,
+    # BASELINE.md round 5.)
+    base = nodes.select(F.col(id_col).alias("id"))
+    labels: DataFrame | None = None  # None ⇒ identity labels (round 1)
     done = 0
     while done < max_iter:
-        cur = labels.withColumn("__old", F.col("cluster_id"))
-        for _ in range(min(rounds_per_check, max_iter - done)):
-            # 1. Neighbor-min: label := min(own, min over neighbors').
-            nbr = (
-                both.join(cur, both.src == cur.id)
-                .groupBy("dst")
-                .agg(F.min("cluster_id").alias("nbr_min"))
+        if labels is None:
+            cur = base.select(
+                "id",
+                F.col("id").alias("cluster_id"),
+                F.col("id").alias("__old"),
             )
+        else:
+            cur = labels.withColumn("__old", F.col("cluster_id"))
+        for r in range(min(rounds_per_check, max_iter - done)):
+            # 1. Neighbor-min: label := min(own, min over neighbors').
+            if labels is None and r == 0:
+                nbr = both.groupBy("dst").agg(F.min("src").alias("nbr_min"))
+            else:
+                nbr = (
+                    both.join(cur, both.src == cur.id)
+                    .groupBy("dst")
+                    .agg(F.min("cluster_id").alias("nbr_min"))
+                )
             stepped = cur.join(nbr, cur.id == nbr.dst, "left").select(
                 "id",
                 F.least(
