@@ -111,6 +111,11 @@ HEADLINE = [
     # Added in round 5:
     "dedup_substring_spans",
     "dedup_remove_substrings",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 

@@ -3522,6 +3522,301 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n.n_name AS n_name,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: revenue by nation where customer and supplier
+    share the nation, within one region and order year — the WIDEST
+    join tree in the contract (lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation ⋈ region, 6 tables). The year filter pushes to the orders
+    scan, region to the region scan; supplier/customer/nation/region
+    all broadcast, so the only shuffled join is lineitem ⋈ orders —
+    fact-to-fact on the orderkey — and the same-nation requirement is a
+    broadcast-side equi-condition, never a post-join filter over a
+    wider product."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "tpch_q7_nation_volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def tpch_q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral trade volume between two nations by
+    ship year — the SAME dimension joined twice under different roles
+    (nation as supplier's vs customer's), with a disjunctive cross-pair
+    predicate. Both nation joins broadcast; the pair predicate lands
+    after the second nation attach, where it prunes to the two (n1,n2)
+    combinations before the aggregate; lineitem ⋈ orders stays the only
+    shuffled join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__n2key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                             AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       r.total_revenue AS total_revenue
+FROM supplier s
+JOIN srev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM srev)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: supplier(s) achieving the MAXIMUM quarterly
+    revenue — an aggregate reused twice (per-supplier revenue AND its
+    global max). The revenue view computes once per reference
+    (Catalyst reuses the exchange); the scalar max arrives as a
+    1-row broadcast crossJoin rather than a driver collect, and the
+    equality filter on a decimal-rounded double is engine-stable by the
+    house rounding rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    srev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: top-100 orders whose total line quantity
+    exceeds a threshold — a HAVING-filtered aggregate used as a
+    semi-join against its own fact table. The big-order keys reduce to
+    a tiny broadcast side (the threshold is selective by design), so
+    lineitem is filtered BEFORE its re-aggregation; the ordered top-100
+    plans as TakeOrderedAndProject. Quantities sum as DECIMAL(18,2) —
+    exact and order-independent — and surface as doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    j = (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 5 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue under a DISJUNCTION of brand/size/
+    quantity clause bundles — the classic test that an optimizer
+    extracts the common single-table conjuncts from an OR-of-ANDs and
+    pushes them below the join. Catalyst does: the part side scans with
+    the derived brand/size superset predicate and the lineitem side
+    with the quantity superset, then the exact disjunction applies at
+    the (broadcast) join. Written as one declarative filter — no manual
+    union-of-three-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (q >= 5)
+            & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (q >= 10)
+            & (q <= 40)
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    return j.where(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window governance
 # ---------------------------------------------------------------------------
@@ -3678,6 +3973,11 @@ _MANIFEST = [
     # round 5:
     "dedup_substring_spans",
     "dedup_remove_substrings",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

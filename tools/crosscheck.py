@@ -4,6 +4,11 @@ same parquet tables, compare row count, column names, and
 order-insensitive values.
 
 Usage: python tools/crosscheck.py [sf_dir] [query ...]
+
+Set CROSSCHECK_OUT=<path.json> to also write a machine-readable artifact
+(one record per query: status, rows, dtype drift) — committed per round
+as CROSSCHECK_r{N}.json so the tail queries' green state is reproducible
+alongside the driver's CORRECTNESS_r{N}.json (ADVICE r4 #5).
 """
 
 from __future__ import annotations
@@ -98,6 +103,15 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
+
+    def rec(name, status, rows=None, detail=None, drift=None):
+        record[name] = {
+            "status": status,
+            "rows": rows,
+            "detail": detail,
+            "dtype_drift": [list(d) for d in drift] if drift else None,
+        }
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -107,10 +121,12 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec(name, "fail", detail=f"spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only check, {len(srows)} rows (no oracle)")
+            rec(name, "rows_only", rows=len(srows))
             continue
         try:
             rel = con.sql(oracles[name])
@@ -119,14 +135,17 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec(name, "fail", detail=f"duckdb error: {e}")
             failures.append(name)
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            rec(name, "fail", detail=f"columns spark={sorted(scols)} duck={sorted(dcols)}")
             failures.append(name)
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            rec(name, "fail", detail=f"rowcount spark={len(srows)} duck={len(drows)}")
             failures.append(name)
             continue
         sc = rows_to_canon(scols, srows)
@@ -134,6 +153,7 @@ def main():
         if sc != dc:
             bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            rec(name, "fail", rows=len(srows), detail=f"value mismatch: {bad}")
             failures.append(name)
             continue
         drift = dtype_drift(sdf, dcols, dtypes)
@@ -141,8 +161,19 @@ def main():
             # advisory only: canonical values already matched, but the
             # driver's schema compare may be stricter than value hashing
             print(f"PASS {name}: {len(srows)} rows (dtype drift: {drift})")
+            rec(name, "pass", rows=len(srows), drift=drift)
         else:
             print(f"PASS {name}: {len(srows)} rows")
+            rec(name, "pass", rows=len(srows))
+
+    out = os.environ.get("CROSSCHECK_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": record}, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {out} ({len(record)} records)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
