@@ -1,0 +1,355 @@
+"""Corpus-curation contract queries: pipelines, sampling (stratified/temperature/weighted), splits, decontamination, shard packing, quality-model scoring.
+
+Split out of the former monolithic queries.py (round 5); the
+registration registry and driver-order governance live in
+``polars_sim_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from polars_sim_spark import cache as cache_registry
+from polars_sim_spark.functions import text as text_fns
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+from polars_sim_spark.operators import dedup
+from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.queries._registry import register
+from polars_sim_spark.queries._registry import DUCK_HASH
+from polars_sim_spark.queries.dedup import duck_lsh_cand_ctes, duck_shingles_cte
+
+
+_DECON_EVAL = "(SELECT * FROM documents WHERE doc_id < 50)"
+
+
+QUALITY_MODEL_WEIGHTS: list[tuple[str, float]] = [
+    ("the", -0.08), ("a", -0.06), ("and", -0.07), ("of", -0.05),
+    ("to", -0.05), ("in", -0.04), ("is", -0.03), ("that", -0.03),
+    ("data", 0.09), ("model", 0.10), ("learning", 0.12), ("spark", 0.11),
+    ("query", 0.08), ("distributed", 0.13), ("results", 0.07),
+    ("performance", 0.10), ("analysis", 0.09), ("system", 0.06),
+]
+
+
+QUALITY_MODEL_BIAS = 0.05
+
+
+@register(
+    "sample_documents_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE ({DUCK_HASH.format(c="CAST(doc_id AS VARCHAR)")}) % 100 <
+      CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+)
+def sample_documents_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep 10% of
+    the dominant language (en), 50% of the rest, decided by a hash of the
+    doc id — NOT an RNG. Hash-threshold sampling is reproducible across
+    engines/runs/partitionings (an RNG sample is none of those), runs
+    inside the scan as a plain filter, and needs no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    keep = dedup.md5_hash64(F.col("doc_id").cast("string")) % 100 < rate
+    return docs.where(keep).select("doc_id", "lang")
+
+
+@register(
+    "split_documents_hash",
+    f"""
+SELECT doc_id,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ({DUCK_HASH.format(c="CAST(doc_id AS VARCHAR) || 'r2'")}) % 1000 AS b
+      FROM documents)
+""",
+)
+def split_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/curation.py
+    hash_split): label is a pure md5 function of the doc id + salt, so it
+    is stable across runs/engines/partitionings and re-ingests never leak
+    documents across splits. Zero-shuffle scan-level projection."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", salt="r2").select("doc_id", "split")
+
+
+@register(
+    "curate_corpus_pipeline",
+    f"""
+WITH RECURSIVE fdocs AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  WHERE length(text) > 0
+    AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / length(text), 6) >= 0.82
+),
+sh AS ({duck_shingles_cte('fdocs', 'doc_id', 'text')}),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter JOIN n na ON na.id = inter.l_id JOIN n nb ON nb.id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM fdocs),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT f.doc_id, f.lang, f.n_chars,
+         ({DUCK_HASH.format(c="CAST(f.doc_id AS VARCHAR) || 'curate'")}) % 1000 AS b
+  FROM fdocs f JOIN cc ON f.doc_id = cc.doc_id
+  WHERE cc.doc_id = cc.cluster_id
+)
+""",
+)
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition a training-data
+    team actually ships, every stage an operator from this repo: quality
+    filter (alpha ratio ≥ 0.82, a scan-level predicate) → near-dup
+    removal (Jaccard-0.5 clusters, keep the canonical doc; EXACT
+    candidate generation — the oracle twin, see
+    ``curate_corpus_pipeline_lsh`` for the scale path) →
+    deterministic train/val/test hash split (zero-shuffle projection).
+    One DuckDB oracle checks the WHOLE pipeline end-to-end, not just the
+    stages in isolation — composition bugs (filter ordering, id
+    mismatches across stages) have nowhere to hide."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    filtered = docs.where(alpha >= 0.82)
+    survivors = dedup.remove_near_dups(filtered, "doc_id", "text", min_jaccard=0.5)
+    out = hash_split(survivors, "doc_id", salt="curate")
+    return out.select("doc_id", "lang", "n_chars", "split")
+
+
+@register(
+    "curate_corpus_pipeline_lsh",
+    f"""
+WITH RECURSIVE fdocs AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  WHERE length(text) > 0
+    AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / length(text), 6) >= 0.82
+),
+sh AS ({duck_shingles_cte('fdocs', 'doc_id', 'text')}){duck_lsh_cand_ctes(20)},
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter
+  JOIN n na ON na.id = inter.l_id
+  JOIN n nb ON nb.id = inter.r_id
+  JOIN cands ON cands.l_id = inter.l_id AND cands.r_id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM fdocs),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT f.doc_id, f.lang, f.n_chars,
+         ({DUCK_HASH.format(c="CAST(f.doc_id AS VARCHAR) || 'curate'")}) % 1000 AS b
+  FROM fdocs f JOIN cc ON f.doc_id = cc.doc_id
+  WHERE cc.doc_id = cc.cluster_id
+)
+""",
+)
+def curate_corpus_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with its dedup stage on the SCALE path:
+    quality filter (scan-level predicate) → MinHash-LSH near-dup removal
+    (banded buckets, hot-bucket cap, candidates-only verification) →
+    deterministic hash split. Same end-to-end oracle discipline as
+    ``curate_corpus_pipeline`` — one DuckDB query checks the whole
+    composition — but the dedup plan here is the one that survives a
+    100× scale-up (no all-pairs stage anywhere)."""
+    from polars_sim_spark.operators.curation import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text"),
+        6,
+    )
+    filtered = docs.where(alpha >= 0.82)
+    survivors = dedup.remove_near_dups(
+        filtered, "doc_id", "text", min_jaccard=0.5, use_lsh=True, max_bucket_size=20
+    )
+    out = hash_split(survivors, "doc_id", salt="curate")
+    return out.select("doc_id", "lang", "n_chars", "split")
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+WITH c AS ({duck_shingles_cte("documents", "doc_id", "text", n=8)}),
+e AS (SELECT DISTINCT sh FROM ({duck_shingles_cte(_DECON_EVAL, "doc_id", "text", n=8)})),
+bad AS (SELECT DISTINCT c.id AS id FROM c JOIN e USING (sh))
+SELECT d.doc_id AS doc_id, (bad.id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN bad ON d.doc_id = bad.id
+""",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any 8-word
+    shingle with the eval slice (doc_id < 50) are flagged.  Eval shingles
+    broadcast; corpus flagged via LEFT SEMI + left join back, preserving
+    cardinality."""
+    from polars_sim_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 50)
+    return decontaminate(docs, ev, n=8).select("doc_id", "contaminated")
+
+
+@register(
+    "pack_documents_shards",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+)
+SELECT doc_id, n_tok,
+       CAST(floor((sum(n_tok) OVER (ORDER BY part, doc_id ROWS UNBOUNDED PRECEDING) - n_tok)
+                  / 2000.0) AS BIGINT) AS shard
+FROM t
+""",
+)
+def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (~2000 tokens/shard) via the two-level
+    distributed cumulative sum in curation.pack_shards: parallel
+    within-partition windows + a 16-row offset table — no global window.
+    The oracle reproduces the identical assignment with one flat ORDER BY
+    (part, doc_id) running sum."""
+    from polars_sim_spark.operators.curation import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    out = pack_shards(
+        docs, id_col="doc_id", token_col="n_tok", shard_tokens=2000, num_parts=16
+    )
+    return out.select("doc_id", "n_tok", "shard")
+
+
+@register(
+    "temperature_sample_docs",
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS wsum, sum(n) AS tot FROM c),
+r AS (SELECT lang, least(1.0, ((tot * pow(CAST(n AS DOUBLE), 0.3)) / wsum) / n) AS q FROM c, s)
+SELECT d.doc_id AS doc_id, d.lang AS lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      < floor(q * 1000000)
+""",
+)
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix temperature resampling at alpha=0.3: over-represented
+    languages hash-downsample toward n^alpha shares, small ones keep all
+    rows.  Rate table is |langs| rows broadcast back; decision is a pure
+    md5(doc_id) threshold — deterministic in both engines."""
+    from polars_sim_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(docs, group_col="lang", id_col="doc_id", alpha=0.3)
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+WITH w AS (
+  SELECT doc_id, lang,
+         round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+                         AS BIGINT) + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+  FROM w
+) WHERE rn <= 30
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (curation.weighted_sample_k): exactly 30 docs per language, chosen
+    by Efraimidis-Spirakis exponential keys weighted by document length
+    — deterministic md5 randomness, so the sample is a pure function of
+    the corpus. One WindowGroupLimit-bounded shuffle by language."""
+    from polars_sim_spark.operators.curation import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs, group_col="lang", weight_col="n_chars", id_col="doc_id", k=30
+    ).select("doc_id", "lang")
+
+
+def _duck_quality_model_sql() -> str:
+    vals = ", ".join(f"('{w}', {x})" for w, x in QUALITY_MODEL_WEIGHTS)
+    return f"""
+WITH w(word, wt) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT id, tok FROM toks WHERE tok != '')
+SELECT nz.id AS doc_id,
+       round(CAST(sum(COALESCE(CAST(w.wt AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))) AS DOUBLE)
+             / count(*) + {QUALITY_MODEL_BIAS}, 6) AS score
+FROM nz LEFT JOIN w ON nz.tok = w.word
+GROUP BY nz.id
+"""
+
+
+@register("quality_model_score_docs", _duck_quality_model_sql())
+def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality-model logit per document — classifier
+    inference as a broadcast-join relational plan (no UDF): the model is
+    a table, the corpus text never shuffles, and the decimal-exact
+    aggregation makes scores engine-reproducible."""
+    from polars_sim_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(QUALITY_MODEL_WEIGHTS, "word string, w double")
+    out = curation.score_linear_model(
+        docs, "doc_id", "text", weights, bias=QUALITY_MODEL_BIAS
+    )
+    return out.withColumnRenamed("id", "doc_id")
+

@@ -1,0 +1,533 @@
+"""Event-stream contract queries: sessionization, funnels, as-of joins, time windows, pivots/cubes.
+
+Split out of the former monolithic queries.py (round 5); the
+registration registry and driver-order governance live in
+``polars_sim_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from polars_sim_spark import cache as cache_registry
+from polars_sim_spark.functions import text as text_fns
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+from polars_sim_spark.operators import dedup
+from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.queries._registry import register
+
+
+@register(
+    "events_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_json_stats",
+    """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "events_sessionized",
+    """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap sessions (operators/curation.py sessionize —
+    gaps-and-islands), aggregated to one row per session. ONE shuffle by
+    user: the lag window, running-sum window, and session aggregate all
+    reuse the user partitioning. Gap arithmetic is exact integer
+    microseconds, no float drift vs the oracle."""
+    from polars_sim_spark.operators.curation import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, user_col="user_id", ts_col="ts", order_col="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+@register(
+    "asof_error_last_click",
+    """
+WITH l AS (SELECT * FROM events WHERE event_type = 'error'),
+r AS (SELECT * FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT l.event_id, l.user_id, l.value,
+         r.event_id AS click_event_id, r.value AS click_value,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT event_id, user_id, value, click_event_id, click_value FROM j WHERE rn = 1
+""",
+)
+def asof_error_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the most recent preceding click by the same
+    user — the temporal as-of join (operators/asof_join.py), one shuffle."""
+    from polars_sim_spark.operators.asof_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "ts", "user_id", "value")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_seq="click_event_id", how="inner"
+    )
+    return out.select("event_id", "user_id", "value", "click_event_id", "click_value")
+
+
+@register(
+    "events_clicks_before_error",
+    """
+SELECT e.event_id, e.user_id, e.ts, count(c.u) AS n_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id AS u, ts AS c_ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.u
+ AND c.c_ts >= e.ts - INTERVAL 5 MINUTE
+ AND c.c_ts <= e.ts
+GROUP BY 1, 2, 3
+""",
+)
+def events_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every error event, how many clicks did
+    the same user make in the 5 minutes leading up to it.  Uses the banded
+    ``range_join`` operator — an equi-join on (user, time-bucket), never a
+    per-user cross product — then a grouped count.  Left-outer, so errors
+    with zero preceding clicks stay in the result with n_clicks = 0."""
+    from polars_sim_spark.operators.range_join import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = range_join(
+        errors, clicks, on="user_id", lower=-300, upper=0, how="left"
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count(F.col("ts_r")).alias("n_clicks")
+    )
+
+
+@register(
+    "events_user_total_salted",
+    """
+SELECT e.event_id, e.user_id, t.user_total
+FROM events e
+JOIN (SELECT user_id,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS user_total
+      FROM events GROUP BY user_id) t
+  ON e.user_id = t.user_id
+""",
+)
+def events_user_total_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its user's lifetime value via the SALTED
+    join: the per-user totals (build side) replicate num_salts times, the
+    event stream (probe) salts deterministically on event_id, and the hot
+    user's rows spread across 8 reducers instead of pinning one.  Output
+    is row-identical to the plain join — which is exactly what the oracle
+    runs."""
+    from polars_sim_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("user_total")
+    )
+    out = salted_join(
+        ev.select("event_id", "user_id"),
+        totals,
+        on="user_id",
+        num_salts=8,
+        salt_by=["event_id"],
+    )
+    return out.select("event_id", "user_id", "user_total")
+
+
+@register(
+    "events_sliding_10m",
+    """
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL 5 MINUTE]) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def events_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute windows every 5 minutes):
+    each event contributes to exactly 2 overlapping windows.  Batch twin
+    of ``streaming.sliding_event_counts`` — same ``F.window`` grouping
+    Structured Streaming uses, so the stream's availableNow output equals
+    this query row-for-row (asserted in tests/test_streaming.py).  The
+    oracle reproduces Spark's epoch-aligned window grid with two
+    time_bucket offsets per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes", "5 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_multires_rollup",
+    """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         date_trunc('week', ts) AS w, value
+  FROM events
+),
+g AS (
+  SELECT h, d, w, count(*) AS n_events,
+         round(CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+  FROM b
+  GROUP BY GROUPING SETS ((h), (d), (w))
+)
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day' ELSE 'week' END AS resolution,
+       coalesce(h, d, w) AS bucket, n_events, total_value
+FROM g
+""",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    shape): hourly, daily, AND weekly aggregates of the event stream in
+    ONE pass via GROUPING SETS over pre-projected time buckets — one
+    scan, one shuffle, three resolutions, instead of three jobs.
+    Complements `revenue_rollup` (hierarchical ROLLUP) and
+    `events_cube_day_type` (CUBE) with the explicit-sets form. Values
+    sum as rounded DECIMAL per the house rule."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        "value",
+    )
+    g = b.groupingSets([["h"], ["d"], ["w"]], "h", "d", "w").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(
+                F.round(F.col("value").cast("double"), 6).cast("decimal(18,6)")
+            ).cast("double"),
+            6,
+        ).alias("total_value"),
+    )
+    # NULL group keys from the non-active sets fold into an explicit
+    # (resolution, bucket) pair so the output carries no NULLs
+    return g.select(
+        F.when(F.col("h").isNotNull(), "hour")
+        .when(F.col("d").isNotNull(), "day")
+        .otherwise("week")
+        .alias("resolution"),
+        F.coalesce("h", "d", "w").alias("bucket"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "events_user_funnel",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_click, first_purchase,
+       CASE WHEN first_click IS NOT NULL AND first_purchase IS NOT NULL
+                 AND first_purchase > first_click
+            -- floored whole seconds from exact integer microseconds:
+            -- date_diff('second', ...) would count boundary CROSSINGS,
+            -- one off from the floor on sub-second timestamps
+            THEN CAST((epoch_us(first_purchase) - epoch_us(first_click))
+                      // 1000000 AS BIGINT)
+            END AS secs_to_convert
+FROM f
+""",
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel per user: first click, first
+    purchase, and seconds-to-convert when the purchase followed the
+    click — the sequential-stages analytic (conditional min aggregates,
+    ONE shuffle by user; no self-join, no window). Users missing a
+    stage carry NULLs, so the funnel's drop-off is a count over this
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    return f.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.when(
+            converted,
+            (
+                F.unix_micros(F.col("first_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("first_click").cast("timestamp"))
+            )
+            / 1_000_000,
+        )
+        .cast("long")
+        .alias("secs_to_convert"),
+    )
+
+
+@register(
+    "events_session_windows",
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merged session windows via Spark's native ``F.session_window``
+    (batch mode), one row per session with window bounds and totals.
+    Complements the gaps-and-islands ``events_sessionized`` — same idea,
+    two implementations; note the boundary semantics differ (a gap of
+    EXACTLY 30 minutes starts a new session here, matching
+    session_window's half-open [start, last+gap) merge rule — the oracle
+    uses >=), while sessionize keeps it open on >.  Session end is
+    last-event-ts + gap, as session_window defines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_type_value_pivot",
+    """
+SELECT date_trunc('hour', ts) AS hour,
+       coalesce(CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS click,
+       coalesce(CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS error,
+       coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS purchase,
+       coalesce(CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS signup,
+       coalesce(CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS view
+FROM events GROUP BY 1
+""",
+)
+def events_type_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-hour value totals, one column per event
+    type.  The pivot values are EXPLICIT — with an inferred value list
+    Spark needs an extra distinct scan and the output schema becomes
+    data-dependent, which breaks both plan caching and any downstream
+    schema contract.  Compiles to one hash aggregate with conditional
+    sums (exactly what the oracle spells out); a single shuffle on the
+    hour key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+        .select(
+            "hour",
+            *[
+                F.coalesce(F.col(t), F.lit(0.0)).alias(t)
+                for t in ["click", "error", "purchase", "signup", "view"]
+            ],
+        )
+    )
+
+
+@register(
+    "events_cube_day_type",
+    """
+SELECT coalesce(day, TIMESTAMP '1900-01-01') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       CAST(GROUPING(day) AS INT) AS g_day,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
+GROUP BY CUBE (day, event_type)
+""",
+)
+def events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 4 grouping combinations (day×type, day,
+    type, grand total) in one pass — Spark expands the grouping sets
+    before the aggregate, so it is still a single shuffle.  Completes
+    the grouping-sets family next to revenue_rollup's ROLLUP."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("1900-01-01").cast("timestamp")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "g_day",
+            "g_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "daily_high_clicks_vs_purchases",
+    """
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' AND value > 4.5 GROUP BY 1
+),
+p AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' AND value < 0.5 GROUP BY 1
+)
+SELECT coalesce(c.day, p.day) AS day,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.day = p.day
+""",
+)
+def daily_high_clicks_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two sparse daily aggregates (high-value clicks
+    vs low-value purchases): days present on either side survive with
+    zero-filled counts.  Completes the join-type coverage (inner/left/
+    semi/anti/cross elsewhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.where((F.col("event_type") == "click") & (F.col("value") > 4.5))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") < 0.5))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    pd_ = p.withColumnRenamed("day", "p_day")
+    return (
+        c.join(pd_, c.day == pd_.p_day, "full_outer")
+        .select(
+            F.coalesce(c.day, pd_.p_day).alias("day"),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
+

@@ -1,0 +1,920 @@
+"""Relational / TPC-H-shape contract queries: wide join trees, decorrelated subqueries, rollups, set ops, windowed revenue.
+
+Split out of the former monolithic queries.py (round 5); the
+registration registry and driver-order governance live in
+``polars_sim_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from polars_sim_spark import cache as cache_registry
+from polars_sim_spark.functions import text as text_fns
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+from polars_sim_spark.operators import dedup
+from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.queries._registry import register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(charge)), 2).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join; small dims broadcast automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k (same shape as join_sim's final stage; WindowGroupLimit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "customer_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+FROM orders
+""",
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window (explicit ROWS frame): cumulative revenue per
+    customer in order-date order. Complements the rank/top-k windows with
+    frame-spec coverage; decimal accumulation keeps the running sum
+    engine-exact at every prefix, not just the final total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+    return orders.select(
+        "o_custkey", "o_orderkey", running.cast("double").alias("running_revenue")
+    )
+
+
+@register(
+    "revenue_rollup",
+    """
+SELECT r_name, n_name,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_orders,
+       CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total (GROUP BY ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+        )
+    )
+
+
+@register(
+    "custkey_setops_9596",
+    """
+SELECT 'both' AS grp, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+UNION ALL
+SELECT 'only95' AS grp, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+""",
+)
+def custkey_setops_9596(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): customer retention 1995→1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).select(F.lit("both").alias("grp"), "o_custkey")
+    only95 = y95.subtract(y96).select(F.lit("only95").alias("grp"), "o_custkey")
+    return both.unionByName(only95)
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: a pure scan-level filter + global aggregate.  The
+    whole WHERE clause is parquet-pushable (min/max row-group pruning on
+    ``l_shipdate``); ``tests/test_plans.py`` asserts the filters reach the
+    scan.  At 100 TB this query reads only the row groups whose shipdate
+    range overlaps 1996 — the canonical predicate-pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey < 10
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on three tables, a fact-fact join,
+    a broadcast dim join, grouped revenue, global top-10.  The
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject — per-partition
+    heaps + a driver merge of 10 rows, never a global sort.  Ties on the
+    rounded revenue are broken by ``l_orderkey`` so the cut is
+    deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "customer_trailing_30d_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+       AS trailing_30d
+FROM orders
+""",
+)
+def customer_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per customer order — the RANGE interval
+    frame (value-based window over the time axis), complementing the
+    ROWS frame pinned by ``customer_running_revenue``. The frame is
+    expressed on exact epoch microseconds (``unix_micros``) so the
+    boundary arithmetic is integral and engine-identical; one shuffle
+    keyed by customer, sums DECIMAL-exact per the house pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # round the DECIMAL window sum, then cast (house rule — cast-first
+        # rounding diverges across engines on half-boundary cents)
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2
+        )
+        .cast("double")
+        .alias("trailing_30d"),
+    )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top-20 customers by returned-item revenue in a
+    quarter — the widest join tree in the contract (lineitem ⋈ orders ⋈
+    customer ⋈ nation). The date filter pushes to the orders scan and
+    prunes the join's probe side; customer and nation broadcast; the
+    global top-20 over an ordered aggregate plans as
+    TakeOrderedAndProject (partial top-k per partition, no global
+    sort). Revenue sums as DECIMAL(28,6) per the house pattern, with
+    c_custkey as the deterministic tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    # round to the 6-dp grid BEFORE the decimal cast: a raw double
+    # landing exactly on a cast-rounding boundary resolves differently
+    # across engines (observed at sf0.01: one half-boundary row moved
+    # the final cent)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        # round the DECIMAL sum, then cast: rounding after a double cast
+        # diverges across engines when the cents digit sits on a half
+        # boundary (Spark rounds the shortest decimal rendering of the
+        # double, DuckDB the exact binary value — observed on this very
+        # query: 307843.595 → .60 vs .59)
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q21_sole_late_suppliers",
+    """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM base
+  WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+),
+allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base)
+SELECT s.s_name AS s_name, count(*) AS numwait
+FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM allsupp l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+)
+def tpch_q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (suppliers-who-kept-orders-waiting; "late" =
+    shipped > 80 days after the order date, the available-column
+    adaptation): for each supplier, count multi-supplier orders on
+    which they were the ONLY late supplier; top 10.
+
+    The textbook form is a correlated EXISTS + NOT EXISTS against the
+    same table — the hardest classic decorrelation — and the ORACLE
+    keeps that form verbatim. The Spark plan is the decorrelated
+    aggregate: one per-order frame carrying (distinct supplier count,
+    distinct LATE supplier count) replaces both subqueries — a wait is
+    a late (order, supplier) row whose order has ≥2 suppliers and
+    exactly 1 late one. The crosscheck therefore proves the rewrite,
+    not just the numbers. One orders⋈lineitem join, two aggregates
+    sharing the order key, broadcast supplier names,
+    TakeOrderedAndProject top-10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("timestamp")
+            > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 80 DAYS")
+        ).alias("__late"),
+    )
+    pairs = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__late")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__late").cast("int")).alias("__n_late"),
+    )
+    waits = (
+        pairs.where(F.col("__late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        waits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                        THEN l.l_extendedprice * (1 - l.l_discount)
+                                        ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE),
+             4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-02-01'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): date-filtered fact scan
+    (pushdown) joined to a BROADCAST dim, one conditional aggregation.
+    Each per-row revenue term is cast to DECIMAL(28,6) BEFORE the sum —
+    summing doubles first and casting after would leave the aggregation
+    partition-order-dependent (the round-3 ADVICE finding) — then the
+    single ratio is one double division of two exact sums, identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(28,6)")).cast("double")
+            / F.sum(rev.cast("decimal(28,6)")).cast("double"),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    """
+WITH avg_bal AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,6))) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT right(c.c_name, 1) AS name_digit,
+       count(*) AS n_cust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal
+FROM customer c CROSS JOIN avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY 1
+""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average-balance customers with no HIGH-VALUE
+    orders — this corpus gives every customer some order, so the anti
+    join keys on o_totalprice > 400k to exercise real rows):
+    scalar-aggregate broadcast (1-row crossJoin — the sanctioned global-
+    scalar pattern), LEFT ANTI join against the fact, small grouped
+    aggregate. The anti join shuffles only customer keys. The average is
+    a DECIMAL mean so the threshold is engine-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,6)")).alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.expr("right(c_name, 1)").alias("name_digit")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2).alias(
+            "total_bal"
+        ),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (adapted to this schema's columns: the EXISTS
+    predicate tests for a returned line, the reference schema's
+    commit/receipt dates being absent): order-priority counts for a
+    quarter of orders having at least one matching lineitem. The
+    correlated EXISTS decorrelates to a LEFT SEMI join — Spark never
+    materializes match multiplicity, and AQE is free to turn the semi
+    join's build side into a broadcast when the quarter's filter makes
+    it small. The date filter is a scan-stage pushdown on orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    flagged = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        quarter.join(flagged, quarter.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0,
+             2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: revenue from small-quantity orders of one
+    brand's parts, where "small" is a PER-PART scalar subquery (half
+    the part's average quantity). The correlated aggregate
+    decorrelates into a per-part threshold table: brand parts are a
+    broadcast filter, thresholds are one narrow (partkey, thr)
+    aggregate over the semi-filtered lineitem — partkey determines
+    brand, so averaging over the brand-filtered rows equals the
+    correlated subquery's all-rows average — and the probe is a second
+    broadcast join. Quantities are small integers, so the double
+    average is order-exact; revenue sums as DECIMAL(28,6) per the q14
+    pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey, "left_semi"
+    )
+    thr = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__thr")
+    )
+    small = brand_lines.join(
+        F.broadcast(thr.withColumnRenamed("l_partkey", "__pk")),
+        brand_lines.l_partkey == F.col("__pk"),
+    ).where(F.col("l_quantity") < F.col("__thr"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0,
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n.n_name AS n_name,
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: revenue by nation where customer and supplier
+    share the nation, within one region and order year — the WIDEST
+    join tree in the contract (lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation ⋈ region, 6 tables). The year filter pushes to the orders
+    scan, region to the region scan; supplier/customer/nation/region
+    all broadcast, so the only shuffled join is lineitem ⋈ orders —
+    fact-to-fact on the orderkey — and the same-nation requirement is a
+    broadcast-side equi-condition, never a post-join filter over a
+    wider product."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "tpch_q7_nation_volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def tpch_q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral trade volume between two nations by
+    ship year — the SAME dimension joined twice under different roles
+    (nation as supplier's vs customer's), with a disjunctive cross-pair
+    predicate. Both nation joins broadcast; the pair predicate lands
+    after the second nation attach, where it prunes to the two (n1,n2)
+    combinations before the aggregate; lineitem ⋈ orders stays the only
+    shuffled join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__n1key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__n2key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                             AS DECIMAL(28,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       r.total_revenue AS total_revenue
+FROM supplier s
+JOIN srev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM srev)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: supplier(s) achieving the MAXIMUM quarterly
+    revenue — an aggregate reused twice (per-supplier revenue AND its
+    global max). The revenue view computes once per reference
+    (Catalyst reuses the exchange); the scalar max arrives as a
+    1-row broadcast crossJoin rather than a driver collect, and the
+    equality filter on a decimal-rounded double is engine-stable by the
+    house rounding rules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    srev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+       o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN big ON o.o_orderkey = big.l_orderkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: top-100 orders whose total line quantity
+    exceeds a threshold — a HAVING-filtered aggregate used as a
+    semi-join against its own fact table. The big-order keys reduce to
+    a tiny broadcast side (the threshold is selective by design), so
+    lineitem is filtered BEFORE its re-aggregation; the ordered top-100
+    plans as TakeOrderedAndProject. Quantities sum as DECIMAL(18,2) —
+    exact and order-independent — and surface as doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    j = (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+SELECT CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 5 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue under a DISJUNCTION of brand/size/
+    quantity clause bundles — the classic test that an optimizer
+    extracts the common single-table conjuncts from an OR-of-ANDs and
+    pushes them below the join. Catalyst does: the part side scans with
+    the derived brand/size superset predicate and the lineitem side
+    with the quantity superset, then the exact disjunction applies at
+    the (broadcast) join. Written as one declarative filter — no manual
+    union-of-three-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (q >= 5)
+            & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (q >= 10)
+            & (q <= 40)
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    return j.where(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+

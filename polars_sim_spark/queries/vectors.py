@@ -1,0 +1,386 @@
+"""Vector / ANN contract queries: brute-force, IVF (+k-means), sign-LSH top-k, centroids, medoids, balanced sampling, BM25.
+
+Split out of the former monolithic queries.py (round 5); the
+registration registry and driver-order governance live in
+``polars_sim_spark.queries`` (the package __init__).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from polars_sim_spark import cache as cache_registry
+from polars_sim_spark.functions import text as text_fns
+from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
+from polars_sim_spark.operators import dedup
+from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.queries._registry import register
+from polars_sim_spark.queries._registry import DUCK_HASH
+
+
+def _duck_ann_rerank(k: int) -> str:
+    """Shared exact-rerank tail over a ``cand(q_id, n_id)`` CTE."""
+    cos = (
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(n.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+SELECT q_id, n_id, sim_r FROM (
+  SELECT c.q_id, c.n_id, {cos} AS sim_r,
+         row_number() OVER (PARTITION BY c.q_id ORDER BY {cos} DESC, c.n_id) AS rn
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.q_id
+  JOIN embeddings n ON n.vec_id = c.n_id
+) WHERE rn <= {k}
+"""
+
+
+def duck_ann_ivf_sql(num_centroids: int = 16, nprobe: int = 3, k: int = 5) -> str:
+    """IVF is deterministic end-to-end (md5-hash-sampled centroids), so the
+    whole index+probe+rerank pipeline is plain SQL."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id AS n_id, c_id FROM nearest WHERE rn <= 1),
+probes AS (SELECT id AS q_id, c_id FROM nearest WHERE rn <= {nprobe} AND id < 20),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+def duck_ann_ivf_kmeans_sql(
+    num_centroids: int = 16, nprobe: int = 3, k: int = 5, num_dims: int = 256
+) -> str:
+    """IVF with ONE Lloyd refinement iteration, unrolled into CTEs: seed
+    centroids (hash-sampled) → assign → per-component means: each
+    component rounded to 6 decimals, summed as DECIMAL(18,6) (exact and
+    order-independent — mirrors refine_centroids_kmeans; a float avg
+    would be reduction-order-dependent before rounding), divided by the
+    member count, rounded to 6 decimals → re-assign against the refined
+    centroids → probe → exact rerank. ``num_dims`` is an upper bound
+    (dims past a vector's length are NULL-filtered). A centroid that
+    loses every member keeps its seed position (COALESCE)."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    cos0 = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+n0 AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos0} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+a0 AS (SELECT id, c_id FROM n0 WHERE rn = 1),
+m1 AS (
+  SELECT a0.c_id, d.dim,
+         round(CAST(sum(CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+  FROM a0 JOIN embeddings e ON e.vec_id = a0.id
+  CROSS JOIN range({num_dims}) d(dim)
+  WHERE e.embedding[d.dim + 1] IS NOT NULL
+  GROUP BY 1, 2
+),
+cent1 AS (
+  SELECT c.c_id, COALESCE(m.mv, c.cv) AS cv
+  FROM cent c LEFT JOIN (
+    SELECT c_id, list(m ORDER BY dim) AS mv FROM m1 GROUP BY c_id
+  ) m USING (c_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos0} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent1 c
+),
+assign AS (SELECT id AS n_id, c_id FROM nearest WHERE rn <= 1),
+probes AS (SELECT id AS q_id, c_id FROM nearest WHERE rn <= {nprobe} AND id < 20),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+def duck_ann_lsh_sql(num_planes: int = 16, bands: int = 4, k: int = 5, num_dims: int = 256) -> str:
+    """Sign-LSH is deterministic too (md5-derived ±1 hyperplanes): plane
+    weights, signed sums, band buckets, collisions, rerank — all SQL.
+
+    ``num_dims`` here is an UPPER BOUND: dims past a vector's length are
+    NULL-filtered out of ``comps``, so any value ≥ the true dimension
+    yields identical buckets to the Spark side's derived-dim plane table.
+    """
+    rpb = num_planes // bands
+    hw = DUCK_HASH.format(c="CAST(p.plane * 1000003 + d.dim AS VARCHAR)")
+    return f"""
+WITH planes AS (
+  SELECT p.plane, d.dim,
+         CASE WHEN ({hw}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS w
+  FROM range({num_planes}) p(plane) CROSS JOIN range({num_dims}) d(dim)
+),
+comps AS (
+  SELECT e.vec_id AS id, d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN range({num_dims}) d(dim)
+  WHERE e.embedding[d.dim + 1] IS NOT NULL
+),
+dots AS (
+  SELECT c.id, p.plane, sum(c.val * p.w) AS dot
+  FROM comps c JOIN planes p USING (dim)
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, plane // {rpb} AS band,
+         CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END)
+                  * CAST(pow(2.0, plane % {rpb}) AS BIGINT)) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS n_id
+  FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.id < 20 AND c.id != q.id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+@register("ann_topk_ivf", duck_ann_ivf_sql())
+def ann_topk_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: md5-hash-sampled centroids, nprobe=3 of 16 lists,
+    exact re-rank. Deterministic across engines, so the full pipeline is
+    oracle-checked in DuckDB; tests/test_similarity.py additionally pins
+    candidate sims to brute-force values and full-probe == exact."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_ivf(emb, queries, k=5, num_centroids=16, nprobe=3)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register("ann_topk_ivf_kmeans", duck_ann_ivf_kmeans_sql())
+def ann_topk_ivf_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined coarse quantizer (one Lloyd iteration,
+    similarity.refine_centroids_kmeans): tighter inverted lists than the
+    hash-sampled baseline at the same nprobe. The refinement is engine-
+    portable (6-decimal-rounded means), so even the TRAINED index gets a
+    full value-hash oracle — the iteration is unrolled into SQL CTEs."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_ivf(emb, queries, k=5, num_centroids=16, nprobe=3, kmeans_iters=1)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register("ann_topk_lsh", duck_ann_lsh_sql())
+def ann_topk_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (16 md5-derived hyperplanes, 4 bands) with
+    exact re-rank — bucket layout reproducible in DuckDB, so this
+    approximate op still gets a full value-hash oracle check."""
+    from polars_sim_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_lsh(emb, queries, k=5)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+SELECT q_id, n_id, sim_r FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim_r,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+) WHERE rn <= 5
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column — the exact
+    baseline every ANN variant is measured against. The query set is
+    broadcast; the corpus streams (scales to any corpus size)."""
+    from polars_sim_spark.operators.similarity import ann_topk_bruteforce as ann_bf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_bf(emb, queries, k=5)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register(
+    "embedding_label_centroids",
+    """
+WITH comps AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         unnest(embedding) AS c
+  FROM embeddings
+)
+SELECT label, CAST(idx AS BIGINT) AS idx,
+       round(CAST(sum(CAST(round(CAST(c AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM comps GROUP BY 1, 2
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), flattened to one row
+    per (label, dimension).  posexplode → hash aggregate with map-side
+    combine; each component is rounded and summed as DECIMAL(18,6) so the
+    reduction is exact and order-independent — float sums would differ
+    between engines (and between runs!) by reduction order.  One shuffle
+    keyed on (label, idx); at 100 TB, |labels|·dim cells, each a running
+    decimal sum — constant state per cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select("label", F.posexplode("embedding").alias("idx", "c"))
+    comp6 = F.round(F.col("c").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        comps.groupBy("label", F.col("idx").cast("long").alias("idx"))
+        .agg(
+            F.round(
+                F.sum(comp6).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", "idx", "centroid_val", "n_vecs")
+    )
+
+
+@register(
+    "embedding_cluster_medoids",
+    f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id,
+           {DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT 16
+  ) s USING (vec_id)
+),
+scored AS (
+  SELECT e.vec_id AS id, c.c_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+           AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id, sim FROM scored WHERE rn = 1),
+med AS (
+  SELECT c_id, id, sim,
+         row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, id) AS mrn,
+         count(*) OVER (PARTITION BY c_id) AS cluster_size
+  FROM assign
+)
+SELECT c_id, id AS medoid_id, sim, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM med WHERE mrn = 1
+""",
+)
+def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster medoids (similarity.cluster_medoids): one representative
+    vector per hash-sampled centroid cell plus the cell population —
+    corpus triage and cluster-balanced seed selection. Assignment is the
+    zero-shuffle IVF score projection; the single exchange serves both
+    the medoid rank and the cluster-size window."""
+    from polars_sim_spark.operators.similarity import cluster_medoids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_medoids(emb, num_centroids=16)
+
+
+@register(
+    "embedding_cluster_balanced_sample",
+    f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id,
+           {DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT 16
+  ) s USING (vec_id)
+),
+scored AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 c.cv), 6) DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id FROM scored WHERE rn = 1),
+keyed AS (
+  SELECT id, c_id,
+         round(-ln(({DUCK_HASH.format(c="CAST(id AS VARCHAR)")} + 1)
+                   / 4294967296.0), 9) AS es_key
+  FROM assign
+)
+SELECT c_id, id AS vec_id FROM (
+  SELECT c_id, id,
+         row_number() OVER (PARTITION BY c_id ORDER BY es_key, id) AS srn
+  FROM keyed
+) WHERE srn <= 5
+""",
+)
+def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling: exactly 5 vectors per centroid cell
+    (fewer in smaller cells), drawn by the deterministic
+    Efraimidis-Spirakis keys — the diversity-preserving downsample
+    behind cluster-balanced data mixtures (keep every mode of the
+    distribution, cap each mode's mass). Composition of two existing
+    pieces: the zero-shuffle IVF assignment
+    (similarity.nearest_centroid_assignments) and uniform-weight
+    curation.weighted_sample_k over the cell id."""
+    from polars_sim_spark.operators.curation import weighted_sample_k
+    from polars_sim_spark.operators.similarity import nearest_centroid_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = nearest_centroid_assignments(emb, num_centroids=16).withColumn(
+        "__w", F.lit(1.0)
+    )
+    return weighted_sample_k(
+        assigned, group_col="c_id", weight_col="__w", id_col="id", k=5
+    ).select("c_id", F.col("id").alias("vec_id"))
+
