@@ -132,7 +132,11 @@ def _centroid_scores(cent_rows) -> Column:
 
 
 def refine_centroids_kmeans(
-    corpus: DataFrame, vec_col: str, cent_rows: list, iters: int
+    corpus: DataFrame,
+    vec_col: str,
+    cent_rows: list,
+    iters: int,
+    assignment: str = "expr",
 ) -> list:
     """``iters`` Lloyd iterations over collected centroid rows.
 
@@ -151,11 +155,25 @@ def refine_centroids_kmeans(
     ``embedding_label_centroids``). A centroid that loses every member
     keeps its previous position.
 
+    ``assignment="kernel"`` routes step (1) through the broadcast-matrix
+    GEMM (``centroid_assignments_kernel`` with ``carry_vec=True`` —
+    one row per vector, vector carried through so the component
+    aggregate needs NO join back), eliminating the num_centroids × dim
+    plan literals that bind past a few hundred centroids — the same
+    lever as the IVF probe scorer (BASELINE.md). The component SUMS
+    stay on the exact decimal expression path either way; only the
+    assignment argmax inherits the kernel's documented 6-decimal
+    rounding-boundary caveat, so contract queries keep ``"expr"``.
+
     Returns rows shaped like ``pick_centroids`` output (dicts with
     ``c_id``/``__centroid``/``__cnorm``), sorted by c_id.
     """
     import math
 
+    if assignment not in ("expr", "kernel"):
+        raise ValueError(
+            f"assignment must be 'expr' or 'kernel', got {assignment!r}"
+        )
     cents = [
         {
             "c_id": r["c_id"],
@@ -164,19 +182,39 @@ def refine_centroids_kmeans(
         }
         for r in cent_rows
     ]
-    vecs = corpus.select(
-        F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__vn")
-    )
+    if assignment == "kernel":
+        # synthetic pass-through id (never surfaced); c_id dtype derives
+        # from the centroid ids themselves since no corpus id is in play
+        c_id_type = "string" if isinstance(cents[0]["c_id"], str) else "bigint"
+        vecs = corpus.select(
+            F.monotonically_increasing_id().alias("__kid"),
+            F.col(vec_col).alias("__kv"),
+        )
+    else:
+        vecs = corpus.select(
+            F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__vn")
+        )
     if iters > 1:
         # Each iteration scans the projected vectors once; for multi-iter
         # training pay the materialization once instead of re-reading
         # (and re-decoding) the source per iteration.
         vecs = vecs.persist()
     for _ in range(iters):
-        scores = _centroid_scores(cents)
-        assigned = vecs.select(
-            F.array_max(scores).getField("c_id").alias("c_id"), F.col("__v")
-        )
+        if assignment == "kernel":
+            assigned = centroid_assignments_kernel(
+                vecs,
+                "__kid",
+                "__kv",
+                cents,
+                nprobe=1,
+                c_id_type=c_id_type,
+                carry_vec=True,
+            ).select("c_id", "__v")
+        else:
+            scores = _centroid_scores(cents)
+            assigned = vecs.select(
+                F.array_max(scores).getField("c_id").alias("c_id"), F.col("__v")
+            )
         comp6 = F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
         means = (
             assigned.select("c_id", F.posexplode("__v").alias("pos", "val"))
@@ -269,7 +307,9 @@ def ann_topk_ivf(
     cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
     cent_rows.sort(key=lambda r: r["c_id"])
     if kmeans_iters > 0:
-        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
+        cent_rows = refine_centroids_kmeans(
+            corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
+        )
 
     def _side(df, in_id, in_vec, out_id):
         return df.select(
@@ -503,6 +543,7 @@ def centroid_assignments_kernel(
     cent_rows: list,
     nprobe: int,
     c_id_type: str | None = None,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """(id, c_id): each vector's top-``nprobe`` centroids via one
     Arrow-batched numpy GEMM per partition — the kernel twin of the
@@ -544,16 +585,24 @@ def centroid_assignments_kernel(
     c_ids = np.array([r["c_id"] for r in cent_rows])
     bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm, c_ids))
 
+    if carry_vec and nprobe != 1:
+        raise ValueError(
+            "carry_vec emits exactly one row per input vector; it requires "
+            f"nprobe=1 (got {nprobe})"
+        )
     id_type = dict(df.dtypes)[id_col]
     # c_id values come from the CORPUS that produced cent_rows; when the
     # scored side is a different table (the probe path), its id type may
     # differ from the centroid id type — let callers say so.
-    schema = T.StructType(
-        [
-            T.StructField("id", T._parse_datatype_string(id_type)),
-            T.StructField("c_id", T._parse_datatype_string(c_id_type or id_type)),
-        ]
-    )
+    fields = [
+        T.StructField("id", T._parse_datatype_string(id_type)),
+        T.StructField("c_id", T._parse_datatype_string(c_id_type or id_type)),
+    ]
+    if carry_vec:
+        # float→double widening is exact, and the k-means consumer rounds
+        # per-component to the 6-dp grid anyway
+        fields.append(T.StructField("__v", T._parse_datatype_string("array<double>")))
+    schema = T.StructType(fields)
 
     def compute(batches):
         cmat_, cnorm_, cids_ = bc.value
@@ -582,8 +631,17 @@ def centroid_assignments_kernel(
                 sims = np.where(denom > 0.0, (vmat @ cmat_.T) / denom, 0.0)
             sims = np.round(sims, 6)
             top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-            ids = np.repeat(pdf["__id"].to_numpy(), k)
-            yield pd.DataFrame({"id": ids, "c_id": cids_[top].ravel()})
+            if carry_vec:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["__id"].to_numpy(),
+                        "c_id": cids_[top[:, 0]],
+                        "__v": pdf["__v"],
+                    }
+                )
+            else:
+                ids = np.repeat(pdf["__id"].to_numpy(), k)
+                yield pd.DataFrame({"id": ids, "c_id": cids_[top].ravel()})
 
     src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return src.mapInPandas(compute, schema=schema)

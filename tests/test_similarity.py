@@ -370,3 +370,47 @@ def test_cluster_medoids_matches_model(spark, sf_small):
     }
     assert got == expected
     assert sum(v[2] for v in got.values()) == len(vecs)
+
+
+def test_refine_kmeans_kernel_equals_expr(spark, sf_small):
+    """k-means refinement with the GEMM assignment must rebuild
+    bit-identical centroids to the expression path (component sums stay
+    on the exact decimal path in both; only the argmax routing differs,
+    and this corpus sits away from 6-dp rounding boundaries)."""
+    from polars_sim_spark.operators.similarity import (
+        pick_centroids,
+        refine_centroids_kmeans,
+    )
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    seeds = pick_centroids(emb, "vec_id", "embedding", 12).collect()
+    seeds.sort(key=lambda r: r["c_id"])
+    a = refine_centroids_kmeans(emb, "embedding", seeds, 2, assignment="expr")
+    b = refine_centroids_kmeans(emb, "embedding", seeds, 2, assignment="kernel")
+    assert [c["c_id"] for c in a] == [c["c_id"] for c in b]
+    for ca, cb in zip(a, b):
+        assert ca["__centroid"] == cb["__centroid"], ca["c_id"]
+
+
+def test_ann_ivf_kmeans_kernel_assignment_equals_expr(spark, sf_small):
+    """End-to-end: kmeans-refined IVF under kernel assignment (which now
+    covers corpus scoring, probe scoring, AND the refinement loop) must
+    equal the expression-path result exactly."""
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    kw = dict(k=5, num_centroids=12, nprobe=3, kmeans_iters=2)
+    a = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ann_topk_ivf(emb, queries, assignment="expr", **kw).collect()
+    }
+    b = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ann_topk_ivf(emb, queries, assignment="kernel", **kw).collect()
+    }
+    assert len(a) > 0
+    assert a == b
