@@ -505,47 +505,104 @@ def stream_passage_dedup(
 
     from polars_sim_spark.operators.dedup import passage_rows
 
+    _require_integral_id(stream_docs, id_col, "stream_passage_dedup")
+    p = passage_rows(stream_docs, id_col, text_col, passage_words)
+    keyed = p.select(
+        F.col(id_col),
+        "pidx",
+        "ptext",
+        F.md5("ptext").alias("__fp"),
+        _guarded_packed_seq(id_col, "pidx", "stream_passage_dedup").alias("__seq"),
+    )
+    return streaming_dedup_first_seen(
+        keyed, key_col="__fp", order_col="__seq"
+    ).select(id_col, "pidx", "ptext")
+
+
+def _require_integral_id(stream_docs: DataFrame, id_col: str, op: str) -> None:
+    """cast("long") on a non-numeric id would yield NULL order keys,
+    silently breaking the smallest-(id, index) equivalence with the
+    batch operators (which order by the raw id column)."""
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
     id_type = stream_docs.schema[id_col].dataType
     if not isinstance(id_type, (LongType, IntegerType, ShortType, ByteType)):
-        # cast("long") on a non-numeric id would yield NULL order keys,
-        # silently breaking the smallest-(id, pidx) equivalence with the
-        # batch operator (which orders by the raw id column).
         raise TypeError(
-            f"stream_passage_dedup needs an integral {id_col!r} to build its "
-            f"order key; got {id_type.simpleString()} — map string ids to "
-            "longs upstream (e.g. xxhash64) or extend the op with a "
-            "composite order key"
+            f"{op} needs an integral {id_col!r} to build its order key; got "
+            f"{id_type.simpleString()} — map string ids to longs upstream "
+            "(e.g. xxhash64) or extend the op with a composite order key"
         )
-    p = passage_rows(stream_docs, id_col, text_col, passage_words)
-    packed = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("pidx")
-    # Runtime guard for the packing domain (docstring limit, enforced):
-    # a pidx >= 2^20 or a negative id would silently corrupt the
-    # smallest-(id, pidx) keep-first ordering. assert_true is embedded
-    # in the __seq expression itself so column pruning can't drop it.
-    packing_ok = (F.col("pidx") < F.lit(1 << 20)) & (
+
+
+def _guarded_packed_seq(id_col: str, idx_col: str, op: str):
+    """``id * 2^20 + idx`` keep-first order key with a runtime domain
+    guard: an idx >= 2^20 or a negative id would silently corrupt the
+    smallest-(id, idx) ordering. assert_true is embedded in the returned
+    expression itself so column pruning can't drop it."""
+    packed = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col(idx_col)
+    packing_ok = (F.col(idx_col) < F.lit(1 << 20)) & (
         F.col(id_col).cast("long") >= 0
     )
     guard = F.assert_true(
         packing_ok,
         F.concat_ws(
             " ",
-            F.lit("stream_passage_dedup order-key packing overflow:"),
-            F.lit("need 0 <= id and pidx < 2^20, got id="),
+            F.lit(f"{op} order-key packing overflow:"),
+            F.lit(f"need 0 <= id and {idx_col} < 2^20, got id="),
             F.col(id_col).cast("string"),
-            F.lit("pidx="),
-            F.col("pidx").cast("string"),
+            F.lit(f"{idx_col}="),
+            F.col(idx_col).cast("string"),
         ),
     )
-    keyed = p.select(
+    return F.when(guard.isNull(), packed).otherwise(packed)
+
+
+def stream_substring_dedup(
+    stream_docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window_words: int = 8,
+) -> DataFrame:
+    """Streaming substring-novelty gate: explode each arriving document
+    into STRIDE-1 ``window_words``-word windows and emit only the window
+    occurrences whose word sequence was never seen before — across
+    documents, micro-batches, and restarts. The streaming face of
+    :func:`polars_sim_spark.operators.dedup.duplicate_substring_spans`:
+    the batch operator flags every NON-first occurrence (then merges
+    them into maximal spans); this emits exactly the complement — the
+    corpus-wide first occurrences by smallest ``(id, position)`` — so a
+    consumer can mark the arriving document's duplicated offsets as
+    everything NOT emitted (equivalence pinned by an availableNow test).
+
+    Output: ``(id, i, wtext)`` — the novel windows. Span merging stays a
+    per-document batch concern (gaps-and-islands needs the document's
+    full window set, which one micro-batch has anyway — run the batch
+    operator's island merge over the emitted complement downstream if
+    maximal spans are needed at ingest).
+
+    Plan: the stride-1 window expansion is the same narrow zero-shuffle
+    projection as batch (``sliding_window_rows``); novelty is the keyed
+    first-seen state operator — one state entry per distinct window md5,
+    hash-sharded, RocksDB-backed in production. State grows with
+    distinct k-grams (≈ corpus words); at 100 TB front it with the
+    passage-level gate (16-word passages, 16× fewer keys) or scope state
+    with a TTL when "recent repeats" is the contract.
+    """
+    from polars_sim_spark.operators.dedup import sliding_window_rows
+
+    _require_integral_id(stream_docs, id_col, "stream_substring_dedup")
+    w = sliding_window_rows(stream_docs, id_col, text_col, window_words)
+    keyed = w.select(
         F.col(id_col),
-        "pidx",
-        "ptext",
-        F.md5("ptext").alias("__fp"),
-        F.when(guard.isNull(), packed).otherwise(packed).alias("__seq"),
+        "i",
+        "wtext",
+        F.md5("wtext").alias("__fp"),
+        _guarded_packed_seq(id_col, "i", "stream_substring_dedup").alias("__seq"),
     )
     return streaming_dedup_first_seen(
         keyed, key_col="__fp", order_col="__seq"
-    ).select(id_col, "pidx", "ptext")
+    ).select(id_col, "i", "wtext")
 
 
 def stream_centroid_assign(

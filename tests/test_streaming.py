@@ -626,3 +626,96 @@ def test_watermark_drops_late_rows_across_batches(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_stream_substring_dedup_matches_first_occurrence(spark):
+    """stream_substring_dedup emits exactly the corpus-wide first
+    occurrence of every distinct stride-1 window (the complement of
+    duplicate_substring_spans' flagged set), with cross-batch state, and
+    its complement on the arriving corpus equals the batch operator's
+    duplicated window positions."""
+    from polars_sim_spark.operators.dedup import duplicate_substring_spans
+    from polars_sim_spark.streaming.stream_ops import stream_substring_dedup
+
+    src = tempfile.mkdtemp(prefix="pss_sub_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_sub_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_sub_out_")
+    schema = "doc_id long, text string"
+    W = 4
+
+    def windows(rows):
+        out = []
+        for doc_id, text in rows:
+            ws = text.split()
+            for i in range(len(ws) - W + 1):
+                out.append((doc_id, i, " ".join(ws[i : i + W])))
+        return out
+
+    def expected_first(rows):
+        seen, keep = set(), set()
+        for doc_id, i, g in sorted(windows(rows)):
+            if g not in seen:
+                seen.add(g)
+                keep.add((doc_id, i, g))
+        return keep
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_substring_dedup(
+            stream, id_col="doc_id", text_col="text", window_words=W
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["i"], r["wtext"])
+            for r in spark.read.schema("doc_id long, i int, wtext string")
+            .parquet(dst)
+            .collect()
+        }
+
+    try:
+        batch1 = [
+            (1, "a b c d e f"),          # windows at 0,1,2
+            (2, "x a b c d e z"),        # repeats doc 1's windows at offset 1
+            (3, "p q r s"),
+        ]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        got = run()
+        assert got == expected_first(batch1)
+
+        # complement equivalence with the batch span operator: every
+        # window NOT emitted is inside a batch-flagged span, and vice
+        # versa (spans cover exactly the non-first occurrences).
+        docs = spark.createDataFrame(batch1, schema)
+        spans = duplicate_substring_spans(
+            docs, "doc_id", "text", window_words=W
+        ).collect()
+        covered = {
+            (r["doc_id"], i)
+            for r in spans
+            for i in range(r["span_start"], r["span_end"] - W + 2)
+        }
+        not_emitted = {
+            (d, i) for d, i, g in windows(batch1)
+        } - {(d, i) for d, i, g in got}
+        assert not_emitted == covered
+
+        # batch 2: an already-seen window plus a novel one — state holds
+        batch2 = [(4, "a b c d q")]  # "a b c d" seen; "b c d q" novel
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert run() == expected_first(batch1) | {(4, 1, "b c d q")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
