@@ -544,8 +544,9 @@ def centroid_assignments_kernel(
     nprobe: int,
     c_id_type: str | None = None,
     carry_vec: bool = False,
+    carry_sim: bool = False,
 ) -> DataFrame:
-    """(id, c_id): each vector's top-``nprobe`` centroids via one
+    """(id, c_id[, sim][, __v]): each vector's top-``nprobe`` centroids via one
     Arrow-batched numpy GEMM per partition — the kernel twin of the
     Column-expression assignment (``_centroid_scores``).
 
@@ -598,6 +599,11 @@ def centroid_assignments_kernel(
         T.StructField("id", T._parse_datatype_string(id_type)),
         T.StructField("c_id", T._parse_datatype_string(c_id_type or id_type)),
     ]
+    if carry_sim:
+        # the (6-dp-rounded) cosine to each emitted centroid — what
+        # nearest_centroid_assignments/cluster_medoids consume; same
+        # rounding-boundary caveat as the assignment argmax itself
+        fields.append(T.StructField("sim", T._parse_datatype_string("double")))
     if carry_vec:
         # float→double widening is exact, and the k-means consumer rounds
         # per-component to the 6-dp grid anyway
@@ -632,16 +638,22 @@ def centroid_assignments_kernel(
             sims = np.round(sims, 6)
             top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
             if carry_vec:
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["__id"].to_numpy(),
-                        "c_id": cids_[top[:, 0]],
-                        "__v": pdf["__v"],
-                    }
-                )
+                out = {
+                    "id": pdf["__id"].to_numpy(),
+                    "c_id": cids_[top[:, 0]],
+                }
+                if carry_sim:
+                    out["sim"] = sims[np.arange(len(pdf)), top[:, 0]]
+                out["__v"] = pdf["__v"]
+                yield pd.DataFrame(out)
             else:
                 ids = np.repeat(pdf["__id"].to_numpy(), k)
-                yield pd.DataFrame({"id": ids, "c_id": cids_[top].ravel()})
+                out = {"id": ids, "c_id": cids_[top].ravel()}
+                if carry_sim:
+                    out["sim"] = sims[
+                        np.repeat(np.arange(len(pdf)), k), top.ravel()
+                    ]
+                yield pd.DataFrame(out)
 
     src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return src.mapInPandas(compute, schema=schema)
@@ -745,16 +757,37 @@ def nearest_centroid_assignments(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     kmeans_iters: int = 0,
+    assignment: str = "auto",
 ) -> DataFrame:
     """``(id, c_id, sim)``: every corpus vector labeled with its nearest
     deterministic (hash-sampled, optionally k-means-refined) centroid
     and the cosine to it — the shared front end of
     :func:`cluster_medoids` and cluster-balanced sampling. A zero-
-    shuffle scan projection (``_centroid_scores``)."""
+    shuffle scan projection either way: ``"expr"`` is the oracle-exact
+    Column path (``_centroid_scores``), ``"kernel"`` the broadcast-matrix
+    GEMM with ``carry_sim`` (no ``num_centroids × dim`` plan literals —
+    the binding cost past a few hundred centroids, BASELINE.md);
+    ``"auto"`` flips at ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``."""
+    from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
+
+    if assignment not in ("auto", "expr", "kernel"):
+        raise ValueError(
+            f"assignment must be 'auto', 'expr' or 'kernel', got {assignment!r}"
+        )
+    if assignment == "auto":
+        assignment = (
+            "kernel" if num_centroids > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
+        )
     cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
     cent_rows.sort(key=lambda r: r["c_id"])
     if kmeans_iters > 0:
-        cent_rows = refine_centroids_kmeans(corpus, vec_col, cent_rows, kmeans_iters)
+        cent_rows = refine_centroids_kmeans(
+            corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
+        )
+    if assignment == "kernel":
+        return centroid_assignments_kernel(
+            corpus, id_col, vec_col, cent_rows, nprobe=1, carry_sim=True
+        )
     scores = _centroid_scores(cent_rows)
     return (
         corpus.select(
@@ -778,6 +811,7 @@ def cluster_medoids(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     kmeans_iters: int = 0,
+    assignment: str = "auto",
 ) -> DataFrame:
     """One representative example per cluster: assign every vector to
     its nearest (hash-sampled, optionally k-means-refined) centroid and
@@ -799,6 +833,7 @@ def cluster_medoids(
         vec_col=vec_col,
         num_centroids=num_centroids,
         kmeans_iters=kmeans_iters,
+        assignment=assignment,
     )
     rank_w = Window.partitionBy("c_id").orderBy(F.desc("sim"), F.asc("id"))
     size_w = Window.partitionBy("c_id")

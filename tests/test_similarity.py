@@ -414,3 +414,25 @@ def test_ann_ivf_kmeans_kernel_assignment_equals_expr(spark, sf_small):
     }
     assert len(a) > 0
     assert a == b
+
+
+def test_nearest_centroid_assignments_kernel_equals_expr(spark, sf_small):
+    """(id, c_id, sim) from the carry_sim GEMM path must equal the
+    expression path exactly — including the rounded cosine — so
+    cluster_medoids/balanced sampling can flip to the kernel at large
+    centroid counts without changing results."""
+    from polars_sim_spark.operators.similarity import nearest_centroid_assignments
+    from polars_sim_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    kw = dict(num_centroids=12, kmeans_iters=1)
+    a = {
+        (r["id"], r["c_id"], round(r["sim"], 6))
+        for r in nearest_centroid_assignments(emb, assignment="expr", **kw).collect()
+    }
+    b = {
+        (r["id"], r["c_id"], round(r["sim"], 6))
+        for r in nearest_centroid_assignments(emb, assignment="kernel", **kw).collect()
+    }
+    assert len(a) > 0
+    assert a == b
