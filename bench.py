@@ -116,6 +116,8 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q13_customer_order_distribution",
+    "text_bigram_surprisal",
 ]
 
 

@@ -194,6 +194,8 @@ _MANIFEST = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q13_customer_order_distribution",
+    "text_bigram_surprisal",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -918,3 +918,51 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
     )
 
+
+
+@register(
+    "tpch_q13_customer_order_distribution",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H q13 shape: the customer order-count DISTRIBUTION — an
+    outer join whose extra predicate lives in the JOIN CONDITION (not a
+    WHERE, which would silently turn the left join inner and drop
+    zero-order customers), a count over the nullable side (counts
+    non-null keys only, so no-order customers land in the c_count=0
+    bucket), then a second aggregation over the first's result. Two
+    shuffles: the custkey join/agg (one exchange — the count reuses the
+    join's partitioning) and the tiny histogram agg. The priority
+    filter stands in for the original's comment NOT LIKE (testdata has
+    no o_comment); the decorrelation shape is identical."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.where(F.col("o_orderpriority") != "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

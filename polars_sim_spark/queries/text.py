@@ -599,6 +599,111 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_surprisal",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (SELECT doc_id, unnest(w) AS t FROM w),
+uni AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT count(*) AS n FROM toks),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM w WHERE len(w) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS cctx FROM big GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln(0.7 * (CAST(c12 AS DOUBLE) / cctx)
+                   + 0.3 * (CAST(u.c AS DOUBLE) / tot.n)), 6) AS surp
+  FROM big b
+  JOIN bc USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN uni u ON u.t = b.w2
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(CAST(round(surp * 1000000) AS BIGINT)) // count(*) AS DOUBLE)
+           / 1000000 AS mean_surprisal
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(mean_surprisal, 0.0) AS mean_surprisal
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM surprisal per document — one order up from
+    ``text_unigram_surprisal`` on the CCNet-style perplexity-filter
+    ladder: ``p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·c(w2)/N`` fit ON the
+    corpus (MLE bigram backed off to the unigram), scored as the mean
+    per-bigram ``-ln p``. Repetitive boilerplate scores near zero;
+    token soup scores high — tighter separation than the unigram model
+    because context is conditioned on. All three count tables are
+    corpus-fit aggregates broadcast back over the bigram stream (the
+    bigram table outgrows broadcast at web scale → same plan degrades
+    to a shuffled join on (w1, w2), which is exactly how a distributed
+    KenLM-lite behaves); the float expression is associated identically
+    in both engines, and the MEAN is computed entirely in integer
+    micro-units (round to 6 dp → ×10⁶ long → exact sum → integer
+    division) because a double round of ``decimal_sum/count`` landed on
+    a 6th-decimal half-boundary across engines on this very query — a
+    stricter application of the house decimal-first rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    toks = w.select("doc_id", F.explode("w").alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    big = (
+        w.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cctx"))
+    surp = F.round(
+        -F.log(
+            0.7 * (F.col("c12").cast("double") / F.col("cctx"))
+            + 0.3 * (F.col("c").cast("double") / F.col("n"))
+        ),
+        6,
+    )
+    agg = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("t"))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (surp * 1000000).alias("__surp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.expr(
+                    "sum(cast(round(__surp_micro) as bigint)) div count(1)"
+                ).cast("double")
+                / 1000000
+            ).alias("mean_surprisal"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("mean_surprisal"), F.lit(0.0)).alias("mean_surprisal"),
+    )
+
+
+@register(
     "docs_quality_unpivot",
     """
 WITH m AS (
