@@ -848,3 +848,131 @@ def cluster_medoids(
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+def materialize_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    kmeans_iters: int = 0,
+    assignment: str = "auto",
+) -> None:
+    """Persist the corpus as an on-disk IVF index: hive-partitioned
+    parquet ``path/c_id=<cell>/`` holding ``(id, vec, vnorm)`` per
+    inverted list, plus the (optionally k-means-refined) centroid table
+    under ``path/_centroids`` (the underscore prefix keeps it invisible
+    to partition discovery, like ``_metadata``).
+
+    This turns the IVF cell id into a PARTITION COLUMN, which is the
+    100 TB shape of a vector index in a lake: a query that probes
+    ``nprobe`` cells prunes to those directories at the FILE level —
+    Catalyst's partition pruning, not a row filter — so the scan cost
+    is the probed lists, never the corpus (plan-asserted in
+    tests/test_sinks.py). Rebuild cadence is the reclustering policy;
+    appends go to the cell directory chosen by
+    :func:`stream_centroid_assign` / ``centroid_assignments_kernel``
+    against the SAME stored centroid table.
+    """
+    from polars_sim_spark.sources.sinks import write_partitioned
+
+    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    if kmeans_iters > 0:
+        cent_rows = refine_centroids_kmeans(
+            corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
+        )
+    assigned = nearest_centroid_assignments(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        kmeans_iters=kmeans_iters,
+        assignment=assignment,
+    ).select(F.col("id").alias(id_col), "c_id")
+    rows = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm")
+    ).join(assigned, id_col)
+    write_partitioned(rows, path, partition_by=["c_id"])
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [
+            (r["c_id"], [float(x) for x in r["__centroid"]], float(r["__cnorm"]))
+            for r in cent_rows
+        ],
+        f"c_id {dict(corpus.dtypes)[id_col]}, centroid array<double>, cnorm double",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+
+
+def ann_topk_ivf_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    nprobe: int = 3,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """ANN top-k against a :func:`materialize_ivf_index` layout —
+    identical results to :func:`ann_topk_ivf` over the same corpus and
+    centroid configuration (equivalence-tested), but the corpus is
+    never rescanned or re-assigned: queries score against the STORED
+    centroid table (an O(num_centroids) driver read), the probed cell
+    ids become a partition-pruning ``isin`` filter on the hive layout
+    (`PartitionFilters`, file-level skip — plan-asserted), and the
+    exact rerank touches only the probed lists with their PRE-COMPUTED
+    norms. This is the serving-path shape at 100 TB: index build cost
+    is paid once at write time; each query batch costs nprobe lists.
+    """
+    cent = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
+    cent_rows = [
+        {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
+        for r in sorted(cent, key=lambda r: r["c_id"])
+    ]
+    scores = _centroid_scores(cent_rows)  # reads __v/__vn
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(query_vec_col).alias("__v"),
+            l2_norm(query_vec_col).alias("__vn"),
+        )
+        .select(
+            "q_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+            F.explode(
+                F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+            ).alias("__s"),
+        )
+        .select("q_id", "__qv", "__qn", F.col("__s").getField("c_id").alias("c_id"))
+    )
+    # O(|Q|·nprobe) driver read of CELL IDS ONLY — the sanctioned scout
+    # pattern; the literal list is what Catalyst turns into partition
+    # pruning on the hive layout.
+    cells = sorted({r["c_id"] for r in probes.select("c_id").distinct().collect()})
+    lists = spark.read.parquet(path).where(F.col("c_id").isin(cells))
+    pairs = lists.join(
+        F.broadcast(probes), "c_id"
+    )
+    if exclude_same_id:
+        pairs = pairs.where(F.col(id_col) != F.col("q_id"))
+    sim = F.round(
+        F.when(
+            F.col("__qn") * F.col("vnorm") > F.lit(0.0),
+            dot("__qv", vec_col) / (F.col("__qn") * F.col("vnorm")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        pairs.select("q_id", F.col(id_col).alias("n_id"), sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

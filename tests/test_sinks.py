@@ -123,3 +123,47 @@ def test_history_band_table_join_is_shuffle_free_on_history_side(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     spark.sql("DROP TABLE t_hist_bands")
+
+
+def test_ivf_index_prebuilt_prunes_partitions_and_matches_live(spark, tmp_path):
+    """materialize_ivf_index + ann_topk_ivf_prebuilt: the serving path
+    must (a) return exactly ann_topk_ivf's rows for the same corpus and
+    centroid config, and (b) scan ONLY the probed cells — partition
+    pruning on the hive c_id layout, visible as PartitionFilters in the
+    plan and as a pruned partition count in the scan."""
+    import re
+
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+    from polars_sim_spark.plans.explain import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    path = str(tmp_path / "ivf_index")
+    kw = dict(k=5, nprobe=2)
+    materialize_ivf_index(emb, path, num_centroids=12)
+
+    live = {
+        (r["q_id"], r["n_id"], r["sim"])
+        for r in ann_topk_ivf(
+            emb, queries, num_centroids=12, assignment="expr", **kw
+        ).collect()
+    }
+    served_df = ann_topk_ivf_prebuilt(spark, path, queries, **kw)
+    served = {(r["q_id"], r["n_id"], r["sim"]) for r in served_df.collect()}
+    assert len(live) > 0
+    assert served == live
+
+    plan = formatted_plan(served_df)
+    m = re.search(r"PartitionFilters: \[[^\]]*c_id#?\d* IN \(([^)]*)\)", plan)
+    assert m, plan
+    n_probed = len(m.group(1).split(","))
+    n_cells = sum(1 for d in os.listdir(path) if d.startswith("c_id="))
+    # 5 queries × nprobe=2 probe ≤ 10 distinct cells of the 12 on disk —
+    # the pruning filter must list strictly fewer cells than exist
+    assert 0 < n_probed < n_cells, (n_probed, n_cells, m.group(0))
