@@ -562,14 +562,17 @@ def test_stream_centroid_assign_equals_batch(spark, sf_small):
     try:
         emb.write.mode("overwrite").parquet(d)
         stream = spark.readStream.schema(emb.schema).parquet(d)
-        out = stream_centroid_assign(stream, emb, num_centroids=8)
-        name = f"vecassign_{uuid.uuid4().hex[:8]}"
-        _run_to_memory(out, name, "append")
-        got = {
-            (r["id"], r["c_id"], r["sim"])
-            for r in spark.sql(f"SELECT * FROM {name}").collect()
-        }
-        assert got == expected
+        for mode in ("expr", "kernel"):
+            out = stream_centroid_assign(
+                stream, emb, num_centroids=8, assignment=mode
+            )
+            name = f"vecassign_{mode}_{uuid.uuid4().hex[:8]}"
+            _run_to_memory(out, name, "append")
+            got = {
+                (r["id"], r["c_id"], round(r["sim"], 6))
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            assert got == {(i, c, round(s, 6)) for i, c, s in expected}, mode
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
