@@ -118,6 +118,7 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q13_customer_order_distribution",
     "text_bigram_surprisal",
+    "tpch_q8_market_share",
 ]
 
 

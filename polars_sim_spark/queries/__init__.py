@@ -196,6 +196,7 @@ _MANIFEST = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q13_customer_order_distribution",
     "text_bigram_surprisal",
+    "tpch_q8_market_share",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -966,3 +966,92 @@ def tpch_q13_customer_order_distribution(
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+WITH all_lines AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+              AS DECIMAL(28,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_lines
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: one nation's share of a region's market for a
+    part type, by order year — the WIDEST join tree in the contract
+    (8 relations: lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation ×2 roles ⋈ region) with a conditional-aggregate ratio on
+    top. Every dimension broadcasts (part/supplier/customer/nation/
+    region); lineitem ⋈ orders remains the ONLY shuffled join, so the
+    8-way tree costs one exchange more than a scan. The p_type filter
+    prunes part BEFORE its broadcast and — via the join — most of
+    lineitem. Numerator and denominator sum as exact DECIMAL and cast
+    to double before the one division (both engines divide identical
+    doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1key"), F.col("n_regionkey").alias("__n1reg")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    j = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "ECONOMY")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__n1key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__n2key"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("__n1reg") == F.col("r_regionkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(28,6)")
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                num.cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
