@@ -382,3 +382,36 @@ def test_substring_spans_cover_all_but_first():
         for s, e in ranges:
             for i in range(s, e - k + 2):
                 assert (doc_id, i) in dup_positions
+
+
+def test_remove_duplicate_substrings_null_and_short_text(spark):
+    # null text, whitespace-only, and docs shorter than the window all
+    # survive untouched (cardinality preserved, whitespace normalized);
+    # a doc exactly window-length dedups against an identical doc.
+    rows = [
+        (1, "a b c d"),
+        (2, None),
+        (3, "  "),
+        (4, "x y"),          # shorter than the 4-word window
+        (5, "a b c d"),      # exact duplicate of doc 1 at window length
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_substring_spans(
+            docs, "doc_id", "text", window_words=4
+        ).collect()
+    }
+    assert spans == {(5, 0, 3)}
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup.remove_duplicate_substrings(
+            docs, "doc_id", "text", window_words=4
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1] == ("a b c d", 4, 0)
+    assert out[2] == ("", 0, 0)
+    assert out[3] == ("", 0, 0)
+    assert out[4] == ("x y", 2, 0)
+    assert out[5] == ("", 0, 4)
