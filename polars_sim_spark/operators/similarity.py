@@ -976,3 +976,107 @@ def ann_topk_ivf_prebuilt(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def materialize_bm25_index(
+    docs: DataFrame,
+    table: str,
+    *,
+    doc_id_col: str,
+    doc_text_col: str,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the BM25 postings index as a catalog table BUCKETED on
+    the document id: one row per (doc, term) carrying ``tf`` plus the
+    DENORMALIZED per-doc length and per-term document frequency, with
+    corpus statistics (n_docs, avgdl) in a ``<table>_stats`` sidecar.
+
+    :func:`bm25_topk` rebuilds postings + df + dl + avgdl from raw text
+    on every call — three corpus-wide aggregates that at 100 TB dwarf
+    the actual scoring. Materialized once, serving
+    (:func:`bm25_topk_prebuilt`) needs NO builder shuffles and — because
+    the bucket layout already clusters rows by doc — no exchange before
+    the per-(query, doc) score aggregation either: hash-partitioning on
+    a SUBSET of the grouping keys satisfies the aggregate's required
+    distribution, so the only serve-time exchange is the final top-k
+    window (plan-asserted in tests/test_sinks.py). Denormalizing df/dl
+    onto the posting rows trades ~two ints per row for removing two
+    serve-time joins; the stats sidecar pins avgdl to the EXACT double
+    the live operator computes, so scores are bit-identical.
+    """
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(doc_text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rows = postings.join(dl, "doc_id").join(dfreq, "term").select(
+        "doc_id", "term", "tf", "dl", "df"
+    )
+    write_bucketed(
+        rows, table, bucket_by=["doc_id"], num_buckets=num_buckets,
+        sort_by=["doc_id"],
+    )
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").saveAsTable(table + "_stats")
+
+
+def bm25_topk_prebuilt(
+    spark,
+    table: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a :func:`materialize_bm25_index` table —
+    bit-identical scores and ranking to :func:`bm25_topk` over the same
+    corpus (equivalence-tested): the same Okapi expression evaluates
+    over the stored (tf, dl, df) with n_docs/avgdl read from the stats
+    sidecar (an O(1) driver read), per-term contributions still rounded
+    to 6 decimals and summed as DECIMAL. Serve-time plan: bucketed scan
+    → broadcast query-term join → exchange-free score aggregation (the
+    doc-id bucket layout satisfies the (query, doc) clustering) → ONE
+    exchange for the top-k window."""
+    st = spark.table(table + "_stats").collect()[0]
+    n_docs = float(st["n_docs"])
+    avgdl = float(st["avgdl"])
+    qterms = queries.select(
+        F.col(query_id_col).alias("__q"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(query_text_col))), r"\s+")
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    scored = spark.table(table).join(F.broadcast(qterms), "term")
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("tf").cast("double")
+    term_score = (
+        idf
+        * tf
+        * (F.lit(k1) + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    per_pair = scored.groupBy("__q", "doc_id").agg(
+        F.sum(F.round(term_score, 6).cast("decimal(18,6)")).cast("double").alias("score")
+    )
+    win = Window.partitionBy("__q").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        per_pair.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .select(F.col("__q").alias(query_id_col), "doc_id", "score")
+    )

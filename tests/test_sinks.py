@@ -167,3 +167,55 @@ def test_ivf_index_prebuilt_prunes_partitions_and_matches_live(spark, tmp_path):
     # 5 queries × nprobe=2 probe ≤ 10 distinct cells of the 12 on disk —
     # the pruning filter must list strictly fewer cells than exist
     assert 0 < n_probed < n_cells, (n_probed, n_cells, m.group(0))
+
+
+def test_bm25_index_prebuilt_matches_live_and_avoids_builder_shuffles(spark):
+    """materialize_bm25_index + bm25_topk_prebuilt: bit-identical
+    (query, doc, score) rows to the live bm25_topk, with a serve-time
+    plan that carries NO builder aggregates — the doc-id bucket layout
+    satisfies the score aggregation's clustering, so the only exchange
+    is the final top-k window."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from polars_sim_spark.operators.similarity import (
+        bm25_topk,
+        bm25_topk_prebuilt,
+        materialize_bm25_index,
+    )
+    from polars_sim_spark.plans.explain import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    for t in ("t_bm25_idx", "t_bm25_idx_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    materialize_bm25_index(
+        docs, "t_bm25_idx", doc_id_col="doc_id", doc_text_col="text",
+        num_buckets=8,
+    )
+    kw = dict(query_id_col="q_id", query_text_col="q_text", k=7)
+    live = {
+        (r["q_id"], r["doc_id"], r["score"])
+        for r in bm25_topk(
+            docs, queries, doc_id_col="doc_id", doc_text_col="text", **kw
+        ).collect()
+    }
+    served_df = bm25_topk_prebuilt(spark, "t_bm25_idx", queries, **kw)
+    served = {(r["q_id"], r["doc_id"], r["score"]) for r in served_df.collect()}
+    assert len(live) > 0
+    assert served == live
+
+    plan = formatted_plan(served_df)
+    # after execution the formatted output repeats the tree as
+    # "== Initial Plan ==" — count exchanges in the final tree only
+    final = plan.split("== Initial Plan ==")[0]
+    n_ex = len(re.findall(r"\+- Exchange ", final))
+    assert n_ex == 1, f"expected 1 serve-time exchange, got {n_ex}:\n{plan}"
+    assert "Bucketed: true" in plan, plan
+    for t in ("t_bm25_idx", "t_bm25_idx_stats"):
+        spark.sql(f"DROP TABLE {t}")
