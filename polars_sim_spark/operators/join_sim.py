@@ -573,3 +573,82 @@ def join_sim(
         new_name = right_id if right_id not in out.columns else f"{right_id}{suffix}"
         out = out.withColumnRenamed(map_right_id, new_name)
     return out
+
+
+def materialize_token_postings(
+    right: DataFrame,
+    table: str,
+    *,
+    on: str,
+    id_col: str,
+    apply_word_normalization: bool = False,
+    num_buckets: int = 32,
+) -> None:
+    """Persist a reference table's trigram posting list as a catalog
+    table BUCKETED on the token — the cross-run half of the similarity
+    join, mirroring ``dedup.materialize_history_bands``: an entity-
+    resolution pipeline fuzzy-joins every incoming batch against the
+    same canonical dimension (master vendor list, catalog, gazetteer),
+    and that side's tokenization + posting explosion is a pure function
+    of its strings. Materialized once, every
+    :func:`similarity_mapping_against_postings` run reads it co-located:
+    the token join carries no Exchange on the reference side
+    (plan-asserted in tests/test_sinks.py). Columns: ``(<id_col>,
+    __nr, __token)`` — exactly the right side of the in-memory join.
+    Set ``num_buckets`` to the probe runs' shuffle parallelism.
+    """
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    rt = _tokens_long(right, on, id_col, id_col, apply_word_normalization, "__nr")
+    write_bucketed(
+        rt, table, bucket_by=["__token"], num_buckets=num_buckets,
+        sort_by=["__token"],
+    )
+
+
+def similarity_mapping_against_postings(
+    left: DataFrame,
+    right_postings: DataFrame,
+    *,
+    left_on: str,
+    right_id: str,
+    top_n: int = 10,
+    normalization: str = "l2",
+    apply_word_normalization: bool = False,
+    left_id: str = _ROW,
+) -> DataFrame:
+    """:func:`similarity_mapping` with a PRECOMPUTED right posting list
+    (``materialize_token_postings`` output, typically
+    ``spark.table(...)``) — identical (left_id, right_id, sim) rows to
+    the shuffle-strategy live join over the same reference table
+    (equivalence-tested), but the reference side is never re-tokenized,
+    re-exploded, or re-shuffled. The probe (left) side tokenizes and
+    shuffles only its own postings; overlap counting, normalization,
+    and the WindowGroupLimit top-n are byte-for-byte the live plan."""
+    if normalization not in ("l2", "count"):
+        raise ValueError(
+            f"normalization must be 'l2' or 'count', got {normalization!r}"
+        )
+    lt = _tokens_long(
+        left, left_on, left_id, left_id, apply_word_normalization, "__nl"
+    )
+    pairs = (
+        lt.join(right_postings, "__token")
+        .groupBy(left_id, right_id)
+        .agg(
+            F.count(F.lit(1)).alias("__overlap"),
+            F.first("__nl").alias("__nl"),
+            F.first("__nr").alias("__nr"),
+        )
+    )
+    if normalization == "l2":
+        sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+    else:
+        sim = F.col("__overlap").cast("double")
+    scored = pairs.select(left_id, right_id, sim.alias("sim"))
+    w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.asc(right_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )

@@ -219,3 +219,77 @@ def test_bm25_index_prebuilt_matches_live_and_avoids_builder_shuffles(spark):
     assert "Bucketed: true" in plan, plan
     for t in ("t_bm25_idx", "t_bm25_idx_stats"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_token_postings_prebuilt_matches_live_and_skips_right_shuffle(spark):
+    """materialize_token_postings + similarity_mapping_against_postings:
+    identical fuzzy-join rows to the live shuffle-strategy join (with
+    dedup_keys off, the byte-level twin), and in the shuffled regime the
+    reference side's posting shuffle is gone (bucketed scan active, one
+    fewer Exchange)."""
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from polars_sim_spark.operators.join_sim import (
+        materialize_token_postings,
+        similarity_mapping,
+        similarity_mapping_against_postings,
+    )
+    from polars_sim_spark.plans.explain import formatted_plan
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    left = part.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("s"))
+    right = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("s")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_part_postings")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "t_part_postings"), ignore_errors=True)
+    materialize_token_postings(
+        right, "t_part_postings", on="s", id_col="r_id", num_buckets=8
+    )
+    postings = spark.table("t_part_postings")
+
+    live = {
+        (r["l_id"], r["r_id"], round(r["sim"], 9))
+        for r in similarity_mapping(
+            left, right, left_on="s", right_on="s", top_n=3,
+            strategy="shuffle", left_id="l_id", right_id="r_id",
+            dedup_keys=False,
+        ).collect()
+    }
+    served_df = similarity_mapping_against_postings(
+        left, postings, left_on="s", right_id="r_id", top_n=3, left_id="l_id"
+    )
+    served = {
+        (r["l_id"], r["r_id"], round(r["sim"], 9)) for r in served_df.collect()
+    }
+    assert len(live) > 0
+    assert served == live
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_served = formatted_plan(
+            similarity_mapping_against_postings(
+                left, postings, left_on="s", right_id="r_id", top_n=3,
+                left_id="l_id",
+            )
+        )
+        plan_live = formatted_plan(
+            similarity_mapping(
+                left, right, left_on="s", right_on="s", top_n=3,
+                strategy="shuffle", left_id="l_id", right_id="r_id",
+                dedup_keys=False,
+            )
+        )
+        assert "Bucketed: true" in plan_served, plan_served
+        n_served = len(re.findall(r"\(\d+\) Exchange", plan_served))
+        n_live = len(re.findall(r"\(\d+\) Exchange", plan_live))
+        assert n_served == n_live - 1, (
+            f"served has {n_served} exchanges vs live {n_live}:\n" + plan_served
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    spark.sql("DROP TABLE t_part_postings")
