@@ -490,6 +490,45 @@ def materialize_history_bands(
     )
 
 
+def append_history_bands(
+    accepted: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Roll the :func:`materialize_history_bands` table forward: append
+    the ACCEPTED batch's band rows (post-dedup survivors) with the same
+    bucket spec, so tomorrow's :func:`incremental_near_dups_against_bands`
+    run sees today's corpus without any rebuild. ``num_buckets`` must
+    match the original materialization (Spark appends bucket-aligned
+    files; a mismatched spec fails loudly rather than corrupting the
+    layout). From Structured Streaming, call this inside
+    ``foreachBatch`` on the gate's output — the gate drops near-dups,
+    this persists the survivors' bands — giving an exactly-once ingest
+    loop when paired with the stream checkpoint.
+
+    BATCH callers: materialize ``accepted`` (``localCheckpoint`` or a
+    write) BEFORE appending if its plan reads the same band table —
+    Spark re-evaluates lazy plans, and a survivor set re-derived after
+    the append sees its own bands and self-matches (pinned by
+    tests/test_sinks.py). Streaming ``foreachBatch`` frames are already
+    materialized micro-batches, so the loop there is safe as-is."""
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    hb = _banded_doc_side(accepted, id_col, text_col, shingle_n, "h_")
+    write_bucketed(
+        hb,
+        table,
+        bucket_by=["band", "band_key"],
+        num_buckets=num_buckets,
+        sort_by=["band", "band_key"],
+        mode="append",
+    )
+
+
 def incremental_near_dups_against_bands(
     new: DataFrame,
     hist_bands: DataFrame,

@@ -293,3 +293,51 @@ def test_token_postings_prebuilt_matches_live_and_skips_right_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     spark.sql("DROP TABLE t_part_postings")
+
+
+def test_append_history_bands_rolls_forward(spark):
+    """The ingest loop: gate a batch against the persisted band table,
+    append the survivors' bands, and the NEXT batch's gate behaves
+    exactly as if history had been rebuilt from scratch."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from polars_sim_spark.operators.dedup import (
+        append_history_bands,
+        incremental_near_dups,
+        incremental_near_dups_against_bands,
+        materialize_history_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    batch1 = docs.where(F.col("doc_id") % 3 == 1)
+    batch2 = docs.where(F.col("doc_id") % 3 == 2)
+    spark.sql("DROP TABLE IF EXISTS t_roll_bands")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "t_roll_bands"), ignore_errors=True)
+    materialize_history_bands(hist, "doc_id", "text", "t_roll_bands", num_buckets=8)
+
+    bands = spark.table("t_roll_bands")
+    # pin batch1's survivors BEFORE the append: the gate's plan reads the
+    # band table lazily, so an un-materialized kept1 re-evaluated later
+    # would see its own appended bands and self-match
+    kept1 = incremental_near_dups_against_bands(
+        batch1, bands, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    append_history_bands(kept1, "t_roll_bands", "doc_id", "text", num_buckets=8)
+
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_near_dups_against_bands(
+            batch2, spark.table("t_roll_bands"), "doc_id", "text"
+        ).collect()
+    )
+    # oracle: rebuild history from scratch as hist + batch1 survivors
+    full_hist = hist.unionByName(kept1)
+    expected = sorted(
+        r["doc_id"]
+        for r in incremental_near_dups(batch2, full_hist, "doc_id", "text").collect()
+    )
+    assert got == expected and len(got) > 0
+    spark.sql("DROP TABLE t_roll_bands")
