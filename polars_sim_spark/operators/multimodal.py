@@ -37,8 +37,48 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _try_real_decode(data: bytes):
-    """Real image decode — unavailable in this container; kept as the
-    integration point. Returns (width, height, decoder_name)."""
+    """REAL header decode for the formats whose dimensions live in a
+    fixed-layout header — PNG, GIF, BMP, binary PPM/PGM — implemented as
+    pure byte parsing, no codec library: at 100 TB "decode" for metadata
+    extraction means exactly this (reading dimensions never requires
+    decompressing pixels). Anything else falls through to the PIL
+    integration point (absent in this container → NotImplementedError,
+    and the pipeline's deterministic fallback). Returns
+    (width, height, decoder_name).
+    """
+    import struct
+
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", data, 16)
+        return int(w), int(h), "png"
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", data, 6)
+        return int(w), int(h), "gif"
+    if len(data) >= 26 and data[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", data, 18)
+        # negative height = top-down row order; dims are magnitudes
+        return abs(int(w)), abs(int(h)), "bmp"
+    if len(data) > 2 and data[:2] in (b"P5", b"P6"):
+        # netpbm: magic, then (whitespace/comment-separated) width height
+        vals, i, n = [], 2, len(data)
+        while i < n and len(vals) < 2:
+            c = data[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == ord("#"):
+                while i < n and data[i] not in b"\r\n":
+                    i += 1
+            elif chr(c).isdigit():
+                j = i
+                while j < n and chr(data[j]).isdigit():
+                    j += 1
+                vals.append(int(data[i:j]))
+                i = j
+            else:
+                break
+        if len(vals) == 2:
+            return vals[0], vals[1], "pnm"
+        raise NotImplementedError("malformed netpbm header")
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:

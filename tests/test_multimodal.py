@@ -80,3 +80,33 @@ def test_features_feed_ann(spark, sf_small):
         feats, qs, id_col="doc_id", vec_col="features", k=3
     )
     assert out.count() > 0
+
+
+def test_real_header_decode_png_gif_bmp_pnm(spark):
+    """decode_image_meta reads REAL dimensions from PNG/GIF/BMP/PPM
+    headers by pure byte parsing (no codec library) and still falls
+    back to the deterministic stub for unrecognized payloads."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import decode_image_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    ppm = b"P6\n# a comment\n1024 768\n255\n" + b"\x00" * 12
+    junk = b"not an image at all"
+    rows = [(1, png), (2, gif), (3, bmp), (4, ppm), (5, junk)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["decoder"])
+        for r in decode_image_meta(df).collect()
+    }
+    assert got[1] == (640, 480, "png")
+    assert got[2] == (320, 200, "gif")
+    assert got[3] == (800, 600, "bmp")  # top-down BMP: magnitude
+    assert got[4] == (1024, 768, "pnm")
+    assert got[5][2] == "stub"
