@@ -624,7 +624,15 @@ def similarity_mapping_against_postings(
     (equivalence-tested), but the reference side is never re-tokenized,
     re-exploded, or re-shuffled. The probe (left) side tokenizes and
     shuffles only its own postings; overlap counting, normalization,
-    and the WindowGroupLimit top-n are byte-for-byte the live plan."""
+    and the WindowGroupLimit top-n are byte-for-byte the live plan.
+
+    Fit: reference tables of NEAR-UNIQUE strings (the master-list /
+    gazetteer case). This twin matches ``dedup_keys=False`` semantics,
+    so on collapse-prone corpora (heavy key duplication, e.g. strings
+    drawn from a small shared vocabulary) the LIVE operator's
+    distinct-key pre-pass dominates any postings reuse — measured:
+    a part-name corpus that the deduped live path joins in ~6 s did not
+    finish un-deduped (BASELINE.md round 5, persisted-index serving)."""
     if normalization not in ("l2", "count"):
         raise ValueError(
             f"normalization must be 'l2' or 'count', got {normalization!r}"
