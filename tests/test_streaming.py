@@ -722,3 +722,85 @@ def test_stream_substring_dedup_matches_first_occurrence(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_foreach_batch_ingest_loop_rolls_history(spark):
+    """The full streaming ingest loop the operators document: a file
+    stream of document batches, each micro-batch gated against the
+    PERSISTED band table (incremental_near_dups_against_bands), the
+    survivors' bands appended (append_history_bands) so the NEXT batch
+    sees them, and survivors written out — across two availableNow runs
+    sharing one checkpoint. The final survivor set must equal the
+    sequential batch-mode gating over the same splits."""
+    from polars_sim_spark.operators.dedup import (
+        append_history_bands,
+        incremental_near_dups,
+        incremental_near_dups_against_bands,
+        materialize_history_bands,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    import os as _os
+    import shutil as _sh
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS t_stream_bands")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _sh.rmtree(_os.path.join(wh, "t_stream_bands"), ignore_errors=True)
+    materialize_history_bands(hist, "doc_id", "text", "t_stream_bands", num_buckets=8)
+
+    src = tempfile.mkdtemp(prefix="pss_loop_src_")
+    ckpt = tempfile.mkdtemp(prefix="pss_loop_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_loop_out_")
+
+    def gate_and_roll(batch_df, batch_id):
+        kept = incremental_near_dups_against_bands(
+            batch_df, batch_df.sparkSession.table("t_stream_bands"),
+            "doc_id", "text",
+        ).localCheckpoint(eager=True)
+        append_history_bands(
+            kept, "t_stream_bands", "doc_id", "text", num_buckets=8
+        )
+        kept.write.mode("append").parquet(dst)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(src)
+            .writeStream.foreachBatch(gate_and_roll)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    try:
+        b1.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        run_once()  # checkpoint resume: only the new file is processed
+
+        got = sorted(
+            r["doc_id"]
+            for r in spark.read.schema(docs.schema).parquet(dst).collect()
+        )
+        # sequential batch-mode oracle over the same splits
+        kept1 = incremental_near_dups(b1, hist, "doc_id", "text")
+        kept2 = incremental_near_dups(
+            b2, hist.unionByName(kept1), "doc_id", "text"
+        )
+        expected = sorted(
+            r["doc_id"] for r in kept1.unionByName(kept2).collect()
+        )
+        assert got == expected and len(got) > 0
+    finally:
+        _sh.rmtree(src, ignore_errors=True)
+        _sh.rmtree(ckpt, ignore_errors=True)
+        _sh.rmtree(dst, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS t_stream_bands")
