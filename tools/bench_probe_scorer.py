@@ -77,6 +77,27 @@ def main() -> None:
             ).count()
             row.append(f"{mode}={time.time() - t0:.2f}s rows={cnt}")
         print("  ".join(row))
+    # k-means refinement rides the same literal-vs-broadcast split
+    # (BASELINE.md "Probe scorer at large centroid counts"): with
+    # kmeans_iters=2 every Lloyd iteration re-evaluates the scorer, so
+    # the literal path compounds.
+    for c in counts:
+        if c > max(counts) // 2:
+            continue  # the largest expr+kmeans case runs for minutes
+        row = [f"centroids={c} kmeans_iters=2"]
+        for mode in ("expr", "kernel"):
+            t0 = time.time()
+            cnt = ann_topk_ivf(
+                corpus,
+                queries,
+                num_centroids=c,
+                nprobe=3,
+                k=5,
+                kmeans_iters=2,
+                assignment=mode,
+            ).count()
+            row.append(f"{mode}={time.time() - t0:.2f}s rows={cnt}")
+        print("  ".join(row))
     spark.stop()
 
 

@@ -30,6 +30,7 @@ from polars_sim_spark.session import get_spark
 from polars_sim_spark.streaming.stream_ops import (
     stream_incremental_near_dedup,
     stream_passage_dedup,
+    stream_substring_dedup,
     streaming_dedup_first_seen,
 )
 
@@ -116,6 +117,13 @@ def main() -> None:
             "stream_passage_dedup (16-word passages)",
             lambda s: stream_passage_dedup(
                 s, id_col="doc_id", text_col="text", passage_words=16
+            ),
+            "append",
+        ),
+        (
+            "stream_substring_dedup (stride-1 8-word windows)",
+            lambda s: stream_substring_dedup(
+                s, id_col="doc_id", text_col="text", window_words=8
             ),
             "append",
         ),
