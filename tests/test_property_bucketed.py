@@ -176,3 +176,55 @@ def test_passage_dedup_conservation_and_idempotence(spark, docs, w):
     assert {r["doc_id"]: r["cleaned_text"] for r in again} == {
         r["doc_id"]: r["cleaned_text"] for r in rows
     }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_substring_spans_exactsubstr_invariant(spark, docs, k):
+    """ExactSubstr guarantee on hypothesis corpora (tiny vocab, so
+    k-gram repeats are dense): for every k-gram with >= 2 occurrences,
+    at most ONE occurrence is uncovered by the emitted spans, and every
+    span position is a genuinely duplicated window start."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_substring_spans(
+        df, "doc_id", "text", window_words=k
+    ).collect()
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    occ: dict = {}
+    for i, s in enumerate(docs):
+        ws = s.split()
+        for j in range(len(ws) - k + 1):
+            occ.setdefault(" ".join(ws[j : j + k]), []).append((i, j))
+
+    def covered(d, j):
+        return any(a <= j and j + k - 1 <= b for a, b in by_doc.get(d, []))
+
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        uncovered = [p for p in places if not covered(*p)]
+        assert len(uncovered) <= 1, (g, places, uncovered)
+    dup_positions = {
+        p for g, places in occ.items() if len(places) > 1 for p in places
+    }
+    for d, ranges in by_doc.items():
+        for a, b in ranges:
+            for j in range(a, b - k + 2):
+                assert (d, j) in dup_positions
