@@ -7,14 +7,11 @@ registration registry and driver-order governance live in
 
 from __future__ import annotations
 
-from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from polars_sim_spark import cache as cache_registry
 from polars_sim_spark.functions import text as text_fns
-from polars_sim_spark.functions.text import normalize_string_col, trigram_tokens
-from polars_sim_spark.operators import dedup
-from polars_sim_spark.operators.join_sim import similarity_mapping
+from polars_sim_spark.functions.text import trigram_tokens
 from polars_sim_spark.sources.tables import load_table
 from polars_sim_spark.queries._registry import register
 from polars_sim_spark.queries._registry import DUCK_HASH
