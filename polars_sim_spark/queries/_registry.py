@@ -20,6 +20,13 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
   .59). ``round(sum_decimal, 2)`` then cast agrees everywhere. Older
   queries using the cast-first order are green on the fixed testdata
   and stay untouched; new queries must round decimal-first.
+* MEANS of rounded values go further: even ``round(decimal_sum/count)``
+  divides as a double and can land on a half boundary
+  (``text_bigram_surprisal`` hit one at the 6th decimal). Compute
+  means in integer micro-units instead — round the per-row value to
+  6 dp, scale ×10⁶ to BIGINT, sum exactly, integer-divide by the
+  count (``div`` / ``//``), then /1e6 — every step is exact and
+  engine-identical.
 """
 
 
