@@ -119,6 +119,7 @@ HEADLINE = [
     "tpch_q13_customer_order_distribution",
     "text_bigram_surprisal",
     "tpch_q8_market_share",
+    "tpch_q12_priority_lines",
 ]
 
 

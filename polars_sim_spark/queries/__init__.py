@@ -197,6 +197,7 @@ _MANIFEST = [
     "tpch_q13_customer_order_distribution",
     "text_bigram_surprisal",
     "tpch_q8_market_share",
+    "tpch_q12_priority_lines",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

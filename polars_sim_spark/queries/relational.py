@@ -1052,3 +1052,45 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    """
+SELECT l.l_returnflag AS l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: per-category line counts split by a
+    priority-class CASE over the joined dimension — the conditional
+    bi-count aggregation pattern (testdata lacks l_shipmode/commitdate,
+    so return-flag categories and the order priority stand in; the
+    decorrelation shape — date filter pushed to the fact scan, one
+    fact-fact join, CASE-split counts in ONE aggregate pass instead of
+    two filtered joins — is identical). The only shuffles are the
+    orderkey join and the 3-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
