@@ -120,6 +120,25 @@ HEADLINE = [
     "text_bigram_surprisal",
     "tpch_q8_market_share",
     "tpch_q12_priority_lines",
+    # Added in round 6:
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_inventory_suppliers",
+    "text_bpe_fit_token_count",
+]
+
+# Host-load canary: scan-only queries whose code has been stable since
+# round 4. Their subtotal is emitted as ``canary_sec`` in the final
+# parseable JSON line so every BENCH_r{N}.json artifact carries its own
+# load normalizer — round 5's official record read +27% vs round 4
+# purely from a hot driver host, which only BASELINE.md archaeology
+# could explain (VERDICT r5 "What's wrong" #1). Settled-host reference
+# value recorded in BASELINE.md; compare canary ratios, not raw totals,
+# across rounds.
+CANARY = [
+    "text_fingerprint",
+    "text_token_count",
+    "tpch_q6_forecast_revenue",
 ]
 
 
@@ -157,12 +176,15 @@ def main() -> None:
         cache_registry.unpersist_all()
 
     total = round(sum(timings.values()), 3)
+    canary_sec = round(sum(timings[name] for name in CANARY), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary_sec": canary_sec,
+        "canary_queries": CANARY,
     }
     # The driver records only a tail window of stdout and parses the last
     # line: a single JSON line carrying the full per-query map (~5 KB at
@@ -186,6 +208,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "canary_sec": canary_sec,
                 "queries_file": "BENCH_local.json",
             }
         )

@@ -37,8 +37,8 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _try_real_decode(data: bytes):
-    """REAL header decode for the formats whose dimensions live in a
-    fixed-layout header — PNG, GIF, BMP, binary PPM/PGM — implemented as
+    """REAL header decode for the formats whose dimensions live in the
+    header — JPEG (SOF marker scan), PNG, GIF, BMP, binary PPM/PGM — as
     pure byte parsing, no codec library: at 100 TB "decode" for metadata
     extraction means exactly this (reading dimensions never requires
     decompressing pixels). Anything else falls through to the PIL
@@ -58,6 +58,35 @@ def _try_real_decode(data: bytes):
         w, h = struct.unpack_from("<ii", data, 18)
         # negative height = top-down row order; dims are magnitudes
         return abs(int(w)), abs(int(h)), "bmp"
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        # JPEG: dims live in the first Start-Of-Frame segment (SOF0
+        # baseline … SOF15, excluding DHT/JPG/DAC which share the 0xCx
+        # range). Walk the marker stream — each non-SOF segment carries a
+        # big-endian length — until a SOF marker; its payload is
+        # precision(1) height(2) width(2). Pure byte scan, no
+        # entropy-decode: progressive (SOF2) and baseline (SOF0) alike.
+        i, n = 2, len(data)
+        while i + 3 < n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers, no length field
+                continue
+            if marker == 0xD9 or marker == 0xDA:
+                break  # EOI / start-of-scan: no SOF found before pixels
+            seg_len = struct.unpack_from(">H", data, i + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack_from(">HH", data, i + 5)
+                    return int(w), int(h), "jpeg"
+                break
+            i += 2 + seg_len
+        raise NotImplementedError("JPEG without a parseable SOF header")
     if len(data) > 2 and data[:2] in (b"P5", b"P6"):
         # netpbm: magic, then (whitespace/comment-separated) width height
         vals, i, n = [], 2, len(data)

@@ -110,3 +110,34 @@ def test_real_header_decode_png_gif_bmp_pnm(spark):
     assert got[3] == (800, 600, "bmp")  # top-down BMP: magnitude
     assert got[4] == (1024, 768, "pnm")
     assert got[5][2] == "stub"
+
+
+def test_real_header_decode_jpeg(spark):
+    """JPEG dims via SOF marker scan: baseline (SOF0) and progressive
+    (SOF2), with intervening APP0/DQT/DHT segments and RST/fill bytes —
+    the byte layouts a real camera/exporter JPEG actually has. A JPEG
+    whose scan starts before any SOF falls back to the stub."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import decode_image_meta
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"\x01")  # DHT is 0xC4 — must be skipped, not read as SOF
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))
+    sof2 = seg(0xC2, b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03" + bytes(9))
+    baseline = b"\xff\xd8" + app0 + dqt + dht + sof0 + b"\xff\xda" + b"\x00" * 8
+    progressive = b"\xff\xd8" + b"\xff\xff" + app0 + sof2 + b"\x00" * 4
+    no_sof = b"\xff\xd8" + app0 + b"\xff\xda" + b"\x00" * 8  # SOS before any SOF
+    rows = [(1, baseline), (2, progressive), (3, no_sof)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["decoder"])
+        for r in decode_image_meta(df).collect()
+    }
+    assert got[1] == (640, 480, "jpeg")
+    assert got[2] == (1920, 1080, "jpeg")
+    assert got[3][2] == "stub"
