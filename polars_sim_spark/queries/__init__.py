@@ -198,6 +198,10 @@ _MANIFEST = [
     "text_bigram_surprisal",
     "tpch_q8_market_share",
     "tpch_q12_priority_lines",
+    # round 6:
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_inventory_suppliers",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

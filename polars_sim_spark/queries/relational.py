@@ -1094,3 +1094,224 @@ def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS cost
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size <= 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+),
+min_cost AS (
+  SELECT l_partkey, min(cost) AS mc FROM offers GROUP BY 1
+)
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+       o.l_partkey AS p_partkey, p.p_brand,
+       CAST(o.cost AS DOUBLE) AS supply_cost
+FROM offers o
+JOIN min_cost m ON m.l_partkey = o.l_partkey AND o.cost = m.mc
+JOIN part p ON p.p_partkey = o.l_partkey
+JOIN supplier s ON s.s_suppkey = o.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: the correlated min-subquery over a 4-dimension
+    join — for each qualifying part, the supplier(s) in a region
+    offering the minimum supply cost (testdata has no partsupp, so a
+    (part, supplier) offer table derived as min discounted line price
+    per pair stands in for ps_supplycost; the decorrelation pattern is
+    exactly q2's: inner aggregate per correlation key, equi-join back
+    on (key, min)).
+
+    Scale plan: BOTH dimension filters (p_size/p_type on part,
+    r_name via supplier→nation→region) are applied BELOW the offers
+    aggregate as broadcast semi-filters, so the one wide shuffle
+    (groupBy partkey,suppkey) moves ~5% of lineitem, not all of it.
+    The correlated min is a WINDOW over the already-aggregated offers
+    table (≤ parts×suppliers rows), not a second groupBy + join-back —
+    a groupBy twin would duplicate the offers subtree (measured:
+    ReusedExchange does NOT fire across the two branches), i.e. a
+    second full lineitem pass; the window costs one small exchange of
+    the aggregate instead. Cost is an exact DECIMAL(18,6): min and
+    the equality filter are tie-stable and engine-exact (no double
+    comparisons). Cites /root/reference semantics: none (north-star
+    relational surface beyond the reference's join_sim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_f = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp_eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    cost = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    offers = (
+        li.join(F.broadcast(part_f.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp_eu.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cost).alias("cost"))
+    )
+    best = offers.withColumn(
+        "mc", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("cost") == F.col("mc"))
+    return (
+        best.join(F.broadcast(part_f.select("p_partkey", "p_brand")), best.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_eu), best.l_suppkey == supp_eu.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.6 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: product-line profit by supplier nation and order
+    year over a 5-relation tree with a LIKE part filter (testdata has
+    no partsupp, so unit supply cost is proxied as 0.6·p_retailprice;
+    the shape — fact ⋈ 3 dims ⋈ fact, substring part filter, two-key
+    aggregate over an arithmetic measure — is q9's).
+
+    Scale plan: part (LIKE-filtered BEFORE broadcast), supplier, and
+    nation all broadcast; lineitem ⋈ orders is the only shuffled join,
+    then one two-key aggregate. The LIKE prunes ~13% of parts and via
+    the broadcast hash join most of lineitem before the shuffle.
+    Profit sums as exact DECIMAL(28,6), rounds, then casts to double
+    (identical per-row doubles enter the decimal sum in both
+    engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_f = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,6)")
+    return (
+        li.join(
+            F.broadcast(part_f.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory_suppliers",
+    """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+part_total AS (
+  SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey
+  FROM shipped sh
+  JOIN part_total t ON t.l_partkey = sh.l_partkey
+  WHERE CAST(sh.qty AS DOUBLE) > 0.5 * CAST(t.total_qty AS DOUBLE)
+)
+ORDER BY s.s_name
+""",
+)
+def tpch_q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: the nested-IN-with-aggregate → semi-join chain —
+    suppliers who, for some name-filtered part, shipped more than half
+    of that part's total 1996 volume (testdata has no partsupp
+    availqty, so "excess share of a part's volume" stands in for
+    "excess inventory"; the decorrelation is exactly q20's: innermost
+    IN → broadcast semi-join, correlated HAVING threshold → aggregate
+    joined back, outer IN → semi-join into supplier).
+
+    Scale plan: the part-name IN list broadcasts as a left-semi join
+    UNDER the date-pruned scan; groupBy (suppkey, partkey) is the one
+    wide shuffle; the per-part total is a WINDOW sum over the
+    already-aggregated shipped table (a groupBy + join-back twin
+    duplicates the whole lineitem subtree — measured, ReusedExchange
+    does not fire — while the window costs one small exchange of the
+    aggregate); the final supplier membership is a broadcast
+    left-semi join. Quantities are integral, so the double threshold
+    compare is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red_keys = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .where(F.col("qty").cast("double") > 0.5 * F.col("total_qty").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
