@@ -202,6 +202,7 @@ _MANIFEST = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q20_excess_inventory_suppliers",
+    "text_bpe_fit_token_count",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -792,3 +792,21 @@ def docs_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.ntile(4).over(w).cast("int").alias("quartile")
     )
 
+
+
+@register("text_bpe_fit_token_count")  # iterative fit: rows-only driver check;
+# exact semantics pinned vs a pure-Python Sennrich BPE in tests/test_bpe.py
+def text_bpe_fit_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-FIT BPE token counts (upgrade of text_bpe_token_count's
+    fixed heuristic): learn 20 merges on the documents table via
+    iterative frequency-weighted pair-count aggregates over the
+    vocabulary table, then count tokens per document through a
+    words-explode + broadcast vocab join. All fit rounds are
+    vocab-sized; the corpus is touched exactly twice (word-frequency
+    aggregate + final tokenize join). Deterministic: argmax pair
+    tie-breaks on (count desc, pair asc)."""
+    from polars_sim_spark.operators.bpe import bpe_fit, bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bpe_fit(docs, num_merges=20)
+    return bpe_token_counts(docs, vocab).orderBy("doc_id")

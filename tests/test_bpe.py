@@ -1,0 +1,99 @@
+"""Distributed BPE fit pinned against a pure-Python Sennrich reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators.bpe import WORD_PATTERN, bpe_fit, bpe_token_counts
+
+
+# --- reference implementation (Sennrich-style, greedy left-to-right) ---
+
+def _ref_apply(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_bpe(word_freq: dict[str, int], num_merges: int):
+    vocab = {w: list(w) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, f in word_freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        vocab = {w: _ref_apply(s, *best) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def _ref_words(text: str) -> list[str]:
+    import re
+
+    return re.findall(WORD_PATTERN, text.lower())
+
+
+def _ref_counts(rows, num_merges: int):
+    freq: Counter = Counter()
+    for _, text in rows:
+        freq.update(_ref_words(text))
+    merges, vocab = _ref_bpe(dict(freq), num_merges)
+    counts = {
+        doc_id: sum(len(vocab[w]) for w in _ref_words(text)) for doc_id, text in rows
+    }
+    return merges, counts
+
+
+def test_bpe_fit_matches_reference_toy(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest widest widest"),
+        (4, "the quick brown fox jumps over the lazy dog the the"),
+        (5, ""),  # zero-word doc keeps a 0 count
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, vocab = bpe_fit(docs, num_merges=12)
+    ref_merges, ref_counts = _ref_counts(rows, 12)
+    assert merges == ref_merges
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, vocab).collect()
+    }
+    assert got == ref_counts
+
+
+def test_bpe_fit_matches_reference_testdata(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(200)
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    merges, vocab = bpe_fit(docs, num_merges=10)
+    ref_merges, ref_counts = _ref_counts(rows, 10)
+    assert merges == ref_merges
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, vocab).collect()
+    }
+    assert got == ref_counts
+
+
+def test_bpe_merge_overlap_semantics(spark):
+    """'aaa' under merge (a,a) → [aa, a]: greedy left-to-right,
+    non-overlapping — the exact reference behavior."""
+    docs = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+    merges, vocab = bpe_fit(docs, num_merges=2)
+    assert merges[0] == ("a", "a")
+    syms = {r["word"]: r["syms"] for r in vocab.collect()}
+    # second merge is ('aa','a') → whole word becomes one token
+    assert merges[1] == ("aa", "a")
+    assert syms["aaa"] == ["aaa"]
