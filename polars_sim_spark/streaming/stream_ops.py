@@ -58,6 +58,7 @@ def streaming_dedup_first_seen(
     *,
     key_col: str,
     order_col: str,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: emit each ``key_col`` value's first row
     (smallest ``order_col``) the FIRST time the key is ever seen; drop
@@ -72,16 +73,39 @@ def streaming_dedup_first_seen(
 
     Scale notes: state is hash-partitioned by key (``groupBy``), so 1000
     executors hold disjoint fingerprint shards; there is no driver-side
-    set. For unbounded key spaces, front it with a watermark-scoped
-    variant or periodic state TTL — deliberately NOT defaulted here
-    because dedup correctness usually wants unbounded memory of the past.
-    """
+    set. The default keeps state forever — dedup correctness usually
+    wants unbounded memory of the past. For unbounded key spaces pass
+    ``state_ttl_ms``: each key's entry expires after that much
+    processing-time quiet (the TTL is REFRESHED whenever the key
+    re-arrives, so a steadily-repeating key is suppressed indefinitely),
+    degrading the guarantee to a sliding horizon — "emit a key at most
+    once per TTL-quiet period" — in exchange for bounded state. Within
+    one horizon the output is identical to the untimed operator
+    (pinned in tests/test_streaming.py)."""
     out_schema = stream.schema
     state_schema = StructType([StructField("seen", LongType())])
 
     def first_seen(key, pdfs, state) -> Iterator:
+        if state.hasTimedOut:
+            # TTL expiry callback (keys with NO input this batch): drop
+            # the entry; the key becomes novel again (sliding horizon).
+            state.remove()
+            return
+        now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
-            return  # key already emitted in an earlier micro-batch
+            if state_ttl_ms is None:
+                return  # key already emitted in an earlier micro-batch
+            # The engine only fires the timeout callback for keys with
+            # no input in the batch — a key whose deadline passed but
+            # which ARRIVES this batch reaches here with stale state.
+            # Check the stored last-seen stamp so expiry is honored on
+            # the arrival path too (strict sliding horizon).
+            (last_seen,) = state.get
+            if now_ms - last_seen <= state_ttl_ms:
+                state.update((now_ms,))  # refresh on re-arrival
+                state.setTimeoutDuration(state_ttl_ms)
+                return
+            # stale: fall through — the key is novel again
         best = None
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -90,7 +114,9 @@ def streaming_dedup_first_seen(
             if best is None or cand[order_col].iloc[0] < best[order_col].iloc[0]:
                 best = cand
         if best is not None:
-            state.update((1,))
+            state.update((now_ms if state_ttl_ms is not None else 1,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             yield best
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -100,7 +126,11 @@ def streaming_dedup_first_seen(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -563,6 +593,7 @@ def stream_substring_dedup(
     id_col: str,
     text_col: str,
     window_words: int = 8,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming substring-novelty gate: explode each arriving document
     into STRIDE-1 ``window_words``-word windows and emit only the window
@@ -585,9 +616,16 @@ def stream_substring_dedup(
     projection as batch (``sliding_window_rows``); novelty is the keyed
     first-seen state operator — one state entry per distinct window md5,
     hash-sharded, RocksDB-backed in production. State grows with
-    distinct k-grams (≈ corpus words); at 100 TB front it with the
-    passage-level gate (16-word passages, 16× fewer keys) or scope state
-    with a TTL when "recent repeats" is the contract.
+    distinct k-grams (≈ corpus words, measured ~20 entries/doc —
+    tools/bench_streaming.py); at 100 TB either front it with the
+    passage-level gate (16-word passages, 16× fewer keys) or pass
+    ``state_ttl_ms`` to bound state to the k-grams active within one
+    TTL horizon: the ExactSubstr guarantee then degrades from
+    corpus-lifetime to "novel within the last TTL of processing-time
+    quiet" (a window repeated steadily keeps its entry alive — the TTL
+    refreshes on re-arrival). Within one horizon the emitted complement
+    is identical to the untimed gate (tests/test_streaming.py); state
+    expiry across horizons is exercised in the same test.
     """
     from polars_sim_spark.operators.dedup import sliding_window_rows
 
@@ -601,7 +639,7 @@ def stream_substring_dedup(
         _guarded_packed_seq(id_col, "i", "stream_substring_dedup").alias("__seq"),
     )
     return streaming_dedup_first_seen(
-        keyed, key_col="__fp", order_col="__seq"
+        keyed, key_col="__fp", order_col="__seq", state_ttl_ms=state_ttl_ms
     ).select(id_col, "i", "wtext")
 
 
@@ -684,4 +722,102 @@ def stream_centroid_assign(
             F.col("__b").getField("c_id").alias("c_id"),
             F.col("__b").getField("sim").alias("sim"),
         )
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int,
+    upper: int,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream⋈stream interval join: two LIVE streams, watermarks on BOTH
+    sides — each left row joins right rows of the same ``on`` key whose
+    event time lies in ``[left_ts + lower, left_ts + upper]`` (closed,
+    whole seconds; the signature mirrors the batch
+    :func:`polars_sim_spark.operators.range_join.range_join`, its exact
+    batch twin — pinned equivalent by an availableNow test).
+
+    This is the one operator class where Spark's built-in engine already
+    IS the 100 TB design: Structured Streaming keys state by the
+    equi-join column, uses the time-range condition to bound how long
+    each side's rows are retained (left rows can stop matching once the
+    right watermark passes ``left_ts + upper``, and symmetrically), and
+    drops state as both watermarks advance — the same banding logic the
+    batch operator builds by hand, but maintained incrementally. So the
+    implementation is deliberately the declarative form: watermark both
+    sides, put the range predicate IN the join condition, let the engine
+    derive state cleanup. No custom state operator needed or wanted.
+
+    ``how``: ``"inner"`` or ``"leftOuter"`` (outer results for unmatched
+    left rows are emitted only once the right watermark passes their
+    interval — in an availableNow run the final unmatched tail stays
+    unflushed unless a watermark-advancing sentinel row arrives; the
+    equivalence test does exactly that).
+
+    Right-side columns colliding with left names take ``suffix``; the
+    right key takes an internal name, so self-joins of one source stream
+    (clicks vs errors of the same events topic) resolve unambiguously —
+    same policy as range_join.
+    """
+    if lower > upper:
+        raise ValueError(
+            f"stream_stream_interval_join: lower ({lower}) must be <= upper ({upper})"
+        )
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"stream_stream_interval_join: how must be 'inner' or 'leftOuter', got {how!r}"
+        )
+    lcols = set(left.columns)
+    renames = {c: c + suffix for c in right.columns if c in lcols and c != on}
+    renames[on] = "__ssj_key"
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    r_ts = renames.get(right_ts, right_ts)
+
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = r.withWatermark(r_ts, right_watermark)
+    cond = (
+        (F.col(on) == F.col("__ssj_key"))
+        & (F.col(r_ts) >= F.col(left_ts) + F.expr(f"INTERVAL '{int(lower)}' SECOND"))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL '{int(upper)}' SECOND"))
+    )
+    return lw.join(rw, cond, how).drop("__ssj_key")
+
+
+def stream_clicks_before_error(
+    errors: DataFrame,
+    clicks: DataFrame,
+    *,
+    watermark: str = "10 minutes",
+    how: str = "leftOuter",
+) -> DataFrame:
+    """Click↔error matching as a stream-stream interval join: every
+    error event paired with the same user's clicks from the preceding 5
+    minutes — the streaming face of the driver-green batch query
+    ``events_clicks_before_error`` (operators/range_join.py twin).
+    Emits the PAIRS (error event + matching click ts, null click ts for
+    errors with no clicks under leftOuter once flushed); the per-error
+    count is a one-line batch aggregation over the sink, which is how
+    the equivalence test pins this against the batch query's n_clicks.
+    State per user is bounded by the 5-minute interval plus the
+    watermark delay on both sides."""
+    return stream_stream_interval_join(
+        errors,
+        clicks,
+        on="user_id",
+        lower=-300,
+        upper=0,
+        left_watermark=watermark,
+        right_watermark=watermark,
+        how=how,
     )

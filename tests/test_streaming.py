@@ -804,3 +804,174 @@ def test_foreach_batch_ingest_loop_rolls_history(spark):
         _sh.rmtree(ckpt, ignore_errors=True)
         _sh.rmtree(dst, ignore_errors=True)
         spark.sql("DROP TABLE IF EXISTS t_stream_bands")
+
+
+def test_stream_stream_interval_join_inner_equals_batch(spark, sf_small, events_stream_dir):
+    """Inner stream⋈stream interval join (watermarks BOTH sides) produces
+    exactly the batch range_join's pairs — clicks within 5 minutes
+    before each error, matched per user."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.range_join import range_join
+    from polars_sim_spark.streaming.stream_ops import stream_clicks_before_error
+
+    batch = load_table(spark, sf_small, "events")
+    src = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    errors = src.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = src.where(F.col("event_type") == "click").select("user_id", "ts")
+    name = f"ssj_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream_clicks_before_error(errors, clicks, how="inner"), name, "append")
+    got = sorted(
+        (r["event_id"], r["ts_r"]) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+    b_err = batch.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    b_clk = batch.where(F.col("event_type") == "click").select("user_id", "ts")
+    expected = sorted(
+        (r["event_id"], r["ts_r"])
+        for r in range_join(
+            b_err, b_clk, on="user_id", lower=-300, upper=0, how="inner"
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_stream_clicks_before_error_leftouter_matches_batch_twin(spark, sf_small):
+    """leftOuter stream⋈stream interval join, aggregated over the sink,
+    equals the driver-green batch query events_clicks_before_error —
+    INCLUDING the n_clicks = 0 rows, which only flush once BOTH
+    watermarks pass their intervals (sentinel rows appended on both
+    sides advance the global watermark; the final no-data batch emits
+    the evicted unmatched errors)."""
+    from datetime import timedelta
+
+    from polars_sim_spark import queries as q
+    from polars_sim_spark.streaming.stream_ops import stream_clicks_before_error
+
+    batch = load_table(spark, sf_small, "events")
+    err_schema = "event_id long, user_id long, ts timestamp"
+    clk_schema = "user_id long, ts timestamp"
+    src_e = tempfile.mkdtemp(prefix="pss_ssj_err_")
+    src_c = tempfile.mkdtemp(prefix="pss_ssj_clk_")
+    ckpt = tempfile.mkdtemp(prefix="pss_ssj_ckpt_")
+    dst = tempfile.mkdtemp(prefix="pss_ssj_out_")
+    out_schema = "event_id long, user_id long, ts timestamp, ts_r timestamp"
+    try:
+        b_err = batch.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        b_clk = batch.where(F.col("event_type") == "click").select("user_id", "ts")
+        b_err.write.mode("append").parquet(src_e)
+        b_clk.write.mode("append").parquet(src_c)
+
+        def run():
+            errors = spark.readStream.schema(err_schema).parquet(src_e)
+            clicks = spark.readStream.schema(clk_schema).parquet(src_c)
+            joined = stream_clicks_before_error(
+                errors, clicks, watermark="1 minute", how="leftOuter"
+            ).select("event_id", "user_id", "ts", "ts_r")
+            qy = (
+                joined.writeStream.format("parquet")
+                .option("path", dst)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qy.awaitTermination(180)
+            return spark.read.schema(out_schema).parquet(dst)
+
+        run()
+        max_ts = batch.agg(F.max("ts")).collect()[0][0]
+        # Sentinels on BOTH sides: the global watermark is the MIN over
+        # watermarked sources, so one side alone cannot advance it.
+        for hours in (1, 2):  # second run in case eviction lands a batch late
+            far = max_ts + timedelta(hours=hours)
+            spark.createDataFrame([(-hours, -1, far)], err_schema).write.mode(
+                "append"
+            ).parquet(src_e)
+            spark.createDataFrame([(-1, far)], clk_schema).write.mode("append").parquet(
+                src_c
+            )
+            out = run()
+            got = {
+                (r["event_id"], r["user_id"]): r["n_clicks"]
+                for r in out.where(F.col("user_id") >= 0)
+                .groupBy("event_id", "user_id")
+                .agg(F.count("ts_r").alias("n_clicks"))
+                .collect()
+            }
+            expected = {
+                (r["event_id"], r["user_id"]): r["n_clicks"]
+                for r in q.QUERIES["events_clicks_before_error"](spark, sf_small).collect()
+            }
+            if got == expected:
+                break
+        assert got == expected
+        assert any(v == 0 for v in got.values())  # zero-click errors DID flush
+    finally:
+        for d in (src_e, src_c, ckpt, dst):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_substring_gate_ttl(spark):
+    """state_ttl_ms on the substring-novelty gate: (a) within one TTL
+    horizon the emitted complement is identical to the untimed gate;
+    (b) after TTL-quiet expiry a repeated text's windows are emitted
+    again — the sliding-horizon contract — including when the repeat
+    ARRIVES in the same batch that would have reaped it (arrival-path
+    staleness check, not just the no-input timeout callback)."""
+    import time as _time
+
+    from polars_sim_spark.streaming.stream_ops import stream_substring_dedup
+
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup: fully suppressed
+        (3, "zeta eta theta iota kappa"),
+    ]
+
+    def run_once(ttl, docs_rows, src, ckpt, dst):
+        spark.createDataFrame(docs_rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_substring_dedup(
+            stream, id_col="doc_id", text_col="text", window_words=3, state_ttl_ms=ttl
+        )
+        qy = (
+            out.writeStream.format("parquet")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination(120)
+        return sorted(
+            (r["doc_id"], r["i"], r["wtext"])
+            for r in spark.read.schema("doc_id long, i long, wtext string").parquet(dst).collect()
+        )
+
+    dirs = [tempfile.mkdtemp(prefix=f"pss_ttl_{i}_") for i in range(6)]
+    try:
+        # (a) within-horizon equivalence: long TTL == no TTL
+        got_ttl = run_once(600_000, rows, *dirs[0:3])
+        got_plain = run_once(None, rows, *dirs[3:6])
+        assert got_ttl == got_plain
+        assert {d for d, _, _ in got_ttl} == {1, 3}  # doc 2 fully suppressed
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    dirs = [tempfile.mkdtemp(prefix=f"pss_ttl2_{i}_") for i in range(3)]
+    try:
+        # (b) expiry: same text repeated after TTL-quiet is novel again
+        first = run_once(500, [(1, "alpha beta gamma delta epsilon")], *dirs)
+        assert {d for d, _, _ in first} == {1}
+        _time.sleep(2.0)
+        second = run_once(500, [(9, "alpha beta gamma delta epsilon")], *dirs)
+        assert {d for d, _, _ in second} == {1, 9}  # re-emitted post-expiry
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from polars_sim_spark.session import get_spark
 from polars_sim_spark.streaming.stream_ops import (
+    stream_clicks_before_error,
     stream_incremental_near_dedup,
     stream_passage_dedup,
     stream_substring_dedup,
@@ -128,6 +129,18 @@ def main() -> None:
             "append",
         ),
         (
+            # TTL demonstration: the gate's batches take tens of seconds,
+            # so a 5 s TTL reaps every key untouched since the previous
+            # micro-batch — max state across batches ≈ one batch's novel
+            # keys instead of the cumulative corpus (the unbounded row
+            # above measures the cumulative case).
+            "stream_substring_dedup (8-word windows, state_ttl_ms=5000)",
+            lambda s: stream_substring_dedup(
+                s, id_col="doc_id", text_col="text", window_words=8, state_ttl_ms=5000
+            ),
+            "append",
+        ),
+        (
             "stream_incremental_near_dedup (vs 5k-doc static history)",
             lambda s: stream_incremental_near_dedup(
                 s,
@@ -145,6 +158,35 @@ def main() -> None:
         r = run_stream(spark, fn, schema, src, mode)
         print(f"{name}: {r}")
     shutil.rmtree(src, ignore_errors=True)
+
+    # Stream⋈stream interval join: synthetic click/error event stream,
+    # both sides read from one file source (self-join of the topic).
+    n_ev = n
+    ev_src = tempfile.mkdtemp(prefix="pss_sbench_ev_")
+    etype = (
+        F.when(F.col("id") % 10 == 0, "error")
+        .when(F.col("id") % 10 < 7, "click")
+        .otherwise("view")
+    )
+    events = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("user_id"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(secs=F.col("id") / 10)).alias("ts"),
+        etype.alias("event_type"),
+    )
+    events.repartition(32).write.mode("overwrite").parquet(ev_src)
+    ev_schema = spark.read.parquet(ev_src).schema
+
+    def ssj(stream):
+        errors = stream.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = stream.where(F.col("event_type") == "click").select("user_id", "ts")
+        return stream_clicks_before_error(errors, clicks, how="inner")
+
+    r = run_stream(spark, ssj, ev_schema, ev_src, "append")
+    print(f"stream_clicks_before_error (stream-stream interval join, {n_ev} events): {r}")
+    shutil.rmtree(ev_src, ignore_errors=True)
     spark.stop()
 
 

@@ -1,7 +1,11 @@
 """Generate a larger bench-only dataset by replicating an existing
 testdata scale factor with shifted keys (default: sf0.1 x10 -> "sf1.0").
 
-Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [replicas]
+Usage: python tools/make_scale_data.py [src_dir] [dst_dir] [replicas] [tables]
+
+``tables`` is an optional comma-separated subset (e.g.
+``documents,embeddings`` for the 100x dedup/ANN slope runs — generating
+60M lineitem rows to scale a documents-only query is wasted IO).
 
 Replication preserves referential integrity (every key column in every
 table shifts by the same per-replica offset) and — deliberately —
@@ -45,11 +49,21 @@ def _shift(df: DataFrame, cols: list[str], off: int) -> DataFrame:
     return df
 
 
-def replicate(spark, src: str, dst: str, replicas: int) -> None:
+def replicate(spark, src: str, dst: str, replicas: int, tables: list[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     letters = string.ascii_lowercase
 
+    def tag_for(r: int) -> str:
+        # Two-letter base-26 code: unique through 676 replicas. (The
+        # earlier ``letters[r % 26] * 2`` collided past 26 replicas —
+        # replicas r and r+26 got IDENTICAL text suffixes, turning each
+        # into a full exact-dup clique of the other and corrupting any
+        # >26x dedup slope run.)
+        return letters[r // 26] + letters[r % 26]
+
     for t in ("region", "nation"):
+        if tables is not None and t not in tables:
+            continue
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
@@ -65,26 +79,36 @@ def replicate(spark, src: str, dst: str, replicas: int) -> None:
         "embeddings": ["vec_id"],
     }
     for t, keys in key_cols.items():
+        if tables is not None and t not in tables:
+            continue
         base = spark.read.parquet(f"{src}/{t}.parquet")
+        dim = None
+        if t == "embeddings":
+            dim = len(base.select("embedding").first()["embedding"])
         parts = []
         for r in range(replicas):
             df = _shift(base, keys, r * OFFSET)
-            tag = letters[r % 26]
+            tag = tag_for(r)
             if t == "part":
-                df = df.withColumn("p_name", F.concat("p_name", F.lit(f" z{tag * 2}")))
+                df = df.withColumn("p_name", F.concat("p_name", F.lit(f" z{tag}")))
             elif t == "documents" and r > 0:
                 df = df.withColumn(
-                    "text", F.regexp_replace("text", r"(\S+)", f"$1{tag * 2}")
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1{tag}")
                 ).withColumn("n_chars", F.length("text"))
             elif t == "embeddings" and r > 0:
-                roll = r
-                df = df.withColumn(
-                    "embedding",
-                    F.expr(
-                        f"concat(slice(embedding, {roll + 1}, "
-                        f"size(embedding) - {roll}), slice(embedding, 1, {roll}))"
-                    ),
+                # Roll by r mod dim; once rolls would repeat (r >= dim),
+                # negate the vector for odd generations — cosine of a
+                # negated roll is the NEGATIVE of the unnegated one, so
+                # no cross-replica pair reaches a near-dup threshold
+                # through 2*dim replicas (128 at dim=64).
+                roll = r % dim if r % dim else 1
+                rolled = (
+                    f"concat(slice(embedding, {roll + 1}, "
+                    f"size(embedding) - {roll}), slice(embedding, 1, {roll}))"
                 )
+                if (r // dim) % 2 == 1:
+                    rolled = f"transform({rolled}, x -> -x)"
+                df = df.withColumn("embedding", F.expr(rolled))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -97,8 +121,9 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_sf1.0"
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     spark = get_spark("make_scale_data")
-    replicate(spark, src, dst, replicas)
+    replicate(spark, src, dst, replicas, tables)
     spark.stop()
 
 
