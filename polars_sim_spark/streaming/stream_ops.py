@@ -81,7 +81,16 @@ def streaming_dedup_first_seen(
     degrading the guarantee to a sliding horizon — "emit a key at most
     once per TTL-quiet period" — in exchange for bounded state. Within
     one horizon the output is identical to the untimed operator
-    (pinned in tests/test_streaming.py)."""
+    (pinned in tests/test_streaming.py).
+
+    Operational caveat (measured, tools/bench_streaming.py): under
+    ``Trigger.AvailableNow`` a query holding ProcessingTime timers does
+    not terminate when the data is consumed — every expiry wave
+    schedules another no-data micro-batch to fire timeout callbacks,
+    so a large state drains over hundreds of post-data batches. TTL is
+    meant for continuously-triggered ingest (where timers piggyback on
+    data batches); for burst/backfill runs either leave TTL off or
+    ``stop()`` the query once the input is through."""
     out_schema = stream.schema
     state_schema = StructType([StructField("seen", LongType())])
 

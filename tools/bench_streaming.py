@@ -57,7 +57,15 @@ def synth_docs(spark, n: int, seed: int = 0):
     return base.select("doc_id", text.alias("text"))
 
 
-def run_stream(spark, df_fn, src_schema, src_path, mode: str) -> dict:
+def run_stream(spark, df_fn, src_schema, src_path, mode: str, wait_s: int | None = None) -> dict:
+    """``wait_s`` bounds the run for TTL cases: a query holding
+    ProcessingTime timers does NOT terminate under availableNow once the
+    data is consumed — every TTL expiry schedules another no-data batch
+    to fire the timeout callbacks, so a large keyed state drains over
+    hundreds of post-data batches (observed: epoch 283 and climbing on
+    the 1M-key substring state). The bench stops such a query once the
+    input is through; ``state_rows_last`` (the final batch's
+    numRowsTotal) shows the post-reap bound vs the in-flight max."""
     ckpt = tempfile.mkdtemp(prefix="pss_sbench_ckpt_")
     stream = (
         spark.readStream.schema(src_schema)
@@ -73,18 +81,24 @@ def run_stream(spark, df_fn, src_schema, src_path, mode: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if wait_s is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(wait_s):
+        q.stop()
+        q.awaitTermination(60)
     wall = time.time() - t0
     n_in = 0
     state_rows = 0
     state_mem = 0
     n_batches = 0
+    state_last = 0
     for p in q.recentProgress:
         n_batches += 1
         n_in += p["numInputRows"]
         for so in p.get("stateOperators") or []:
             state_rows = max(state_rows, so.get("numRowsTotal", 0))
             state_mem = max(state_mem, so.get("memoryUsedBytes", 0))
+            state_last = so.get("numRowsTotal", state_last)
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "wall_s": round(wall, 2),
@@ -92,12 +106,14 @@ def run_stream(spark, df_fn, src_schema, src_path, mode: str) -> dict:
         "rows_per_s": int(n_in / wall) if wall > 0 else 0,
         "batches": n_batches,
         "state_rows": state_rows,
+        "state_rows_last": state_last,
         "state_mb": round(state_mem / 1e6, 1),
     }
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    only = sys.argv[2] if len(sys.argv) > 2 else ""  # substring filter over case names
     spark = get_spark("bench_streaming")
     src = tempfile.mkdtemp(prefix="pss_sbench_src_")
     synth_docs(spark, n).repartition(32).write.mode("overwrite").parquet(src)
@@ -155,8 +171,11 @@ def main() -> None:
     ]
     print(f"n_docs={n} files=32 maxFilesPerTrigger=8 sink=noop")
     for name, fn, mode in cases:
-        r = run_stream(spark, fn, schema, src, mode)
-        print(f"{name}: {r}")
+        if only and only not in name:
+            continue
+        wait = 150 if "ttl" in name else None
+        r = run_stream(spark, fn, schema, src, mode, wait_s=wait)
+        print(f"{name}: {r}", flush=True)
     shutil.rmtree(src, ignore_errors=True)
 
     # Stream⋈stream interval join: synthetic click/error event stream,
@@ -185,7 +204,7 @@ def main() -> None:
         return stream_clicks_before_error(errors, clicks, how="inner")
 
     r = run_stream(spark, ssj, ev_schema, ev_src, "append")
-    print(f"stream_clicks_before_error (stream-stream interval join, {n_ev} events): {r}")
+    print(f"stream_clicks_before_error (stream-stream interval join, {n_ev} events): {r}", flush=True)
     shutil.rmtree(ev_src, ignore_errors=True)
     spark.stop()
 
