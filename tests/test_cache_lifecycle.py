@@ -19,12 +19,14 @@ def _persistent_rdd_count(spark) -> int:
 
 
 def test_join_sim_caches_released_by_unpersist_all(spark, sf_small):
-    # Start from a clean slate so leftovers from other tests don't mask
-    # (or fake) a leak.
+    # No absolute-baseline comparison: localCheckpoint blocks from other
+    # tests in the shared session (CC loop, BPE fit) are freed
+    # asynchronously when the JVM GCs the RDDs, so a count taken
+    # "before" can shrink on its own mid-test and both a `> baseline`
+    # and a `<= baseline` assertion can fail spuriously. The contract —
+    # the op registers live caches and unpersist_all releases them — is
+    # checkable without racing the GC.
     cache_registry.unpersist_all(blocking=True)
-    # Baseline, not zero: localCheckpoint blocks from other tests in the
-    # shared session linger until GC and are outside this contract.
-    baseline = _persistent_rdd_count(spark)
 
     part = spark.read.parquet(f"{sf_small}/part.parquet")
     # No ids supplied → join_sim caches both generated-id frames; the
@@ -32,27 +34,35 @@ def test_join_sim_caches_released_by_unpersist_all(spark, sf_small):
     out = pss.join_sim(part, part.select("p_name"), on="p_name", top_n=2)
     n = out.count()
     assert n > 0
-    assert _persistent_rdd_count(spark) > baseline, "expected tracked caches while in use"
+    during = _persistent_rdd_count(spark)
+    assert during > 0, "expected tracked caches while in use"
 
     released = cache_registry.unpersist_all(blocking=True)
     assert released > 0
-    assert _persistent_rdd_count(spark) <= baseline
+    assert _persistent_rdd_count(spark) < during
 
     # Results stay valid after release — lineage recomputes.
     assert out.count() == n
 
 
 def test_lsh_dedup_pairs_caches_released(spark, sf_small):
+    # No absolute-baseline comparison: localCheckpoint blocks from other
+    # tests (CC loop, BPE fit) are freed asynchronously when the JVM GCs
+    # the RDDs, so a count taken "before" can shrink on its own mid-test
+    # (observed: baseline 5 → 1 while the op ran). The contract is
+    # (a) the op registers live caches and (b) unpersist_all releases
+    # them — both checkable without racing the GC.
     cache_registry.unpersist_all(blocking=True)
-    baseline = _persistent_rdd_count(spark)
 
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     pairs = dedup.minhash_lsh_dedup_pairs(docs, "doc_id", "text", min_jaccard=0.5)
     pairs.count()
-    assert _persistent_rdd_count(spark) > baseline
+    during = _persistent_rdd_count(spark)
+    assert during > 0  # the tracked posting/signature caches are live
 
-    cache_registry.unpersist_all(blocking=True)
-    assert _persistent_rdd_count(spark) <= baseline
+    released = cache_registry.unpersist_all(blocking=True)
+    assert released > 0
+    assert _persistent_rdd_count(spark) < during
 
 
 def test_remove_near_dups_does_not_leak(spark, sf_small):
