@@ -406,3 +406,75 @@ def weighted_sample_k(
         .where(F.col("__es_rn") <= k)
         .drop("__es_key", "__es_rn")
     )
+
+
+def budget_cap_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int | dict = 0,
+    num_parts: int = 64,
+) -> DataFrame:
+    """Token-budget corpus mixing: cap each group (language / domain /
+    source) at a token budget, keeping documents in the deterministic
+    unbiased order ``(md5-bucket of id, id)`` until the budget runs out.
+    A document is kept iff its group's running token sum BEFORE it is
+    still under the budget — so each kept group total overshoots by at
+    most one document, and the decision is a pure function of the
+    corpus (re-runnable, engine-portable: the oracle reproduces it with
+    one windowed running sum). This is the "data mixing recipe"
+    primitive: express a training mix as absolute token budgets per
+    source and cut every source to its allocation in one pass.
+
+    ``budget``: one int for every group, or a dict mapping group value
+    → budget (missing groups get 0 = dropped entirely).
+
+    Scale plan (same two-level cumsum as :func:`pack_shards`, but per
+    group): rows cumsum within ``(group, md5-bucket)`` — ``num_parts``
+    parallel windows per group, so a group with half the corpus (the
+    classic one-language skew that kills a naive per-group global
+    window) still spreads over ``num_parts`` tasks; per-(group, bucket)
+    subtotals (groups × num_parts rows) get their running offsets in a
+    tiny window and broadcast back.
+    """
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    part = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(num_parts))
+    dfp = df.withColumn("__part", part)
+    w_in = Window.partitionBy(group_col, "__part").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_off = Window.partitionBy(group_col).orderBy("__part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        dfp.groupBy(group_col, "__part")
+        .agg(F.sum(token_col).alias("__t"))
+        .select(
+            group_col,
+            "__part",
+            F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    out = (
+        dfp.withColumn("__within", F.sum(token_col).over(w_in))
+        .join(F.broadcast(offsets), [group_col, "__part"])
+        .withColumn(
+            "__before", F.col("__off") + F.col("__within") - F.col(token_col)
+        )
+    )
+    if isinstance(budget, dict):
+        spark = df.sparkSession
+        btab = spark.createDataFrame(
+            [(k, int(v)) for k, v in budget.items()], f"{group_col} string, __budget long"
+        )
+        out = out.join(F.broadcast(btab), group_col, "left").withColumn(
+            "__budget", F.coalesce(F.col("__budget"), F.lit(0))
+        )
+    else:
+        out = out.withColumn("__budget", F.lit(int(budget)))
+    return out.where(F.col("__before") < F.col("__budget")).drop(
+        "__part", "__within", "__off", "__before", "__budget"
+    )

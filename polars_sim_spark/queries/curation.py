@@ -351,3 +351,41 @@ def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumnRenamed("id", "doc_id")
 
+
+
+@register(
+    "mix_budget_docs",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY part, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS before
+  FROM t
+)
+SELECT doc_id, lang, n_tok FROM c WHERE before < 2000
+""",
+)
+def mix_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budgets: cap every language at 2000 tokens,
+    kept in deterministic md5-bucket order (curation.budget_cap_per_group
+    — the two-level per-group cumsum, no single-group global window).
+    The oracle reproduces the identical kept set with one per-language
+    windowed running sum."""
+    from polars_sim_spark.operators.curation import budget_cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    out = budget_cap_per_group(
+        docs, group_col="lang", id_col="doc_id", token_col="n_tok",
+        budget=2000, num_parts=16,
+    )
+    return out.select("doc_id", "lang", "n_tok")

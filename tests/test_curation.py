@@ -312,3 +312,33 @@ def test_events_user_funnel_hand_values(spark, tmp_path):
     out = {r["user_id"]: r["secs_to_convert"]
            for r in q.events_user_funnel(spark, str(tmp_path)).collect()}
     assert out == {1: 30, 2: None, 3: None}
+
+
+def test_budget_cap_per_group(spark):
+    from polars_sim_spark.operators.curation import budget_cap_per_group
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", 10) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    out = budget_cap_per_group(
+        docs, group_col="lang", id_col="doc_id", token_col="n_tok",
+        budget={"en": 100, "fr": 35}, num_parts=4,
+    ).collect()
+    en = [r for r in out if r["lang"] == "en"]
+    fr = [r for r in out if r["lang"] == "fr"]
+    # exactly-divisible budget: exactly 10 docs of 10 tokens
+    assert len(en) == 10
+    # 35-token budget: kept while before < 35 → before 0,10,20,30 → 4 docs
+    # (overshoot by at most one doc, per the contract)
+    assert len(fr) == 4
+    # deterministic: same call returns the same kept ids
+    out2 = budget_cap_per_group(
+        docs, group_col="lang", id_col="doc_id", token_col="n_tok",
+        budget={"en": 100, "fr": 35}, num_parts=4,
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # a group absent from the dict is dropped entirely
+    out3 = budget_cap_per_group(
+        docs, group_col="lang", id_col="doc_id", token_col="n_tok",
+        budget={"en": 50}, num_parts=4,
+    ).collect()
+    assert {r["lang"] for r in out3} == {"en"}
