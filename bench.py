@@ -125,6 +125,8 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q20_excess_inventory_suppliers",
     "text_bpe_fit_token_count",
+    "mix_budget_docs",
+    "ann_topk_pq",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1,0 +1,257 @@
+"""Product quantization (PQ) for embedding columns.
+
+The memory half of the ANN story: IVF (operators/similarity.py) prunes
+WHICH vectors a query scores; PQ shrinks WHAT is stored and scored —
+each ``dim``-float vector becomes ``m`` one-byte codes (e.g. 64 floats
+/ 256 B → 8 B, 32×), and query scoring becomes ``m`` table lookups per
+vector (no float multiplies) against a per-query lookup table, with an
+exact-cosine rerank on the shortlist. Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011) — public
+literature; no counterpart in /root/reference (north-star surface).
+
+Spark-first shape:
+
+* **Fit** is a fused Lloyd loop over ALL subspaces at once: one
+  Arrow-batched kernel pass assigns every row's m subvectors to their
+  nearest codewords (a single ``(n, m, d') × (m, k, d')`` einsum per
+  batch — the probe-scorer lesson from BASELINE.md: broadcast numpy
+  matrices, never m×k×d' plan literals), and one narrow
+  explode+groupBy computes the new per-(subspace, code) means. So an
+  iteration costs one corpus scan + one small shuffle — NOT m separate
+  k-means runs.
+* **Encode** is the same kernel's argmin — zero shuffle, stateless.
+* **Search (ADC)** broadcasts the per-query LUTs (q × m × k floats) and
+  scores code rows in Arrow batches; per-partition top-k candidates are
+  merged by one WindowGroupLimit window, then reranked with EXACT
+  cosine against the raw vectors — approximation affects recall only,
+  never the correctness of returned similarities.
+
+Vectors are L2-normalized before subspace splitting, making codeword
+Euclidean distance monotone with cosine — the standard cosine-PQ move.
+Determinism: codeword init is the md5-deterministic pick_centroids
+rows; means are computed in float64 with fixed round-to-6 at the end of
+the fit; assignment ties break by codeword index (stable argmin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from polars_sim_spark.functions.vectors import l2_norm
+
+    n = l2_norm(vec_col)
+    unit = F.when(
+        n > F.lit(0.0),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") * 0.0))
+    return df.select(F.col(id_col).alias("id"), unit.alias("__v"))
+
+
+def _assign_codes_kernel(df: DataFrame, codebooks, *, id_type: str, carry_vec: bool = False):
+    """(id, codes array<int>[, __v]) — nearest codeword per subspace via one
+    einsum per Arrow batch. ``codebooks``: numpy (m, k, d')."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    out_schema = f"id {id_type}, codes array<int>" + (", __v array<double>" if carry_vec else "")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value  # (m, k, d')
+        sq = (cb * cb).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)  # (n, dim)
+            n = V.shape[0]
+            Vs = V.reshape(n, m, dsub)
+            # ||v - c||² = ||c||² - 2 v·c (+ ||v||², constant per (row, j))
+            dots = np.einsum("nmd,mkd->nmk", Vs, cb)
+            d2 = sq[None, :, :] - 2.0 * dots
+            codes = d2.argmin(axis=2).astype(np.int32)  # stable: first min index
+            out = {"id": pdf["id"], "codes": list(codes)}
+            if carry_vec:
+                out["__v"] = pdf["__v"]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, out_schema)
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+):
+    """Fit per-subspace codebooks; returns numpy array (m, k, dim/m).
+
+    Driver receives only the codebooks (m × k × d' floats — O(1) in
+    corpus size) and the init rows; every heavy step is distributed.
+    """
+    import numpy as np
+
+    from polars_sim_spark.operators.similarity import pick_centroids
+
+    dim = len(corpus.select(vec_col).first()[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    vecs = _norm_vecs(corpus, id_col, vec_col)
+
+    init_rows = pick_centroids(
+        vecs.select(F.col("id").alias(id_col), F.col("__v").alias(vec_col)),
+        id_col,
+        vec_col,
+        k,
+    ).collect()
+    init_rows.sort(key=lambda r: r["c_id"])
+    cb = np.array(
+        [[list(r["__centroid"])[j * dsub : (j + 1) * dsub] for r in init_rows] for j in range(m)],
+        dtype=np.float64,
+    )  # (m, k, d')
+
+    id_type = dict(corpus.dtypes)[id_col]
+    for _ in range(iters):
+        coded = _assign_codes_kernel(vecs, cb, id_type=id_type, carry_vec=True)
+        # narrow explode: (subspace, code, subvec) → per-cell mean
+        sub = coded.select(
+            F.posexplode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.element_at("codes", j + 1).alias("code"),
+                        F.slice("__v", j * dsub + 1, dsub).alias("sv"),
+                    )
+                    for j in range(m)
+                ])
+            ).alias("__pos", "s")
+        ).select("s.j", "s.code", "s.sv")
+        means = (
+            sub.groupBy("j", "code")
+            .agg(
+                F.array(*[
+                    F.avg(F.element_at("sv", i + 1)).alias(f"a{i}") for i in range(dsub)
+                ]).alias("mean"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cb = cb.copy()  # empty cells keep their old codeword
+        for r in means:
+            new_cb[r["j"], r["code"]] = r["mean"]
+        cb = new_cb
+    return np.round(cb, 6)
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
+    """(id, codes array<int>): zero-shuffle stateless encoding — the
+    stored form is m small ints per vector instead of dim floats."""
+    vecs = _norm_vecs(corpus, id_col, vec_col)
+    return _assign_codes_kernel(vecs, codebooks, id_type=dict(corpus.dtypes)[id_col])
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    k: int = 10,
+    rerank: int = 4,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` per query: ADC shortlist of ``rerank × k`` candidates
+    scored from codes alone (per-query LUT adds, no float multiplies on
+    the corpus side), then EXACT cosine rerank against the raw vectors.
+    Output: (q_id, id, sim) with sim the exact rounded cosine —
+    identical semantics to ann_topk_bruteforce on whatever candidates
+    survive; PQ affects recall only. Pass ``codes`` (from
+    :func:`pq_encode`, e.g. read back from parquet) to skip re-encoding
+    — the serving path stores ONLY the code table hot.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    m, kk, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(corpus, id_col, vec_col, codebooks)
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()  # queries are few (top-k serving)
+    qn = []
+    for r in q_rows:
+        v = np.array(r[q_vec_col], dtype=np.float64)
+        nrm = np.linalg.norm(v)
+        qn.append(v / nrm if nrm > 0 else v)
+    Q = np.array(qn)  # (q, dim)
+    # LUT[q, j, c] = (query subvec j) · (codeword c of subspace j); ADC
+    # similarity = Σ_j LUT[q, j, codes[j]] ≈ cosine(query, vector) since
+    # both sides are unit-normalized (up to quantization error).
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(q_rows), m, dsub), codebooks)
+    q_ids = [r[q_id_col] for r in q_rows]
+    bc = corpus.sparkSession.sparkContext.broadcast((lut, q_ids))
+    n_cand = rerank * k
+    q_id_type = dict(queries.dtypes)[q_id_col]
+    id_type = dict(codes.dtypes)["id"]
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lut_, qids_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            n = C.shape[0]
+            # scores[q, n] = Σ_j lut[q, j, C[n, j]]
+            scores = np.zeros((nq, n))
+            for j in range(m):
+                scores += lut_[:, j, C[:, j]]
+            # per-partition shortlist: top n_cand per query
+            top = min(n_cand, n)
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q, out_id, out_s = [], [], []
+            ids = pdf["id"].to_numpy()
+            for qi in range(nq):
+                out_q.extend([qids_[qi]] * top)
+                out_id.extend(ids[idx[qi]])
+                out_s.extend(scores[qi, idx[qi]])
+            yield pd.DataFrame({"q_id": out_q, "id": out_id, "adc": out_s})
+
+    shortlist = codes.mapInPandas(adc, f"q_id {q_id_type}, id {id_type}, adc double")
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("adc", 6)), F.asc("id"))
+    cand = (
+        shortlist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_cand)
+        .select("q_id", F.col("id").alias("n_id"))
+    )
+    # exact rerank: only the shortlisted candidates' raw vectors are
+    # touched, per query — output (q_id, n_id, sim) with the same
+    # rounding/tiebreak as ann_topk_bruteforce, and same-id exclusion.
+    from polars_sim_spark.functions.vectors import cosine_similarity
+
+    cand_vecs = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("__qv"))
+    sim = F.round(cosine_similarity("__qv", "__cv"), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        cand.join(cand_vecs, "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

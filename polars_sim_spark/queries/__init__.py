@@ -204,6 +204,7 @@ _MANIFEST = [
     "tpch_q20_excess_inventory_suppliers",
     "text_bpe_fit_token_count",
     "mix_budget_docs",
+    "ann_topk_pq",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -381,3 +381,25 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
         assigned, group_col="c_id", weight_col="__w", id_col="id", k=5
     ).select("c_id", F.col("id").alias("vec_id"))
 
+
+
+@register("ann_topk_pq")  # iterative codebook fit + kernel scoring: rows-only
+# driver check; encode/ADC/recall semantics pinned vs numpy + the exact
+# brute-force baseline in tests/test_pq.py
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: 8×16 product-quantization codebooks fit on the
+    corpus (fused per-subspace Lloyd — one Arrow einsum pass per
+    iteration for ALL subspaces), vectors stored as 8 one-byte codes
+    (32× smaller than 64 floats), queries scored via broadcast ADC
+    lookup tables, exact-cosine rerank on a 10×k shortlist. Returned
+    sims are EXACT cosines (recall-only approximation; measured
+    recall@5 0.6-0.7 on testdata — operators/pq.py)."""
+    from polars_sim_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=3)
+    out = pq.pq_ann_topk(emb, qs, cb, k=5, rerank=10)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r")).orderBy("q_id", "n_id")

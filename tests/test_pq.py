@@ -1,0 +1,91 @@
+"""Product quantization: codebook determinism, encode correctness vs a
+numpy reference, and recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators import pq
+from polars_sim_spark.operators.similarity import ann_topk_bruteforce
+
+
+def test_fit_deterministic_and_shaped(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cb1 = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=2)
+    cb2 = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=2)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)
+
+
+def test_dim_not_divisible_raises(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_fit(emb, "vec_id", "embedding", m=7)
+
+
+def test_encode_matches_numpy_reference(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(50)
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=1)
+    got = {r["id"]: list(r["codes"]) for r in pq.pq_encode(emb, "vec_id", "embedding", cb).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    m, k, dsub = cb.shape
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        ref = []
+        for j in range(m):
+            sv = v[j * dsub : (j + 1) * dsub]
+            d2 = ((cb[j] - sv[None, :]) ** 2).sum(axis=1)
+            ref.append(int(d2.argmin()))
+        assert got[r["vec_id"]] == ref, r["vec_id"]
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = ann_topk_bruteforce(emb, qs, k=5)
+    truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=3)
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in pq.pq_ann_topk(emb, qs, cb, k=5, rerank=10).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # 8x16 codebooks on 64-dim embeddings with a 10x rerank shortlist;
+    # measured ~0.8+ on the testdata — pin a floor with margin.
+    assert recall >= 0.5, recall
+    # returned sims are EXACT cosines: every overlapping pair agrees
+    exact_sims = {(r["q_id"], r["n_id"]): r["sim"] for r in exact.collect()}
+    for r in pq.pq_ann_topk(emb, qs, cb, k=5, rerank=10).collect():
+        key = (r["q_id"], r["n_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
+
+
+def test_pq_serving_from_stored_codes(spark, sf_small):
+    """The serving path: codes materialized once (32x smaller than the
+    vectors), reread, and passed to pq_ann_topk — identical results to
+    encoding on the fly."""
+    import shutil
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=2)
+    d = tempfile.mkdtemp(prefix="pss_pq_")
+    try:
+        pq.pq_encode(emb, "vec_id", "embedding", cb).write.mode("overwrite").parquet(d)
+        stored = spark.read.parquet(d)
+        live = pq.pq_ann_topk(emb, qs, cb, k=5, rerank=4)
+        served = pq.pq_ann_topk(emb, qs, cb, k=5, rerank=4, codes=stored)
+        assert sorted(map(tuple, live.collect())) == sorted(map(tuple, served.collect()))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
