@@ -255,3 +255,200 @@ def pq_ann_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def materialize_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    kmeans_iters: int = 0,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iters: int = 3,
+) -> None:
+    """Persist the FAISS-standard IVF-PQ layout on a lake: the corpus
+    hive-partitioned by coarse cell (``path/c_id=<cell>/``) with each
+    row carrying ``(id, codes, vec, vnorm)``, the coarse centroid table
+    under ``_centroids`` and the PQ codebooks under ``_pq``.
+
+    The two compressions compose at read time through Parquet's own
+    pruning: a query batch prunes to its probed cells at the FILE level
+    (partition pruning, as in materialize_ivf_index), and the ADC
+    scoring pass projects only ``(id, codes)`` — COLUMN pruning keeps
+    the raw vectors on disk until the shortlist rerank asks for them
+    (plan-asserted in tests/test_pq.py). So the bytes a query touches
+    are ``probed cells × codes``, ~3% of the probed vectors' size, and
+    the full-precision vectors are read for rerank*k rows only.
+
+    PQ here quantizes the (unit-normalized) vectors directly; residual
+    encoding (quantize v − centroid) is the classic refinement and
+    would slot in at this call site without changing the layout.
+    """
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import (
+        nearest_centroid_assignments,
+        pick_centroids,
+        refine_centroids_kmeans,
+    )
+    from polars_sim_spark.sources.sinks import write_partitioned
+
+    spark = corpus.sparkSession
+    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    if kmeans_iters > 0:
+        cent_rows = refine_centroids_kmeans(
+            corpus, vec_col, cent_rows, kmeans_iters
+        )
+    assigned = nearest_centroid_assignments(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        kmeans_iters=kmeans_iters,
+    ).select(F.col("id").alias(id_col), "c_id")
+    cb = pq_fit(corpus, id_col, vec_col, m=m, k=k_codes, iters=pq_iters)
+    codes = pq_encode(corpus, id_col, vec_col, cb).withColumnRenamed("id", id_col)
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm"))
+        .join(codes, id_col)
+        .join(assigned, id_col)
+    )
+    write_partitioned(rows, path, partition_by=["c_id"])
+    id_type = dict(corpus.dtypes)[id_col]
+    spark.createDataFrame(
+        [
+            (r["c_id"], [float(x) for x in r["__centroid"]], float(r["__cnorm"]))
+            for r in cent_rows
+        ],
+        f"c_id {id_type}, centroid array<double>, cnorm double",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    mm, kk, dsub = cb.shape
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in cb[j, c]])
+            for j in range(mm)
+            for c in range(kk)
+        ],
+        "j int, code int, codeword array<double>",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq")
+
+
+def ann_topk_ivfpq_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    k: int = 5,
+    nprobe: int = 3,
+    rerank: int = 4,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Serve top-``k`` from a :func:`materialize_ivfpq_index` layout:
+    probe ``nprobe`` cells per query (partition pruning), ADC-score the
+    probed CODES (column-pruned scan — raw vectors untouched), shortlist
+    ``rerank × k`` per query, exact-cosine rerank on the shortlist only.
+    Output (q_id, n_id, sim) with exact rounded cosines."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_sim_spark.functions.vectors import cosine_similarity, l2_norm
+    from polars_sim_spark.operators.similarity import _centroid_scores
+    from pyspark.sql import Window
+
+    root = path.rstrip("/")
+    cent = spark.read.parquet(root + "/_centroids").collect()
+    cent_rows = [
+        {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
+        for r in sorted(cent, key=lambda r: r["c_id"])
+    ]
+    pq_rows = spark.read.parquet(root + "/_pq").collect()
+    m = max(r["j"] for r in pq_rows) + 1
+    kk = max(r["code"] for r in pq_rows) + 1
+    dsub = len(pq_rows[0]["codeword"])
+    cb = np.zeros((m, kk, dsub))
+    for r in pq_rows:
+        cb[r["j"], r["code"]] = r["codeword"]
+
+    scores = _centroid_scores(cent_rows)
+    probes = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).alias("__v"),
+            l2_norm(q_vec_col).alias("__vn"),
+        )
+        .select(
+            "q_id",
+            F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)).alias("__s"),
+        )
+        .select("q_id", F.col("__s").getField("c_id").alias("c_id"))
+    )
+    cells = sorted({r["c_id"] for r in probes.select("c_id").distinct().collect()})
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    qn = []
+    for r in q_rows:
+        v = np.array(r[q_vec_col], dtype=np.float64)
+        nrm = np.linalg.norm(v)
+        qn.append(v / nrm if nrm > 0 else v)
+    lut = np.einsum("qmd,mkd->qmk", np.array(qn).reshape(len(q_rows), m, dsub), cb)
+    q_ids = [r[q_id_col] for r in q_rows]
+    q_idx = {qid: i for i, qid in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((lut, q_idx))
+
+    # ADC pass: probed cells only (partition pruning), (id, codes, c_id)
+    # columns only (column pruning — `vec_col` stays on disk).
+    code_rows = (
+        spark.read.parquet(root)
+        .where(F.col("c_id").isin(cells))
+        .select(F.col(id_col).alias("n_id"), "codes", "c_id")
+        .join(F.broadcast(probes), "c_id")
+    )
+    q_id_type = dict(queries.dtypes)[q_id_col]
+    n_id_type = dict(code_rows.dtypes)["n_id"]
+
+    def adc(batches):
+        lut_, qidx_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qi = pdf["q_id"].map(qidx_).to_numpy()
+            s = np.zeros(len(pdf))
+            for j in range(C.shape[1]):
+                s += lut_[qi, j, C[:, j]]
+            yield pd.DataFrame({"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s})
+
+    shortlist = code_rows.select("q_id", "n_id", "codes").mapInPandas(
+        adc, f"q_id {q_id_type}, n_id {n_id_type}, adc double"
+    )
+    if exclude_same_id:
+        shortlist = shortlist.where(F.col("n_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc(F.round("adc", 6)), F.asc("n_id"))
+    cand = (
+        shortlist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= rerank * k)
+        .select("q_id", "n_id")
+    )
+    vecs = (
+        spark.read.parquet(root)
+        .where(F.col("c_id").isin(cells))
+        .select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"))
+    )
+    qv = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("__qv"))
+    sim = F.round(cosine_similarity("__qv", "__cv"), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        cand.join(vecs, "n_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -89,3 +89,77 @@ def test_pq_serving_from_stored_codes(spark, sf_small):
         assert sorted(map(tuple, live.collect())) == sorted(map(tuple, served.collect()))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_index_serving(spark, sf_small):
+    """IVF-PQ lake layout: partition pruning to probed cells + COLUMN
+    pruning for the ADC pass (raw vectors stay on disk until rerank),
+    with a recall floor against the exact-IVF serving path on the same
+    probes."""
+    import shutil
+    import tempfile
+
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d1 = tempfile.mkdtemp(prefix="pss_ivfpq_")
+    d2 = tempfile.mkdtemp(prefix="pss_ivfref_")
+    try:
+        pq.materialize_ivfpq_index(
+            emb, d1, num_centroids=8, m=8, k_codes=16, pq_iters=2
+        )
+        out = pq.ann_topk_ivfpq_prebuilt(
+            spark, d1, qs, k=5, nprobe=3, rerank=10
+        )
+        rows = out.collect()
+        assert len(rows) > 0
+        got = {(r["q_id"], r["n_id"]) for r in rows}
+
+        materialize_ivf_index(emb, d2, num_centroids=8)
+        exact = ann_topk_ivf_prebuilt(spark, d2, qs, k=5, nprobe=3)
+        truth = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.5, recall
+        # overlapping pairs carry identical EXACT sims
+        tsims = {(r["q_id"], r["n_id"]): r["sim"] for r in exact.collect()}
+        for r in rows:
+            if (r["q_id"], r["n_id"]) in tsims:
+                assert r["sim"] == tsims[(r["q_id"], r["n_id"])]
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_ivfpq_adc_scan_prunes_vector_column(spark, sf_small):
+    """The ADC pass's parquet scan must NOT read the embedding column —
+    the whole point of storing codes next to vectors is that scoring
+    touches ~3% of the bytes. Asserted on the physical plan's
+    ReadSchema."""
+    import shutil
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d = tempfile.mkdtemp(prefix="pss_ivfpq_plan_")
+    try:
+        pq.materialize_ivfpq_index(emb, d, num_centroids=4, m=8, k_codes=16, pq_iters=1)
+        out = pq.ann_topk_ivfpq_prebuilt(spark, d, qs, k=3, nprobe=2, rerank=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # two scans of the index: the ADC scan (codes, no embedding) and
+        # the rerank scan (embedding). Find all ReadSchemas of the index
+        # path and assert at least one excludes the vector column.
+        import re
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        index_scans = [s for s in schemas if "codes" in s or "embedding" in s]
+        assert any("codes" in s and "embedding" not in s for s in index_scans), schemas
+        assert any("embedding" in s and "codes" not in s for s in index_scans), schemas
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
