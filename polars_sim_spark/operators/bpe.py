@@ -161,3 +161,64 @@ def bpe_token_counts(
             F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def materialize_bpe_vocab(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    word_pattern: str = WORD_PATTERN,
+) -> list[tuple[str, str]]:
+    """Fit BPE on a corpus and persist the tokenizer as a lake asset:
+    the final vocab table (word, freq, syms, n_tok) under ``path`` and
+    the ordered merge list under ``path/_merges`` — the BPE member of
+    the persisted-index family (token postings / LSH bands / IVF cells
+    / BM25 postings / IVF-PQ). A tokenizer is fit once on a corpus
+    snapshot and then applied to every later batch; re-deriving it per
+    run re-pays the corpus pass and (worse) silently changes token
+    counts as the corpus drifts. Returns the merge list."""
+    merges, vocab = bpe_fit(
+        docs, text_col, num_merges=num_merges, word_pattern=word_pattern
+    )
+    out = vocab.withColumn("n_tok", F.size("syms"))
+    out.write.mode("overwrite").parquet(path)
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "i int, a string, b string"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_merges")
+    return merges
+
+
+def bpe_token_counts_prebuilt(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    word_pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Per-document token counts against a :func:`materialize_bpe_vocab`
+    asset: no fit, no merge application — one explode + broadcast vocab
+    join. Words ABSENT from the stored vocab (corpus drift since the
+    fit) fall back to their character count, the exact cost an
+    untrained BPE assigns an unseen word before any merge applies."""
+    spark = docs.sparkSession
+    vocab = spark.read.parquet(path).select("word", "n_tok")
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(word_pattern), F.lit(0))
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(words).alias("word"))
+        .join(F.broadcast(vocab), "word", "left")
+        .withColumn("__n", F.coalesce(F.col("n_tok"), F.length("word").cast("int")))
+        .groupBy(id_col)
+        .agg(F.sum("__n").alias("n_bpe_tokens"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+    )

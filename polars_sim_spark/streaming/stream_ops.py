@@ -830,3 +830,28 @@ def stream_clicks_before_error(
         right_watermark=watermark,
         how=how,
     )
+
+
+def stream_pq_encode(
+    stream_vecs: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming PQ encoding: compress every arriving embedding to its
+    m one-byte codes against FIXED codebooks (fit offline with
+    ``pq.pq_fit`` / loaded from a ``materialize_ivfpq_index`` asset) —
+    the ingest-time writer of a PQ/IVF-PQ index, pairing with
+    :func:`stream_centroid_assign` (which picks the arriving vector's
+    cell) so a live index grows in its serving form without batch
+    re-encoding. Stateless Arrow ``mapInPandas`` — append mode, no
+    state store, no aggregation budget spent; output (id, codes) is
+    bit-identical to the batch ``pq.pq_encode`` (availableNow
+    equivalence test)."""
+    from polars_sim_spark.operators.pq import _assign_codes_kernel, _norm_vecs
+
+    vecs = _norm_vecs(stream_vecs, id_col, vec_col)
+    return _assign_codes_kernel(
+        vecs, codebooks, id_type=dict(stream_vecs.dtypes)[id_col]
+    )

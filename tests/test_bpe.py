@@ -97,3 +97,41 @@ def test_bpe_merge_overlap_semantics(spark):
     # second merge is ('aa','a') → whole word becomes one token
     assert merges[1] == ("aa", "a")
     assert syms["aaa"] == ["aaa"]
+
+
+def test_bpe_vocab_prebuilt_serving(spark, sf_small):
+    """Persisted tokenizer: counts from the stored vocab equal the live
+    fit+tokenize on the SAME corpus; unseen words (corpus drift) cost
+    their character count."""
+    import shutil
+    import tempfile
+
+    from polars_sim_spark.operators.bpe import (
+        bpe_token_counts_prebuilt,
+        materialize_bpe_vocab,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(150)
+    d = tempfile.mkdtemp(prefix="pss_bpe_")
+    try:
+        merges = materialize_bpe_vocab(docs, d, num_merges=10)
+        assert len(merges) == 10
+        live_merges, vocab = bpe_fit(docs, num_merges=10)
+        assert merges == live_merges
+        live = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts(docs, vocab).collect()
+        }
+        served = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts_prebuilt(docs, d).collect()
+        }
+        assert live == served
+        # drift: a doc with an unseen word pays its char count
+        drift = spark.createDataFrame(
+            [(999, "zzzqqqxxx")], "doc_id long, text string"
+        )
+        got = bpe_token_counts_prebuilt(drift, d).collect()[0]["n_bpe_tokens"]
+        assert got == 9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -975,3 +975,32 @@ def test_substring_gate_ttl(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_pq_encode_equals_batch(spark, sf_small):
+    """availableNow run of stream_pq_encode == batch pq.pq_encode with
+    the same codebooks — the streaming writer of a PQ index."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators import pq
+    from polars_sim_spark.streaming.stream_ops import stream_pq_encode
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=1)
+    src = tempfile.mkdtemp(prefix="pss_pqstream_")
+    try:
+        emb.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+        name = f"pqenc_{_uuid.uuid4().hex[:8]}"
+        _run_to_memory(stream_pq_encode(stream, cb), name, "append")
+        got = {
+            r["id"]: list(r["codes"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        expected = {
+            r["id"]: list(r["codes"])
+            for r in pq.pq_encode(emb, "vec_id", "embedding", cb).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
