@@ -41,9 +41,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _norm_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _norm_vecs(df: DataFrame, id_col: str, vec_col: str, normalize: bool = True) -> DataFrame:
+    """``normalize=False`` passes vectors through as doubles — used by the
+    residual path, whose inputs (v̂ − ĉ) must NOT be re-normalized."""
     from polars_sim_spark.functions.vectors import l2_norm
 
+    if not normalize:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
     n = l2_norm(vec_col)
     unit = F.when(
         n > F.lit(0.0),
@@ -91,11 +98,13 @@ def pq_fit(
     m: int = 8,
     k: int = 16,
     iters: int = 3,
+    normalize: bool = True,
 ):
     """Fit per-subspace codebooks; returns numpy array (m, k, dim/m).
 
     Driver receives only the codebooks (m × k × d' floats — O(1) in
     corpus size) and the init rows; every heavy step is distributed.
+    ``normalize=False`` fits raw double vectors (the residual path).
     """
     import numpy as np
 
@@ -105,7 +114,7 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    vecs = _norm_vecs(corpus, id_col, vec_col)
+    vecs = _norm_vecs(corpus, id_col, vec_col, normalize)
 
     init_rows = pick_centroids(
         vecs.select(F.col("id").alias(id_col), F.col("__v").alias(vec_col)),
@@ -152,10 +161,12 @@ def pq_fit(
     return np.round(cb, 6)
 
 
-def pq_encode(corpus: DataFrame, id_col: str, vec_col: str, codebooks) -> DataFrame:
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, codebooks, *, normalize: bool = True
+) -> DataFrame:
     """(id, codes array<int>): zero-shuffle stateless encoding — the
     stored form is m small ints per vector instead of dim floats."""
-    vecs = _norm_vecs(corpus, id_col, vec_col)
+    vecs = _norm_vecs(corpus, id_col, vec_col, normalize)
     return _assign_codes_kernel(vecs, codebooks, id_type=dict(corpus.dtypes)[id_col])
 
 
@@ -268,11 +279,13 @@ def materialize_ivfpq_index(
     m: int = 8,
     k_codes: int = 16,
     pq_iters: int = 3,
+    residual: bool = False,
 ) -> None:
     """Persist the FAISS-standard IVF-PQ layout on a lake: the corpus
     hive-partitioned by coarse cell (``path/c_id=<cell>/``) with each
     row carrying ``(id, codes, vec, vnorm)``, the coarse centroid table
-    under ``_centroids`` and the PQ codebooks under ``_pq``.
+    under ``_centroids``, the PQ codebooks under ``_pq``, and the
+    encoding mode under ``_meta``.
 
     The two compressions compose at read time through Parquet's own
     pruning: a query batch prunes to its probed cells at the FILE level
@@ -283,9 +296,23 @@ def materialize_ivfpq_index(
     are ``probed cells × codes``, ~3% of the probed vectors' size, and
     the full-precision vectors are read for rerank*k rows only.
 
-    PQ here quantizes the (unit-normalized) vectors directly; residual
-    encoding (quantize v − centroid) is the classic refinement and
-    would slot in at this call site without changing the layout.
+    ``residual=True`` quantizes ``v̂ − ĉ(cell)`` instead of ``v̂`` — the
+    FAISS default: codes spend their bits on WITHIN-cell detail instead
+    of re-encoding the cell's position. One SHARED residual codebook
+    across cells (standard); serving adds the scalar ``q̂·ĉ(cell)`` per
+    (query, probed cell) back to the ADC sum — cos(q, v) ≈ q̂·ĉ +
+    q̂·r̂code. The residual frame is a broadcast-centroid zip_with
+    projection — no extra shuffle in the build.
+
+    Honest measured result (BASELINE.md round 6): on the synthetic
+    testdata embeddings, residual ADC approximates WORSE than plain
+    (mean |cos error| 0.090 vs 0.076; recall@5 0.34 vs 0.54 at
+    nprobe=4/8 cells) — confirmed in a pure-numpy twin, so it is the
+    data, not the implementation: near-uniform vectors give weak
+    coarse centroids, and subtracting them destroys the unit-norm
+    structure the direct quantizer exploits. Residual earns its keep
+    on CLUSTERED corpora with many tight cells (its design regime);
+    default stays False.
     """
     from polars_sim_spark.functions.vectors import l2_norm
     from polars_sim_spark.operators.similarity import (
@@ -309,14 +336,49 @@ def materialize_ivfpq_index(
         num_centroids=num_centroids,
         kmeans_iters=kmeans_iters,
     ).select(F.col("id").alias(id_col), "c_id")
-    cb = pq_fit(corpus, id_col, vec_col, m=m, k=k_codes, iters=pq_iters)
-    codes = pq_encode(corpus, id_col, vec_col, cb).withColumnRenamed("id", id_col)
+    if residual:
+        # residual frame: v̂ − ĉ(assigned cell), both unit-normalized;
+        # centroid table broadcasts, the subtraction is a zip_with
+        # projection on the scan — no shuffle beyond the assignment's.
+        cent_tab = spark.createDataFrame(
+            [
+                (
+                    r["c_id"],
+                    [
+                        float(x) / r["__cnorm"] if r["__cnorm"] > 0 else 0.0
+                        for x in r["__centroid"]
+                    ],
+                )
+                for r in cent_rows
+            ],
+            f"c_id {dict(corpus.dtypes)[id_col]}, __cent array<double>",
+        )
+        res = (
+            _norm_vecs(corpus, id_col, vec_col)
+            .withColumnRenamed("id", id_col)
+            .join(assigned, id_col)
+            .join(F.broadcast(cent_tab), "c_id")
+            .select(
+                F.col(id_col),
+                F.zip_with("__v", "__cent", lambda a, b: a - b).alias("__r"),
+            )
+        )
+        cb = pq_fit(res, id_col, "__r", m=m, k=k_codes, iters=pq_iters, normalize=False)
+        codes = pq_encode(res, id_col, "__r", cb, normalize=False).withColumnRenamed(
+            "id", id_col
+        )
+    else:
+        cb = pq_fit(corpus, id_col, vec_col, m=m, k=k_codes, iters=pq_iters)
+        codes = pq_encode(corpus, id_col, vec_col, cb).withColumnRenamed("id", id_col)
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm"))
         .join(codes, id_col)
         .join(assigned, id_col)
     )
     write_partitioned(rows, path, partition_by=["c_id"])
+    spark.createDataFrame([(bool(residual),)], "residual boolean").write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/_meta")
     id_type = dict(corpus.dtypes)[id_col]
     spark.createDataFrame(
         [
@@ -363,6 +425,10 @@ def ann_topk_ivfpq_prebuilt(
     from pyspark.sql import Window
 
     root = path.rstrip("/")
+    try:
+        is_residual = spark.read.parquet(root + "/_meta").collect()[0]["residual"]
+    except Exception:
+        is_residual = False  # pre-residual layouts have no _meta sidecar
     cent = spark.read.parquet(root + "/_centroids").collect()
     cent_rows = [
         {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
@@ -400,7 +466,21 @@ def ann_topk_ivfpq_prebuilt(
     lut = np.einsum("qmd,mkd->qmk", np.array(qn).reshape(len(q_rows), m, dsub), cb)
     q_ids = [r[q_id_col] for r in q_rows]
     q_idx = {qid: i for i, qid in enumerate(q_ids)}
-    bc = spark.sparkContext.broadcast((lut, q_idx))
+    # Residual layout: the ADC sum scores q̂·r̂code; add back the scalar
+    # q̂·ĉ(cell) per (query, probed cell) — an O(|Q|·nprobe) driver-side
+    # matrix, broadcast with the LUT.
+    cid2idx = {c: i for i, c in enumerate(cells)}
+    offmat = np.zeros((len(q_rows), len(cells)))
+    if is_residual:
+        cent_by_id = {r["c_id"]: r for r in cent_rows}
+        for ci, c in enumerate(cells):
+            r = cent_by_id[c]
+            cvec = np.array(r["__centroid"], dtype=np.float64)
+            if r["__cnorm"] > 0:
+                cvec = cvec / r["__cnorm"]
+            for qi2 in range(len(q_rows)):
+                offmat[qi2, ci] = float(np.dot(qn[qi2], cvec))
+    bc = spark.sparkContext.broadcast((lut, q_idx, offmat, cid2idx, is_residual))
 
     # ADC pass: probed cells only (partition pruning), (id, codes, c_id)
     # columns only (column pruning — `vec_col` stays on disk).
@@ -414,7 +494,7 @@ def ann_topk_ivfpq_prebuilt(
     n_id_type = dict(code_rows.dtypes)["n_id"]
 
     def adc(batches):
-        lut_, qidx_ = bc.value
+        lut_, qidx_, off_, cidx_, res_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -423,9 +503,12 @@ def ann_topk_ivfpq_prebuilt(
             s = np.zeros(len(pdf))
             for j in range(C.shape[1]):
                 s += lut_[qi, j, C[:, j]]
+            if res_:
+                ci = pdf["c_id"].map(cidx_).to_numpy()
+                s += off_[qi, ci]
             yield pd.DataFrame({"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s})
 
-    shortlist = code_rows.select("q_id", "n_id", "codes").mapInPandas(
+    shortlist = code_rows.select("q_id", "n_id", "codes", "c_id").mapInPandas(
         adc, f"q_id {q_id_type}, n_id {n_id_type}, adc double"
     )
     if exclude_same_id:

@@ -163,3 +163,52 @@ def test_ivfpq_adc_scan_prunes_vector_column(spark, sf_small):
         assert any("embedding" in s and "codes" not in s for s in index_scans), schemas
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_residual_layout(spark, sf_small):
+    """residual=True round-trips through _meta, serves exact sims on
+    overlap with the exact-IVF path, and is deterministic. (Recall on
+    the synthetic testdata is WORSE than plain — an honest measured
+    property of unclustered data, recorded in BASELINE.md — so the
+    floor here is loose and the real pins are exactness + mode
+    detection.)"""
+    import shutil
+    import tempfile
+
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d1 = tempfile.mkdtemp(prefix="pss_respq_")
+    d2 = tempfile.mkdtemp(prefix="pss_resref_")
+    try:
+        pq.materialize_ivfpq_index(
+            emb, d1, num_centroids=8, m=8, k_codes=16, pq_iters=2, residual=True
+        )
+        meta = spark.read.parquet(d1 + "/_meta").collect()
+        assert meta[0]["residual"] is True
+        out1 = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d1, qs, k=5, nprobe=4, rerank=10
+        ).collect()))
+        out2 = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d1, qs, k=5, nprobe=4, rerank=10
+        ).collect()))
+        assert out1 == out2  # deterministic serving
+        assert len(out1) > 0
+
+        materialize_ivf_index(emb, d2, num_centroids=8)
+        exact = {
+            (r["q_id"], r["n_id"]): r["sim"]
+            for r in ann_topk_ivf_prebuilt(spark, d2, qs, k=5, nprobe=4).collect()
+        }
+        for q_id, n_id, sim in out1:
+            if (q_id, n_id) in exact:
+                assert sim == exact[(q_id, n_id)]  # rerank sims are exact
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
