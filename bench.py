@@ -127,6 +127,7 @@ HEADLINE = [
     "text_bpe_fit_token_count",
     "mix_budget_docs",
     "ann_topk_pq",
+    "events_hll_users",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1,0 +1,83 @@
+"""Cardinality sketches as DETERMINISTIC column pipelines.
+
+``approx_count_distinct`` (Spark) and ``approx_count_distinct``
+(DuckDB) are different HLL implementations with different hashes — an
+oracle can never check one against the other. This module implements
+HyperLogLog (Flajolet et al. 2007, public literature) as a pure
+function of the data using the repo's engine-portable md5 hash, so the
+SAME estimate — to the last rounded digit — is computable in any SQL
+engine: the contract query's DuckDB oracle reproduces the Spark
+estimate exactly, and the ESTIMATOR itself (not just the plumbing)
+is under the correctness gate. Accuracy vs exact distinct counts is
+pinned separately in tests (the usual ~1.04/√m relative error).
+
+Determinism details worth copying:
+
+* register index and remainder come from integer arithmetic on the
+  32-bit md5 prefix (``md5_hash64``), never engine hash functions;
+* rho (leading-zero rank) is computed via ``length(bin(x))`` — string
+  length of the minimal binary rendering, identical in Spark and
+  DuckDB — not floating log2, whose boundary behavior differs;
+* the harmonic sum Σ 2^−M is scaled by 2^25 and summed as an EXACT
+  BIGINT (every term is a dyadic rational, and max rho = 25), so no
+  float-addition-order divergence can flip a digit; the only floating
+  steps are one multiply, one divide, and (in the small-range branch)
+  one ``ln`` — rounded to 4 decimals at the edge.
+
+Scale: the whole sketch is one groupBy (group, register) max + one
+groupBy (group) sum — two map-side-combining aggregates over narrow
+rows; registers-per-group is fixed (m), so sketch state is O(groups·m)
+regardless of corpus size, the same bound the built-in HLL has. The
+32-bit hash caps reliable range around ~10^8 distinct values; swap the
+hash width before the large-range-correction regime matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: HLL bias constant for m=256, embedded as the SAME literal in the
+#: DuckDB oracle (queries/events.py) — compute once, paste everywhere.
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)  # 0.7182725932495458
+#: m² · 2^25 — the exact-integer scaling of the harmonic sum.
+HLL_SCALE = HLL_M * HLL_M * (1 << 25)  # 2199023255552
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (m=256 registers):
+    (group, hll_distinct double) with the estimate rounded to 4
+    decimals. Deterministic and engine-portable — see module docstring.
+    """
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    h = md5_hash64(F.col(value_col).cast("string"))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rem = F.floor(h / F.lit(HLL_M))
+    rho = F.when(rem == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(rem))
+    )
+    regs = (
+        df.select(F.col(group_col), bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(group_col, "__b")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(F.pow(F.lit(2.0), F.lit(25) - F.col("__M")).cast("long")).alias("__s"),
+    )
+    int_sum = F.col("__s") + (F.lit(HLL_M) - F.col("__present")) * F.lit(1 << 25)
+    e_raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_SCALE)) / int_sum
+    v_zero = F.lit(HLL_M) - F.col("__present")
+    small = (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0)
+    est = F.when(
+        small, F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero)
+    ).otherwise(e_raw)
+    return per_group.select(
+        F.col(group_col), F.round(est, 4).alias("hll_distinct")
+    )

@@ -205,6 +205,7 @@ _MANIFEST = [
     "text_bpe_fit_token_count",
     "mix_budget_docs",
     "ann_topk_pq",
+    "events_hll_users",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -528,3 +528,47 @@ def daily_high_clicks_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
 
+
+
+@register(
+    "events_hll_users",
+    """
+WITH r AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b,
+         floor(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) / 256) AS rem
+  FROM events
+),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN rem = 0 THEN 25 ELSE 25 - length(bin(CAST(rem AS BIGINT))) END) AS M
+  FROM r GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, count(*) AS present,
+         sum(CAST(power(2, 25 - M) AS BIGINT)) AS s
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                        / (s + (256 - present) * 33554432)) <= 640.0
+                   AND (256 - present) > 0
+             THEN 256 * ln(256.0 / (256 - present))
+             ELSE CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                  / (s + (256 - present) * 33554432)
+             END, 4) AS hll_distinct
+FROM g
+""",
+)
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a DETERMINISTIC HyperLogLog
+    (operators/sketches.py): md5-register sketch whose ESTIMATE —
+    not just its plumbing — is reproduced digit-for-digit by the
+    DuckDB oracle (the built-in approx_count_distinct of either engine
+    could never be cross-checked). Two map-side-combining aggregates
+    over narrow rows; register state O(groups × 256) at any corpus
+    size. Accuracy vs exact counts pinned in tests/test_sketches.py."""
+    from polars_sim_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_type", "user_id")

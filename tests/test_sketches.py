@@ -1,0 +1,38 @@
+"""Deterministic HLL: estimates within the theoretical error band of
+exact distinct counts, and exactly reproducible run-to-run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators.sketches import hll_distinct
+
+
+def test_hll_accuracy_vs_exact(spark, sf_small):
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    est = {r[0]: r["hll_distinct"] for r in hll_distinct(ev, "event_type", "user_id").collect()}
+    exact = {
+        r[0]: r[1]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        rel = abs(e - exact[k]) / max(exact[k], 1)
+        # 1.04/sqrt(256) ≈ 6.5% std error; allow 3 sigma
+        assert rel < 0.20, (k, e, exact[k])
+
+
+def test_hll_deterministic_and_synthetic_cardinalities(spark):
+    # known cardinalities across the small-range-correction boundary
+    rows = [(g, f"u{g}_{i % n}") for g, n in [("a", 5), ("b", 700), ("c", 3000)] for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    est1 = {r["g"]: r["hll_distinct"] for r in hll_distinct(df, "g", "u").collect()}
+    est2 = {r["g"]: r["hll_distinct"] for r in hll_distinct(df, "g", "u").collect()}
+    assert est1 == est2
+    for g, n in [("a", 5), ("b", 700), ("c", 3000)]:
+        rel = abs(est1[g] - n) / n
+        assert rel < 0.20, (g, est1[g], n)
+    # tiny cardinality goes through linear counting and is near-exact
+    assert abs(est1["a"] - 5) < 0.5
