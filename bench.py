@@ -128,6 +128,7 @@ HEADLINE = [
     "mix_budget_docs",
     "ann_topk_pq",
     "events_hll_users",
+    "events_cms_user_counts",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

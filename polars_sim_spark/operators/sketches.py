@@ -81,3 +81,74 @@ def hll_distinct(
     return per_group.select(
         F.col(group_col), F.round(est, 4).alias("hll_distinct")
     )
+
+
+#: Count-min geometry: d hash rows × w counters. Seeds are small
+#: integers mixed into the md5 input so every row is an independent
+#: deterministic hash — the same strings hash identically in any
+#: engine.
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_counters(
+    df: DataFrame,
+    group_col: str | None,
+    value_col: str,
+) -> DataFrame:
+    """Build count-min counters: one row per (seed, col[, group]) with
+    the collision-summed count — fixed O(d·w) state per group at ANY
+    corpus size (the whole point: a frequency table over an unbounded
+    value domain in bounded memory). One map-side-combining aggregate.
+    """
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(CMS_D)])).alias("seed")
+    keys = ([F.col(group_col)] if group_col else []) + [F.col(value_col).cast("string").alias("__val")]
+    rows = df.select(*keys).select("*", seeds)
+    col = F.pmod(
+        md5_hash64(F.concat_ws("\x1f", F.col("seed").cast("string"), F.col("__val"))),
+        F.lit(CMS_W),
+    )
+    gcols = ([group_col] if group_col else []) + ["seed"]
+    return (
+        rows.withColumn("__c", col)
+        .groupBy(*gcols, "__c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Point-query the sketch: for each candidate item (and group), the
+    count-min estimate = min over the d rows of that item's counter.
+    Guarantees (classic, and structurally testable): estimate ≥ true
+    count always; overestimate bounded by collision mass ~N/w per row.
+    The counter table is O(groups·d·w) rows — broadcast; estimating a
+    candidate list never rescans the corpus."""
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(CMS_D)])).alias("seed")
+    probe = items.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(item_col).cast("string").alias("__val"),
+    ).select("*", seeds)
+    probe = probe.withColumn(
+        "__c",
+        F.pmod(
+            md5_hash64(F.concat_ws("\x1f", F.col("seed").cast("string"), F.col("__val"))),
+            F.lit(CMS_W),
+        ),
+    )
+    join_keys = ([group_col] if group_col else []) + ["seed", "__c"]
+    est = (
+        probe.join(F.broadcast(counters), join_keys, "left")
+        .withColumn("__cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*(([group_col] if group_col else []) + ["__val"]))
+        .agg(F.min("__cnt").alias("cms_count"))
+    )
+    return est.withColumnRenamed("__val", item_col)

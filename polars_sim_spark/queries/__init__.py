@@ -206,6 +206,7 @@ _MANIFEST = [
     "mix_budget_docs",
     "ann_topk_pq",
     "events_hll_users",
+    "events_cms_user_counts",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -572,3 +572,42 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_type", "user_id")
+
+
+@register(
+    "events_cms_user_counts",
+    """
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+seeds AS (SELECT unnest(range(4)) AS seed),
+counters AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || chr(31) || v), 1, 8)) AS BIGINT) % 256 AS c,
+         count(*) AS cnt
+  FROM vals CROSS JOIN seeds GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id < 20),
+probe AS (
+  SELECT cand.user_id, seeds.seed,
+         CAST(('0x' || substr(md5(CAST(seeds.seed AS VARCHAR) || chr(31) || cand.v), 1, 8)) AS BIGINT) % 256 AS c
+  FROM cand CROSS JOIN seeds
+)
+SELECT p.user_id, CAST(min(coalesce(counters.cnt, 0)) AS BIGINT) AS cms_count
+FROM probe p LEFT JOIN counters ON counters.seed = p.seed AND counters.c = p.c
+GROUP BY 1
+""",
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketches.py): per-user
+    event-count estimates for a candidate set, served from FIXED
+    O(d·w) counters instead of a per-user aggregate — the bounded-
+    memory frequency table over an unbounded key domain. Like the HLL
+    query, the ESTIMATOR is deterministic (md5 row-hashes), so the
+    DuckDB oracle reproduces every estimate exactly; the ≥-true-count
+    guarantee is pinned in tests/test_sketches.py."""
+    from polars_sim_spark.operators.sketches import cms_counters, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    counters = cms_counters(ev, None, "user_id")
+    cand = ev.where(F.col("user_id") < 20).select("user_id").distinct()
+    est = cms_estimate(counters, cand, "user_id")
+    return est.select(F.col("user_id").cast("long").alias("user_id"), "cms_count")

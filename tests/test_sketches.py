@@ -36,3 +36,46 @@ def test_hll_deterministic_and_synthetic_cardinalities(spark):
         assert rel < 0.20, (g, est1[g], n)
     # tiny cardinality goes through linear counting and is near-exact
     assert abs(est1["a"] - 5) < 0.5
+
+
+def test_cms_overestimate_guarantee(spark, sf_small):
+    """Count-min structural guarantee: estimate >= true count for EVERY
+    item, and the overestimate stays within the collision bound for
+    most items."""
+    from polars_sim_spark.operators.sketches import CMS_W, cms_counters, cms_estimate
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    n = ev.count()
+    counters = cms_counters(ev, None, "user_id")
+    cand = ev.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["cms_count"]
+        for r in cms_estimate(counters, cand, "user_id").collect()
+    }
+    exact = {r[0]: r[1] for r in ev.groupBy("user_id").count().collect()}
+    # NB: cms_estimate casts items to string; exact keys are ints
+    est = {int(k): v for k, v in est.items()}
+    assert set(est) == set(exact)
+    over = []
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)  # never underestimates
+        over.append(est[k] - true)
+    # expected collision mass ~ n/w per row; min over 4 rows ≪ that.
+    # assert the MEDIAN overestimate is within 2x the single-row bound.
+    over.sort()
+    assert over[len(over) // 2] <= 2 * n / CMS_W, (over[len(over) // 2], n / CMS_W)
+
+
+def test_cms_grouped(spark):
+    from polars_sim_spark.operators.sketches import cms_counters, cms_estimate
+
+    rows = [("a", "x")] * 50 + [("a", "y")] * 3 + [("b", "x")] * 7
+    df = spark.createDataFrame(rows, "g string, v string")
+    counters = cms_counters(df, "g", "v")
+    items = df.select("g", "v").distinct()
+    est = {
+        (r["g"], r["v"]): r["cms_count"]
+        for r in cms_estimate(counters, items, "v", group_col="g").collect()
+    }
+    # tiny domain: no collisions → exact
+    assert est == {("a", "x"): 50, ("a", "y"): 3, ("b", "x"): 7}
