@@ -467,8 +467,14 @@ def budget_cap_per_group(
     )
     if isinstance(budget, dict):
         spark = df.sparkSession
+        # Budget table keyed with the DataFrame's OWN group-column type —
+        # a hardcoded string key would fail createDataFrame (or force an
+        # implicit cast join that can silently miss matches) for int
+        # domain/source ids.
+        gtype = dict(df.dtypes)[group_col]
         btab = spark.createDataFrame(
-            [(k, int(v)) for k, v in budget.items()], f"{group_col} string, __budget long"
+            [(k, int(v)) for k, v in budget.items()],
+            f"{group_col} {gtype}, __budget long",
         )
         out = out.join(F.broadcast(btab), group_col, "left").withColumn(
             "__budget", F.coalesce(F.col("__budget"), F.lit(0))

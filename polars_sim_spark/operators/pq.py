@@ -29,8 +29,17 @@ Spark-first shape:
 Vectors are L2-normalized before subspace splitting, making codeword
 Euclidean distance monotone with cosine — the standard cosine-PQ move.
 Determinism: codeword init is the md5-deterministic pick_centroids
-rows; means are computed in float64 with fixed round-to-6 at the end of
-the fit; assignment ties break by codeword index (stable argmin).
+rows rounded to the 6-decimal grid; per-iteration codeword means round
+each component to 6 decimals and sum as DECIMAL(18,6) — an EXACT,
+order-independent reduction (same contract as refine_centroids_kmeans;
+a float ``avg`` would depend on shuffle fetch/merge order and could
+flip a mean at a rounding boundary between runs) — then divide by the
+member count and round to 6, so every engine and every partitioning
+reproduces bit-identical codebooks; assignment ties break by codeword
+index (stable argmin). ADC scores are likewise order-independent: LUT
+entries are rounded to 6 decimals and accumulated as scaled int64
+(micro-units), so the shortlist ordering is reproducible in SQL — the
+prebuilt serving path is fully DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -60,8 +69,12 @@ def _norm_vecs(df: DataFrame, id_col: str, vec_col: str, normalize: bool = True)
 
 
 def _assign_codes_kernel(df: DataFrame, codebooks, *, id_type: str, carry_vec: bool = False):
-    """(id, codes array<int>[, __v]) — nearest codeword per subspace via one
-    einsum per Arrow batch. ``codebooks``: numpy (m, k, d')."""
+    """``(out_df, bc)`` — out_df is (id, codes array<int>[, __v]): nearest
+    codeword per subspace via one einsum per Arrow batch. ``codebooks``:
+    numpy (m, k, d'). The broadcast handle is returned so iterative
+    callers (pq_fit) can unpersist it once the pass has executed —
+    otherwise each Lloyd iteration leaks one codebook broadcast for the
+    session lifetime. Lazy callers (pq_encode) must leave it alone."""
     import numpy as np
     import pandas as pd
 
@@ -87,7 +100,7 @@ def _assign_codes_kernel(df: DataFrame, codebooks, *, id_type: str, carry_vec: b
                 out["__v"] = pdf["__v"]
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(op, out_schema)
+    return df.mapInPandas(op, out_schema), bc
 
 
 def pq_fit(
@@ -110,7 +123,10 @@ def pq_fit(
 
     from polars_sim_spark.operators.similarity import pick_centroids
 
-    dim = len(corpus.select(vec_col).first()[vec_col])
+    head = corpus.select(vec_col).first()
+    if head is None:
+        raise ValueError("pq_fit: empty corpus — nothing to fit codebooks on")
+    dim = len(head[vec_col])
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
@@ -123,14 +139,19 @@ def pq_fit(
         k,
     ).collect()
     init_rows.sort(key=lambda r: r["c_id"])
-    cb = np.array(
-        [[list(r["__centroid"])[j * dsub : (j + 1) * dsub] for r in init_rows] for j in range(m)],
-        dtype=np.float64,
+    # Init on the same 6-decimal grid the iteration means land on, so
+    # the whole fit lives on a grid any engine can reproduce exactly.
+    cb = np.round(
+        np.array(
+            [[list(r["__centroid"])[j * dsub : (j + 1) * dsub] for r in init_rows] for j in range(m)],
+            dtype=np.float64,
+        ),
+        6,
     )  # (m, k, d')
 
     id_type = dict(corpus.dtypes)[id_col]
     for _ in range(iters):
-        coded = _assign_codes_kernel(vecs, cb, id_type=id_type, carry_vec=True)
+        coded, bc = _assign_codes_kernel(vecs, cb, id_type=id_type, carry_vec=True)
         # narrow explode: (subspace, code, subvec) → per-cell mean
         sub = coded.select(
             F.posexplode(
@@ -144,21 +165,37 @@ def pq_fit(
                 ])
             ).alias("__pos", "s")
         ).select("s.j", "s.code", "s.sv")
+        # Per-component mean: round to 6 decimals, sum as DECIMAL(18,6)
+        # (exact, order-independent), divide by the member count, round
+        # to 6 — identical codebooks under ANY partitioning or engine
+        # (the refine_centroids_kmeans contract; a float avg here would
+        # depend on shuffle reduction order before rounding).
+        cnt = F.count(F.lit(1))
         means = (
             sub.groupBy("j", "code")
             .agg(
                 F.array(*[
-                    F.avg(F.element_at("sv", i + 1)).alias(f"a{i}") for i in range(dsub)
+                    F.round(
+                        F.sum(
+                            F.round(F.element_at("sv", i + 1).cast("double"), 6).cast(
+                                "decimal(18,6)"
+                            )
+                        ).cast("double")
+                        / cnt,
+                        6,
+                    ).alias(f"a{i}")
+                    for i in range(dsub)
                 ]).alias("mean"),
-                F.count(F.lit(1)).alias("n"),
+                cnt.alias("n"),
             )
             .collect()
         )
+        bc.unpersist(blocking=False)  # the collect above ran the pass
         new_cb = cb.copy()  # empty cells keep their old codeword
         for r in means:
             new_cb[r["j"], r["code"]] = r["mean"]
         cb = new_cb
-    return np.round(cb, 6)
+    return cb
 
 
 def pq_encode(
@@ -167,7 +204,8 @@ def pq_encode(
     """(id, codes array<int>): zero-shuffle stateless encoding — the
     stored form is m small ints per vector instead of dim floats."""
     vecs = _norm_vecs(corpus, id_col, vec_col, normalize)
-    return _assign_codes_kernel(vecs, codebooks, id_type=dict(corpus.dtypes)[id_col])
+    out, _bc = _assign_codes_kernel(vecs, codebooks, id_type=dict(corpus.dtypes)[id_col])
+    return out  # lazy result — the broadcast must outlive this frame
 
 
 def pq_ann_topk(
@@ -210,8 +248,13 @@ def pq_ann_topk(
     Q = np.array(qn)  # (q, dim)
     # LUT[q, j, c] = (query subvec j) · (codeword c of subspace j); ADC
     # similarity = Σ_j LUT[q, j, codes[j]] ≈ cosine(query, vector) since
-    # both sides are unit-normalized (up to quantization error).
+    # both sides are unit-normalized (up to quantization error). Entries
+    # round to 6 decimals and scale to int64 micro-units so the m-term
+    # accumulation is EXACT and order-independent — the shortlist
+    # ordering reproduces bit-identically in any engine (SQL oracle:
+    # sum of CAST(round(lut, 6) * 1e6 AS BIGINT)).
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(q_rows), m, dsub), codebooks)
+    lut = np.rint(np.round(lut, 6) * 1e6).astype(np.int64)
     q_ids = [r[q_id_col] for r in q_rows]
     bc = corpus.sparkSession.sparkContext.broadcast((lut, q_ids))
     n_cand = rerank * k
@@ -226,10 +269,12 @@ def pq_ann_topk(
                 continue
             C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             n = C.shape[0]
-            # scores[q, n] = Σ_j lut[q, j, C[n, j]]
-            scores = np.zeros((nq, n))
+            # scores[q, n] = Σ_j lut[q, j, C[n, j]] — exact int64 sum of
+            # micro-units; emitted as double (values ≪ 2^53, so exact)
+            scores = np.zeros((nq, n), dtype=np.int64)
             for j in range(m):
                 scores += lut_[:, j, C[:, j]]
+            scores = scores / 1e6
             # per-partition shortlist: top n_cand per query
             top = min(n_cand, n)
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
@@ -329,12 +374,17 @@ def materialize_ivfpq_index(
         cent_rows = refine_centroids_kmeans(
             corpus, vec_col, cent_rows, kmeans_iters
         )
+    # cent_rows passed through + assignment pinned to the oracle-exact
+    # expression path: the stored centroid table and the stored cell
+    # assignments come from ONE quantizer computation (no duplicated
+    # Lloyd run), and no kernel 6-decimal rounding-boundary divergence
+    # can slip between what is stored and how rows were routed.
     assigned = nearest_centroid_assignments(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        num_centroids=num_centroids,
-        kmeans_iters=kmeans_iters,
+        assignment="expr",
+        cent_rows=cent_rows,
     ).select(F.col("id").alias(id_col), "c_id")
     if residual:
         # residual frame: v̂ − ĉ(assigned cell), both unit-normalized;
@@ -463,14 +513,18 @@ def ann_topk_ivfpq_prebuilt(
         v = np.array(r[q_vec_col], dtype=np.float64)
         nrm = np.linalg.norm(v)
         qn.append(v / nrm if nrm > 0 else v)
+    # LUT entries round to 6 decimals and scale to int64 micro-units —
+    # the ADC accumulation is exact and order-independent, so the
+    # shortlist ordering is reproducible in a SQL oracle (see pq_ann_topk).
     lut = np.einsum("qmd,mkd->qmk", np.array(qn).reshape(len(q_rows), m, dsub), cb)
+    lut = np.rint(np.round(lut, 6) * 1e6).astype(np.int64)
     q_ids = [r[q_id_col] for r in q_rows]
     q_idx = {qid: i for i, qid in enumerate(q_ids)}
     # Residual layout: the ADC sum scores q̂·r̂code; add back the scalar
     # q̂·ĉ(cell) per (query, probed cell) — an O(|Q|·nprobe) driver-side
-    # matrix, broadcast with the LUT.
+    # matrix, broadcast with the LUT (same micro-unit scaling).
     cid2idx = {c: i for i, c in enumerate(cells)}
-    offmat = np.zeros((len(q_rows), len(cells)))
+    offmat = np.zeros((len(q_rows), len(cells)), dtype=np.int64)
     if is_residual:
         cent_by_id = {r["c_id"]: r for r in cent_rows}
         for ci, c in enumerate(cells):
@@ -479,7 +533,9 @@ def ann_topk_ivfpq_prebuilt(
             if r["__cnorm"] > 0:
                 cvec = cvec / r["__cnorm"]
             for qi2 in range(len(q_rows)):
-                offmat[qi2, ci] = float(np.dot(qn[qi2], cvec))
+                offmat[qi2, ci] = int(
+                    np.rint(np.round(float(np.dot(qn[qi2], cvec)), 6) * 1e6)
+                )
     bc = spark.sparkContext.broadcast((lut, q_idx, offmat, cid2idx, is_residual))
 
     # ADC pass: probed cells only (partition pruning), (id, codes, c_id)
@@ -500,13 +556,15 @@ def ann_topk_ivfpq_prebuilt(
                 continue
             C = np.array(pdf["codes"].tolist(), dtype=np.int64)
             qi = pdf["q_id"].map(qidx_).to_numpy()
-            s = np.zeros(len(pdf))
+            s = np.zeros(len(pdf), dtype=np.int64)  # exact micro-unit sum
             for j in range(C.shape[1]):
                 s += lut_[qi, j, C[:, j]]
             if res_:
                 ci = pdf["c_id"].map(cidx_).to_numpy()
                 s += off_[qi, ci]
-            yield pd.DataFrame({"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s})
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s / 1e6}
+            )
 
     shortlist = code_rows.select("q_id", "n_id", "codes", "c_id").mapInPandas(
         adc, f"q_id {q_id_type}, n_id {n_id_type}, adc double"

@@ -758,6 +758,7 @@ def nearest_centroid_assignments(
     num_centroids: int = 16,
     kmeans_iters: int = 0,
     assignment: str = "auto",
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """``(id, c_id, sim)``: every corpus vector labeled with its nearest
     deterministic (hash-sampled, optionally k-means-refined) centroid
@@ -767,7 +768,13 @@ def nearest_centroid_assignments(
     Column path (``_centroid_scores``), ``"kernel"`` the broadcast-matrix
     GEMM with ``carry_sim`` (no ``num_centroids × dim`` plan literals —
     the binding cost past a few hundred centroids, BASELINE.md);
-    ``"auto"`` flips at ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``."""
+    ``"auto"`` flips at ``dedup.KERNEL_ASSIGNMENT_MIN_CENTROIDS``.
+
+    ``cent_rows``: pre-computed quantizer rows (pick_centroids shape,
+    sorted by c_id). When given, the pick/refine steps are SKIPPED —
+    the index-materialization path passes the rows it is about to store
+    so stored centroids and stored assignments come from the one
+    computation (no duplicated Lloyd run, no risk of the two drifting)."""
     from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
 
     if assignment not in ("auto", "expr", "kernel"):
@@ -775,15 +782,17 @@ def nearest_centroid_assignments(
             f"assignment must be 'auto', 'expr' or 'kernel', got {assignment!r}"
         )
     if assignment == "auto":
+        n_cents = len(cent_rows) if cent_rows is not None else num_centroids
         assignment = (
-            "kernel" if num_centroids > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
+            "kernel" if n_cents > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
         )
-    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
-    cent_rows.sort(key=lambda r: r["c_id"])
-    if kmeans_iters > 0:
-        cent_rows = refine_centroids_kmeans(
-            corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
-        )
+    if cent_rows is None:
+        cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+        cent_rows.sort(key=lambda r: r["c_id"])
+        if kmeans_iters > 0:
+            cent_rows = refine_centroids_kmeans(
+                corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
+            )
     if assignment == "kernel":
         return centroid_assignments_kernel(
             corpus, id_col, vec_col, cent_rows, nprobe=1, carry_sim=True
@@ -884,13 +893,15 @@ def materialize_ivf_index(
         cent_rows = refine_centroids_kmeans(
             corpus, vec_col, cent_rows, kmeans_iters, assignment=assignment
         )
+    # cent_rows passed through: the stored centroid table and the stored
+    # assignments derive from the SAME quantizer computation (no second
+    # pick/Lloyd run).
     assigned = nearest_centroid_assignments(
         corpus,
         id_col=id_col,
         vec_col=vec_col,
-        num_centroids=num_centroids,
-        kmeans_iters=kmeans_iters,
         assignment=assignment,
+        cent_rows=cent_rows,
     ).select(F.col("id").alias(id_col), "c_id")
     rows = corpus.select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm")

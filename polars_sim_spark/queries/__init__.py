@@ -207,6 +207,9 @@ _MANIFEST = [
     "ann_topk_pq",
     "events_hll_users",
     "events_cms_user_counts",
+    # round 7:
+    "ann_topk_pq_prebuilt",
+    "ann_topk_ivf_kmeans_prebuilt",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -383,6 +383,206 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
 
 
 
+# ---------------------------------------------------------------------------
+# Prebuilt-index serving rows (round 7, VERDICT r6 "Next round" #1)
+# ---------------------------------------------------------------------------
+#
+# The fit-in-query ANN rows (ann_topk_pq, ann_topk_ivf_kmeans) time
+# index BUILD + serve as one query — correct, but the bench then
+# misrepresents serving cost (58% of ann_topk_pq's 6.5 s was the Lloyd
+# fit production would amortize). These twins materialize the index
+# ONCE into the committed ``indexes/<sf>/`` layout (build-if-missing,
+# outside bench timing via bench.py's prepare step) and serve from the
+# stored artifact — the actual 100 TB shape: partition-pruned probed
+# cells, column-pruned ADC scan, exact rerank. Because every stored
+# artifact is deterministic (md5 centroid picks, decimal-exact Lloyd
+# means, 6-decimal int-scaled ADC), the SERVING rows get full value-hash
+# DuckDB oracles that read the same committed index files.
+
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def _index_dir(sf_dir: str, name: str) -> str:
+    sf_name = _os.path.basename(sf_dir.rstrip("/"))
+    return _os.path.join(_REPO_ROOT, "indexes", sf_name, name)
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the contract IVF-PQ index for ``sf_dir`` if absent; returns
+    its path. Completion keys on the LAST artifact the builder writes
+    (``_pq/_SUCCESS``) so a partially-built layout never serves."""
+    from polars_sim_spark.operators import pq
+
+    path = _index_dir(sf_dir, "ivfpq")
+    if not _os.path.exists(_os.path.join(path, "_pq", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        pq.materialize_ivfpq_index(
+            emb, path, num_centroids=16, m=8, k_codes=16, pq_iters=3
+        )
+    return path
+
+
+def ensure_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the contract k-means-refined IVF index (1 Lloyd iteration,
+    expression assignment — oracle-exact) for ``sf_dir`` if absent."""
+    from polars_sim_spark.operators.similarity import materialize_ivf_index
+
+    path = _index_dir(sf_dir, "ivf_k1")
+    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        materialize_ivf_index(
+            emb, path, num_centroids=16, kmeans_iters=1, assignment="expr"
+        )
+    return path
+
+
+def duck_ann_ivf_kmeans_prebuilt_sql(nprobe: int = 3, k: int = 5) -> str:
+    """Oracle for the stored-IVF serving path: assignments and centroids
+    come from the COMMITTED index files (read_parquet), probes and exact
+    rerank are recomputed — exactly what ann_topk_ivf_prebuilt does."""
+    idx = _index_dir("sf0.01", "ivf_k1")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH assign AS (
+  SELECT vec_id AS n_id, CAST(c_id AS BIGINT) AS c_id
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 20
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+def duck_ann_pq_prebuilt_sql(
+    nprobe: int = 3, k: int = 5, rerank: int = 10, m: int = 8, dim: int = 64
+) -> str:
+    """Oracle for the stored-IVF-PQ serving path, reproducing the WHOLE
+    pipeline from the committed index files: probe the stored coarse
+    centroids, build the per-query ADC lookup tables from the stored
+    codebooks (entries rounded to 6 decimals and scaled to BIGINT
+    micro-units — the exact order-independent accumulation the Spark
+    kernel uses), score the stored codes of the probed cells, shortlist
+    rerank×k per query, exact-cosine rerank. Value-hash identical to
+    ann_topk_ivfpq_prebuilt because every stage is on a deterministic
+    grid."""
+    idx = _index_dir("sf0.01", "ivfpq")
+    dsub = dim // m
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 10
+  ) WHERE rn <= {nprobe}
+),
+qn AS (
+  SELECT vec_id AS q_id,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings WHERE vec_id < 10
+),
+qcomp AS (
+  SELECT e.vec_id AS q_id, d.dim,
+         CASE WHEN q.nrm > 0 THEN CAST(e.embedding[d.dim + 1] AS DOUBLE) / q.nrm
+              ELSE 0.0 END AS qv
+  FROM embeddings e JOIN qn q ON q.q_id = e.vec_id
+  CROSS JOIN range({dim}) d(dim)
+  WHERE e.vec_id < 10
+),
+lut AS (
+  SELECT c.q_id, p.j, p.code,
+         CAST(round(round(sum(c.qv * p.codeword[(c.dim % {dsub}) + 1]), 6) * 1000000, 0) AS BIGINT) AS l
+  FROM qcomp c JOIN read_parquet('{idx}/_pq/*.parquet') p ON p.j = c.dim // {dsub}
+  GROUP BY 1, 2, 3
+),
+codeu AS (
+  SELECT vec_id AS n_id, CAST(c_id AS BIGINT) AS c_id,
+         generate_subscripts(codes, 1) - 1 AS j, unnest(codes) AS code
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+adc AS (
+  SELECT p.q_id, u.n_id, sum(l.l) AS s
+  FROM probes p JOIN codeu u USING (c_id)
+  JOIN lut l ON l.q_id = p.q_id AND l.j = u.j AND l.code = u.code
+  WHERE u.n_id != p.q_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+    FROM adc
+  ) WHERE rn <= {rerank * k}
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+@register("ann_topk_pq_prebuilt", duck_ann_pq_prebuilt_sql())
+def ann_topk_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SERVING from the committed lake index (build amortized —
+    materialized once by ensure_ivfpq_index / bench prepare): probes
+    prune to nprobe=3 of 16 cells at the FILE level, the ADC pass scans
+    only (id, codes) of those cells (column pruning — raw vectors stay
+    on disk), the exact rerank touches rerank×k rows per query. Returned
+    sims are exact cosines. Fully value-hash oracle-checked: the stored
+    codes/codebooks/centroids are deterministic and the ADC accumulates
+    6-decimal micro-units as exact int64 — DuckDB reproduces the
+    identical shortlist from the same index files."""
+    from polars_sim_spark.operators import pq
+
+    path = ensure_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = pq.ann_topk_ivfpq_prebuilt(spark, path, qs, k=5, nprobe=3, rerank=10)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register("ann_topk_ivf_kmeans_prebuilt", duck_ann_ivf_kmeans_prebuilt_sql())
+def ann_topk_ivf_kmeans_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat SERVING from the committed k-means-refined index: the
+    Lloyd refinement ran once at build time (ensure_ivf_kmeans_index);
+    serving reads the stored centroid table (O(16) driver read), prunes
+    to the probed cells via hive partition pruning, and exact-reranks
+    with the PRE-COMPUTED norms. Same semantics as ann_topk_ivf_kmeans
+    minus the per-query fit cost — the bench row now measures serving,
+    not training."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf_prebuilt
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
 @register("ann_topk_pq")  # iterative codebook fit + kernel scoring: rows-only
 # driver check; encode/ADC/recall semantics pinned vs numpy + the exact
 # brute-force baseline in tests/test_pq.py

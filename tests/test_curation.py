@@ -342,3 +342,20 @@ def test_budget_cap_per_group(spark):
         budget={"en": 50}, num_parts=4,
     ).collect()
     assert {r["lang"] for r in out3} == {"en"}
+
+
+def test_budget_cap_per_group_int_group_col(spark):
+    """The dict-budget broadcast table must be keyed with the group
+    column's OWN type — an int domain id used to hit a hardcoded
+    '{group_col} string' schema (createDataFrame failure / silent cast
+    join)."""
+    from polars_sim_spark.operators.curation import budget_cap_per_group
+
+    rows = [(i, i % 2, 10) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain long, n_tok long")
+    out = budget_cap_per_group(
+        docs, group_col="domain", id_col="doc_id", token_col="n_tok",
+        budget={0: 50, 1: 20}, num_parts=4,
+    ).collect()
+    assert len([r for r in out if r["domain"] == 0]) == 5
+    assert len([r for r in out if r["domain"] == 1]) == 2

@@ -25,6 +25,12 @@ def test_dim_not_divisible_raises(spark, sf_small):
         pq.pq_fit(emb, "vec_id", "embedding", m=7)
 
 
+def test_empty_corpus_raises(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").where(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq.pq_fit(emb, "vec_id", "embedding", m=8)
+
+
 def test_encode_matches_numpy_reference(spark, sf_small):
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(50)
     cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=1)
@@ -163,6 +169,29 @@ def test_ivfpq_adc_scan_prunes_vector_column(spark, sf_small):
         assert any("embedding" in s and "codes" not in s for s in index_scans), schemas
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prebuilt_contract_rows_serve_from_committed_index(spark, sf_small):
+    """The round-7 serving contract rows (ann_topk_pq_prebuilt /
+    ann_topk_ivf_kmeans_prebuilt) build-if-missing into the committed
+    indexes/<sf>/ layout and return k rows per query with exact rounded
+    cosines. Cross-engine value equality is pinned by the DuckDB oracle
+    (tools/crosscheck.py, CROSSCHECK_r07.json); here: shape, bounds,
+    and idempotent reuse of the stored index (second call must not
+    rebuild — same rows back)."""
+    from polars_sim_spark import queries as q
+
+    out1 = q.QUERIES["ann_topk_pq_prebuilt"](spark, sf_small).collect()
+    assert len(out1) == 10 * 5  # 10 queries x k=5 (500-row corpus: always full)
+    assert all(-1.0 <= r["sim_r"] <= 1.0 for r in out1)
+    out2 = q.QUERIES["ann_topk_pq_prebuilt"](spark, sf_small).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    out3 = q.QUERIES["ann_topk_ivf_kmeans_prebuilt"](spark, sf_small).collect()
+    assert len(out3) == 20 * 5
+    per_q = {}
+    for r in out3:
+        per_q.setdefault(r["q_id"], []).append(r["n_id"])
+    assert all(len(set(v)) == 5 for v in per_q.values())
 
 
 def test_ivfpq_residual_layout(spark, sf_small):
