@@ -425,10 +425,13 @@ def materialize_ivfpq_index(
         .join(codes, id_col)
         .join(assigned, id_col)
     )
-    write_partitioned(rows, path, partition_by=["c_id"])
-    spark.createDataFrame([(bool(residual),)], "residual boolean").write.mode(
-        "overwrite"
-    ).parquet(path.rstrip("/") + "/_meta")
+    # One output file per inverted list (repartition on the partition
+    # column): a probed cell is one contiguous read, not a directory of
+    # per-shuffle-task fragments.
+    write_partitioned(rows.repartition("c_id"), path, partition_by=["c_id"])
+    spark.createDataFrame([(bool(residual),)], "residual boolean").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
     id_type = dict(corpus.dtypes)[id_col]
     spark.createDataFrame(
         [
@@ -436,7 +439,7 @@ def materialize_ivfpq_index(
             for r in cent_rows
         ],
         f"c_id {id_type}, centroid array<double>, cnorm double",
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
     mm, kk, dsub = cb.shape
     spark.createDataFrame(
         [
@@ -445,7 +448,7 @@ def materialize_ivfpq_index(
             for c in range(kk)
         ],
         "j int, code int, codeword array<double>",
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq")
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq")
 
 
 def ann_topk_ivfpq_prebuilt(

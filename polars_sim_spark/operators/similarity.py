@@ -906,7 +906,9 @@ def materialize_ivf_index(
     rows = corpus.select(
         F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm")
     ).join(assigned, id_col)
-    write_partitioned(rows, path, partition_by=["c_id"])
+    # One file per inverted list; single-file centroid sidecar — a probed
+    # cell is one contiguous read.
+    write_partitioned(rows.repartition("c_id"), path, partition_by=["c_id"])
     spark = corpus.sparkSession
     spark.createDataFrame(
         [
@@ -914,7 +916,7 @@ def materialize_ivf_index(
             for r in cent_rows
         ],
         f"c_id {dict(corpus.dtypes)[id_col]}, centroid array<double>, cnorm double",
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids")
 
 
 def ann_topk_ivf_prebuilt(
