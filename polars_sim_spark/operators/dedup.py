@@ -1137,6 +1137,8 @@ def embedding_ivf_near_dup_pairs(
     num_centroids: int | None = None,
     nprobe: int = 2,
     assignment: str = "auto",
+    max_cell_fraction: float | None = None,
+    subprobe: int = 2,
 ) -> DataFrame:
     """(l_id, r_id, sim): embedding near-dup pairs via IVF blocking —
     the preferred scale path for moderate thresholds.
@@ -1170,6 +1172,23 @@ def embedding_ivf_near_dup_pairs(
 
     Deterministic end-to-end (sampled centroids + 6-decimal-rounded
     sims), so the approximate pipeline is DuckDB-oracle-checkable.
+
+    ``max_cell_fraction`` (default off — the contract query's oracle
+    pins the uncapped candidate set) bounds QUANTIZER-CELL SKEW: the
+    designed O(n^1.5) assumes ~n/num_centroids members per cell, but an
+    autocorrelated corpus can pile into few cells — measured 72.9× per
+    10× step vs the designed 31.6× at the 100× scale (BASELINE.md).
+    Cells larger than ``max(max_cell_fraction·n, 16)``
+    are re-quantized IN-CELL: ``⌈size/cap⌉`` secondary centroids are
+    picked per hot cell by the same deterministic md5 rank, members are
+    scored against their own cell's sub-centroids only (a relational
+    join — no driver loop, no plan literals), keep top-``subprobe``,
+    and pair generation runs within (cell, sub-cell). Candidates are a
+    SUBSET of the uncapped cell's pairs (containment property-tested),
+    so precision is untouched (exact verification) and only
+    within-hot-cell recall is traded — the same trade ``nprobe`` makes,
+    one level down. Work per hot cell drops from size² to
+    Σ sub² + size·⌈size/cap⌉ (sub-centroid scoring).
     """
     from polars_sim_spark.operators.similarity import (
         _centroid_scores,
@@ -1181,12 +1200,14 @@ def embedding_ivf_near_dup_pairs(
         raise ValueError(
             f"assignment must be 'auto', 'expr' or 'kernel', got {assignment!r}"
         )
+    n_total = None
     if num_centroids is None:
         import math
 
         # One count scout (metadata-cheap on parquet); √n keeps block
         # size and block count balanced.
-        num_centroids = max(4, math.isqrt(df.count()) + 1)
+        n_total = df.count()
+        num_centroids = max(4, math.isqrt(n_total) + 1)
     if assignment == "auto":
         assignment = "kernel" if num_centroids > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
     cent_rows = pick_centroids(df, id_col, vec_col, num_centroids).collect()
@@ -1211,10 +1232,81 @@ def embedding_ivf_near_dup_pairs(
             )
             .select("__vid", F.col("__s").getField("c_id").alias("c_id"))
         )
-    a = assigned.select("c_id", F.col("__vid").alias("l_id"))
-    b = assigned.select("c_id", F.col("__vid").alias("r_id"))
+    if max_cell_fraction is None:
+        a = assigned.select("c_id", F.col("__vid").alias("l_id"))
+        b = assigned.select("c_id", F.col("__vid").alias("r_id"))
+        cands = (
+            a.join(b, "c_id")
+            .where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id")
+            .distinct()
+        )
+        return _verify_cosine_pairs(df, id_col, vec_col, cands, min_cosine)
+
+    # ---- hot-cell cap: re-quantize oversized cells in place ----
+    from polars_sim_spark.functions.vectors import dot
+
+    if n_total is None:
+        n_total = df.count()
+    cap = max(int(max_cell_fraction * n_total), 16)
+    sizes = assigned.groupBy("c_id").agg(F.count(F.lit(1)).alias("__csz"))
+    asg = assigned.join(F.broadcast(sizes), "c_id")
+    cold = asg.where(F.col("__csz") <= cap)
+    hot = asg.where(F.col("__csz") > cap)
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v2"),
+        l2_norm(vec_col).alias("__n2"),
+    )
+    hotm = hot.join(vecs, "__vid")
+    # ⌈size/cap⌉ deterministic sub-centroids per hot cell (md5-rank pick,
+    # the pick_centroids rule applied within the cell). The rank window
+    # sorts one hot cell per task — fine up to ~10⁷-member cells; the
+    # scoring join below is the designed size·⌈size/cap⌉ work.
+    w_pick = Window.partitionBy("c_id").orderBy(
+        md5_hash64(F.col("__vid").cast("string")), F.col("__vid")
+    )
+    subc = (
+        hotm.withColumn("__srk", F.row_number().over(w_pick))
+        .where(F.col("__srk") <= F.ceil(F.col("__csz") / F.lit(cap)))
+        .select("c_id", "__srk", F.col("__v2").alias("__sv"), F.col("__n2").alias("__sn"))
+    )
+    sdenom = F.col("__n2") * F.col("__sn")
+    ssim = F.round(
+        F.when(sdenom > F.lit(0.0), dot("__v2", "__sv") / sdenom).otherwise(F.lit(0.0)),
+        6,
+    )
+    w_top = Window.partitionBy("c_id", "__vid").orderBy(
+        F.desc("__ssim"), F.asc("__srk")
+    )
+    sub_asg = (
+        hotm.select("c_id", "__vid", "__v2", "__n2")
+        .join(subc, "c_id")
+        .select("c_id", "__vid", "__srk", ssim.alias("__ssim"))
+        .withColumn("__rn", F.row_number().over(w_top))
+        .where(F.col("__rn") <= subprobe)
+        .select("c_id", "__srk", "__vid")
+    )
+    # One unioned block table: cold cells pair on the cell id, hot cells
+    # on (cell, sub-cell) — a single self-join, Catalyst sees one shape.
+    blocks = cold.select(
+        F.concat_ws("|", F.lit("c"), F.col("c_id").cast("string")).alias("__blk"),
+        "__vid",
+    ).unionByName(
+        sub_asg.select(
+            F.concat_ws(
+                "|",
+                F.lit("s"),
+                F.col("c_id").cast("string"),
+                F.col("__srk").cast("string"),
+            ).alias("__blk"),
+            "__vid",
+        )
+    )
+    a2 = blocks.select("__blk", F.col("__vid").alias("l_id"))
+    b2 = blocks.select("__blk", F.col("__vid").alias("r_id"))
     cands = (
-        a.join(b, "c_id")
+        a2.join(b2, "__blk")
         .where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id")
         .distinct()

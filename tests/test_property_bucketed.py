@@ -130,6 +130,57 @@ def test_ivf_pairs_subset_of_exact_and_full_probe_equality(spark, vecs, nprobe):
     assert set(full) == set(exact), (vecs,)
 
 
+def test_ivf_hot_cell_cap_containment(spark, sf_small):
+    """The hot-cell cap (max_cell_fraction) re-quantizes oversized cells
+    with in-cell secondary centroids before pair generation. Invariants:
+    capped candidates ⊆ uncapped candidates at the same threshold with
+    identical verified sims (the cap can only DROP candidates — exact
+    verification is untouched), the cap actually engages on this corpus
+    (hot cells exist; candidate volume shrinks), and the capped path is
+    deterministic."""
+    df = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    kw = dict(min_cosine=0.35, num_centroids=16, nprobe=2, assignment="expr")
+    uncapped = _pairs(
+        dedup.embedding_ivf_near_dup_pairs(df, "vec_id", "embedding", **kw)
+    )
+    capped = _pairs(
+        dedup.embedding_ivf_near_dup_pairs(
+            df, "vec_id", "embedding", max_cell_fraction=0.05, **kw
+        )
+    )
+    # cap = 0.05 * 500 = 25 < the ~62-member average cell, so the split
+    # path must actually engage — assert hot cells exist rather than
+    # that verified pairs shrink (on this corpus recall is measured
+    # 1.0: every dropped candidate was below threshold anyway).
+    from polars_sim_spark.operators.similarity import (
+        nearest_centroid_assignments,
+        pick_centroids,
+    )
+
+    cents = pick_centroids(df, "vec_id", "embedding", 16).collect()
+    cents.sort(key=lambda r: r["c_id"])
+    sizes = (
+        nearest_centroid_assignments(
+            df, id_col="vec_id", vec_col="embedding", assignment="expr",
+            cent_rows=cents,
+        )
+        .groupBy("c_id")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) > 25, sizes
+    assert set(capped) <= set(uncapped)
+    assert len(capped) > 0
+    for p, sim in capped.items():
+        assert sim == pytest.approx(uncapped[p], abs=1e-9)
+    capped2 = _pairs(
+        dedup.embedding_ivf_near_dup_pairs(
+            df, "vec_id", "embedding", max_cell_fraction=0.05, **kw
+        )
+    )
+    assert capped == capped2
+
+
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(VOCAB), min_size=0, max_size=9).map(" ".join),
