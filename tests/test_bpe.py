@@ -87,6 +87,21 @@ def test_bpe_fit_matches_reference_testdata(spark, sf_small):
     assert got == ref_counts
 
 
+def test_bpe_batched_equals_sequential_with_fewer_rounds(spark, sf_small):
+    """Batched selection (default batch_size=8) must yield the IDENTICAL
+    merge list to one-merge-per-round iteration (batch_size=1) — the
+    _select_merge_batch dominance rule is a faithfulness guarantee, not
+    a heuristic — while spending measurably fewer driver rounds."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(200)
+    st_b, st_s = {}, {}
+    merges_b, _ = bpe_fit(docs, num_merges=20, stats=st_b)
+    merges_s, _ = bpe_fit(docs, num_merges=20, batch_size=1, stats=st_s)
+    assert merges_b == merges_s
+    assert st_s["rounds"] == 20
+    assert st_b["rounds"] < 20, st_b
+    assert st_b["merges"] == st_s["merges"] == 20
+
+
 def test_bpe_merge_overlap_semantics(spark):
     """'aaa' under merge (a,a) → [aa, a]: greedy left-to-right,
     non-overlapping — the exact reference behavior."""
