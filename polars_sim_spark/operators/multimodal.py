@@ -115,6 +115,156 @@ def _try_real_decode(data: bytes):
     raise NotImplementedError("real decode path is a stub until a codec ships")
 
 
+def _try_wav_header(data: bytes):
+    """RIFF/WAVE header parse: (sample_rate, channels, duration_ms) from
+    the ``fmt `` and ``data`` chunks — a pure byte walk, the audio
+    analog of the image header scans above (duration never requires
+    decoding samples). Raises NotImplementedError on non-WAV input."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    i, n = 12, len(data)
+    sr = ch = byte_rate = None
+    data_len = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        csz = struct.unpack_from("<I", data, i + 4)[0]
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            _fmt, ch, sr, byte_rate = struct.unpack_from("<HHII", data, i + 8)
+        elif cid == b"data":
+            data_len = csz
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + csz + (csz & 1)
+    if sr is None or data_len is None or not byte_rate:
+        raise NotImplementedError("WAVE without parseable fmt/data chunks")
+    return int(sr), int(ch), int(data_len * 1000 // byte_rate)
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the ISO-BMFF
+    boxes in data[start:end], handling 64-bit largesize and
+    size-0 (= to end) boxes."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack_from(">I", data, i)[0]
+        btype = data[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack_from(">Q", data, i + 8)[0]
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, payload, i + size
+        i += size
+
+
+def _try_mp4_header(data: bytes):
+    """ISO-BMFF (MP4/MOV) header parse: presentation duration from
+    ``moov/mvhd`` (timescale + duration), dimensions from the first
+    ``moov/trak/tkhd`` with nonzero 16.16 fixed-point width/height.
+    Pure box walk — no sample data is touched. Returns
+    (width|None, height|None, duration_ms). Raises NotImplementedError
+    on non-BMFF input."""
+    import struct
+
+    if len(data) < 12 or data[4:8] not in (b"ftyp", b"moov"):
+        raise NotImplementedError("not an ISO-BMFF payload")
+    duration_ms = None
+    width = height = None
+    for btype, p, e in _walk_mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cp, ce in _walk_mp4_boxes(data, p, e):
+            if ctype == b"mvhd" and duration_ms is None and cp + 4 <= ce:
+                ver = data[cp]
+                if ver == 1 and cp + 28 <= ce:
+                    ts = struct.unpack_from(">I", data, cp + 20)[0]
+                    dur = struct.unpack_from(">Q", data, cp + 24)[0]
+                elif ver == 0 and cp + 20 <= ce:
+                    ts, dur = struct.unpack_from(">II", data, cp + 12)
+                else:
+                    continue
+                if ts:
+                    duration_ms = int(dur * 1000 // ts)
+            elif ctype == b"trak" and width is None:
+                for ttype, tp, te in _walk_mp4_boxes(data, cp, ce):
+                    if ttype != b"tkhd" or tp + 4 > te:
+                        continue
+                    ver = data[tp]
+                    off = tp + (88 if ver == 1 else 76)
+                    if off + 8 <= te:
+                        w_fp, h_fp = struct.unpack_from(">II", data, off)
+                        if w_fp and h_fp:
+                            width, height = w_fp >> 16, h_fp >> 16
+                            break
+    if duration_ms is None:
+        raise NotImplementedError("BMFF without a parseable moov/mvhd")
+    return width, height, duration_ms
+
+
+def synth_wav(data: bytes, sample_rate: int, channels: int) -> bytes:
+    """Deterministic minimal 16-bit PCM WAV container around ``data`` —
+    the test/contract fixture whose header :func:`_try_wav_header` must
+    invert exactly (44-byte canonical header + data)."""
+    import struct
+
+    block = channels * 2
+    byte_rate = sample_rate * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_mp4(data: bytes, width: int, height: int, duration_ms: int) -> bytes:
+    """Deterministic minimal ISO-BMFF container around ``data``:
+    ftyp + moov(mvhd timescale=1000 + trak(tkhd width×height)) + mdat —
+    240 header bytes, the fixture :func:`_try_mp4_header` must invert."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_payload = (
+        struct.pack(">BBBB", 0, 0, 0, 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    tkhd_payload = (
+        struct.pack(">BBBB", 0, 0, 0, 7)  # version 0 + flags (enabled)
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">I", 1)  # track_ID
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">I", duration_ms)  # duration (movie timescale)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    tkhd = struct.pack(">I", 8 + len(tkhd_payload)) + b"tkhd" + tkhd_payload
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    mdat = struct.pack(">I", 8 + len(data)) + b"mdat" + data
+    return ftyp + moov + mdat
+
+
 def _fake_dims(n_bytes: int) -> tuple[int, int]:
     """Deterministic stand-in dimensions derived from payload size (so the
     full pipeline, including the oracle, is reproducible)."""
@@ -157,6 +307,114 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
             )
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(op, DECODE_META_SCHEMA)
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes long, decoder string, width int, height int, "
+    "sample_rate int, channels int, duration_ms long"
+)
+
+
+def attach_media_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a deterministic MIXED-media binary payload column:
+    ids ≡ 0 (mod 5) wrap the text bytes in a real WAV container
+    (synth_wav; sample rate / channels derived from the id), ids ≡ 1
+    (mod 5) in a real MP4 container (synth_mp4; dims / duration derived
+    from id and byte length), everything else stays raw utf-8 — the
+    fixture corpus for the container-header decode path, built so a
+    closed-form SQL oracle can predict every parsed field."""
+    from pyspark.sql import types as T
+
+    id_name, text_name = id_col, text_col
+    fields = [f for f in df.schema.fields if f.name != "payload"]
+    schema = T.StructType(fields + [T.StructField("payload", T.BinaryType())])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = (t or "").encode("utf-8")
+                m = int(i) % 5
+                if m == 0:
+                    payloads.append(
+                        synth_wav(
+                            data,
+                            sample_rate=8000 + (int(i) % 4) * 4000,
+                            channels=1 + int(i) % 2,
+                        )
+                    )
+                elif m == 1:
+                    payloads.append(
+                        synth_mp4(
+                            data,
+                            width=160 + (int(i) % 8) * 16,
+                            height=120 + (int(i) % 6) * 24,
+                            duration_ms=len(data) * 40,
+                        )
+                    )
+                else:
+                    payloads.append(data)
+            out = pdf[[f.name for f in fields]].copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(op, schema)
+
+
+def decode_media_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload container metadata across image AND audio/video
+    formats: the image header scans of :func:`_try_real_decode` plus
+    the WAV (`_try_wav_header`) and ISO-BMFF (`_try_mp4_header`) box
+    walks — all pure byte parsing in one Arrow-batched pass. Fields not
+    applicable to a format are null (audio has no dims, images no
+    duration); unrecognized payloads fall back to the labeled stub dims
+    like :func:`decode_image_meta`."""
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf[id_name],
+                "n_bytes": pdf[payload_col].map(len),
+            }
+            dec, ws, hs, srs, chs, durs = [], [], [], [], [], []
+            for b in pdf[payload_col]:
+                data = bytes(b)
+                w = h = sr = ch = dur = None
+                try:
+                    w, h, d = _try_real_decode(data)
+                except NotImplementedError:
+                    try:
+                        sr, ch, dur = _try_wav_header(data)
+                        d = "wav"
+                    except NotImplementedError:
+                        try:
+                            w, h, dur = _try_mp4_header(data)
+                            d = "mp4"
+                        except NotImplementedError:
+                            w, h = _fake_dims(len(data))
+                            d = "stub"
+                dec.append(d)
+                ws.append(w)
+                hs.append(h)
+                srs.append(sr)
+                chs.append(ch)
+                durs.append(dur)
+            rows["decoder"] = dec
+            rows["width"] = pd.array(ws, dtype="Int32")
+            rows["height"] = pd.array(hs, dtype="Int32")
+            rows["sample_rate"] = pd.array(srs, dtype="Int32")
+            rows["channels"] = pd.array(chs, dtype="Int32")
+            rows["duration_ms"] = pd.array(durs, dtype="Int64")
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, MEDIA_META_SCHEMA
+    )
 
 
 def resize_image(

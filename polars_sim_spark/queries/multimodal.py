@@ -40,6 +40,69 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_media_meta",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN dlen + 44
+            WHEN doc_id % 5 = 1 THEN dlen + 240
+            ELSE dlen END AS n_bytes,
+       CASE WHEN doc_id % 5 = 0 THEN 'wav'
+            WHEN doc_id % 5 = 1 THEN 'mp4'
+            ELSE 'stub' END AS decoder,
+       CASE WHEN doc_id % 5 = 1 THEN CAST(160 + (doc_id % 8) * 16 AS INT)
+            WHEN doc_id % 5 = 0 THEN CAST(-1 AS INT)
+            ELSE CAST(16 + dlen % 97 AS INT) END AS width,
+       CASE WHEN doc_id % 5 = 1 THEN CAST(120 + (doc_id % 6) * 24 AS INT)
+            WHEN doc_id % 5 = 0 THEN CAST(-1 AS INT)
+            ELSE CAST(16 + dlen % 83 AS INT) END AS height,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(8000 + (doc_id % 4) * 4000 AS INT)
+            ELSE CAST(-1 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 2 AS INT)
+            ELSE CAST(-1 AS INT) END AS channels,
+       CASE WHEN doc_id % 5 = 0 THEN
+              (dlen * 1000) // ((8000 + (doc_id % 4) * 4000) * (1 + doc_id % 2) * 2)
+            WHEN doc_id % 5 = 1 THEN dlen * 40
+            ELSE CAST(-1 AS BIGINT) END AS duration_ms
+FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS dlen FROM documents)
+""",
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-header decode across media types (round 7): WAV payloads
+    (ids ≡ 0 mod 5) parse sample rate / channels / duration from the
+    RIFF chunks, MP4 payloads (ids ≡ 1 mod 5) parse dims and duration
+    from the moov/mvhd/tkhd box walk, the rest take the labeled stub —
+    all REAL pure-byte parsing (operators/multimodal.py), no codec. The
+    payloads are deterministic containers around the text bytes, so the
+    oracle predicts every parsed field in closed form: the check proves
+    the parsers exactly invert the container layouts."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media_meta(attach_media_payload(docs))
+    # Not-applicable fields (audio has no dims, images no duration) are
+    # NULL in the operator; the CONTRACT row pins them to -1 so the
+    # value-hash compare never orders NULL against ints.
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "decoder",
+        *[
+            F.coalesce(F.col(c), F.lit(-1).cast(t)).alias(c)
+            for c, t in (
+                ("width", "int"),
+                ("height", "int"),
+                ("sample_rate", "int"),
+                ("channels", "int"),
+                ("duration_ms", "long"),
+            )
+        ],
+    )
+
+
+@register(
     "multimodal_frame_stats",
     """
 SELECT doc_id,

@@ -141,3 +141,129 @@ def test_real_header_decode_jpeg(spark):
     assert got[1] == (640, 480, "jpeg")
     assert got[2] == (1920, 1080, "jpeg")
     assert got[3][2] == "stub"
+
+
+# --- round 7: WAV / MP4 container-header parsing (pure byte fixtures) ---
+
+
+def test_wav_header_parse_inverts_synth():
+    from polars_sim_spark.operators.multimodal import _try_wav_header, synth_wav
+
+    data = b"x" * 32000  # 1 s of 16 kHz mono 16-bit
+    sr, ch, dur = _try_wav_header(synth_wav(data, sample_rate=16000, channels=1))
+    assert (sr, ch, dur) == (16000, 1, 1000)
+    # stereo halves the duration at the same byte count
+    sr, ch, dur = _try_wav_header(synth_wav(data, sample_rate=16000, channels=2))
+    assert (sr, ch, dur) == (16000, 2, 500)
+    # odd data size: chunk walk must respect word-alignment padding
+    import struct
+
+    odd = synth_wav(b"abc", sample_rate=8000, channels=1)
+    padded = (
+        odd[:12]
+        + b"JUNK" + struct.pack("<I", 3) + b"xyz\x00"  # odd-size chunk + pad
+        + odd[12:]
+    )
+    sr, ch, dur = _try_wav_header(padded)
+    assert (sr, ch) == (8000, 1)
+
+
+def test_wav_header_rejects_non_wav():
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _try_wav_header
+
+    for bad in (b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WEBP", b"not audio at all"):
+        with pytest.raises(NotImplementedError):
+            _try_wav_header(bad)
+
+
+def test_mp4_header_parse_inverts_synth():
+    from polars_sim_spark.operators.multimodal import _try_mp4_header, synth_mp4
+
+    w, h, dur = _try_mp4_header(synth_mp4(b"\x00" * 100, width=320, height=240, duration_ms=4000))
+    assert (w, h, dur) == (320, 240, 4000)
+    # empty mdat still parses (duration 0 allowed)
+    w, h, dur = _try_mp4_header(synth_mp4(b"", width=16, height=16, duration_ms=0))
+    assert (w, h, dur) == (16, 16, 0)
+
+
+def test_mp4_header_v1_boxes_and_largesize():
+    """Hand-crafted version-1 mvhd/tkhd (64-bit times/duration) and a
+    largesize mdat: the box walk must honor both encodings."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import _try_mp4_header
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_p = (
+        struct.pack(">BBBB", 1, 0, 0, 0)
+        + struct.pack(">QQ", 0, 0)            # creation, modification (64-bit)
+        + struct.pack(">I", 90000)            # timescale
+        + struct.pack(">Q", 90000 * 7)        # duration = 7 s
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_p)) + b"mvhd" + mvhd_p
+    tkhd_p = (
+        struct.pack(">BBBB", 1, 0, 0, 7)
+        + struct.pack(">QQ", 0, 0)            # creation, modification
+        + struct.pack(">I", 1) + struct.pack(">I", 0)
+        + struct.pack(">Q", 90000 * 7)        # duration
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 640 << 16, 480 << 16)
+    )
+    tkhd = struct.pack(">I", 8 + len(tkhd_p)) + b"tkhd" + tkhd_p
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 8) + b"\x00" * 8
+    w, h, dur = _try_mp4_header(ftyp + moov + mdat)
+    assert (w, h, dur) == (640, 480, 7000)
+
+
+def test_mp4_header_rejects_non_bmff():
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _try_mp4_header
+
+    for bad in (b"", b"\x00\x00\x00\x10free" + b"\x00" * 8, b"plain text body"):
+        with pytest.raises(NotImplementedError):
+            _try_mp4_header(bad)
+
+
+def test_decode_media_meta_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hello media world " * (i + 1)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_media_meta(attach_media_payload(docs)).collect()
+    }
+    assert out[0]["decoder"] == "wav" and out[5]["decoder"] == "wav"
+    assert out[1]["decoder"] == "mp4" and out[6]["decoder"] == "mp4"
+    assert all(out[i]["decoder"] == "stub" for i in (2, 3, 4, 7, 8, 9))
+    # wav row 5: sr = 8000 + (5 % 4) * 4000 = 12000, ch = 1 + 5 % 2 = 2
+    dlen5 = len("hello media world " * 6)
+    assert out[5]["sample_rate"] == 12000 and out[5]["channels"] == 2
+    assert out[5]["duration_ms"] == dlen5 * 1000 // (12000 * 2 * 2)
+    assert out[5]["n_bytes"] == dlen5 + 44
+    assert out[5]["width"] is None and out[5]["height"] is None
+    # mp4 row 6: w = 160 + (6 % 8) * 16 = 256, h = 120 + (6 % 6) * 24 = 120
+    dlen6 = len("hello media world " * 7)
+    assert out[6]["width"] == 256 and out[6]["height"] == 120
+    assert out[6]["duration_ms"] == dlen6 * 40
+    assert out[6]["n_bytes"] == dlen6 + 240
+    assert out[6]["sample_rate"] is None and out[6]["channels"] is None
+    # stub rows keep the fake-dims contract and null media fields
+    dlen2 = len("hello media world " * 3)
+    assert out[2]["width"] == 16 + dlen2 % 97 and out[2]["height"] == 16 + dlen2 % 83
+    assert out[2]["duration_ms"] is None
