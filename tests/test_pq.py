@@ -194,6 +194,77 @@ def test_prebuilt_contract_rows_serve_from_committed_index(spark, sf_small):
     assert all(len(set(v)) == 5 for v in per_q.values())
 
 
+def test_ivfpq_distributed_query_mode_equivalence(spark, sf_small):
+    """query_mode='distributed' (grouped Arrow kernel, no driver collect
+    of query vectors) must return EXACTLY the driver-LUT path's rows —
+    same int64 micro-unit ADC grid, same tiebreaks — and the auto mode
+    must flip to it past max_driver_queries instead of raising."""
+    import shutil
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d = tempfile.mkdtemp(prefix="pss_ivfpq_dist_")
+    try:
+        pq.materialize_ivfpq_index(emb, d, num_centroids=8, m=8, k_codes=16, pq_iters=2)
+        drv = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d, qs, k=5, nprobe=3, rerank=6, query_mode="driver"
+        ).collect()))
+        dist = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d, qs, k=5, nprobe=3, rerank=6, query_mode="distributed"
+        ).collect()))
+        assert drv == dist and len(drv) > 0
+        # auto past the ceiling routes to distributed (not an error)
+        auto = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d, qs, k=5, nprobe=3, rerank=6,
+            query_mode="auto", max_driver_queries=3,
+        ).collect()))
+        assert auto == drv
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivfpq_residual_distributed_equivalence(spark, sf_small):
+    """Residual layouts add the per-(query, cell) centroid offset inside
+    the grouped kernel — both modes must still agree exactly."""
+    import shutil
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    d = tempfile.mkdtemp(prefix="pss_respq_dist_")
+    try:
+        pq.materialize_ivfpq_index(
+            emb, d, num_centroids=8, m=8, k_codes=16, pq_iters=1, residual=True
+        )
+        drv = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d, qs, k=5, nprobe=4, rerank=6, query_mode="driver"
+        ).collect()))
+        dist = sorted(map(tuple, pq.ann_topk_ivfpq_prebuilt(
+            spark, d, qs, k=5, nprobe=4, rerank=6, query_mode="distributed"
+        ).collect()))
+        assert drv == dist and len(drv) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pq_ann_topk_driver_query_guard(spark, sf_small):
+    """pq_ann_topk collects the query batch for its LUT broadcast; past
+    max_driver_queries it must refuse with a pointer to the distributed
+    serving path instead of silently OOMing the driver."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=1)
+    with pytest.raises(ValueError, match="distributed"):
+        pq.pq_ann_topk(emb, qs, cb, k=3, max_driver_queries=4)
+
+
 def test_ivfpq_residual_layout(spark, sf_small):
     """residual=True round-trips through _meta, serves exact sims on
     overlap with the exact-IVF path, and is deterministic. (Recall on

@@ -40,7 +40,12 @@ def canon(v):
 
 def rows_to_canon(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+    # repr-keyed sort: NULLs (None) don't order against ints/strs in
+    # Python 3; repr gives a total, deterministic order that is
+    # identical for identical canon rows on both engines.
+    return sorted(
+        (tuple(canon(r[i]) for i in idx) for r in rows), key=repr
+    )
 
 
 def _canon_dtype(t: str) -> str:
