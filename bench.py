@@ -132,6 +132,7 @@ HEADLINE = [
     # Added in round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",
+    "multimodal_media_meta",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

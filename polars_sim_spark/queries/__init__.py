@@ -210,6 +210,7 @@ _MANIFEST = [
     # round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",
+    "multimodal_media_meta",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
