@@ -133,6 +133,7 @@ HEADLINE = [
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",
     "multimodal_media_meta",
+    "dedup_embedding_ivf_capped",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

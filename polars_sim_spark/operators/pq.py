@@ -502,8 +502,9 @@ def ann_topk_ivfpq_prebuilt(
     broadcasts per-query ADC LUTs — fastest for top-k serving (few
     queries), but driver memory is q × m × k. ``"distributed"`` never
     collects query vectors: queries score the stored centroids as a
-    Column projection, join their probed cells' codes by cell id, and a
-    GROUPED Arrow kernel builds each query's LUT inside its group —
+    Column projection, join their probed cells' codes by cell id, and
+    the Arrow ADC kernel builds per-query LUTs inside each batch (no
+    extra shuffle — rows score where the cell join left them) —
     driver traffic is O(index metadata) regardless of batch size (the
     mega-batch path, VERDICT r6 #2). ``"auto"`` counts the batch and
     flips at ``max_driver_queries``. Both modes produce identical rows
@@ -687,13 +688,17 @@ def _ivfpq_serve_distributed(
     zero-shuffle Column projection and explode into (q_id, q̂vec, cell)
     probe rows; the probed cells' code rows join them BY CELL ID (a
     shuffled equi-join — the query side is batch-sized, deliberately
-    not broadcast); a GROUPED Arrow kernel then builds each query's ADC
-    LUT once inside its group (the per-query einsum amortized over its
-    candidates, same int64 micro-unit grid as the driver path) and
-    scores its candidates by code lookups. The only driver-side
-    literals are the probed CELL ids (O(num_centroids)) for partition
-    pruning. Shortlist + exact rerank as in the driver path; the query
-    side of the rerank joins shuffled, not broadcast."""
+    not broadcast); the Arrow ADC kernel then scores rows WHERE THE
+    JOIN LEFT THEM — per Arrow batch it builds one LUT per distinct
+    query present (the m×k×d' einsum is trivial next to the gathers,
+    so recomputing a query's LUT in each batch it touches beats a
+    per-query group shuffle — measured: the applyInPandas grouping cost
+    83.7 s vs the driver path's 45.7 s at 10k queries before this
+    restructure) on the same int64 micro-unit grid as the driver path.
+    The only driver-side literals are the probed CELL ids
+    (O(num_centroids)) for partition pruning. Shortlist + exact rerank
+    as in the driver path; the query side of the rerank joins shuffled,
+    not broadcast."""
     import numpy as np
     import pandas as pd
 
@@ -737,31 +742,49 @@ def _ivfpq_serve_distributed(
     q_id_type = dict(queries.dtypes)[q_id_col]
     n_id_type = dict(code_rows.dtypes)["n_id"]
 
-    def adc_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def adc_batches(batches):
+        # Per Arrow batch: one LUT per DISTINCT query present in the
+        # batch (the einsum is m×k×d' — trivial next to the gathers), so
+        # scoring needs NO extra shuffle: rows stay wherever the cell
+        # join left them, and the per-query LUT is recomputed per batch
+        # it appears in. Same int64 micro-unit grid as the driver path.
         cb_, cent_, res_ = bc.value
-        qv = np.array(pdf["__qv"].iloc[0], dtype=np.float64)
-        nrm = np.linalg.norm(qv)
-        qhat = qv / nrm if nrm > 0 else qv
-        lut = np.einsum("md,mkd->mk", qhat.reshape(m, dsub), cb_)
-        lut = np.rint(np.round(lut, 6) * 1e6).astype(np.int64)
-        C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-        s = np.zeros(len(pdf), dtype=np.int64)
-        for j in range(m):
-            s += lut[j, C[:, j]]
-        if res_:
-            offs = {
-                c: int(np.rint(np.round(float(np.dot(qhat, cent_[c])), 6) * 1e6))
-                for c in pdf["c_id"].unique()
-            }
-            s += pdf["c_id"].map(offs).to_numpy()
-        return pd.DataFrame(
-            {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s / 1e6}
-        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uq, starts = np.unique(pdf["q_id"].to_numpy(), return_inverse=True)
+            luts = np.empty((len(uq), m, kk), dtype=np.int64)
+            qhats = []
+            first_rows = pd.Series(range(len(pdf))).groupby(starts).first()
+            for qi, row_i in first_rows.items():
+                qv = np.array(pdf["__qv"].iloc[row_i], dtype=np.float64)
+                nrm = np.linalg.norm(qv)
+                qhat = qv / nrm if nrm > 0 else qv
+                lut = np.einsum("md,mkd->mk", qhat.reshape(m, dsub), cb_)
+                luts[qi] = np.rint(np.round(lut, 6) * 1e6).astype(np.int64)
+                qhats.append(qhat)
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            s = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                s += luts[starts, j, C[:, j]]
+            if res_:
+                offs = np.empty(len(pdf), dtype=np.int64)
+                for qi in range(len(uq)):
+                    mask = starts == qi
+                    for c in pd.unique(pdf.loc[mask, "c_id"]):
+                        sel = mask & (pdf["c_id"] == c).to_numpy()
+                        offs[sel] = int(
+                            np.rint(
+                                np.round(float(np.dot(qhats[qi], cent_[c])), 6) * 1e6
+                            )
+                        )
+                s += offs
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": s / 1e6}
+            )
 
-    shortlist = (
-        code_rows.select("q_id", "n_id", "codes", "c_id", "__qv")
-        .groupBy("q_id")
-        .applyInPandas(adc_group, f"q_id {q_id_type}, n_id {n_id_type}, adc double")
+    shortlist = code_rows.select("q_id", "n_id", "codes", "c_id", "__qv").mapInPandas(
+        adc_batches, f"q_id {q_id_type}, n_id {n_id_type}, adc double"
     )
     if exclude_same_id:
         shortlist = shortlist.where(F.col("n_id") != F.col("q_id"))

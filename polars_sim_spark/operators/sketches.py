@@ -47,15 +47,18 @@ HLL_SCALE = HLL_M * HLL_M * (1 << 25)  # 2199023255552
 
 def hll_distinct(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
 ) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate (m=256 registers):
-    (group, hll_distinct double) with the estimate rounded to 4
-    decimals. Deterministic and engine-portable — see module docstring.
+    (group…, hll_distinct double) with the estimate rounded to 4
+    decimals. ``group_col`` may be one column name or a list (e.g.
+    (window, key) for the streaming twin's batch oracle). Deterministic
+    and engine-portable — see module docstring.
     """
     from polars_sim_spark.operators.dedup import md5_hash64
 
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     h = md5_hash64(F.col(value_col).cast("string"))
     bucket = F.pmod(h, F.lit(HLL_M))
     rem = F.floor(h / F.lit(HLL_M))
@@ -63,11 +66,11 @@ def hll_distinct(
         F.lit(25) - F.length(F.bin(rem))
     )
     regs = (
-        df.select(F.col(group_col), bucket.alias("__b"), rho.alias("__rho"))
-        .groupBy(group_col, "__b")
+        df.select(*[F.col(g) for g in gcols], bucket.alias("__b"), rho.alias("__rho"))
+        .groupBy(*gcols, "__b")
         .agg(F.max("__rho").alias("__M"))
     )
-    per_group = regs.groupBy(group_col).agg(
+    per_group = regs.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__present"),
         F.sum(F.pow(F.lit(2.0), F.lit(25) - F.col("__M")).cast("long")).alias("__s"),
     )
@@ -79,7 +82,7 @@ def hll_distinct(
         small, F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero)
     ).otherwise(e_raw)
     return per_group.select(
-        F.col(group_col), F.round(est, 4).alias("hll_distinct")
+        *[F.col(g) for g in gcols], F.round(est, 4).alias("hll_distinct")
     )
 
 

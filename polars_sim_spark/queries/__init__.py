@@ -211,6 +211,7 @@ _MANIFEST = [
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",
     "multimodal_media_meta",
+    "dedup_embedding_ivf_capped",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

@@ -290,6 +290,115 @@ SELECT l_vec, r_vec, sim_r FROM (
 """
 
 
+def duck_embedding_ivf_capped_sql(
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    min_cosine: float = 0.35,
+    cap: int = 25,
+    subprobe: int = 2,
+) -> str:
+    """The hot-cell-capped IVF dedup unrolled to SQL: same centroid
+    pick/assignment as the uncapped oracle, then cells above ``cap``
+    members are re-quantized in place — md5-ranked sub-centroid pick
+    (⌈size/cap⌉ per hot cell), per-member top-``subprobe`` sub-cell
+    assignment, pair generation within cold cells and (hot cell,
+    sub-cell) blocks — before the exact-cosine verify. ``cap`` must
+    equal the operator's max(int(max_cell_fraction·n), 16) at the
+    oracle's scale (0.05 × 500 = 25 at sf0.01)."""
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    h_id = DUCK_HASH.format(c="CAST(id AS VARCHAR)")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH cent AS (
+  SELECT e.vec_id AS c_id, CAST(e.embedding AS DOUBLE[]) AS cv
+  FROM embeddings e
+  JOIN (
+    SELECT vec_id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {num_centroids}
+  ) s USING (vec_id)
+),
+nearest AS (
+  SELECT e.vec_id AS id, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (SELECT id, c_id FROM nearest WHERE rn <= {nprobe}),
+sizes AS (SELECT c_id, count(*) AS csz FROM assign GROUP BY 1),
+asg AS (SELECT a.id, a.c_id, s.csz FROM assign a JOIN sizes s USING (c_id)),
+cold AS (
+  SELECT 'c|' || CAST(c_id AS VARCHAR) AS blk, id FROM asg WHERE csz <= {cap}
+),
+hotm AS (
+  SELECT a.c_id, a.csz, a.id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM asg a JOIN embeddings e ON e.vec_id = a.id
+  WHERE a.csz > {cap}
+),
+ranked AS (
+  SELECT c_id, csz, id, v,
+         row_number() OVER (PARTITION BY c_id ORDER BY {h_id}, id) AS srk
+  FROM hotm
+),
+subc AS (
+  SELECT c_id, srk, v AS sv FROM ranked
+  WHERE srk <= CAST(ceil(csz / {cap}.0) AS BIGINT)
+),
+scored AS (
+  SELECT m.c_id, m.id, s.srk,
+         round(list_cosine_similarity(m.v, s.sv), 6) AS ssim
+  FROM hotm m JOIN subc s USING (c_id)
+),
+subasg AS (
+  SELECT c_id, id, srk FROM (
+    SELECT c_id, id, srk,
+           row_number() OVER (PARTITION BY c_id, id ORDER BY ssim DESC, srk) AS rn2
+    FROM scored
+  ) WHERE rn2 <= {subprobe}
+),
+blocks AS (
+  SELECT blk, id FROM cold
+  UNION ALL
+  SELECT 's|' || CAST(c_id AS VARCHAR) || '|' || CAST(srk AS VARCHAR) AS blk, id
+  FROM subasg
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, b.id AS r_id
+  FROM blocks a JOIN blocks b USING (blk)
+  WHERE a.id < b.id
+)
+SELECT l_vec, r_vec, sim_r FROM (
+  SELECT c.l_id AS l_vec, c.r_id AS r_vec,
+         round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                      CAST(e2.embedding AS DOUBLE[])), 6) AS sim_r
+  FROM cand c
+  JOIN embeddings e1 ON e1.vec_id = c.l_id
+  JOIN embeddings e2 ON e2.vec_id = c.r_id
+) WHERE sim_r >= {min_cosine}
+"""
+
+
+@register("dedup_embedding_ivf_capped", duck_embedding_ivf_capped_sql())
+def dedup_embedding_ivf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 hot-cell-capped IVF scale path under the FULL oracle
+    gate: cells past max_cell_fraction·n are re-quantized with in-cell
+    md5-picked secondary centroids before pair generation (the fix for
+    the 72.9×-per-10×-step quantizer-skew slope, BASELINE.md). The
+    whole pipeline — pick, assign, hot/cold split, sub-centroid rank,
+    sub-assignment, block pairs, exact verify — is deterministic, so
+    DuckDB reproduces the identical pair set, not just a superset
+    bound. At 0.05 × 500 = cap 25, most sf0.01 cells are hot: the
+    oracle exercises the sub-split on real data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_ivf_near_dup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.35, num_centroids=16,
+        nprobe=2, max_cell_fraction=0.05, assignment="expr",
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_vec"),
+        F.col("r_id").alias("r_vec"),
+        F.round("sim", 6).alias("sim_r"),
+    )
+
+
 @register("dedup_embedding_ivf", duck_embedding_ivf_dedup_sql())
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via IVF blocking (√n-scaled centroid

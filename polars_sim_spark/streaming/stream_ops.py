@@ -53,6 +53,113 @@ def windowed_event_counts(
     )
 
 
+def stream_hll_distinct(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 day",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked windowed HyperLogLog distinct estimate per key — the
+    streaming twin of the batch ``hll_distinct`` sketch
+    (operators/sketches.py), with IDENTICAL register math (md5 buckets,
+    ``length(bin())`` rank, exact-integer harmonic sum), so finalized
+    windows equal the batch estimate to the last rounded digit
+    (equivalence-tested under availableNow).
+
+    Streaming shape: chained stateful aggregations are not allowed in
+    append mode, so the per-register max CANNOT be a first groupBy
+    feeding a second. Instead ONE stateful aggregation carries all m
+    registers as m conditional-max columns — the state per (window,
+    key) is exactly the m-register sketch, the natural max-merge HLL
+    state (registers merge by max across batches for free) — and the
+    estimate is a row-local array expression over the finalized row.
+    State is O(open windows · keys · m); the watermark reaps closed
+    windows.
+    """
+    from polars_sim_spark.operators.dedup import md5_hash64
+    from polars_sim_spark.operators.sketches import HLL_ALPHA, HLL_M, HLL_SCALE
+
+    h = md5_hash64(F.col(value_col).cast("string"))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rem = F.floor(h / F.lit(HLL_M))
+    rho = F.when(rem == 0, F.lit(25)).otherwise(F.lit(25) - F.length(F.bin(rem)))
+    src = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col), F.col(key_col), bucket.alias("__b"), rho.alias("__rho")
+    )
+    regs = src.groupBy(
+        F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col)
+    ).agg(
+        *[
+            F.max(F.when(F.col("__b") == i, F.col("__rho"))).alias(f"__r{i}")
+            for i in range(HLL_M)
+        ]
+    )
+    arr = F.array(*[F.col(f"__r{i}") for i in range(HLL_M)])
+    seen = F.filter(arr, lambda x: x.isNotNull())
+    present = F.size(seen)
+    int_sum = F.aggregate(
+        seen,
+        F.lit(0).cast("long"),
+        # 2^(25-M) is a dyadic rational ≤ 2^25: pow-double then cast is
+        # exact, same expression as the batch sketch's register sum
+        lambda acc, x: acc + F.pow(F.lit(2.0), F.lit(25) - x).cast("long"),
+    ) + (F.lit(HLL_M) - present).cast("long") * F.lit(1 << 25)
+    e_raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_SCALE)) / int_sum
+    v_zero = F.lit(HLL_M) - present
+    small = (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0)
+    est = F.when(
+        small, F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero)
+    ).otherwise(e_raw)
+    return regs.select(
+        F.col("win.start").alias("window_start"),
+        F.col(key_col),
+        F.round(est, 4).alias("hll_distinct"),
+    )
+
+
+def stream_cms_counters(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 day",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked windowed count-min counters — the streaming twin of
+    ``cms_counters`` (operators/sketches.py) with identical seeded-md5
+    column hashing, so finalized windows carry the exact batch counter
+    values (availableNow equivalence test). One stateful aggregation
+    keyed (window, seed, column): state is the fixed O(d·w) sketch per
+    open window, counts merge additively across micro-batches for free,
+    and the watermark reaps closed windows. Point-query the emitted
+    counters with the batch ``cms_estimate`` (min over the d rows) —
+    sketches, not raw streams, are what a serving layer stores."""
+    from polars_sim_spark.operators.dedup import md5_hash64
+    from polars_sim_spark.operators.sketches import CMS_D, CMS_W
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(CMS_D)])).alias("seed")
+    rows = events.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col), F.col(value_col).cast("string").alias("__val")
+    ).select("*", seeds)
+    col = F.pmod(
+        md5_hash64(F.concat_ws("\x1f", F.col("seed").cast("string"), F.col("__val"))),
+        F.lit(CMS_W),
+    )
+    return (
+        rows.withColumn("__c", col)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("seed"),
+            F.col("__c"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "seed", "__c", "cnt")
+    )
+
+
 def streaming_dedup_first_seen(
     stream: DataFrame,
     *,
@@ -852,6 +959,9 @@ def stream_pq_encode(
     from polars_sim_spark.operators.pq import _assign_codes_kernel, _norm_vecs
 
     vecs = _norm_vecs(stream_vecs, id_col, vec_col)
-    return _assign_codes_kernel(
+    # the broadcast lives for the query's lifetime here — a streaming
+    # writer encodes against it on every micro-batch, so no unpersist
+    coded, _bc = _assign_codes_kernel(
         vecs, codebooks, id_type=dict(stream_vecs.dtypes)[id_col]
     )
+    return coded

@@ -71,6 +71,82 @@ def test_windowed_counts_match_batch(spark, sf_small, events_stream_dir):
     assert len(got) > 0
 
 
+def test_stream_hll_equals_batch_sketch(spark, sf_small, events_stream_dir):
+    """Windowed streaming HLL (single stateful aggregation carrying all
+    256 registers as conditional maxes) must reproduce the batch
+    hll_distinct sketch — identical register math — on every finalized
+    window, to the last rounded digit."""
+    from datetime import timedelta
+
+    from polars_sim_spark.operators.sketches import hll_distinct
+    from polars_sim_spark.streaming.stream_ops import stream_hll_distinct
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_hll_distinct(stream, window_duration="1 day", watermark_delay="2 hours"),
+        name,
+        "append",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["hll_distinct"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["day"], r["event_type"]): r["hll_distinct"]
+        for r in hll_distinct(
+            batch.withColumn("day", F.date_trunc("day", "ts")),
+            ["day", "event_type"],
+            "user_id",
+        ).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in expected.items() if k[0] + timedelta(days=1) <= cutoff
+    }
+    assert len(got) > 0
+    assert got == finalized
+
+
+def test_stream_cms_equals_batch_sketch(spark, sf_small, events_stream_dir):
+    """Windowed streaming count-min counters equal the batch sketch on
+    every finalized window (identical seeded-md5 hashing), and the
+    emitted counters point-query correctly through the batch
+    cms_estimate (over-estimate ≥ true count)."""
+    from datetime import timedelta
+
+    from polars_sim_spark.operators.sketches import cms_counters
+    from polars_sim_spark.streaming.stream_ops import stream_cms_counters
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_cms_counters(stream, window_duration="1 day", watermark_delay="2 hours"),
+        name,
+        "append",
+    )
+    got = {
+        (r["window_start"], r["seed"], r["__c"]): r["cnt"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["day"], r["seed"], r["__c"]): r["cnt"]
+        for r in cms_counters(
+            batch.withColumn("day", F.date_trunc("day", "ts")), "day", "user_id"
+        ).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in expected.items() if k[0] + timedelta(days=1) <= cutoff
+    }
+    assert len(got) > 0
+    assert got == finalized
+
+
 def test_streaming_dedup_first_seen(spark):
     """Stateful dedup via applyInPandasWithState: within-run duplicates
     collapse to the earliest row, and a SECOND run over the same
