@@ -134,6 +134,8 @@ HEADLINE = [
     "ann_topk_ivf_kmeans_prebuilt",
     "multimodal_media_meta",
     "dedup_embedding_ivf_capped",
+    "events_cms_heavy_hitters",
+    "events_value_quantiles",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -121,6 +121,47 @@ def cms_counters(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Heavy hitters through the count-min sketch: every value whose
+    CMS estimate is ≥ ``phi`` of its group's row count, with the
+    estimate attached. Classic guarantee (testable): NO FALSE
+    NEGATIVES — a true φ-heavy value always survives because the
+    estimate never under-counts; false positives are bounded by the
+    collision mass (~N/w per counter row), so the output is the small
+    candidate superset a second exact pass confirms when exactness
+    matters. Deterministic end to end (md5 counters + integer
+    thresholds), so the DuckDB oracle reproduces the exact member set
+    and estimates.
+
+    Scale: counters are the fixed O(groups·d·w) sketch; candidates are
+    a map-side-combined distinct over the value column; thresholds come
+    from one broadcast per-group total. The real 100 TB shape serves
+    candidates against ALREADY-BUILT counters (the streaming twin
+    ``stream_cms_counters`` maintains them per window) without
+    rescanning the corpus — this one-shot form exists for the
+    correctness gate."""
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    gsel = [F.col(group_col)] if group_col else []
+    counters = cms_counters(df, group_col, value_col)
+    cand = df.select(*gsel, F.col(value_col)).distinct()
+    est = cms_estimate(counters, cand, value_col, group_col)
+    totals = df.groupBy(*gsel).agg(F.count(F.lit(1)).alias("__N"))
+    joined = (
+        est.join(F.broadcast(totals), group_col, "inner")
+        if group_col
+        else est.crossJoin(F.broadcast(totals))
+    )
+    return joined.where(
+        F.col("cms_count") >= F.ceil(F.lit(phi) * F.col("__N"))
+    ).drop("__N")
+
+
 def cms_estimate(
     counters: DataFrame,
     items: DataFrame,

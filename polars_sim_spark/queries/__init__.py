@@ -212,6 +212,8 @@ _MANIFEST = [
     "ann_topk_ivf_kmeans_prebuilt",
     "multimodal_media_meta",
     "dedup_embedding_ivf_capped",
+    "events_cms_heavy_hitters",
+    "events_value_quantiles",
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",

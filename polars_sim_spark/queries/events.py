@@ -611,3 +611,74 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ev.where(F.col("user_id") < 20).select("user_id").distinct()
     est = cms_estimate(counters, cand, "user_id")
     return est.select(F.col("user_id").cast("long").alias("user_id"), "cms_count")
+
+
+@register(
+    "events_cms_heavy_hitters",
+    """
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+seeds AS (SELECT unnest(range(4)) AS seed),
+counters AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || chr(31) || v), 1, 8)) AS BIGINT) % 256 AS c,
+         count(*) AS cnt
+  FROM vals CROSS JOIN seeds GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS v FROM events),
+probe AS (
+  SELECT cand.user_id, seeds.seed,
+         CAST(('0x' || substr(md5(CAST(seeds.seed AS VARCHAR) || chr(31) || cand.v), 1, 8)) AS BIGINT) % 256 AS c
+  FROM cand CROSS JOIN seeds
+),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(counters.cnt, 0)) AS BIGINT) AS cms_count
+  FROM probe p LEFT JOIN counters ON counters.seed = p.seed AND counters.c = p.c
+  GROUP BY 1
+)
+SELECT est.user_id, est.cms_count
+FROM est CROSS JOIN (SELECT count(*) AS n FROM events) t
+WHERE est.cms_count >= ceil(CAST(0.01 AS DOUBLE) * t.n)
+""",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters from the count-min sketch
+    (operators/sketches.py:cms_heavy_hitters): users whose estimated
+    event count clears 1% of the corpus, served from the fixed O(d·w)
+    counters. The no-false-negative guarantee (a true φ-heavy value
+    always survives) is pinned in tests/test_sketches.py; the member
+    set and every estimate are deterministic, so the DuckDB oracle
+    reproduces them exactly."""
+    from polars_sim_spark.operators.sketches import cms_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = cms_heavy_hitters(ev, "user_id", phi=0.01)
+    return hh.select(F.col("user_id").cast("long").alias("user_id"), "cms_count")
+
+
+@register(
+    "events_value_quantiles",
+    """
+SELECT event_type,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6)  AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6)  AS p90,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (linear interpolation) of the event
+    value — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    implement the same interpolation, so this is a FULL value-hash
+    cross-engine row, unlike either engine's approx_percentile. Scale
+    posture is honest: exact percentiles need the group's values
+    co-located (one shuffle, in-partition sort); at 100 TB per-group
+    cardinalities in the billions would move this to the t-digest /
+    KLL family, which — like the HLL/CMS estimators here — would need
+    an engine-portable deterministic formulation to stay under the
+    oracle gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(F.col("value").cast("double"), F.lit(0.99)), 6).alias("p99"),
+    )

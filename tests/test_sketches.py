@@ -79,3 +79,43 @@ def test_cms_grouped(spark):
     }
     # tiny domain: no collisions → exact
     assert est == {("a", "x"): 50, ("a", "y"): 3, ("b", "x"): 7}
+
+
+def test_cms_heavy_hitters_no_false_negatives(spark, sf_small):
+    """Every TRUE phi-heavy value must appear in the sketch's output
+    (estimates never undercount), and each survivor's estimate clears
+    the threshold it was filtered on."""
+    import math
+
+    from polars_sim_spark.operators.sketches import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    phi = 0.01
+    n = ev.count()
+    got = {
+        int(r["user_id"]): r["cms_count"]
+        for r in cms_heavy_hitters(ev, "user_id", phi).collect()
+    }
+    exact = {r[0]: r[1] for r in ev.groupBy("user_id").count().collect()}
+    thr = math.ceil(phi * n)
+    true_heavy = {k for k, c in exact.items() if c >= thr}
+    assert true_heavy <= set(got)
+    assert all(est >= thr for est in got.values())
+
+
+def test_cms_heavy_hitters_grouped_and_validation(spark):
+    from polars_sim_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [("a", "x")] * 50 + [("a", "y")] * 3 + [("b", "x")] * 7
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["g"], r["v"]): r["cms_count"]
+        for r in cms_heavy_hitters(df, "v", 0.5, group_col="g").collect()
+    }
+    # tiny domain: no collisions -> exact counts; per-group thresholds
+    # (27 for g=a, 4 for g=b) keep only the dominant value of each group
+    assert got == {("a", "x"): 50, ("b", "x"): 7}
+    import pytest
+
+    with pytest.raises(ValueError, match="phi"):
+        cms_heavy_hitters(df, "v", 0.0)
