@@ -136,6 +136,8 @@ HEADLINE = [
     "dedup_embedding_ivf_capped",
     "events_cms_heavy_hitters",
     "events_value_quantiles",
+    # round 8:
+    "events_zorder_pruned",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since
@@ -180,6 +182,7 @@ def main() -> None:
     t_prep = time.perf_counter()
     q.ensure_ivfpq_index(spark, sf_dir)
     q.ensure_ivf_kmeans_index(spark, sf_dir)
+    q.ensure_zorder_events(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

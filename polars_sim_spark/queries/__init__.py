@@ -207,6 +207,8 @@ _MANIFEST = [
     "ann_topk_pq",
     "events_hll_users",
     "events_cms_user_counts",
+    # round 8:
+    "events_zorder_pruned",
     # round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",
