@@ -338,6 +338,141 @@ def pq_ann_topk(
     )
 
 
+def _load_index_artifacts(spark, path: str):
+    """(cent_rows, codebooks, residual) from a stored IVF-PQ layout —
+    O(index metadata) driver reads: the centroid table, the m×k
+    codeword table, and the one-row mode sidecar. Never touches the
+    hive cell data."""
+    import numpy as np
+
+    root = path.rstrip("/")
+    try:
+        residual = spark.read.parquet(root + "/_meta").collect()[0]["residual"]
+    except Exception:
+        residual = False  # pre-residual layouts have no _meta sidecar
+    cent = spark.read.parquet(root + "/_centroids").collect()
+    cent_rows = [
+        {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
+        for r in sorted(cent, key=lambda r: r["c_id"])
+    ]
+    pq_rows = spark.read.parquet(root + "/_pq").collect()
+    m = max(r["j"] for r in pq_rows) + 1
+    kk = max(r["code"] for r in pq_rows) + 1
+    dsub = len(pq_rows[0]["codeword"])
+    cb = np.zeros((m, kk, dsub))
+    for r in pq_rows:
+        cb[r["j"], r["code"]] = r["codeword"]
+    return cent_rows, cb, residual
+
+
+def _residual_frame(
+    corpus: DataFrame, assigned: DataFrame, cent_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __r): v̂ − ĉ(assigned cell), both unit-normalized; centroid
+    table broadcasts, the subtraction is a zip_with projection on the
+    scan — no shuffle beyond the assignment's."""
+    spark = corpus.sparkSession
+    cent_tab = spark.createDataFrame(
+        [
+            (
+                r["c_id"],
+                [
+                    float(x) / r["__cnorm"] if r["__cnorm"] > 0 else 0.0
+                    for x in r["__centroid"]
+                ],
+            )
+            for r in cent_rows
+        ],
+        f"c_id {dict(corpus.dtypes)[id_col]}, __cent array<double>",
+    )
+    return (
+        _norm_vecs(corpus, id_col, vec_col)
+        .withColumnRenamed("id", id_col)
+        .join(assigned, id_col)
+        .join(F.broadcast(cent_tab), "c_id")
+        .select(
+            F.col(id_col),
+            F.zip_with("__v", "__cent", lambda a, b: a - b).alias("__r"),
+        )
+    )
+
+
+def _index_rows(
+    corpus: DataFrame,
+    cent_rows,
+    cb,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+    *,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """The stored form of ``corpus`` under GIVEN quantizers:
+    ``(id, vec, vnorm, codes, c_id)`` — cell assignment by the
+    oracle-exact expression path, codes from the broadcast-codebook
+    Arrow kernel. Shared by the initial build, the pinned rebuild and
+    the incremental append, so all three store byte-identical content
+    for the same rows."""
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import nearest_centroid_assignments
+
+    if assigned is None:
+        assigned = nearest_centroid_assignments(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            assignment="expr",
+            cent_rows=cent_rows,
+        ).select(F.col("id").alias(id_col), "c_id")
+    if residual:
+        res = _residual_frame(corpus, assigned, cent_rows, id_col, vec_col)
+        codes = pq_encode(res, id_col, "__r", cb, normalize=False).withColumnRenamed(
+            "id", id_col
+        )
+    else:
+        codes = pq_encode(corpus, id_col, vec_col, cb).withColumnRenamed("id", id_col)
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm"))
+        .join(codes, id_col)
+        .join(assigned, id_col)
+    )
+
+
+def append_to_ivfpq_index(
+    new_rows: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a :func:`materialize_ivfpq_index` layout:
+    assign ``new_rows`` with the STORED coarse centroids, encode them
+    with the STORED codebooks (no refit — the quantizers are frozen at
+    build time, the standard FAISS ``add`` semantics), and APPEND hive
+    cell files only. Pre-existing cell files are never read or
+    rewritten — the job's only inputs are ``new_rows`` and the O(m·k)
+    index metadata sidecars (plan- and mtime-asserted in
+    tests/test_pq.py), so maintenance cost is proportional to the NEW
+    data, not the index: the build-once/serve-many story becomes
+    build-once/append-cheap/serve-many. Row-equal to a full
+    ``materialize_ivfpq_index(..., from_index=...)`` rebuild over the
+    union corpus (equivalence-tested); measured append-vs-rebuild delta
+    in BASELINE.md. Callers own id uniqueness — appending an id that is
+    already indexed stores a second copy (same as FAISS add)."""
+    spark = new_rows.sparkSession
+    cent_rows, cb, residual = _load_index_artifacts(spark, path)
+    rows = _index_rows(new_rows, cent_rows, cb, residual, id_col, vec_col)
+    # mode=append adds part-files inside existing c_id= dirs (and
+    # creates dirs for cells this batch is first to touch); one file
+    # per touched inverted list, matching the build's repartition.
+    (
+        rows.repartition("c_id")
+        .write.mode("append")
+        .partitionBy("c_id")
+        .parquet(path.rstrip("/"))
+    )
+
+
 def materialize_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -350,6 +485,7 @@ def materialize_ivfpq_index(
     k_codes: int = 16,
     pq_iters: int = 3,
     residual: bool = False,
+    from_index: str | None = None,
 ) -> None:
     """Persist the FAISS-standard IVF-PQ layout on a lake: the corpus
     hive-partitioned by coarse cell (``path/c_id=<cell>/``) with each
@@ -383,8 +519,12 @@ def materialize_ivfpq_index(
     structure the direct quantizer exploits. Residual earns its keep
     on CLUSTERED corpora with many tight cells (its design regime);
     default stays False.
+
+    ``from_index`` pins the quantizers to an EXISTING index's stored
+    centroids + codebooks (and its residual mode) instead of fitting —
+    a full re-layout under frozen quantizers, the rebuild twin of
+    :func:`append_to_ivfpq_index`.
     """
-    from polars_sim_spark.functions.vectors import l2_norm
     from polars_sim_spark.operators.similarity import (
         nearest_centroid_assignments,
         pick_centroids,
@@ -393,62 +533,48 @@ def materialize_ivfpq_index(
     from polars_sim_spark.sources.sinks import write_partitioned
 
     spark = corpus.sparkSession
-    cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
-    cent_rows.sort(key=lambda r: r["c_id"])
-    if kmeans_iters > 0:
-        cent_rows = refine_centroids_kmeans(
-            corpus, vec_col, cent_rows, kmeans_iters
-        )
-    # cent_rows passed through + assignment pinned to the oracle-exact
-    # expression path: the stored centroid table and the stored cell
-    # assignments come from ONE quantizer computation (no duplicated
-    # Lloyd run), and no kernel 6-decimal rounding-boundary divergence
-    # can slip between what is stored and how rows were routed.
-    assigned = nearest_centroid_assignments(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        assignment="expr",
-        cent_rows=cent_rows,
-    ).select(F.col("id").alias(id_col), "c_id")
-    if residual:
-        # residual frame: v̂ − ĉ(assigned cell), both unit-normalized;
-        # centroid table broadcasts, the subtraction is a zip_with
-        # projection on the scan — no shuffle beyond the assignment's.
-        cent_tab = spark.createDataFrame(
-            [
-                (
-                    r["c_id"],
-                    [
-                        float(x) / r["__cnorm"] if r["__cnorm"] > 0 else 0.0
-                        for x in r["__centroid"]
-                    ],
-                )
-                for r in cent_rows
-            ],
-            f"c_id {dict(corpus.dtypes)[id_col]}, __cent array<double>",
-        )
-        res = (
-            _norm_vecs(corpus, id_col, vec_col)
-            .withColumnRenamed("id", id_col)
-            .join(assigned, id_col)
-            .join(F.broadcast(cent_tab), "c_id")
-            .select(
-                F.col(id_col),
-                F.zip_with("__v", "__cent", lambda a, b: a - b).alias("__r"),
-            )
-        )
-        cb = pq_fit(res, id_col, "__r", m=m, k=k_codes, iters=pq_iters, normalize=False)
-        codes = pq_encode(res, id_col, "__r", cb, normalize=False).withColumnRenamed(
-            "id", id_col
-        )
+    if from_index is not None:
+        # Pinned rebuild: reuse another index's stored quantizers — no
+        # fit at all. This is the re-layout / full-rebuild half of the
+        # incremental-maintenance contract (append_to_ivfpq_index is
+        # the other half); both produce row-identical content for the
+        # same corpus, equivalence-tested in tests/test_pq.py.
+        cent_rows, cb, residual = _load_index_artifacts(spark, from_index)
+        assigned = nearest_centroid_assignments(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            assignment="expr",
+            cent_rows=cent_rows,
+        ).select(F.col("id").alias(id_col), "c_id")
     else:
-        cb = pq_fit(corpus, id_col, vec_col, m=m, k=k_codes, iters=pq_iters)
-        codes = pq_encode(corpus, id_col, vec_col, cb).withColumnRenamed("id", id_col)
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("vnorm"))
-        .join(codes, id_col)
-        .join(assigned, id_col)
+        cent_rows = pick_centroids(corpus, id_col, vec_col, num_centroids).collect()
+        cent_rows.sort(key=lambda r: r["c_id"])
+        if kmeans_iters > 0:
+            cent_rows = refine_centroids_kmeans(
+                corpus, vec_col, cent_rows, kmeans_iters
+            )
+        # cent_rows passed through + assignment pinned to the oracle-exact
+        # expression path: the stored centroid table and the stored cell
+        # assignments come from ONE quantizer computation (no duplicated
+        # Lloyd run), and no kernel 6-decimal rounding-boundary divergence
+        # can slip between what is stored and how rows were routed.
+        assigned = nearest_centroid_assignments(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            assignment="expr",
+            cent_rows=cent_rows,
+        ).select(F.col("id").alias(id_col), "c_id")
+        if residual:
+            res = _residual_frame(corpus, assigned, cent_rows, id_col, vec_col)
+            cb = pq_fit(
+                res, id_col, "__r", m=m, k=k_codes, iters=pq_iters, normalize=False
+            )
+        else:
+            cb = pq_fit(corpus, id_col, vec_col, m=m, k=k_codes, iters=pq_iters)
+    rows = _index_rows(
+        corpus, cent_rows, cb, residual, id_col, vec_col, assigned=assigned
     )
     # One output file per inverted list (repartition on the partition
     # column): a probed cell is one contiguous read, not a directory of
@@ -522,22 +648,8 @@ def ann_topk_ivfpq_prebuilt(
             f"query_mode must be 'auto', 'driver' or 'distributed', got {query_mode!r}"
         )
     root = path.rstrip("/")
-    try:
-        is_residual = spark.read.parquet(root + "/_meta").collect()[0]["residual"]
-    except Exception:
-        is_residual = False  # pre-residual layouts have no _meta sidecar
-    cent = spark.read.parquet(root + "/_centroids").collect()
-    cent_rows = [
-        {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
-        for r in sorted(cent, key=lambda r: r["c_id"])
-    ]
-    pq_rows = spark.read.parquet(root + "/_pq").collect()
-    m = max(r["j"] for r in pq_rows) + 1
-    kk = max(r["code"] for r in pq_rows) + 1
-    dsub = len(pq_rows[0]["codeword"])
-    cb = np.zeros((m, kk, dsub))
-    for r in pq_rows:
-        cb[r["j"], r["code"]] = r["codeword"]
+    cent_rows, cb, is_residual = _load_index_artifacts(spark, root)
+    m, kk, dsub = cb.shape
 
     if query_mode == "auto":
         query_mode = (
