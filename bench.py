@@ -138,6 +138,8 @@ HEADLINE = [
     "events_value_quantiles",
     # round 8:
     "events_zorder_pruned",
+    "events_heavy_hitters_exact",
+    "events_value_quantiles_sketch",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

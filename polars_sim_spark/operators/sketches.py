@@ -196,3 +196,114 @@ def cms_estimate(
         .agg(F.min("__cnt").alias("cms_count"))
     )
     return est.withColumnRenamed("__val", item_col)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT φ-heavy hitters via the sketch's two-pass shape: the CMS
+    candidate superset (``cms_heavy_hitters`` — no false negatives, so
+    no true heavy hitter can be missing from it) semi-join-filters the
+    corpus, and one exact map-side-combining count over the survivors
+    confirms against the integer threshold. Output
+    ``(group…, value, exact_count)`` — by the no-false-negative
+    guarantee this EQUALS a plain exact GROUP BY/HAVING over the whole
+    corpus, which is precisely what the contract row's oracle runs: a
+    dropped true heavy hitter anywhere in the sketch→candidates→confirm
+    chain would surface as a driver hash mismatch.
+
+    Scale: pass 1 is the fixed O(groups·d·w) sketch + a distinct over
+    values; pass 2 scans the corpus once more but aggregates ONLY the
+    ≤ ~1/φ-per-group candidate keys (broadcast semi join, no skew —
+    the hot keys are exactly the ones kept, and the combiner collapses
+    them map-side). At 100 TB the second pass is the price of exactness;
+    serving layers that can live with ε·N overestimates skip it and use
+    ``cms_heavy_hitters`` alone."""
+    gsel = [F.col(group_col)] if group_col else []
+    gnames = [group_col] if group_col else []
+    cand = cms_heavy_hitters(df, value_col, phi, group_col).select(
+        *gsel, F.col(value_col)
+    )
+    keys = gnames + [value_col]
+    exact = (
+        df.join(F.broadcast(cand), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    totals = df.groupBy(*gsel).agg(F.count(F.lit(1)).alias("__N"))
+    joined = (
+        exact.join(F.broadcast(totals), gnames, "inner")
+        if group_col
+        else exact.crossJoin(F.broadcast(totals))
+    )
+    return joined.where(
+        F.col("exact_count") >= F.ceil(F.lit(phi) * F.col("__N"))
+    ).drop("__N")
+
+
+#: Default sample size for the quantile sketch: rank error is
+#: ~sqrt(q(1-q)/s) per quantile (≈3% at the median for s=256), the
+#: classic bottom-k/uniform-sample bound — pinned empirically in
+#: tests/test_sketches.py.
+QSK_S = 256
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str | list[str],
+    value_col: str,
+    key_col: str,
+    probs: list[float],
+    *,
+    s: int = QSK_S,
+) -> DataFrame:
+    """Bounded-state per-group quantile ESTIMATES — the third sketch of
+    the family (HLL: cardinality, CMS: frequency, this: rank), built
+    under the same constraint as the other two: the estimate must be a
+    deterministic, order-independent pure function of the data multiset
+    so any SQL engine reproduces it digit-for-digit and the contract
+    row's DuckDB oracle checks the ESTIMATOR, not just the plumbing.
+
+    Classic KLL/GK compaction is stream-ORDER-dependent (which items a
+    compactor merges depends on arrival order) — two engines, or two
+    shuffle schedules, would legitimately disagree. The deterministic
+    replacement is hash-rank sampling, KLL's sampler run on md5: each
+    row's ``key_col`` hash is its fixed position in a global random
+    permutation, the sketch keeps the s hash-smallest rows per group
+    (bottom-k = a uniform s-sample without replacement), and quantiles
+    interpolate over the sample exactly as the exact operator would —
+    rank error O(sqrt(q(1-q)/s)), the standard sample-quantile bound.
+
+    Scale posture (the gap events_value_quantiles documents): exact
+    percentiles co-locate every group value; here each task keeps only
+    its s hash-smallest rows per group BEFORE the exchange (the window
+    plans as a partial WindowGroupLimit map-side, asserted in
+    tests/test_plans.py), so the shuffle moves O(tasks·s) rows per
+    group and sketch state is O(groups·s) at any corpus size. Sketches
+    merge: bottom-k of a union = bottom-k of the parts' bottom-k, the
+    same property the partial group-limit exploits."""
+    from polars_sim_spark.operators.dedup import md5_hash64
+    from pyspark.sql import Window
+
+    gnames = [group_col] if isinstance(group_col, str) else list(group_col)
+    h = md5_hash64(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(*gnames)
+        .orderBy(F.col("__h"), F.col(key_col))
+    )
+    kept = (
+        df.select(*gnames, F.col(value_col), F.col(key_col), h.alias("__h"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= s)
+    )
+    return kept.groupBy(*gnames).agg(
+        *[
+            F.round(
+                F.percentile(F.col(value_col).cast("double"), F.lit(p)), 6
+            ).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+            for p in probs
+        ]
+    )

@@ -209,6 +209,8 @@ _MANIFEST = [
     "events_cms_user_counts",
     # round 8:
     "events_zorder_pruned",
+    "events_heavy_hitters_exact",
+    "events_value_quantiles_sketch",
     # round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",

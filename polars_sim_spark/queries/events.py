@@ -672,10 +672,10 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine row, unlike either engine's approx_percentile. Scale
     posture is honest: exact percentiles need the group's values
     co-located (one shuffle, in-partition sort); at 100 TB per-group
-    cardinalities in the billions would move this to the t-digest /
-    KLL family, which — like the HLL/CMS estimators here — would need
-    an engine-portable deterministic formulation to stay under the
-    oracle gate."""
+    cardinalities in the billions would move this to the sketch twin
+    ``events_value_quantiles_sketch`` (operators/sketches.py:
+    quantile_sketch) — the engine-portable deterministic formulation
+    that stays under the oracle gate with O(groups·s) state."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.percentile(F.col("value").cast("double"), F.lit(0.5)), 6).alias("p50"),
@@ -753,4 +753,70 @@ def events_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.where(F.col("user_id").between(40, 79) & F.col("value").between(100.0, 200.0))
         .select("event_id", "user_id", "value", z.alias("zkey"))
+    )
+
+
+@register(
+    "events_heavy_hitters_exact",
+    """
+WITH t AS (SELECT count(*) AS n FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+FROM events CROSS JOIN t
+GROUP BY user_id, t.n
+HAVING count(*) >= ceil(CAST(0.008 AS DOUBLE) * t.n)
+""",
+)
+def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ-heavy hitters through the sketch's two-pass shape
+    (operators/sketches.py:heavy_hitters_exact): CMS candidate superset
+    → broadcast semi join → exact confirming count → integer threshold.
+    The oracle is a PLAIN exact GROUP BY/HAVING over the corpus — by
+    the count-min no-false-negative guarantee the two must be equal,
+    so this row pins the guarantee end-to-end: a true heavy hitter
+    dropped anywhere in the sketch→candidates→confirm chain is a
+    driver hash mismatch, not a silent recall loss."""
+    from polars_sim_spark.operators.sketches import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters_exact(ev, "user_id", phi=0.008)
+    return hh.select(F.col("user_id").cast("long").alias("user_id"), "exact_count")
+
+
+@register(
+    "events_value_quantiles_sketch",
+    """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_type,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6)  AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6)  AS p90,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM ranked WHERE rn <= 256
+GROUP BY event_type
+""",
+)
+def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile ESTIMATES (operators/sketches.py:
+    quantile_sketch) — closes the 100 TB gap events_value_quantiles
+    documents: instead of co-locating every group value for exact
+    percentiles, keep the s=256 md5-hash-smallest rows per group (a
+    deterministic uniform sample — KLL's sampler with the randomness
+    replaced by the engine-portable hash, since classic compaction is
+    stream-order-dependent and could never cross-check) and interpolate
+    over the sample. The DuckDB oracle reproduces the ESTIMATE to the
+    last digit; the rank-error bound vs exact is pinned in
+    tests/test_sketches.py, completing the sketch family: cardinality
+    (HLL), frequency (CMS), rank (this)."""
+    from polars_sim_spark.operators.sketches import quantile_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch(
+        ev, "event_type", "value", "event_id", [0.5, 0.9, 0.99], s=256
     )

@@ -965,3 +965,44 @@ def stream_pq_encode(
         vecs, codebooks, id_type=dict(stream_vecs.dtypes)[id_col]
     )
     return coded
+
+
+def stream_cms_heavy_hitters(
+    counters: DataFrame,
+    candidates: DataFrame,
+    totals: DataFrame,
+    phi: float,
+    *,
+    window_col: str = "window_start",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Serve per-window φ-heavy hitters from STREAMING-maintained
+    count-min counters — the loop ``stream_cms_counters``'s docstring
+    promises: the stream keeps only the fixed O(d·w)-per-window sketch
+    (plus a per-window row count), and heavy-hitter queries are BATCH
+    point-queries against those stored counters via the shared
+    ``cms_estimate`` — the raw event stream is never replayed.
+
+    ``counters``: finalized ``stream_cms_counters`` output
+    ``(window_start, seed, __c, cnt)``. ``candidates``: the items to
+    probe per window ``(window_start, item)`` — in production the
+    distinct-key sidecar a pipeline already tracks (or the full key
+    dictionary); the guarantee needs every candidate probed, not any
+    corpus rescan. ``totals``: ``(window_start, n)`` per-window row
+    counts (one streaming count aggregate). Output
+    ``(window_start, item, cms_count)`` — identical rows to the batch
+    ``cms_heavy_hitters`` grouped by the same windows
+    (availableNow-equivalence-tested), inheriting its no-false-negative
+    guarantee; chain :func:`~polars_sim_spark.operators.sketches.\
+heavy_hitters_exact`'s confirming pass when exactness matters."""
+    from polars_sim_spark.operators.sketches import cms_estimate
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    est = cms_estimate(counters, candidates, item_col, group_col=window_col)
+    n_col = [c for c in totals.columns if c != window_col][0]
+    return (
+        est.join(F.broadcast(totals), window_col, "inner")
+        .where(F.col("cms_count") >= F.ceil(F.lit(phi) * F.col(n_col)))
+        .drop(n_col)
+    )

@@ -119,3 +119,71 @@ def test_cms_heavy_hitters_grouped_and_validation(spark):
 
     with pytest.raises(ValueError, match="phi"):
         cms_heavy_hitters(df, "v", 0.0)
+
+
+def test_heavy_hitters_exact_equals_plain_groupby(spark, sf_small):
+    """The exact confirming pass end-to-end: CMS candidates → semi join →
+    exact count → threshold must equal a plain exact GROUP BY/HAVING —
+    any false negative in the sketch chain would drop a row here."""
+    from polars_sim_spark.operators.sketches import heavy_hitters_exact
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    got = sorted(
+        (r["user_id"], r["exact_count"])
+        for r in heavy_hitters_exact(ev, "user_id", 0.005).collect()
+    )
+    n = ev.count()
+    import math
+
+    thresh = math.ceil(0.005 * n)
+    expected = sorted(
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= thresh)
+        .collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_small):
+    """The sample-quantile guarantee: for each group and each q, the
+    rank of the sketch estimate in the TRUE value distribution is
+    within a few standard errors (sqrt(q(1-q)/s)) of q·n. With s=256
+    the worst σ is ~0.031 (median); assert a 4σ-with-margin bound of
+    0.15 everywhere and a tighter mean bound."""
+    from polars_sim_spark.operators.sketches import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    est = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in quantile_sketch(
+            ev, "event_type", "value", "event_id", [0.5, 0.9, 0.99], s=256
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    errs = []
+    for et, (p50, p90, p99) in est.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for q, e in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            import bisect
+
+            rank = bisect.bisect_right(xs, e) / n
+            errs.append(abs(rank - q))
+    assert max(errs) <= 0.15, (max(errs), errs)
+    assert sum(errs) / len(errs) <= 0.05, sum(errs) / len(errs)
+
+
+def test_quantile_sketch_plans_partial_group_limit(spark, sf_small):
+    """Bounded state claim: the s-smallest-per-group filter must plan as
+    WindowGroupLimit (partial map-side limit BEFORE the exchange), so
+    the shuffle moves O(tasks·s) rows per group, not the group."""
+    from polars_sim_spark.operators.sketches import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    df = quantile_sketch(ev, "event_type", "value", "event_id", [0.5], s=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -1080,3 +1080,58 @@ def test_stream_pq_encode_equals_batch(spark, sf_small):
         assert got == expected
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_cms_heavy_hitters_equals_batch(spark, sf_small, events_stream_dir):
+    """The serve loop over streaming-maintained counters: windowed
+    stream_cms_counters output + per-window totals + a candidate set,
+    point-queried through stream_cms_heavy_hitters, must return exactly
+    the batch cms_heavy_hitters rows for every finalized window — same
+    member set, same estimates, same no-false-negative guarantee."""
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from polars_sim_spark.operators.sketches import cms_heavy_hitters
+    from polars_sim_spark.streaming.stream_ops import (
+        stream_cms_counters,
+        stream_cms_heavy_hitters,
+    )
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"cmshh_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_cms_counters(stream, window_duration="1 day", watermark_delay="2 hours"),
+        name,
+        "append",
+    )
+    counters = spark.sql(f"SELECT * FROM {name}")
+
+    day = F.date_trunc("day", "ts").alias("window_start")
+    # production: a distinct-key sidecar / key dictionary — here derived
+    # from the batch table, NOT by replaying the stream
+    candidates = batch.select(day, "user_id").distinct()
+    totals = batch.groupBy(day).agg(F.count(F.lit(1)).alias("n"))
+
+    served = {
+        (r["window_start"], r["user_id"]): r["cms_count"]
+        for r in stream_cms_heavy_hitters(
+            counters, candidates, totals, phi=0.02
+        ).collect()
+    }
+    expected_all = {
+        (r["window_start"], r["user_id"]): r["cms_count"]
+        for r in cms_heavy_hitters(
+            batch.withColumn("window_start", day), "user_id", 0.02,
+            group_col="window_start",
+        ).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in expected_all.items() if k[0] + timedelta(days=1) <= cutoff
+    }
+    # served rows exist only for windows the stream finalized
+    served_finalized = {k: v for k, v in served.items() if k[0] + timedelta(days=1) <= cutoff}
+    assert len(served_finalized) > 0
+    assert served_finalized == finalized
