@@ -140,6 +140,7 @@ HEADLINE = [
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
+    "multimodal_wav_pcm_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

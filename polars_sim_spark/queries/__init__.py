@@ -211,6 +211,7 @@ _MANIFEST = [
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
+    "multimodal_wav_pcm_stats",
     # round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",

@@ -267,3 +267,30 @@ def test_decode_media_meta_end_to_end(spark):
     dlen2 = len("hello media world " * 3)
     assert out[2]["width"] == 16 + dlen2 % 97 and out[2]["height"] == 16 + dlen2 % 83
     assert out[2]["duration_ms"] is None
+
+
+def test_wav_pcm_stats_known_samples(spark):
+    """Pin the PCM interpretation on hand-computed bytes: 16-bit LE
+    samples, channel-interleaved, signed — stereo frames
+    [(+1, -2), (+32767, -32768)] and a mono [+258] with a trailing odd
+    byte that must be ignored (incomplete frame)."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import synth_wav, wav_pcm_stats
+
+    stereo = synth_wav(
+        struct.pack("<4h", 1, -2, 32767, -32768), sample_rate=8000, channels=2
+    )
+    mono = synth_wav(struct.pack("<h", 258) + b"\x7f", sample_rate=16000, channels=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(stereo)), (2, bytearray(mono)), (3, bytearray(b"not wav"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in wav_pcm_stats(df).collect()}
+    assert set(got) == {1, 2}  # non-WAV rows drop
+    assert got[1]["n_frames"] == 2
+    assert list(got[1]["sum_abs"]) == [1 + 32767, 2 + 32768]
+    assert list(got[1]["peak_abs"]) == [32767, 32768]
+    assert got[2]["n_frames"] == 1
+    assert list(got[2]["sum_abs"]) == [258]
+    assert list(got[2]["peak_abs"]) == [258]
