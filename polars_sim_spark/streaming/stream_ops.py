@@ -1006,3 +1006,127 @@ heavy_hitters_exact`'s confirming pass when exactness matters."""
         .where(F.col("cms_count") >= F.ceil(F.lit(phi) * F.col(n_col)))
         .drop(n_col)
     )
+
+
+def stream_quantile_sketch(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 day",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    row_key_col: str = "event_id",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    s: int = 256,
+) -> DataFrame:
+    """Watermarked windowed quantile ESTIMATES — the streaming twin of
+    the batch ``quantile_sketch`` (operators/sketches.py), completing
+    the streaming sketch family (HLL r7, CMS r7, this). The batch
+    sketch keeps each group's s md5-hash-smallest rows; bottom-k is
+    ASSOCIATIVE (bottom-k of a union = bottom-k of the parts'
+    bottom-k), so the streaming state per (window, key) is exactly the
+    s-row sample, merged monotonically across micro-batches —
+    ``applyInPandasWithState`` with an EventTimeTimeout that emits the
+    interpolated estimates once the watermark closes the window, then
+    drops the state. Finalized windows equal the batch sketch on the
+    same data to the last rounded digit (availableNow equivalence
+    test): same hash, same sample, same interpolation.
+
+    State is O(open windows · keys · s) — the bounded-memory contrast
+    to exact streaming percentiles, which would have to buffer every
+    value of every open window. The md5 hash is computed as a JVM
+    Column upstream of the stateful op; the Python side only merges
+    sorted arrays and interpolates at emission."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType, DoubleType, TimestampType
+
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        .select(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col(ts_col),
+            F.col(key_col),
+            F.col(value_col).cast("double").alias("__v"),
+            md5_hash64(F.col(row_key_col).cast("string")).alias("__h"),
+            F.col(row_key_col).cast("long").alias("__k"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("__wend"),
+            F.col(ts_col),  # carries the watermark through the projection
+            key_col,
+            "__v",
+            "__h",
+            "__k",
+        )
+    )
+    state_schema = StructType(
+        [
+            StructField("hs", ArrayType(LongType())),
+            StructField("vs", ArrayType(DoubleType())),
+            StructField("ks", ArrayType(LongType())),
+            StructField("wend", LongType()),
+        ]
+    )
+    out_fields = ", ".join(
+        f"p{str(p).replace('0.', '').ljust(2, '0')} double" for p in probs
+    )
+    out_schema = f"window_start timestamp, {key_col} string, {out_fields}"
+
+    def sketch(key, pdfs, state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            hs, vs, ks, _wend = state.get
+            order = np.lexsort((np.array(ks, dtype=np.int64), np.array(hs, dtype=np.int64)))
+            sample = np.array(vs, dtype=np.float64)[order][:s]
+            row = {"window_start": [key[0]], key_col: [key[1]]}
+            for p in probs:
+                name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+                row[name] = [round(float(np.percentile(sample, p * 100.0, method="linear")), 6)]
+            state.remove()
+            yield pd.DataFrame(row)
+            return
+        hs = vs = ks = None
+        wend_ms = None
+        if state.exists:
+            hs_l, vs_l, ks_l, wend_ms = state.get
+            hs = np.array(hs_l, dtype=np.int64)
+            vs = np.array(vs_l, dtype=np.float64)
+            ks = np.array(ks_l, dtype=np.int64)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if wend_ms is None:
+                wend_ms = int(pdf["__wend"].iloc[0].value // 1_000_000)
+            bh = pdf["__h"].to_numpy(dtype=np.int64)
+            bv = pdf["__v"].to_numpy(dtype=np.float64)
+            bk = pdf["__k"].to_numpy(dtype=np.int64)
+            hs = bh if hs is None else np.concatenate([hs, bh])
+            vs = bv if vs is None else np.concatenate([vs, bv])
+            ks = bk if ks is None else np.concatenate([ks, bk])
+            order = np.lexsort((ks, hs))[:s]
+            hs, vs, ks = hs[order], vs[order], ks[order]
+        if hs is not None:
+            state.update((
+                [int(x) for x in hs],
+                [float(x) for x in vs],
+                [int(x) for x in ks],
+                int(wend_ms),
+            ))
+            # fire once the event-time watermark passes the window end
+            state.setTimeoutTimestamp(int(wend_ms))
+        return
+        yield  # pragma: no cover — makes this a generator on all paths
+
+    return src.groupBy("window_start", key_col).applyInPandasWithState(
+        sketch,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

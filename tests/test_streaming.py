@@ -1135,3 +1135,49 @@ def test_stream_cms_heavy_hitters_equals_batch(spark, sf_small, events_stream_di
     served_finalized = {k: v for k, v in served.items() if k[0] + timedelta(days=1) <= cutoff}
     assert len(served_finalized) > 0
     assert served_finalized == finalized
+
+
+def test_stream_quantile_sketch_equals_batch(spark, sf_small, events_stream_dir):
+    """Streaming bounded-state quantiles: per finalized window, the
+    applyInPandasWithState bottom-k merge must reproduce the batch
+    quantile_sketch to the last rounded digit (same md5 sample, same
+    tie-break, same interpolation) — bottom-k associativity makes the
+    micro-batch split invisible."""
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from polars_sim_spark.operators.sketches import quantile_sketch
+    from polars_sim_spark.streaming.stream_ops import stream_quantile_sketch
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"qsk_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_quantile_sketch(
+            stream, window_duration="1 day", watermark_delay="2 hours", s=64
+        ),
+        name,
+        "append",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["p50"], r["p90"], r["p99"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected_all = {
+        (r["day"], r["event_type"]): (r["p50"], r["p90"], r["p99"])
+        for r in quantile_sketch(
+            batch.withColumn("day", F.date_trunc("day", "ts")),
+            ["day", "event_type"],
+            "value",
+            "event_id",
+            [0.5, 0.9, 0.99],
+            s=64,
+        ).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {
+        k: v for k, v in expected_all.items() if k[0] + timedelta(days=1) <= cutoff
+    }
+    assert len(got) > 0
+    assert got == finalized
