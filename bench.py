@@ -141,6 +141,7 @@ HEADLINE = [
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
+    "events_hll_users_sharded",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -56,6 +56,25 @@ def hll_distinct(
     (window, key) for the streaming twin's batch oracle). Deterministic
     and engine-portable — see module docstring.
     """
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    return hll_estimate_from_registers(
+        hll_registers(df, group_col, value_col), gcols
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str | list[str],
+    value_col: str,
+) -> DataFrame:
+    """The sketch STATE: one row per (group…, register) with the max
+    rho — the storable/mergeable form. At 100 TB this table (not the
+    raw data) is what a serving layer persists per shard/day: register
+    tables MERGE by groupBy-max (:func:`hll_merge`) with no corpus
+    rescan, because max is associative/commutative/idempotent — the
+    estimate of the merged sketch EQUALS the estimate over the union
+    of the raw data, by construction, not approximation (pinned
+    cross-engine by the ``events_hll_users_sharded`` contract row)."""
     from polars_sim_spark.operators.dedup import md5_hash64
 
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
@@ -65,11 +84,31 @@ def hll_distinct(
     rho = F.when(rem == 0, F.lit(25)).otherwise(
         F.lit(25) - F.length(F.bin(rem))
     )
-    regs = (
+    return (
         df.select(*[F.col(g) for g in gcols], bucket.alias("__b"), rho.alias("__rho"))
         .groupBy(*gcols, "__b")
         .agg(F.max("__rho").alias("__M"))
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same grouping/register schema):
+    union + groupBy max. One narrow shuffle over O(shards·groups·m)
+    SKETCH rows — never the data."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), register_tables)
+    gcols = [c for c in merged.columns if c not in ("__M",)]
+    return merged.groupBy(*gcols).agg(F.max("__M").alias("__M"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str | list[str]
+) -> DataFrame:
+    """Finalize register rows into the rounded estimate — the same
+    expression whether the registers came from one pass
+    (:func:`hll_registers`) or a merge of stored shards."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     per_group = regs.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__present"),
         F.sum(F.pow(F.lit(2.0), F.lit(25) - F.col("__M")).cast("long")).alias("__s"),
@@ -307,3 +346,16 @@ def quantile_sketch(
             for p in probs
         ]
     )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge count-min counter tables (same grouping/seed/column
+    schema): union + groupBy sum — counts are additive, so the merged
+    sketch equals the sketch of the unioned data exactly. Like
+    :func:`hll_merge`, the shuffle is over O(shards·groups·d·w) sketch
+    rows, never the corpus."""
+    import functools
+
+    merged = functools.reduce(lambda a, b: a.unionByName(b), counter_tables)
+    gcols = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*gcols).agg(F.sum("cnt").alias("cnt"))

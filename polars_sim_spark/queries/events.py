@@ -820,3 +820,57 @@ def events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     return quantile_sketch(
         ev, "event_type", "value", "event_id", [0.5, 0.9, 0.99], s=256
     )
+
+
+@register(
+    "events_hll_users_sharded",
+    """
+WITH r AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS b,
+         floor(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) / 256) AS rem
+  FROM events
+),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN rem = 0 THEN 25 ELSE 25 - length(bin(CAST(rem AS BIGINT))) END) AS M
+  FROM r GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, count(*) AS present,
+         sum(CAST(power(2, 25 - M) AS BIGINT)) AS s
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                        / (s + (256 - present) * 33554432)) <= 640.0
+                   AND (256 - present) > 0
+             THEN 256 * ln(256.0 / (256 - present))
+             ELSE CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                  / (s + (256 - present) * 33554432)
+             END, 4) AS hll_distinct
+FROM g
+""",
+)
+def events_hll_users_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY under the oracle gate — the property that
+    makes sketches the 100 TB serving-layer answer: build HLL register
+    tables on three disjoint shards (as a per-day/per-shard ingest
+    would persist them), merge the STORED register rows with
+    hll_merge (union + groupBy max — O(shards·groups·m) sketch rows,
+    no corpus rescan), and finalize. The oracle is the SINGLE-PASS
+    whole-corpus estimator SQL, so the driver hash-checks that
+    merge(shard sketches) ≡ sketch(union) digit-for-digit, in both
+    engines."""
+    from polars_sim_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = [
+        hll_registers(ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i), "event_type", "user_id")
+        for i in range(3)
+    ]
+    return hll_estimate_from_registers(hll_merge(*shards), "event_type")

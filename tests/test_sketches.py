@@ -187,3 +187,38 @@ def test_quantile_sketch_plans_partial_group_limit(spark, sf_small):
     df = quantile_sketch(ev, "event_type", "value", "event_id", [0.5], s=16)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_sketch_merge_equals_single_pass(spark, sf_small):
+    """Mergeability of both sketch states: HLL registers merge by max,
+    CMS counters by sum — merged-shard state must equal the single-pass
+    state ROW FOR ROW (not just estimate-close)."""
+    from polars_sim_spark.operators.sketches import (
+        cms_counters,
+        cms_merge,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    parts = [ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+
+    direct = sorted(map(tuple, hll_registers(ev, "event_type", "user_id").collect()))
+    merged = sorted(
+        map(
+            tuple,
+            hll_merge(
+                *[hll_registers(p, "event_type", "user_id") for p in parts]
+            ).collect(),
+        )
+    )
+    assert direct == merged
+
+    d_cms = sorted(map(tuple, cms_counters(ev, "event_type", "user_id").collect()))
+    m_cms = sorted(
+        map(
+            tuple,
+            cms_merge(*[cms_counters(p, "event_type", "user_id") for p in parts]).collect(),
+        )
+    )
+    assert d_cms == m_cms
