@@ -359,3 +359,41 @@ def cms_merge(*counter_tables: DataFrame) -> DataFrame:
     merged = functools.reduce(lambda a, b: a.unionByName(b), counter_tables)
     gcols = [c for c in merged.columns if c != "cnt"]
     return merged.groupBy(*gcols).agg(F.sum("cnt").alias("cnt"))
+
+
+def materialize_hll_shards(
+    df: DataFrame,
+    path: str,
+    group_col: str | list[str],
+    value_col: str,
+    shard: str,
+) -> None:
+    """Persist an HLL register table as one hive shard partition
+    (``path/shard=<shard>/``) — the lake form of the sketch: a daily
+    ingest appends ONE new shard of O(groups·m) register rows
+    (:func:`append_hll_shard`), and estimates are served by merging the
+    stored shards (:func:`hll_estimate_stored`) without ever rescanning
+    a previous day's corpus. The incremental-maintenance pattern of
+    append_history_bands (LSH) and append_to_ivfpq_index (ANN), applied
+    to the sketch family."""
+    regs = hll_registers(df, group_col, value_col).withColumn("shard", F.lit(shard))
+    (
+        regs.repartition(1)
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(path.rstrip("/"))
+    )
+
+
+#: Appending a shard IS materializing one — same write, same layout.
+append_hll_shard = materialize_hll_shards
+
+
+def hll_estimate_stored(spark, path: str, group_col: str | list[str]) -> DataFrame:
+    """Serve distinct-count estimates from the stored shard registers:
+    read the sketch rows (O(shards·groups·m) — never the data), merge
+    by max, finalize. Equal to the single-pass estimate over the union
+    corpus by merge-equivalence (tested)."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    regs = spark.read.parquet(path.rstrip("/")).drop("shard")
+    return hll_estimate_from_registers(hll_merge(regs), gcols)

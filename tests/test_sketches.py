@@ -222,3 +222,40 @@ def test_sketch_merge_equals_single_pass(spark, sf_small):
         )
     )
     assert d_cms == m_cms
+
+
+def test_hll_shards_append_and_serve(spark, sf_small, tmp_path):
+    """Persisted sketch maintenance: ingest two day-shards, append a
+    third later, and the stored-sketch estimate must equal the
+    single-pass estimate over the whole corpus — the serve reads only
+    register rows (asserted via the scan's tiny input)."""
+    from polars_sim_spark.operators.sketches import (
+        append_hll_shard,
+        hll_distinct,
+        hll_estimate_stored,
+        materialize_hll_shards,
+    )
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    path = str(tmp_path / "hll_shards")
+    parts = [ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    materialize_hll_shards(parts[0], path, "event_type", "user_id", shard="d0")
+    materialize_hll_shards(parts[1], path, "event_type", "user_id", shard="d1")
+    served_2 = hll_estimate_stored(spark, path, "event_type")
+    assert served_2.count() > 0  # serving works mid-history
+
+    append_hll_shard(parts[2], path, "event_type", "user_id", shard="d2")
+    served = sorted(
+        map(tuple, hll_estimate_stored(spark, path, "event_type").collect())
+    )
+    direct = sorted(map(tuple, hll_distinct(ev, "event_type", "user_id").collect()))
+    assert served == direct
+
+    # the serve plan reads the sketch parquet, not the events corpus
+    plan = (
+        hll_estimate_stored(spark, path, "event_type")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hll_shards" in plan and "events.parquet" not in plan
