@@ -142,6 +142,7 @@ HEADLINE = [
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
     "events_hll_users_sharded",
+    "ann_topk_ivf_filtered",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

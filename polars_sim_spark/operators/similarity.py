@@ -931,6 +931,7 @@ def ann_topk_ivf_prebuilt(
     k: int = 5,
     nprobe: int = 3,
     exclude_same_id: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k against a :func:`materialize_ivf_index` layout —
     identical results to :func:`ann_topk_ivf` over the same corpus and
@@ -942,7 +943,17 @@ def ann_topk_ivf_prebuilt(
     exact rerank touches only the probed lists with their PRE-COMPUTED
     norms. This is the serving-path shape at 100 TB: index build cost
     is paid once at write time; each query batch costs nprobe lists.
-    """
+
+    ``allowed`` turns this into FILTERED vector search (top-k among
+    rows satisfying a metadata predicate): pass the id set as a
+    DataFrame carrying ``id_col`` — computed from any table, so the
+    predicate composes with the whole engine — and it semi-joins the
+    probed lists BEFORE scoring (post-filtering, FAISS IDSelector
+    style: the index layout is unchanged, candidates outside the set
+    never reach the rerank). Catalyst broadcasts a selective id set;
+    note k results are only guaranteed while the probed cells contain
+    ≥ k allowed rows — widen ``nprobe`` for very selective filters
+    (the classic filtered-ANN recall trade, stated, not hidden)."""
     cent = spark.read.parquet(path.rstrip("/") + "/_centroids").collect()
     cent_rows = [
         {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
@@ -970,6 +981,8 @@ def ann_topk_ivf_prebuilt(
     # pruning on the hive layout.
     cells = sorted({r["c_id"] for r in probes.select("c_id").distinct().collect()})
     lists = spark.read.parquet(path).where(F.col("c_id").isin(cells))
+    if allowed is not None:
+        lists = lists.join(allowed.select(F.col(id_col)), id_col, "left_semi")
     pairs = lists.join(
         F.broadcast(probes), "c_id"
     )

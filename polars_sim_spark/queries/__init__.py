@@ -213,6 +213,7 @@ _MANIFEST = [
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
     "events_hll_users_sharded",
+    "ann_topk_ivf_filtered",
     # round 7:
     "ann_topk_pq_prebuilt",
     "ann_topk_ivf_kmeans_prebuilt",

@@ -603,3 +603,61 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq.pq_fit(emb, "vec_id", "embedding", m=8, k=16, iters=3)
     out = pq.pq_ann_topk(emb, qs, cb, k=5, rerank=10)
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r")).orderBy("q_id", "n_id")
+
+
+def duck_ann_ivf_filtered_sql(nprobe: int = 3, k: int = 5) -> str:
+    """Oracle for FILTERED serving: same committed-index probe pipeline
+    as duck_ann_ivf_kmeans_prebuilt_sql, with the metadata predicate
+    (label < 3) applied to candidates before the exact rerank — the
+    post-filter semantics of ann_topk_ivf_prebuilt(allowed=...)."""
+    idx = _index_dir("sf0.01", "ivf_k1")
+    cos = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    return f"""
+WITH assign AS (
+  SELECT vec_id AS n_id, CAST(c_id AS BIGINT) AS c_id
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 20
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p
+  JOIN assign a USING (c_id)
+  JOIN embeddings em ON em.vec_id = a.n_id AND em.label < 3
+  WHERE a.n_id != p.q_id
+)
+{_duck_ann_rerank(k)}
+"""
+
+
+@register("ann_topk_ivf_filtered", duck_ann_ivf_filtered_sql())
+def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the committed IVF index (round 8):
+    top-k among corpus rows whose metadata satisfies a predicate
+    (label < 3 — any engine-expressible predicate on any joinable
+    table works the same way), served by semi-joining the allowed-id
+    set into the probed lists before scoring
+    (similarity.py:ann_topk_ivf_prebuilt(allowed=...)). Same committed
+    files, deterministic probes, exact rerank — the oracle applies the
+    identical predicate to the candidate set, so the driver hash-checks
+    the filtered semantics end to end."""
+    from polars_sim_spark.operators.similarity import ann_topk_ivf_prebuilt
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    allowed = emb.where(F.col("label") < 3).select("vec_id")
+    out = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3, allowed=allowed)
+    return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))

