@@ -922,3 +922,46 @@ def _ivfpq_serve_distributed(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dict:
+    """OPTIMIZE for an appended index: after many
+    :func:`append_to_ivfpq_index` batches, a hot cell's inverted list is
+    a directory of small part-files and a probe pays per-file open
+    costs. Compaction rewrites ONLY cells with ≥ ``min_files_per_cell``
+    files down to one file each — content-identical (same rows, same
+    schema; equivalence-tested), sidecars untouched, untouched cells
+    untouched. Returns ``{"cells_compacted": n, "files_before": a,
+    "files_after": b}``. The rewrite stages into ``_compact_tmp`` and
+    swaps per cell, so a crash mid-compaction leaves every cell either
+    old or new, never half."""
+    import os
+    import shutil
+
+    root = path.rstrip("/")
+    todo = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("c_id="):
+            continue
+        files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        if len(files) >= min_files_per_cell:
+            todo.append((d, len(files)))
+    files_before = sum(n for _d, n in todo)
+    files_after = 0
+    for d, _n in todo:
+        cell_dir = os.path.join(root, d)
+        tmp = os.path.join(root, "_compact_tmp", d)
+        spark.read.parquet(cell_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        new_files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        files_after += len(new_files)
+        for f in os.listdir(cell_dir):
+            os.remove(os.path.join(cell_dir, f))
+        for f in new_files:
+            shutil.move(os.path.join(tmp, f), os.path.join(cell_dir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "_compact_tmp"), ignore_errors=True)
+    return {
+        "cells_compacted": len(todo),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

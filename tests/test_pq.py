@@ -374,3 +374,41 @@ def test_ivfpq_append_equals_pinned_rebuild(spark, sf_small, tmp_path):
         map(tuple, pq.ann_topk_ivfpq_prebuilt(spark, p, qs, k=5, nprobe=3).collect())
     )
     assert serve(inc) == serve(reb)
+
+
+def test_ivfpq_compaction_preserves_content(spark, sf_small, tmp_path):
+    """OPTIMIZE after appends: multi-file cells collapse to one file
+    each, index content and serving results are unchanged."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    pq.materialize_ivfpq_index(
+        emb.where(F.col("vec_id") % 3 == 0), path, num_centroids=8, m=8, k_codes=16,
+        pq_iters=1,
+    )
+    pq.append_to_ivfpq_index(emb.where(F.col("vec_id") % 3 == 1), path)
+    pq.append_to_ivfpq_index(emb.where(F.col("vec_id") % 3 == 2), path)
+
+    read = lambda: sorted(  # noqa: E731
+        (r["vec_id"], r["c_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path).select("vec_id", "c_id", "codes").collect()
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    serve = lambda: sorted(  # noqa: E731
+        map(tuple, pq.ann_topk_ivfpq_prebuilt(spark, path, qs, k=3, nprobe=3).collect())
+    )
+    before_rows, before_serve = read(), serve()
+    stats = pq.compact_ivfpq_cells(spark, path)
+    assert stats["cells_compacted"] > 0
+    assert stats["files_after"] == stats["cells_compacted"]
+    assert stats["files_before"] > stats["files_after"]
+    # every multi-file cell is now a single file
+    for d in os.listdir(path):
+        if d.startswith("c_id="):
+            n = len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+            assert n == 1, (d, n)
+    assert read() == before_rows
+    assert serve() == before_serve
