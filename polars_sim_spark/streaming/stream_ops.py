@@ -1130,3 +1130,55 @@ def stream_quantile_sketch(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_ingest_zordered_lake(
+    root: str,
+    *,
+    zorder_cols: list[str],
+    sketch_group_col: str,
+    sketch_value_col: str,
+    num_files: int = 4,
+):
+    """Streaming LAKE MAINTENANCE: returns a ``foreachBatch`` callable
+    that, per micro-batch, (a) writes the batch as a z-order-CLUSTERED
+    parquet partition under ``root/data/batch=<id>`` (sources/layout.py
+    — every batch partition gets tight multi-column row-group stats, so
+    selective 2-D scans over the growing lake prune within every
+    batch), and (b) appends one HLL register shard under
+    ``root/sketch/shard=<id>`` (operators/sketches.py), so
+    distinct-count serving reads O(batches·groups·m) sketch rows, never
+    the lake.
+
+    Exactly-once posture, stated precisely: ``foreachBatch`` may replay
+    a batch id after a failure. The data write is idempotent (same
+    batch id → same directory, overwrite). The sketch append is NOT
+    write-idempotent (a replay adds a duplicate shard) but IS
+    ESTIMATE-idempotent: registers merge by max, so duplicated shards
+    cannot change any served value — the idempotence lives in the
+    algebra instead of the write path.
+
+    Wire it as ``stream.writeStream.foreachBatch(fn)`` with a
+    checkpoint; equivalence vs batch (content, estimate, clustering)
+    is pinned in tests/test_streaming.py."""
+    from polars_sim_spark.operators.sketches import append_hll_shard
+    from polars_sim_spark.sources.layout import write_zordered
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_zordered(
+            batch_df,
+            f"{root.rstrip('/')}/data/batch={batch_id}",
+            zorder_cols,
+            num_files=num_files,
+        )
+        append_hll_shard(
+            batch_df,
+            f"{root.rstrip('/')}/sketch",
+            sketch_group_col,
+            sketch_value_col,
+            shard=str(batch_id),
+        )
+
+    return ingest

@@ -1181,3 +1181,66 @@ def test_stream_quantile_sketch_equals_batch(spark, sf_small, events_stream_dir)
     }
     assert len(got) > 0
     assert got == finalized
+
+
+def test_stream_ingest_zordered_lake(spark, sf_small):
+    """foreachBatch lake maintenance: after an availableNow run over two
+    source files, the clustered lake holds exactly the source rows, the
+    stored sketch serves the batch HLL estimate, and a replayed sketch
+    shard does not change any estimate (max-merge idempotence)."""
+    import tempfile
+
+    from polars_sim_spark.operators.sketches import (
+        append_hll_shard,
+        hll_distinct,
+        hll_estimate_stored,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_ingest_zordered_lake
+
+    batch = load_table(spark, sf_small, "events")
+    src = tempfile.mkdtemp(prefix="pss_lake_src_")
+    root = tempfile.mkdtemp(prefix="pss_lake_")
+    ckpt = tempfile.mkdtemp(prefix="pss_lake_ckpt_")
+    batch.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    batch.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    ingest = stream_ingest_zordered_lake(
+        root,
+        zorder_cols=["user_id", "value"],
+        sketch_group_col="event_type",
+        sketch_value_col="user_id",
+    )
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    lake = spark.read.parquet(f"{root}/data")
+    assert sorted(r["event_id"] for r in lake.select("event_id").collect()) == sorted(
+        r["event_id"] for r in batch.select("event_id").collect()
+    )
+    served = sorted(
+        map(tuple, hll_estimate_stored(spark, f"{root}/sketch", "event_type").collect())
+    )
+    direct = sorted(
+        map(tuple, hll_distinct(batch, "event_type", "user_id").collect())
+    )
+    assert served == direct
+
+    # replayed shard: estimate unchanged (registers merge by max)
+    append_hll_shard(
+        batch.where(F.col("event_id") % 2 == 0),
+        f"{root}/sketch",
+        "event_type",
+        "user_id",
+        shard="0",
+    )
+    assert served == sorted(
+        map(tuple, hll_estimate_stored(spark, f"{root}/sketch", "event_type").collect())
+    )
