@@ -1182,3 +1182,40 @@ def stream_ingest_zordered_lake(
         )
 
     return ingest
+
+
+def stream_session_windows(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked streaming SESSION windows — the streaming twin of the
+    batch ``events_session_windows`` query, on Spark's native
+    ``session_window`` state machine: per-key windows grow/merge while
+    events arrive within ``gap`` of each other, and a session finalizes
+    (append-mode emission, state reaped) once the watermark passes its
+    end (= last event + gap). Totals use the DECIMAL(18,6) exact sum so
+    finalized sessions equal the batch rows bit-for-bit
+    (availableNow equivalence test). State is O(open sessions) per key
+    partition — the engine merges and expires it; nothing custom."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

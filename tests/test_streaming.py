@@ -1244,3 +1244,49 @@ def test_stream_ingest_zordered_lake(spark, sf_small):
     assert served == sorted(
         map(tuple, hll_estimate_stored(spark, f"{root}/sketch", "event_type").collect())
     )
+
+
+def test_stream_session_windows_equals_batch(spark, sf_small, events_stream_dir):
+    """Native streaming session windows: every session the watermark
+    finalized must equal the batch session_window row exactly
+    (bounds, count, exact decimal total)."""
+    import uuid as _uuid
+    from datetime import timedelta
+
+    from polars_sim_spark.streaming.stream_ops import stream_session_windows
+
+    batch = load_table(spark, sf_small, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_session_windows(stream, gap="30 minutes", watermark_delay="2 hours"),
+        name,
+        "append",
+    )
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected_all = {
+        (r["session_start"], r["session_end"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in batch.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    finalized = {k: v for k, v in expected_all.items() if k[1] <= cutoff}
+    assert len(got) > 0
+    assert got == finalized
