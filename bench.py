@@ -73,6 +73,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "events_sliding_10m",
     "decontaminate_docs",
+    "decontaminate_docs_bloom",
     "pack_documents_shards",
     "temperature_sample_docs",
     "dedup_incremental_docs",

@@ -212,6 +212,77 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` behind a Bloom prefilter — the shape that
+    survives an eval/contamination set too large to broadcast raw. The
+    eval shingles collapse to a fixed-``m``-bit Bloom filter (always
+    broadcastable: ≤ m sparse rows no matter how many shingles); corpus
+    shingles are membership-tested against it, and ONLY bloom-candidate
+    documents reach the exact confirm join against the true eval set.
+
+    Returns ``(id_col, bloom_candidate, contaminated)`` per corpus
+    document. Invariants pinned by the contract row's oracle AND a
+    pytest equality vs plain :func:`decontaminate`:
+
+    * no false negatives: ``contaminated ⇒ bloom_candidate`` (a Bloom
+      filter never answers "absent" for an inserted value);
+    * exactness: ``contaminated`` equals the plain exact n-gram-overlap
+      flag — the confirm pass removes every bloom false positive.
+
+    Scale: at 100 TB the corpus-side cost is one shingle explode +
+    distinct + a broadcast join against ≤ m rows; the exact join only
+    sees candidate documents' shingles (fill_ratio^k of the corpus in
+    expectation). The whole pipeline is deterministic md5 arithmetic,
+    so the DuckDB oracle reproduces both flags bit-for-bit."""
+    from polars_sim_spark.functions.text import word_shingles
+    from polars_sim_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_contains,
+    )
+
+    m = BLOOM_M if m is None else m
+    k = BLOOM_K if k is None else k
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(eval_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    bits = bloom_bits(ev, "sh", m=m, k=k)
+    sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    maybe_sh = bloom_contains(bits, sh, "sh", m=m, k=k).where(F.col("bloom_maybe"))
+    cand_pairs = sh.join(maybe_sh.select("sh"), "sh", "left_semi")
+    cand = cand_pairs.select(id_col).distinct().withColumn("bloom_candidate", F.lit(True))
+    confirmed = (
+        cand_pairs.join(F.broadcast(ev), "sh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select(id_col)
+        .join(cand, id_col, "left")
+        .join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("bloom_candidate"), F.lit(False)).alias("bloom_candidate"),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def pack_shards(
     df: DataFrame,
     *,

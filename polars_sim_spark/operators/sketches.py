@@ -397,3 +397,94 @@ def hll_estimate_stored(spark, path: str, group_col: str | list[str]) -> DataFra
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     regs = spark.read.parquet(path.rstrip("/")).drop("shard")
     return hll_estimate_from_registers(hll_merge(regs), gcols)
+
+
+#: Bloom filter defaults, sized for the decontamination contract query:
+#: at sf0.01 the eval slice has ~2.3k distinct shingles → fill ratio
+#: ~0.34, false-positive rate ~4% — large enough that the exact-confirm
+#: pass is genuinely exercised by the testdata, small enough that the
+#: prefilter still cuts the candidate set an order of magnitude. The
+#: SAME literals are embedded in the DuckDB oracle.
+BLOOM_M = 16384
+BLOOM_K = 3
+
+
+def bloom_bits(df: DataFrame, value_col: str, *, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970, public literature) over the
+    distinct values of ``value_col`` as a SPARSE bitset table:
+    one row per set bit, column ``bit`` (0 ≤ bit < m). Bit positions
+    are ``md5(seed ␟ value) mod m`` for seeds 0..k−1 — the repo's
+    engine-portable hash, so any SQL engine reproduces the identical
+    bitset (the contract row's DuckDB oracle does).
+
+    The sparse-row form is the storable/mergeable state, like
+    :func:`hll_registers` and :func:`cms_counters`: shards MERGE by
+    union-distinct (:func:`bloom_merge`) — set-bit union is exactly
+    the Bloom filter of the unioned data, no approximation. At most m
+    rows regardless of input size; always broadcastable. That is the
+    100 TB point: an eval/contamination set too large to broadcast raw
+    collapses to a fixed-m bitset every executor can hold.
+    """
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("seed")
+    rows = df.select(F.col(value_col).cast("string").alias("__val")).distinct().select("*", seeds)
+    bit = F.pmod(
+        md5_hash64(F.concat_ws("\x1f", F.col("seed").cast("string"), F.col("__val"))),
+        F.lit(m),
+    )
+    return rows.select(bit.alias("bit")).distinct()
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """Merge Bloom bitsets: union-distinct of set bits — the merged
+    filter EQUALS the filter built over the unioned values (bit union
+    is associative/commutative/idempotent), so shard-built filters
+    compose without rescans, like :func:`hll_merge`/:func:`cms_merge`."""
+    import functools
+
+    return functools.reduce(lambda a, b: a.unionByName(b), bit_tables).distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test against a built filter: returns the DISTINCT
+    values of ``items.item_col`` with ``bloom_maybe`` — TRUE iff all k
+    bit positions are set. Classic guarantee (testable): NO FALSE
+    NEGATIVES — every value that was inserted answers TRUE; false
+    positives occur at the fill-ratio^k rate and are removed by the
+    caller's exact confirm pass when exactness matters
+    (:func:`polars_sim_spark.operators.curation.decontaminate_bloom`).
+
+    Shape: probe rows explode to k (value, bit) rows, LEFT join the
+    broadcast bitset (≤ m rows), and a map-side-combining count checks
+    hits == k. The corpus side never shuffles on data size — only on
+    its own distinct-value count."""
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias("seed")
+    probe = (
+        items.select(F.col(item_col).cast("string").alias("__val"))
+        .distinct()
+        .select("*", seeds)
+    )
+    probe = probe.withColumn(
+        "bit",
+        F.pmod(
+            md5_hash64(F.concat_ws("\x1f", F.col("seed").cast("string"), F.col("__val"))),
+            F.lit(m),
+        ),
+    )
+    hit = F.broadcast(bits.withColumn("__hit", F.lit(1)))
+    return (
+        probe.join(hit, "bit", "left")
+        .groupBy("__val")
+        .agg((F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == F.lit(k)).alias("bloom_maybe"))
+        .withColumnRenamed("__val", item_col)
+    )

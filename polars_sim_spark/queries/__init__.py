@@ -149,6 +149,7 @@ _MANIFEST = [
     "embedding_label_centroids",
     "events_sliding_10m",
     "decontaminate_docs",
+    "decontaminate_docs_bloom",
     "pack_documents_shards",
     "temperature_sample_docs",
     "dedup_incremental_docs",

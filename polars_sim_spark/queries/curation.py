@@ -230,6 +230,54 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_docs_bloom",
+    f"""
+WITH e AS (SELECT DISTINCT sh FROM ({duck_shingles_cte(_DECON_EVAL, "doc_id", "text", n=8)})),
+seeds AS (SELECT unnest(range(3)) AS seed),
+bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || chr(31) || sh), 1, 8)) AS BIGINT) % 16384 AS bit
+  FROM e CROSS JOIN seeds
+),
+c AS (SELECT DISTINCT id, sh FROM ({duck_shingles_cte("documents", "doc_id", "text", n=8)})),
+csh AS (SELECT DISTINCT sh FROM c),
+probe AS (
+  SELECT sh,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || chr(31) || sh), 1, 8)) AS BIGINT) % 16384 AS bit
+  FROM csh CROSS JOIN seeds
+),
+maybe AS (SELECT sh FROM probe JOIN bits USING (bit) GROUP BY sh HAVING count(*) = 3),
+cand AS (SELECT DISTINCT c.id AS id FROM c JOIN maybe USING (sh)),
+bad AS (SELECT DISTINCT c.id AS id FROM c JOIN maybe USING (sh) JOIN e ON c.sh = e.sh)
+SELECT d.doc_id AS doc_id,
+       (cand.id IS NOT NULL) AS bloom_candidate,
+       (bad.id IS NOT NULL) AS contaminated
+FROM documents d
+LEFT JOIN cand ON d.doc_id = cand.id
+LEFT JOIN bad ON d.doc_id = bad.id
+""",
+)
+def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/curation.py
+    decontaminate_bloom + operators/sketches.py bloom_bits/contains):
+    the eval slice's 8-gram shingles collapse to a fixed-16384-bit
+    md5 Bloom filter (Bloom 1970); corpus shingles membership-test
+    against the broadcast bitset and only candidates reach the exact
+    confirm join. The oracle reproduces BOTH flags — the bitset, the
+    k-of-k membership rule, and the confirmed contamination — pinning
+    the no-false-negative guarantee (contaminated ⇒ bloom_candidate)
+    and exactness (contaminated ≡ plain decontaminate, also pinned by
+    pytest equality) cross-engine. The 100 TB shape: an eval set too
+    big to broadcast raw still broadcasts as ≤ m sketch rows."""
+    from polars_sim_spark.operators.curation import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 50)
+    return decontaminate_bloom(docs, ev, n=8).select(
+        "doc_id", "bloom_candidate", "contaminated"
+    )
+
+
+@register(
     "pack_documents_shards",
     """
 WITH t AS (

@@ -259,3 +259,52 @@ def test_hll_shards_append_and_serve(spark, sf_small, tmp_path):
         .toString()
     )
     assert "hll_shards" in plan and "events.parquet" not in plan
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value answers TRUE; merged shard filters equal the
+    filter over the union; false positives exist at tiny m (sanity that
+    the maybe-set is a superset, not equality by construction)."""
+    from polars_sim_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([(f"in_{i}",) for i in range(200)], "v string")
+    b = spark.createDataFrame([(f"in_{i}",) for i in range(200, 400)], "v string")
+    both = a.unionByName(b)
+    probe = spark.createDataFrame(
+        [(f"in_{i}",) for i in range(400)] + [(f"out_{i}",) for i in range(400)],
+        "v string",
+    )
+    # tiny m forces collisions → false positives must appear
+    bits = bloom_bits(both, "v", m=512, k=3)
+    got = {r["v"]: r["bloom_maybe"] for r in bloom_contains(bits, probe, "v", m=512, k=3).collect()}
+    assert all(got[f"in_{i}"] for i in range(400))  # no false negatives
+    assert any(got[f"out_{i}"] for i in range(400))  # collisions occur at m=512
+    assert not all(got[f"out_{i}"] for i in range(400))  # but not everything
+    # shard merge == union build, exactly
+    merged = bloom_merge(bloom_bits(a, "v", m=512, k=3), bloom_bits(b, "v", m=512, k=3))
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in bits.collect()
+    )
+
+
+def test_decontaminate_bloom_equals_plain(spark, sf_small):
+    """The bloom-prefiltered flag equals plain decontaminate exactly, and
+    contaminated ⇒ bloom_candidate on every row."""
+    from polars_sim_spark.operators.curation import decontaminate, decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    ev = docs.where(F.col("doc_id") < 50)
+    plain = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, ev, n=8).select("doc_id", "contaminated").collect()
+    }
+    rows = decontaminate_bloom(docs, ev, n=8).collect()
+    assert len(rows) == len(plain)
+    for r in rows:
+        assert r["contaminated"] == plain[r["doc_id"]]
+        if r["contaminated"]:
+            assert r["bloom_candidate"]
