@@ -49,6 +49,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_bpe_token_count",
     "ann_topk_bruteforce",
+    "ann_topk_sq8",
     "asof_error_last_click",
     "dedup_cluster_docs",
     "revenue_rollup",

@@ -1106,3 +1106,106 @@ def bm25_topk_prebuilt(
         .where(F.col("__rn") <= k)
         .select(F.col("__q").alias(query_id_col), "doc_id", "score")
     )
+
+
+#: SQ8 micro-unit expression: component → exact int64 micro-units, the
+#: repo's proven cross-engine idiom (same literal chain as the PQ ADC
+#: oracles): round to 6 decimals, scale by 1e6, round to integer.
+_SQ8_MICRO = "cast(round(round(cast({c} as double), 6) * 1000000, 0) as bigint)"
+
+
+def sq8_quantize(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (SQ8) quantization of an embedding column: per-dimension
+    min/max over the corpus (in exact int64 micro-units — min/max are
+    order-independent, so the training stats are deterministic), then
+    each component maps to an 8-bit code ``(x−mn)·255 div (mx−mn)`` by
+    INTEGER arithmetic. Returns one row per vector:
+    ``(id_col, codes array<bigint> of 0..255, __mn, __mx arrays)``.
+
+    This is the standard 4× memory reduction for vector serving (int8
+    codes instead of float32 components — FAISS's SQ8, public): at
+    100 TB the stats are a dim-row aggregate broadcast to every
+    executor, and quantization is a zero-shuffle projection of the
+    corpus scan — transform() over the array, whole-stage codegen, no
+    explode. Everything is integer, so any SQL engine reproduces the
+    codes bit-for-bit (the contract row's DuckDB oracle does)."""
+    xi = F.expr(f"transform({vec_col}, c -> {_SQ8_MICRO.format(c='c')})")
+    comps = corpus.select(
+        F.posexplode(vec_col).alias("idx", "__c")
+    ).select("idx", F.expr(_SQ8_MICRO.format(c="__c")).alias("__x"))
+    stats_row = (
+        comps.groupBy("idx")
+        .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+        .agg(F.sort_array(F.collect_list(F.struct("idx", "mn", "mx"))).alias("__s"))
+        .select(
+            F.expr("transform(__s, s -> s.mn)").alias("__mn"),
+            F.expr("transform(__s, s -> s.mx)").alias("__mx"),
+        )
+    )
+    codes = F.expr(
+        "transform(sequence(1, size(__xi)), i -> CASE "
+        "WHEN element_at(__mx, i) = element_at(__mn, i) THEN cast(0 as bigint) "
+        "ELSE ((element_at(__xi, i) - element_at(__mn, i)) * 255) div "
+        "(element_at(__mx, i) - element_at(__mn, i)) END)"
+    )
+    return (
+        corpus.select(F.col(id_col), xi.alias("__xi"))
+        .crossJoin(F.broadcast(stats_row))
+        .select(F.col(id_col), codes.alias("codes"), "__mn", "__mx")
+    )
+
+
+def ann_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """Asymmetric top-k inner product against SQ8-quantized codes:
+    queries stay full-precision (micro-int components), corpus vectors
+    are 8-bit codes, and the score is the EXACT integer
+    ``Σ q_i · (mn_i·255 + code_i·(mx_i−mn_i))`` — the dequantized dot
+    product scaled by 255·1e12, never leaving int64 (|terms| ≲ 1e15·dim
+    for unit-scale embeddings, far under 2^63; ANSI mode would throw,
+    not wrap, if that assumption broke). Returns
+    ``(q_id, n_id, score_sq)`` ranked by score desc, id tiebreak.
+
+    Plan shape: quantization is a projection; scoring is one
+    ``aggregate()`` HOF per (corpus row × broadcast query) inside
+    whole-stage codegen — no posexplode, no per-component shuffle; the
+    only exchange is the top-k window's hash partition by q_id (pruned
+    by WindowGroupLimit). Recall vs exact cosine is pinned in
+    tests/test_similarity.py; determinism makes the whole pipeline —
+    training stats, codes, scores, ranking — DuckDB-oracle-exact."""
+    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.expr(
+            f"transform({query_vec_col}, c -> {_SQ8_MICRO.format(c='c')})"
+        ).alias("__qi"),
+    )
+    out = coded.withColumnRenamed(id_col, "n_id").crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        out = out.where(F.col("n_id") != F.col("q_id"))
+    score = F.expr(
+        "aggregate(sequence(1, size(codes)), cast(0 as bigint), (acc, i) -> "
+        "acc + element_at(__qi, i) * (element_at(__mn, i) * 255 + "
+        "element_at(codes, i) * (element_at(__mx, i) - element_at(__mn, i))))"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_sq"), F.asc("n_id"))
+    return (
+        out.select("q_id", "n_id", score.alias("score_sq"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

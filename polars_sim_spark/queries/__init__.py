@@ -225,6 +225,7 @@ _MANIFEST = [
     "normalize_part_names",
     "trigram_token_df",
     "ann_topk_bruteforce",
+    "ann_topk_sq8",
     "multimodal_decode_meta",
     "chunk_documents",
     "text_langid",

@@ -244,6 +244,59 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_sq8",
+    """
+WITH comps AS (
+  SELECT vec_id AS n_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS xi
+  FROM embeddings
+),
+stats AS (SELECT idx, min(xi) AS mn, max(xi) AS mx FROM comps GROUP BY 1),
+codes AS (
+  SELECT c.n_id, c.idx, s.mn, s.mx,
+         CASE WHEN s.mx = s.mn THEN 0 ELSE ((c.xi - s.mn) * 255) // (s.mx - s.mn) END AS code
+  FROM comps c JOIN stats s USING (idx)
+),
+q AS (
+  SELECT vec_id AS q_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS qi
+  FROM embeddings WHERE vec_id < 20
+),
+scores AS (
+  SELECT q.q_id, codes.n_id,
+         sum(q.qi * (codes.mn * 255 + codes.code * (codes.mx - codes.mn))) AS score_sq
+  FROM codes JOIN q USING (idx)
+  WHERE codes.n_id != q.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, CAST(score_sq AS BIGINT) AS score_sq FROM (
+  SELECT q_id, n_id, score_sq,
+         row_number() OVER (PARTITION BY q_id ORDER BY score_sq DESC, n_id) AS rn
+  FROM scores
+) WHERE rn <= 5
+""",
+)
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k — the 4×-memory vector-serving path
+    (operators/similarity.py sq8_quantize/ann_topk_sq8, FAISS-standard
+    SQ8, public): per-dim min/max stats broadcast, int8 codes by a
+    zero-shuffle transform() projection, and an exact-integer
+    asymmetric dot product via one aggregate() HOF per scored pair —
+    no posexplode, no per-component shuffle (the oracle's relational
+    unnest form computes the same integers). Recall vs exact cosine
+    pinned in tests/test_similarity.py."""
+    from polars_sim_spark.operators.similarity import ann_topk_sq8 as sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return sq8(emb, queries, k=5)
+
+
+@register(
     "embedding_label_centroids",
     """
 WITH comps AS (

@@ -467,3 +467,40 @@ def test_ivf_prebuilt_filtered_search(spark, sf_small, tmp_path):
     assert sorted(map(tuple, noop_filter.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_sq8_codes_in_range_and_deterministic(spark, sf_small):
+    from polars_sim_spark.operators.similarity import sq8_quantize
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    coded = sq8_quantize(emb)
+    rows = coded.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("d_lo"),
+        F.max(F.size("codes")).alias("d_hi"),
+    ).collect()[0]
+    assert rows["lo"] >= 0 and rows["hi"] <= 255
+    assert rows["d_lo"] == rows["d_hi"] == 64
+    # per-dim extremes map to the code range ends
+    a = {r[0]: r["codes"] for r in coded.select("vec_id", "codes").collect()}
+    b = {r[0]: r["codes"] for r in sq8_quantize(emb).select("vec_id", "codes").collect()}
+    assert a == b  # deterministic run-to-run
+
+
+def test_sq8_topk_recall_vs_exact(spark, sf_small):
+    """SQ8 keeps most of the exact top-k at 8 bits/dim: recall@5 vs the
+    exact cosine baseline stays high on the testdata (embeddings are
+    ~unit-norm, so inner product ranks like cosine)."""
+    from polars_sim_spark.operators.similarity import ann_topk_bruteforce, ann_topk_sq8
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_sq8(emb, queries, k=5)
+    ex = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+    ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
