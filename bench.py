@@ -140,6 +140,7 @@ HEADLINE = [
     "events_value_quantiles",
     # round 8:
     "events_zorder_pruned",
+    "events_upsert_partitions",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
@@ -190,6 +191,7 @@ def main() -> None:
     q.ensure_ivfpq_index(spark, sf_dir)
     q.ensure_ivf_kmeans_index(spark, sf_dir)
     q.ensure_zorder_events(spark, sf_dir)
+    q.ensure_upserted_events_lake(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

@@ -150,6 +150,7 @@ _MANIFEST = [
     "events_sliding_10m",
     "decontaminate_docs",
     "decontaminate_docs_bloom",
+    "events_upsert_partitions",
     "pack_documents_shards",
     "temperature_sample_docs",
     "dedup_incremental_docs",

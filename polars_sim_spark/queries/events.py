@@ -874,3 +874,85 @@ def events_hll_users_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return hll_estimate_from_registers(hll_merge(*shards), "event_type")
+
+
+def ensure_upserted_events_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build the deterministic upserted events lake for ``sf_dir`` if
+    absent: write events (narrow columns) hive-partitioned by
+    event_type, then apply one fixed SCD1 batch via
+    sources/sinks.py:upsert_partitions — update every click with
+    event_id % 97 == 0 (value + 1000) and insert a new -event_id click
+    row (value 42.0) for event_id % 199 == 0. Both writes are
+    deterministic, so the end state is reproducible from the original
+    table — which is exactly what the contract row's oracle recomputes.
+    A marker file distinguishes 'initial write done' from 'upsert
+    applied' so a killed build reruns from scratch."""
+    import os
+    import shutil
+
+    from polars_sim_spark.queries.vectors import _index_dir
+    from polars_sim_spark.sources.sinks import upsert_partitions
+
+    path = _index_dir(sf_dir, "events_upsert_lake")
+    marker = os.path.join(path, "_UPSERT_APPLIED")
+    if os.path.exists(marker):
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.partitionBy("event_type").parquet(path)
+    clicks = ev.where(F.col("event_type") == "click")
+    updates = clicks.where(F.pmod(F.col("event_id"), F.lit(97)) == 0).select(
+        "event_id", "user_id", (F.col("value") + F.lit(1000.0)).alias("value"), "event_type"
+    )
+    inserts = clicks.where(
+        (F.pmod(F.col("event_id"), F.lit(199)) == 0) & (F.col("event_id") > 0)
+    ).select(
+        (-F.col("event_id")).alias("event_id"),
+        "user_id",
+        F.lit(42.0).alias("value"),
+        "event_type",
+    )
+    upsert_partitions(
+        spark,
+        path,
+        updates.unionByName(inserts),
+        key_cols=["event_id"],
+        partition_col="event_type",
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return path
+
+
+@register(
+    "events_upsert_partitions",
+    """
+WITH up AS (
+  SELECT event_id, user_id, value + 1000 AS value, event_type
+  FROM events WHERE event_type = 'click' AND event_id % 97 = 0
+  UNION ALL
+  SELECT -event_id AS event_id, user_id, CAST(42.0 AS DOUBLE) AS value, event_type
+  FROM events WHERE event_type = 'click' AND event_id % 199 = 0 AND event_id > 0
+)
+SELECT event_id, user_id, value, event_type FROM events
+WHERE event_id NOT IN (SELECT event_id FROM up)
+UNION ALL
+SELECT event_id, user_id, value, event_type FROM up
+""",
+)
+def events_upsert_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned lake MERGE (sources/sinks.py:upsert_partitions):
+    read back the hive lake after one deterministic SCD1 batch —
+    updates replaced their rows, inserts appended, and ONLY the 'click'
+    partition was rewritten (dynamic partition overwrite; the other
+    four partitions keep byte-identical files — asserted in
+    tests/test_sinks.py). The oracle recomputes the merge from the
+    ORIGINAL table with plain SQL, so a lost row, duplicated key, or
+    corrupted untouched partition anywhere in the
+    write→prune→anti-join→overwrite chain is a driver hash mismatch."""
+    path = ensure_upserted_events_lake(spark, sf_dir)
+    lake = spark.read.parquet(path)
+    return lake.select("event_id", "user_id", "value", "event_type")

@@ -91,3 +91,103 @@ def read_back(
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    partition_col: str,
+    format: str = "parquet",
+    verify_global_keys: bool = False,
+) -> list:
+    """SCD1 merge (upsert) into a hive-partitioned lake, rewriting ONLY
+    the partitions the update batch touches — the lakehouse MERGE INTO,
+    on plain parquet. Returns the list of affected partition values.
+
+    Mechanics, in the order they matter at 100 TB:
+
+    1. the affected partition values are collected from the updates —
+       bounded by the number of TOUCHED partitions (a daily batch
+       touches a handful), never by row count;
+    2. existing rows are read with an ``isin`` literal filter on the
+       partition column, so the scan PRUNES to the affected
+       directories (partition pruning, not a full-lake read);
+    3. merge = existing LEFT ANTI updates on ``key_cols`` (drop every
+       replaced row) union the updates — updates win, inserts append;
+    4. the result is locally checkpointed (it is only the affected
+       partitions' rows — the bound the caller signs up for) to cut
+       the self-overwrite read-path dependency, then written with
+       ``partitionOverwriteMode=dynamic`` so Spark replaces exactly
+       the partitions that received output rows; every other
+       partition's files are untouched bytes on disk (asserted in
+       tests/test_sinks.py).
+
+    PRECONDITION: keys are partition-stable (the partition value is
+    derived from the key or from an immutable attribute — the normal
+    lake design). An update that MOVES a key across partitions would
+    leave the stale row in a partition this write never visits and
+    duplicate the key. Within the VISITED partitions that is detected
+    and rejected for free; detecting a stale row in an UNVISITED
+    partition requires global key knowledge (this is exactly why
+    lakehouse formats carry a key index), so that audit is opt-in via
+    ``verify_global_keys=True`` — an honest full-key-column scan,
+    never the default.
+    """
+    from pyspark.sql import functions as F
+
+    vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not vals:
+        return []
+    existing = (
+        spark.read.format(format).load(path).where(F.col(partition_col).isin(vals))
+    )
+    moved = (
+        updates.select(*key_cols, F.col(partition_col).alias("__newp"))
+        .join(
+            existing.select(*key_cols, F.col(partition_col).alias("__oldp")),
+            key_cols,
+            "inner",
+        )
+        .where(F.col("__newp") != F.col("__oldp"))
+    )
+    if moved.limit(1).count() > 0:
+        raise ValueError(
+            "upsert_partitions: an update moves a key to a different "
+            "partition; rewrite the source partition explicitly instead"
+        )
+    if verify_global_keys:
+        all_keys = (
+            spark.read.format(format)
+            .load(path)
+            .select(*key_cols, F.col(partition_col).alias("__oldp"))
+        )
+        escaped = (
+            updates.join(all_keys, key_cols, "inner")
+            .where(~F.col("__oldp").isin(vals))
+            .limit(1)
+            .count()
+        )
+        if escaped > 0:
+            raise ValueError(
+                "upsert_partitions: an update's key exists in a partition "
+                "outside the touched set; rewrite that partition explicitly"
+            )
+    merged = existing.join(updates, key_cols, "left_anti").unionByName(
+        updates.select(*existing.columns)
+    )
+    merged = merged.localCheckpoint(eager=True)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .format(format)
+            .partitionBy(partition_col)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    return vals

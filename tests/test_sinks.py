@@ -395,3 +395,71 @@ def test_zorder_row_group_pruning(spark, tmp_path):
         sorted(r.event_id for r in back.where(pred).collect())
         == sorted(r.event_id for r in ev.where(pred).collect())
     )
+
+
+def _partition_file_stats(path, part_dir):
+    d = os.path.join(path, part_dir)
+    return sorted(
+        (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_upsert_partitions_merges_and_leaves_others_untouched(spark, tmp_path):
+    """SCD1 upsert: updates win, inserts append, and partitions outside
+    the batch keep byte-identical files (dynamic partition overwrite +
+    pruned existing-side scan)."""
+    import pytest
+
+    from polars_sim_spark.sources.sinks import upsert_partitions
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i)) for i in range(400)], "k long, p string, v double"
+    )
+    base.repartition(4).write.partitionBy("p").parquet(path)
+    before = {f"p={i}": _partition_file_stats(path, f"p=p{i}") for i in range(4)}
+
+    # updates touch ONLY p0/p1: rewrite 10 existing keys, insert 5 new
+    updates = spark.createDataFrame(
+        [(i, f"p{i % 4}", -1.0) for i in range(0, 40, 4)]        # p0 updates
+        + [(i, f"p{i % 4}", -2.0) for i in range(1, 41, 4)]      # p1 updates
+        + [(1000 + i, "p0", 42.0) for i in range(5)],            # p0 inserts
+        "k long, p string, v double",
+    )
+    touched = upsert_partitions(spark, path, updates, key_cols=["k"], partition_col="p")
+    assert sorted(touched) == ["p0", "p1"]
+
+    got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 405
+    for i in range(0, 40, 4):
+        assert got[i] == (f"p{i % 4}", -1.0)
+    for i in range(1, 41, 4):
+        assert got[i] == (f"p{i % 4}", -2.0)
+    for i in range(5):
+        assert got[1000 + i] == ("p0", 42.0)
+    assert got[2] == ("p2", 2.0)  # untouched row intact
+
+    # p2/p3 files byte-identical (same names, mtimes, sizes)
+    for i in (2, 3):
+        assert _partition_file_stats(path, f"p=p{i}") == before[f"p={i}"]
+    # p0/p1 were rewritten
+    assert _partition_file_stats(path, "p=p0") != before["p=0"]
+
+    # a key moving partitions is rejected (old row in a visited partition)
+    mover = spark.createDataFrame([(2, "p0", 9.0)], "k long, p string, v double")
+    with pytest.raises(ValueError, match="moves a key"):
+        upsert_partitions(
+            spark, path, mover.unionByName(
+                spark.createDataFrame([(8, "p2", 9.0)], "k long, p string, v double")
+            ),
+            key_cols=["k"], partition_col="p",
+        )
+    # global-key audit catches a stale key in an UNVISITED partition
+    escape = spark.createDataFrame([(3, "p0", 9.0)], "k long, p string, v double")
+    with pytest.raises(ValueError, match="outside the touched set"):
+        upsert_partitions(
+            spark, path, escape, key_cols=["k"], partition_col="p",
+            verify_global_keys=True,
+        )
