@@ -222,6 +222,7 @@ def decontaminate_bloom(
     n: int = 8,
     m: int | None = None,
     k: int | None = None,
+    packed: bool = False,
 ) -> DataFrame:
     """:func:`decontaminate` behind a Bloom prefilter — the shape that
     survives an eval/contamination set too large to broadcast raw. The
@@ -250,6 +251,7 @@ def decontaminate_bloom(
         BLOOM_M,
         bloom_bits,
         bloom_contains,
+        bloom_contains_packed,
     )
 
     m = BLOOM_M if m is None else m
@@ -262,7 +264,8 @@ def decontaminate_bloom(
     sh = corpus.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     ).distinct()
-    maybe_sh = bloom_contains(bits, sh, "sh", m=m, k=k).where(F.col("bloom_maybe"))
+    contains = bloom_contains_packed if packed else bloom_contains
+    maybe_sh = contains(bits, sh, "sh", m=m, k=k).where(F.col("bloom_maybe"))
     cand_pairs = sh.join(maybe_sh.select("sh"), "sh", "left_semi")
     cand = cand_pairs.select(id_col).distinct().withColumn("bloom_candidate", F.lit(True))
     confirmed = (

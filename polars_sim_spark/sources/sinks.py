@@ -138,6 +138,11 @@ def upsert_partitions(
     """
     from pyspark.sql import functions as F
 
+    # The batch is referenced four times below (partition collect, move
+    # audit, anti join, union); materialize it once — it is the SMALL
+    # side by contract (a daily batch), so the checkpoint is bounded by
+    # batch size, and every reuse skips the caller's upstream plan.
+    updates = updates.localCheckpoint(eager=True)
     vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not vals:
         return []

@@ -308,3 +308,24 @@ def test_decontaminate_bloom_equals_plain(spark, sf_small):
         assert r["contaminated"] == plain[r["doc_id"]]
         if r["contaminated"]:
             assert r["bloom_candidate"]
+
+
+def test_bloom_packed_kernel_equals_row_form(spark):
+    """The packed-bitset mapInPandas twin answers identically to the
+    declarative row-form join on every probe (same md5 arithmetic)."""
+    from polars_sim_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_contains_packed,
+    )
+
+    vals = spark.createDataFrame([(f"in_{i}",) for i in range(300)], "v string")
+    probe = spark.createDataFrame(
+        [(f"in_{i}",) for i in range(600)] + [(f"out_{i}",) for i in range(600)],
+        "v string",
+    )
+    bits = bloom_bits(vals, "v", m=2048, k=3)
+    a = {r["v"]: r["bloom_maybe"] for r in bloom_contains(bits, probe, "v", m=2048, k=3).collect()}
+    b = {r["v"]: r["bloom_maybe"] for r in bloom_contains_packed(bits, probe, "v", m=2048, k=3).collect()}
+    assert a == b
+    assert any(a[f"out_{i}"] for i in range(600))  # collisions present at m=2048
