@@ -144,6 +144,7 @@ HEADLINE = [
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
+    "multimodal_ppm_pixel_stats",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
 ]

@@ -572,3 +572,131 @@ def wav_pcm_stats(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, f"doc_id {id_type}, n_frames long, sum_abs array<long>, peak_abs array<int>"
     )
+
+
+def synth_ppm(data: bytes, width: int) -> bytes | None:
+    """Deterministic binary PPM (P6) container around ``data``: the
+    bytes become interleaved RGB pixels, truncated to whole rows of
+    ``width`` pixels. Returns None when fewer than one full row fits —
+    the attach step leaves such payloads raw. Canonical header
+    ``P6\\n{w} {h}\\n255\\n`` so :func:`_parse_ppm` must invert it
+    exactly (and :func:`_try_real_decode` already reads its dims)."""
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    used = height * width * 3
+    return b"P6\n%d %d\n255\n" % (width, height) + data[:used]
+
+
+def _parse_ppm(data: bytes):
+    """Parse a binary PPM (P6) header: returns (width, height, offset of
+    the first pixel byte). Whitespace/comment handling per the netpbm
+    spec: three decimal fields (w, h, maxval) separated by whitespace or
+    ``#`` comments, then EXACTLY ONE whitespace byte before pixel data.
+    Raises NotImplementedError for anything else (incl. maxval > 255 —
+    2-byte samples are out of scope for the uint8 stats path)."""
+    if len(data) < 2 or data[:2] != b"P6":
+        raise NotImplementedError("not a binary PPM")
+    vals, i, n = [], 2, len(data)
+    while i < n and len(vals) < 3:
+        c = data[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and data[i] not in b"\r\n":
+                i += 1
+        elif chr(c).isdigit():
+            j = i
+            while j < n and chr(data[j]).isdigit():
+                j += 1
+            vals.append(int(data[i:j]))
+            i = j
+        else:
+            raise NotImplementedError("malformed PPM header")
+    if len(vals) < 3 or i >= n or data[i] not in b" \t\r\n":
+        raise NotImplementedError("malformed PPM header")
+    if vals[2] > 255:
+        raise NotImplementedError("16-bit PPM samples unsupported")
+    return vals[0], vals[1], i + 1
+
+
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize the image-fixture corpus: ids ≡ 0 (mod 3) whose text
+    holds at least one full pixel row become real binary PPMs
+    (:func:`synth_ppm`, width = 4 + id % 8); everything else stays raw
+    utf-8. Deterministic, so a closed-form SQL oracle predicts every
+    pixel byte from the text column."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = str(t).encode("utf-8")
+                p = synth_ppm(data, 4 + int(i) % 8) if int(i) % 3 == 0 else None
+                payloads.append(p if p is not None else data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+    return df.mapInPandas(op, schema)
+
+
+def ppm_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for binary-PPM payloads — REAL image
+    decode with no codec library, because P6 pixels are raw interleaved
+    RGB uint8: one zero-copy ``np.frombuffer`` view + a (h·w, 3)
+    reshape per payload inside the Arrow batch. Non-PPM payloads are
+    dropped. Exact integers only (channel sums as int64, peaks as
+    uint8-range ints), so the contract row's DuckDB oracle recomputes
+    every value from the fixture text bytes. Output:
+    (id, width, height, sum_rgb array<long>, peak_rgb array<int>)."""
+    import numpy as np
+
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    w, h, off = _parse_ppm(data)
+                except NotImplementedError:
+                    continue
+                n_px = w * h
+                if len(data) - off < n_px * 3:
+                    continue  # truncated pixel data: not a valid P6
+                px = np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * 3)
+                rgb = px.reshape(n_px, 3).astype(np.int64)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in rgb.sum(axis=0)])
+                peaks.append([int(x) for x in rgb.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgb": sums,
+                    "peak_rgb": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
+    )

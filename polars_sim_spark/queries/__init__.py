@@ -214,6 +214,7 @@ _MANIFEST = [
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
+    "multimodal_ppm_pixel_stats",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     # round 7:

@@ -189,3 +189,62 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.get("peak_abs", 0), F.lit(-1)).cast("int").alias("peak_abs_ch1"),
         F.coalesce(F.get("peak_abs", 1), F.lit(-1)).cast("int").alias("peak_abs_ch2"),
     )
+
+
+@register(
+    "multimodal_ppm_pixel_stats",
+    """
+WITH ppm AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents WHERE doc_id % 3 = 0
+),
+valid AS (SELECT *, (dlen // 3) // w AS h FROM ppm WHERE (dlen // 3) // w >= 1),
+px AS (SELECT doc_id, hx, w, h, unnest(range(w * h)) AS k FROM valid),
+sm AS (
+  SELECT p.doc_id, c.c,
+         CAST(('0x' || substr(p.hx, CAST((p.k * 3 + c.c) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+  FROM px p CROSS JOIN (VALUES (0), (1), (2)) AS c(c)
+),
+agg AS (SELECT doc_id, c, sum(v) AS s, max(v) AS pk FROM sm GROUP BY 1, 2)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(max(CASE WHEN a.c = 0 THEN a.s END) AS BIGINT) AS sum_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.s END) AS BIGINT) AS sum_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.s END) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN a.c = 0 THEN a.pk END) AS INT) AS peak_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.pk END) AS INT) AS peak_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.pk END) AS INT) AS peak_b
+FROM valid v JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixel decode with no codec (round 8, the image twin
+    of the WAV PCM slice): the PPM fixture corpus
+    (operators/multimodal.py:attach_image_payload — binary P6 around
+    the utf-8 text, width = 4 + id % 8) is decoded by
+    :func:`ppm_pixel_stats` — header inversion + a zero-copy uint8
+    frombuffer + (h·w, 3) reshape per payload in Arrow batches — into
+    exact per-channel sums and peaks. The DuckDB oracle recomputes
+    every pixel byte from the text column by hex extraction, proving
+    the pixel INTERPRETATION (header offset, row truncation, RGB
+    interleave), not just the dims."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_image_payload,
+        ppm_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = ppm_pixel_stats(attach_image_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )

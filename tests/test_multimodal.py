@@ -294,3 +294,37 @@ def test_wav_pcm_stats_known_samples(spark):
     assert got[2]["n_frames"] == 1
     assert list(got[2]["sum_abs"]) == [258]
     assert list(got[2]["peak_abs"]) == [258]
+
+
+def test_ppm_parse_and_pixel_stats(spark):
+    """P6 fixtures: header inversion, comment/whitespace handling, exact
+    channel sums/peaks, and rejection of truncated / 16-bit / non-PPM."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _parse_ppm,
+        ppm_pixel_stats,
+        synth_ppm,
+    )
+
+    data = bytes(range(256)) * 3
+    p = synth_ppm(data, 5)
+    w, h, off = _parse_ppm(p)
+    assert (w, h) == (5, 51) and p[off:] == data[: w * h * 3]
+    # comments + arbitrary whitespace per netpbm spec
+    wc = b"P6 # cmt\n5\t2 # another\n255\n" + bytes(30)
+    assert _parse_ppm(wc) == (5, 2, 27)
+    with pytest.raises(NotImplementedError):
+        _parse_ppm(b"P6\n5 2\n65535\n" + bytes(60))  # 16-bit samples
+    with pytest.raises(NotImplementedError):
+        _parse_ppm(b"JUNK")
+    assert synth_ppm(b"xy", 5) is None  # under one row -> left raw
+
+    rows = [(1, p), (2, b"not an image"), (3, b"P6\n5 2\n255\n" + bytes(10))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in ppm_pixel_stats(df).collect()}
+    assert list(got) == [1]  # non-PPM and truncated-pixels dropped
+    rgb = np.frombuffer(data[: 5 * 51 * 3], dtype=np.uint8).reshape(-1, 3)
+    assert got[1]["sum_rgb"] == [int(x) for x in rgb.astype(np.int64).sum(axis=0)]
+    assert got[1]["peak_rgb"] == [int(x) for x in rgb.max(axis=0)]
