@@ -1219,3 +1219,65 @@ def stream_session_windows(
             "sum_value",
         )
     )
+
+
+def stream_upsert_lake(
+    path: str,
+    *,
+    key_cols: list[str],
+    partition_col: str,
+    seq_col: str | None = None,
+):
+    """Streaming CDC apply: returns a ``foreachBatch`` callable that
+    merges each micro-batch into the hive-partitioned lake as an SCD1
+    upsert (sources/sinks.py:upsert_partitions — only the partitions
+    the batch touches are rewritten; every other partition keeps
+    byte-identical files).
+
+    Within-batch key collisions (a CDC feed can carry several versions
+    of one key per trigger) collapse BEFORE the merge: with ``seq_col``
+    the highest sequence wins; without it the lexicographically
+    greatest value tuple wins — both via the skew-safe
+    ``groupBy(key).agg(max(struct(...)))`` shape (map-side combine, no
+    window), and both DETERMINISTIC, which is what makes the replay
+    posture work: ``foreachBatch`` may re-deliver a batch id after a
+    failure, and re-applying the SAME collapsed batch is a no-op by
+    SCD1 semantics (replacing a row with an identical row). First
+    batch bootstraps the lake with a plain partitioned write.
+
+    Wire as ``stream.writeStream.foreachBatch(fn)`` with a checkpoint;
+    availableNow equivalence vs a batch-computed merge is pinned in
+    tests/test_streaming.py."""
+    import os
+
+    from polars_sim_spark.sources.sinks import upsert_partitions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cols = batch_df.columns
+        others = [c for c in cols if c not in key_cols]
+        order_cols = ([seq_col] if seq_col else []) + [
+            c for c in others if c != seq_col
+        ]
+        collapsed = (
+            batch_df.groupBy(*key_cols)
+            .agg(F.max(F.struct(*order_cols)).alias("__s"))
+            .select(*key_cols, "__s.*")
+            .select(*cols)
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")) and not any(
+            d.startswith(f"{partition_col}=")
+            for d in (os.listdir(path) if os.path.exists(path) else [])
+        ):
+            collapsed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            return
+        upsert_partitions(
+            batch_df.sparkSession,
+            path,
+            collapsed,
+            key_cols=key_cols,
+            partition_col=partition_col,
+        )
+
+    return apply

@@ -1290,3 +1290,69 @@ def test_stream_session_windows_equals_batch(spark, sf_small, events_stream_dir)
     finalized = {k: v for k, v in expected_all.items() if k[1] <= cutoff}
     assert len(got) > 0
     assert got == finalized
+
+
+def test_stream_upsert_lake_equals_batch_merge(spark, tmp_path):
+    """CDC micro-batches (one file per trigger, arbitrary order) upsert
+    into the lake; the final state equals the order-independent batch
+    merge: per-key max-seq row over base ∪ all updates."""
+    import os
+
+    from polars_sim_spark.streaming.stream_ops import stream_upsert_lake
+
+    lake = str(tmp_path / "lake")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    import pandas as pd
+
+    base = spark.createDataFrame(
+        [(i, f"p{i % 4}", float(i), 0) for i in range(200)],
+        "k long, p string, v double, seq long",
+    )
+    os.makedirs(src)
+    # plain parquet FILES (not dirs): the file stream source lists only
+    # direct children of the source path
+    base.toPandas().to_parquet(f"{src}/f0.parquet", index=False)
+    # three CDC files: overlapping keys, rising seq, p0/p1 only + inserts
+    upd1 = [(i, f"p{i % 4}", 100.0 + i, 1) for i in range(0, 40, 4)]          # p0
+    upd2 = [(i, f"p{i % 4}", 200.0 + i, 2) for i in range(0, 20, 4)]          # p0, newer
+    upd3 = [(i, f"p{i % 4}", 300.0 + i, 3) for i in range(1, 20, 4)] + [      # p1
+        (1000, "p1", 7.0, 3)                                                   # insert
+    ]
+    for n, rows in (("f1", upd1), ("f2", upd2), ("f3", upd3)):
+        pd.DataFrame(rows, columns=["k", "p", "v", "seq"]).astype(
+            {"k": "int64", "v": "float64", "seq": "int64"}
+        ).to_parquet(f"{src}/{n}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            stream_upsert_lake(lake, key_cols=["k"], partition_col="p", seq_col="seq")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    allrows = base.unionByName(
+        spark.createDataFrame(upd1 + upd2 + upd3, base.schema)
+    )
+    expected = {
+        r["k"]: (r["p"], r["v"], r["seq"])
+        for r in allrows.groupBy("k")
+        .agg(F.max(F.struct("seq", "v", "p")).alias("s"))
+        .select("k", F.col("s.p").alias("p"), F.col("s.v").alias("v"), F.col("s.seq").alias("seq"))
+        .collect()
+    }
+    got = {
+        r["k"]: (r["p"], r["v"], r["seq"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == expected
+    assert got[1000] == ("p1", 7.0, 3)
+    assert got[0][2] == 2 and got[1][2] == 3 and got[2][2] == 0
