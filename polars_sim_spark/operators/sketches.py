@@ -543,3 +543,77 @@ def bloom_contains_packed(
 
     probe = items.select(F.col(item_col).cast("string").alias(item_col)).distinct()
     return probe.mapInPandas(_probe, out_schema)
+
+
+def materialize_cms_shards(
+    df: DataFrame,
+    path: str,
+    group_col: str | None,
+    value_col: str,
+    shard: str,
+) -> None:
+    """Persist count-min counters as one hive shard partition — the
+    additive twin of :func:`materialize_hll_shards`: a daily ingest
+    appends ONE shard of O(groups·d·w) counter rows, and point queries
+    are served by summing stored shards (:func:`cms_estimate_stored`)
+    with no corpus rescan. Replayed shards DOUBLE counts (sums are not
+    idempotent, unlike HLL max) — pair with exactly-once batch ids or
+    overwrite-by-shard, stated honestly."""
+    cnt = cms_counters(df, group_col, value_col).withColumn("shard", F.lit(shard))
+    cnt.repartition(1).write.mode("append").partitionBy("shard").parquet(path.rstrip("/"))
+
+
+#: Appending a CMS shard IS materializing one — same write, same layout.
+append_cms_shard = materialize_cms_shards
+
+
+def cms_estimate_stored(
+    spark,
+    path: str,
+    items: DataFrame,
+    item_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Serve count-min point queries from stored shard counters: read
+    the sketch rows (never the data), merge by sum, estimate. Equal to
+    the single-pass estimate over the union corpus because counter
+    addition is exact (tested)."""
+    counters = spark.read.parquet(path.rstrip("/")).drop("shard")
+    return cms_estimate(cms_merge(counters), items, item_col, group_col)
+
+
+def materialize_bloom_shard(
+    df: DataFrame,
+    path: str,
+    value_col: str,
+    shard: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> None:
+    """Persist a Bloom bitset as one hive shard partition — membership's
+    entry in the stored-sketch family. Set-bit union is idempotent, so
+    replayed shards are harmless (same posture as HLL max-merge)."""
+    bits = bloom_bits(df, value_col, m=m, k=k).withColumn("shard", F.lit(shard))
+    bits.repartition(1).write.mode("append").partitionBy("shard").parquet(path.rstrip("/"))
+
+
+#: Appending a bloom shard IS materializing one.
+append_bloom_shard = materialize_bloom_shard
+
+
+def bloom_contains_stored(
+    spark,
+    path: str,
+    items: DataFrame,
+    item_col: str,
+    *,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test against stored shard bitsets: union-distinct the
+    stored bits (≤ m rows regardless of shard count) and probe. Equal
+    to a filter built over the union of all shards' values, exactly
+    (bit union is the Bloom of the union — tested)."""
+    bits = spark.read.parquet(path.rstrip("/")).select("bit").distinct()
+    return bloom_contains(bits, items, item_col, m=m, k=k)

@@ -329,3 +329,51 @@ def test_bloom_packed_kernel_equals_row_form(spark):
     b = {r["v"]: r["bloom_maybe"] for r in bloom_contains_packed(bits, probe, "v", m=2048, k=3).collect()}
     assert a == b
     assert any(a[f"out_{i}"] for i in range(600))  # collisions present at m=2048
+
+
+def test_cms_and_bloom_shards_append_and_serve(spark, tmp_path):
+    """Stored-sketch symmetry: CMS shards sum to the single-pass
+    counters' estimates; bloom shards union to the single-pass filter."""
+    from polars_sim_spark.operators.sketches import (
+        append_bloom_shard,
+        append_cms_shard,
+        bloom_bits,
+        bloom_contains,
+        bloom_contains_stored,
+        cms_counters,
+        cms_estimate,
+        cms_estimate_stored,
+    )
+
+    rows = [(f"u{i % 37}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "u string")
+    half1 = spark.createDataFrame(rows[:300], "u string")
+    half2 = spark.createDataFrame(rows[300:], "u string")
+    items = spark.createDataFrame([(f"u{i}",) for i in range(40)], "u string")
+
+    cpath = str(tmp_path / "cms")
+    append_cms_shard(half1, cpath, None, "u", shard="a")
+    append_cms_shard(half2, cpath, None, "u", shard="b")
+    served = {
+        r["u"]: r["cms_count"]
+        for r in cms_estimate_stored(spark, cpath, items, "u").collect()
+    }
+    single = {
+        r["u"]: r["cms_count"]
+        for r in cms_estimate(cms_counters(df, None, "u"), items, "u").collect()
+    }
+    assert served == single
+
+    bpath = str(tmp_path / "bloom")
+    append_bloom_shard(half1, bpath, "u", shard="a", m=512, k=3)
+    append_bloom_shard(half2, bpath, "u", shard="b", m=512, k=3)
+    got = {
+        r["u"]: r["bloom_maybe"]
+        for r in bloom_contains_stored(spark, bpath, items, "u", m=512, k=3).collect()
+    }
+    want = {
+        r["u"]: r["bloom_maybe"]
+        for r in bloom_contains(bloom_bits(df, "u", m=512, k=3), items, "u", m=512, k=3).collect()
+    }
+    assert got == want
+    assert all(got[f"u{i}"] for i in range(37))  # every inserted value TRUE
