@@ -50,6 +50,7 @@ HEADLINE = [
     "text_bpe_token_count",
     "ann_topk_bruteforce",
     "ann_topk_sq8",
+    "ann_topk_sq8_prebuilt",
     "asof_error_last_click",
     "dedup_cluster_docs",
     "revenue_rollup",
@@ -193,6 +194,7 @@ def main() -> None:
     q.ensure_ivf_kmeans_index(spark, sf_dir)
     q.ensure_zorder_events(spark, sf_dir)
     q.ensure_upserted_events_lake(spark, sf_dir)
+    q.ensure_sq8_index(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

@@ -1209,3 +1209,76 @@ def ann_topk_sq8(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def materialize_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SQ8 index: ``_codes/`` (one row per vector: id +
+    int8-range code array — the 4×-smaller serving payload) and
+    ``_stats/`` (ONE row: per-dim mn/mx micro-unit arrays — the frozen
+    quantizer). Stats are written LAST so a partial layout never
+    serves (completion key ``_stats/_SUCCESS``). Because the stats are
+    deterministic min/max, a rebuild over the same corpus reproduces
+    the stored artifacts exactly — serving from disk equals the
+    fit-in-query path row-for-row (tested)."""
+    coded = sq8_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    p = path.rstrip("/")
+    coded.select(
+        F.col(id_col), F.expr("transform(codes, c -> cast(c as int))").alias("codes")
+    ).write.mode("overwrite").parquet(f"{p}/_codes")
+    coded.select("__mn", "__mx").limit(1).withColumnRenamed("__mn", "mn").withColumnRenamed(
+        "__mx", "mx"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/_stats")
+
+
+def ann_topk_sq8_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_emb",
+    k: int = 5,
+    exclude_same_id: bool = True,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve SQ8 top-k from the STORED index: read the int8 codes and
+    the frozen quantizer stats (one broadcast row), score with the
+    identical exact-int64 aggregate() HOF as :func:`ann_topk_sq8` —
+    the corpus float vectors are never read (the 4× IO cut is the
+    point), and the contract row's DuckDB oracle recomputes every
+    score from the SAME committed files."""
+    p = path.rstrip("/")
+    codes = spark.read.parquet(f"{p}/_codes").select(
+        F.col(id_col).alias("n_id"),
+        F.expr("transform(codes, c -> cast(c as bigint))").alias("codes"),
+    )
+    stats = spark.read.parquet(f"{p}/_stats").select(
+        F.col("mn").alias("__mn"), F.col("mx").alias("__mx")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.expr(
+            f"transform({query_vec_col}, c -> {_SQ8_MICRO.format(c='c')})"
+        ).alias("__qi"),
+    )
+    out = codes.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(q))
+    if exclude_same_id:
+        out = out.where(F.col("n_id") != F.col("q_id"))
+    score = F.expr(
+        "aggregate(sequence(1, size(codes)), cast(0 as bigint), (acc, i) -> "
+        "acc + element_at(__qi, i) * (element_at(__mn, i) * 255 + "
+        "element_at(codes, i) * (element_at(__mx, i) - element_at(__mn, i))))"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_sq"), F.asc("n_id"))
+    return (
+        out.select("q_id", "n_id", score.alias("score_sq"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

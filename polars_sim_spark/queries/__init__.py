@@ -228,6 +228,7 @@ _MANIFEST = [
     "trigram_token_df",
     "ann_topk_bruteforce",
     "ann_topk_sq8",
+    "ann_topk_sq8_prebuilt",
     "multimodal_decode_meta",
     "chunk_documents",
     "text_langid",

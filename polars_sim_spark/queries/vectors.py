@@ -493,6 +493,76 @@ def ensure_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the committed SQ8 index for ``sf_dir`` if absent; returns
+    its path. Completion keys on ``_stats/_SUCCESS`` (written last)."""
+    from polars_sim_spark.operators.similarity import materialize_sq8_index
+
+    path = _index_dir(sf_dir, "sq8")
+    if not _os.path.exists(_os.path.join(path, "_stats", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        materialize_sq8_index(emb, path)
+    return path
+
+
+def duck_ann_sq8_prebuilt_sql(k: int = 5) -> str:
+    """Oracle for SQ8 stored serving: codes and quantizer stats come
+    from the COMMITTED index files (read_parquet); queries recompute
+    their micro-int components from embeddings — exactly what
+    ann_topk_sq8_prebuilt evaluates, integer for integer."""
+    idx = _index_dir("sf0.01", "sq8")
+    return f"""
+WITH st AS (
+  SELECT generate_subscripts(mn, 1) - 1 AS idx, unnest(mn) AS mn, unnest(mx) AS mx
+  FROM read_parquet('{idx}/_stats/*.parquet')
+),
+cd AS (
+  SELECT vec_id AS n_id, generate_subscripts(codes, 1) - 1 AS idx,
+         CAST(unnest(codes) AS BIGINT) AS code
+  FROM read_parquet('{idx}/_codes/*.parquet')
+),
+q AS (
+  SELECT vec_id AS q_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS qi
+  FROM embeddings WHERE vec_id < 20
+),
+scores AS (
+  SELECT q.q_id, cd.n_id,
+         sum(q.qi * (st.mn * 255 + cd.code * (st.mx - st.mn))) AS score_sq
+  FROM cd JOIN st USING (idx) JOIN q USING (idx)
+  WHERE cd.n_id != q.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, n_id, CAST(score_sq AS BIGINT) AS score_sq FROM (
+  SELECT q_id, n_id, score_sq,
+         row_number() OVER (PARTITION BY q_id ORDER BY score_sq DESC, n_id) AS rn
+  FROM scores
+) WHERE rn <= {k}
+"""
+
+
+@register("ann_topk_sq8_prebuilt", duck_ann_sq8_prebuilt_sql())
+def ann_topk_sq8_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 STORED serving (operators/similarity.py
+    materialize_sq8_index / ann_topk_sq8_prebuilt): top-k from the
+    committed int8 codes + frozen quantizer stats — the corpus float
+    vectors are never read (4× smaller scan), and the oracle
+    recomputes every integer score from the SAME committed files, so
+    a drifted code, stat, or ranking anywhere in the store→serve
+    chain is a driver hash mismatch. Serving equals the fit-in-query
+    twin row-for-row because the min/max quantizer is deterministic
+    (pinned in tests/test_similarity.py)."""
+    from polars_sim_spark.operators.similarity import ann_topk_sq8_prebuilt as serve
+
+    path = ensure_sq8_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return serve(spark, path, queries, k=5)
+
+
 def duck_ann_ivf_kmeans_prebuilt_sql(nprobe: int = 3, k: int = 5) -> str:
     """Oracle for the stored-IVF serving path: assignments and centroids
     come from the COMMITTED index files (read_parquet), probes and exact

@@ -504,3 +504,29 @@ def test_sq8_topk_recall_vs_exact(spark, sf_small):
     ap = {(r["q_id"], r["n_id"]) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.8, recall
+
+
+def test_sq8_prebuilt_equals_live(spark, sf_small, tmp_path):
+    """Stored SQ8 serving equals the fit-in-query path row-for-row (the
+    min/max quantizer is deterministic), and the serve plan reads only
+    codes + stats — never the float vector column."""
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_sq8,
+        ann_topk_sq8_prebuilt,
+        materialize_sq8_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    path = str(tmp_path / "sq8")
+    materialize_sq8_index(emb, path)
+    live = sorted(map(tuple, ann_topk_sq8(emb, queries, k=5).collect()))
+    served = ann_topk_sq8_prebuilt(spark, path, queries, k=5)
+    assert sorted(map(tuple, served.collect())) == live
+    files = served.inputFiles()
+    assert any("_codes" in f for f in files) and any("_stats" in f for f in files)
+    # the float corpus is only read on the (filtered) query side
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(vec_id,10)" in plan
