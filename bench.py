@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_ppm_pixel_stats",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
+    "pack_token_sequences",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

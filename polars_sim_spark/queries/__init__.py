@@ -152,6 +152,9 @@ _MANIFEST = [
     "decontaminate_docs_bloom",
     "events_upsert_partitions",
     "pack_documents_shards",
+    # round 8 (late batch): fixed-length training-sequence packing —
+    # the concat-and-chunk step downstream of shard packing.
+    "pack_token_sequences",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -311,6 +311,52 @@ def pack_documents_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_token_sequences",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY part, doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS s
+  FROM t
+),
+e AS (
+  SELECT doc_id, n_tok, s, s // 512 + u.i AS seq_id
+  FROM o, unnest(range((s + n_tok - 1) // 512 - s // 512 + 1)) AS u(i)
+)
+SELECT doc_id, seq_id,
+       greatest(s, seq_id*512) - s AS doc_lo,
+       least(s+n_tok, (seq_id+1)*512) - s AS doc_hi,
+       greatest(s, seq_id*512) - seq_id*512 AS seq_lo,
+       least(s+n_tok, (seq_id+1)*512) - seq_id*512 AS seq_hi
+FROM e
+""",
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the whole corpus into 512-token
+    training sequences (curation.pack_sequences): documents laid
+    end-to-end in deterministic (md5-partition, doc_id) order, one
+    output row per document × sequence overlap with exact token spans
+    on both sides. Same two-level distributed cumsum as
+    ``pack_documents_shards``; the chunk fan-out is a bounded
+    sequence/explode. The oracle replays it with one flat running sum
+    plus ``unnest(range(...))``."""
+    from polars_sim_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", token_col="n_tok", seq_len=512, num_parts=16
+    )
+
+
+@register(
     "temperature_sample_docs",
     """
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -210,6 +210,55 @@ def test_pack_shards_matches_naive_global_cumsum(spark):
     assert shards == list(range(len(shards)))
 
 
+def test_pack_sequences_tiles_exactly(spark):
+    from polars_sim_spark.operators.curation import pack_sequences
+
+    df = spark.range(150).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 53 + 1).alias("n_tok")
+    )
+    rows = pack_sequences(
+        df, id_col="doc_id", token_col="n_tok", seq_len=64, num_parts=8
+    ).collect()
+    total = sum(r["n_tok"] for r in df.collect())
+    # 1. spans cover every token of every doc exactly once, in order
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 150
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["seq_id"])
+        assert spans[0]["doc_lo"] == 0
+        for a, b in zip(spans, spans[1:]):
+            assert b["doc_lo"] == a["doc_hi"]
+            assert b["seq_id"] == a["seq_id"] + 1  # contiguous chunks
+            assert a["seq_hi"] == 64 and b["seq_lo"] == 0  # boundary cross
+    # 2. every sequence is exactly full except the last
+    by_seq: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["seq_lo"] < r["seq_hi"] <= 64
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + (r["seq_hi"] - r["seq_lo"])
+    seq_ids = sorted(by_seq)
+    assert seq_ids == list(range(len(seq_ids)))
+    assert all(by_seq[s] == 64 for s in seq_ids[:-1])
+    assert by_seq[seq_ids[-1]] == total - 64 * (len(seq_ids) - 1)
+
+
+def test_pack_sequences_single_shuffle_no_global_window(spark, sf_small):
+    """The doc-side plan must not contain a partition-less window: the
+    global cumsum is two-level (per-partition windows + a tiny offset
+    table), so only the num_parts-row offset branch may sort globally."""
+    from polars_sim_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok")
+    )
+    out = pack_sequences(docs, id_col="doc_id", token_col="n_tok", seq_len=512, num_parts=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges: hash by __part (docs) + the broadcast offsets
+    assert plan.count("Exchange SinglePartition") <= 1  # offsets branch only
+    assert out.count() > 0
+
+
 def test_temperature_sample_flattens_and_is_deterministic(spark):
     from polars_sim_spark.operators.curation import temperature_sample
 
