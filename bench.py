@@ -149,6 +149,8 @@ HEADLINE = [
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     "pack_token_sequences",
+    "quality_probe_fit_docs",
+    "quality_probe_score_stored",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since
@@ -196,6 +198,7 @@ def main() -> None:
     q.ensure_zorder_events(spark, sf_dir)
     q.ensure_upserted_events_lake(spark, sf_dir)
     q.ensure_sq8_index(spark, sf_dir)
+    q.ensure_quality_probe(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

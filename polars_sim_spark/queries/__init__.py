@@ -155,6 +155,10 @@ _MANIFEST = [
     # round 8 (late batch): fixed-length training-sequence packing —
     # the concat-and-chunk step downstream of shard packing.
     "pack_token_sequences",
+    # round 8 (late batch): learned quality classifier — distributed
+    # normal-equations fit (rows-only, numpy-pinned) + stored serving.
+    "quality_probe_fit_docs",
+    "quality_probe_score_stored",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -447,6 +447,100 @@ def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _probe_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic binary quality label: y = 1 iff the
+    hand-written teacher model's bias-free logit exceeds 0.005 (≈ the
+    corpus median, so classes are balanced). The fit rows distill this
+    teacher — a well-posed linear target the probe must recover."""
+    from polars_sim_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    teacher = spark.createDataFrame(QUALITY_MODEL_WEIGHTS, "word string, w double")
+    lab = curation.score_linear_model(docs, "doc_id", "text", teacher, bias=0.0).select(
+        F.col("id").alias("doc_id"), (F.col("score") > 0.005).cast("int").alias("y")
+    )
+    return docs.join(lab, "doc_id")
+
+
+def ensure_quality_probe(spark: SparkSession, sf_dir: str) -> str:
+    """Fit and persist the committed quality-probe model for ``sf_dir``
+    if absent; returns its path. Completion keys on ``_meta/_SUCCESS``
+    (written last), like the ANN index layouts."""
+    from polars_sim_spark.operators.classifier import materialize_quality_probe
+    from polars_sim_spark.queries.vectors import _index_dir
+    import os as _os
+
+    path = _index_dir(sf_dir, "quality_lr")
+    if not _os.path.exists(_os.path.join(path, "_meta", "_SUCCESS")):
+        materialize_quality_probe(
+            _probe_labeled_docs(spark, sf_dir), "doc_id", "text", "y", path
+        )
+    return path
+
+
+@register("quality_probe_fit_docs")
+def quality_probe_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT-in-query twin of the stored quality-probe serving row
+    (operators/classifier.py fit_linear_probe): distill the hand-written
+    teacher's thresholded labels into a learned bag-of-words linear model
+    via distributed exact-integer X^T X / X^T y sufficient statistics +
+    a driver-side ridge solve, then score every document with the fitted
+    weights. Sanctioned rows-only (the V×V solve is float linear algebra
+    with no SQL analog); the fit is pinned bit-for-bit against a pure
+    numpy reference in tests/test_classifier.py, and train accuracy
+    (≥0.9 vs the 0.53 majority baseline) is asserted there too."""
+    from polars_sim_spark.operators import curation
+    from polars_sim_spark.operators.classifier import fit_linear_probe
+
+    dl = _probe_labeled_docs(spark, sf_dir)
+    weights, bias = fit_linear_probe(dl, "doc_id", "text", "y", vocab_size=128)
+    wdf = spark.createDataFrame(weights, "word string, w double")
+    out = curation.score_linear_model(dl, "doc_id", "text", wdf, bias=bias)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _duck_quality_probe_stored_sql() -> str:
+    """Oracle for the stored-probe serving row: weights and bias come
+    from the COMMITTED model parquet (read_parquet) — exactly the files
+    score_with_stored_model reads — and the DECIMAL scoring plan is
+    replayed cell-for-cell."""
+    from polars_sim_spark.queries.vectors import _index_dir
+
+    idx = _index_dir("sf0.01", "quality_lr")
+    return f"""
+WITH w AS (SELECT word, w AS wt FROM read_parquet('{idx}/_weights/*.parquet')),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT id, tok FROM toks WHERE tok != '')
+SELECT nz.id AS doc_id,
+       round(CAST(sum(COALESCE(CAST(w.wt AS DECIMAL(18,6)),
+                               CAST(0 AS DECIMAL(18,6)))) AS DOUBLE)
+             / count(*)
+             + (SELECT bias FROM read_parquet('{idx}/_meta/*.parquet')), 6) AS score
+FROM nz LEFT JOIN w ON nz.tok = w.word
+GROUP BY nz.id
+"""
+
+
+@register("quality_probe_score_stored", _duck_quality_probe_stored_sql())
+def quality_probe_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED quality-probe serving (operators/classifier.py
+    materialize_quality_probe / score_with_stored_model): score every
+    document through the committed learned weights — the corpus is
+    scored by a broadcast-join DECIMAL plan, the model is a table, and
+    the oracle recomputes every score from the SAME committed parquet,
+    so a drifted weight, bias, or scoring step anywhere in the
+    fit→store→serve chain is a driver hash mismatch."""
+    from polars_sim_spark.operators.classifier import score_with_stored_model
+
+    path = ensure_quality_probe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return score_with_stored_model(spark, docs, "doc_id", "text", path)
+
+
 @register(
     "mix_budget_docs",
     """
