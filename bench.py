@@ -151,6 +151,7 @@ HEADLINE = [
     "pack_token_sequences",
     "quality_probe_fit_docs",
     "quality_probe_score_stored",
+    "multimodal_mp4_frames",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -238,11 +238,33 @@ def synth_wav(data: bytes, sample_rate: int, channels: int) -> bytes:
     )
 
 
+#: Nominal video frame size in the synthetic MP4 fixture: mdat is cut
+#: into FRAME_BYTES-byte samples (last = remainder), each lasting
+#: FRAME_DUR_MS at the mvhd/mdhd timescale of 1000 — so every stsz/stts
+#: entry, chunk offset, and pts is a closed-form function of the payload
+#: length that a SQL oracle can reproduce.
+FRAME_BYTES = 64
+FRAME_DUR_MS = 40
+
+
 def synth_mp4(data: bytes, width: int, height: int, duration_ms: int) -> bytes:
     """Deterministic minimal ISO-BMFF container around ``data``:
-    ftyp + moov(mvhd timescale=1000 + trak(tkhd width×height)) + mdat —
-    240 header bytes, the fixture :func:`_try_mp4_header` must invert."""
+    ftyp + moov(mvhd timescale=1000 + trak(tkhd width×height +
+    mdia/minf/stbl with REAL stsd/stts/stsc/stsz/stco sample tables
+    cutting mdat into FRAME_BYTES-byte frames)) + mdat. The fixture both
+    :func:`_try_mp4_header` (header fields) and
+    :func:`mp4_frame_sample` (per-frame offsets/sizes/timestamps) must
+    invert exactly."""
     import struct
+
+    n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+    sizes = [
+        FRAME_BYTES if (i + 1) * FRAME_BYTES <= len(data) else len(data) - i * FRAME_BYTES
+        for i in range(n_frames)
+    ]
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
 
     ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
     mvhd_payload = (
@@ -269,10 +291,193 @@ def synth_mp4(data: bytes, width: int, height: int, duration_ms: int) -> bytes:
         + struct.pack(">II", width << 16, height << 16)
     )
     tkhd = struct.pack(">I", 8 + len(tkhd_payload)) + b"tkhd" + tkhd_payload
-    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
-    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
-    mdat = struct.pack(">I", 8 + len(data)) + b"mdat" + data
-    return ftyp + moov + mdat
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">BBBB", 0, 0, 0, 0)
+        + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    vmhd = box(b"vmhd", struct.pack(">BBBB", 0, 0, 0, 1) + struct.pack(">HHHH", 0, 0, 0, 0))
+    stsd = box(
+        b"stsd",
+        struct.pack(">II", 0, 1)
+        + struct.pack(">I", 16)
+        + b"mp4v"
+        + b"\x00" * 6
+        + struct.pack(">H", 1),
+    )
+    stts = box(b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_frames, FRAME_DUR_MS))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, max(n_frames, 1), 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_frames) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    # stco needs the absolute mdat-payload offset, which depends on the
+    # finished moov length — same byte layout either way, so build once
+    # with a placeholder and patch the 4-byte offset in place.
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat_payload_off = len(ftyp) + len(moov) + 8
+    out = bytearray(ftyp + moov + struct.pack(">I", 8 + len(data)) + b"mdat" + data)
+    # search only the moov span: 'stco' can legitimately occur in data
+    stco_off_pos = bytes(out).find(b"stco", len(ftyp), len(ftyp) + len(moov)) + 4 + 8
+    out[stco_off_pos : stco_off_pos + 4] = struct.pack(">I", mdat_payload_off)
+    return bytes(out)
+
+
+def _parse_mp4_samples(data: bytes):
+    """Parse the first video track's sample tables out of an ISO-BMFF
+    payload: returns a list of ``(offset, size, pts_ms)`` per sample,
+    resolved from stsz (sizes), stts (decode timestamps), stsc
+    (sample→chunk mapping) and stco/co64 (chunk offsets) at the mdhd
+    timescale — the standard ISO/IEC 14496-12 resolution, no codec
+    involvement. Raises NotImplementedError when no parseable track
+    exists."""
+    import struct
+
+    if len(data) < 12 or data[4:8] not in (b"ftyp", b"moov"):
+        raise NotImplementedError("not an ISO-BMFF payload")
+
+    def children(span):
+        return _walk_mp4_boxes(data, span[0], span[1])
+
+    def find(span, btype):
+        for t, p, e in children(span):
+            if t == btype:
+                return (p, e)
+        return None
+
+    for mtype, mp, me in _walk_mp4_boxes(data, 0, len(data)):
+        if mtype != b"moov":
+            continue
+        for ttype, tp, te in _walk_mp4_boxes(data, mp, me):
+            if ttype != b"trak":
+                continue
+            mdia = find((tp, te), b"mdia")
+            if not mdia:
+                continue
+            mdhd = find(mdia, b"mdhd")
+            timescale = 1000
+            if mdhd:
+                ver = data[mdhd[0]]
+                timescale = struct.unpack_from(
+                    ">I", data, mdhd[0] + (20 if ver == 1 else 12)
+                )[0] or 1000
+            minf = find(mdia, b"minf")
+            stbl = find(minf, b"stbl") if minf else None
+            if not stbl:
+                continue
+            stsz = find(stbl, b"stsz")
+            stco = find(stbl, b"stco") or find(stbl, b"co64")
+            stsc = find(stbl, b"stsc")
+            stts = find(stbl, b"stts")
+            if not (stsz and stco and stsc):
+                continue
+            p = stsz[0]
+            fixed, n = struct.unpack_from(">II", data, p + 4)
+            sizes = (
+                [fixed] * n
+                if fixed
+                else [
+                    struct.unpack_from(">I", data, p + 12 + 4 * i)[0] for i in range(n)
+                ]
+            )
+            wide = data[stco[0] - 4 : stco[0]] == b"co64"
+            p = stco[0]
+            n_chunks = struct.unpack_from(">I", data, p + 4)[0]
+            offs = [
+                struct.unpack_from(">Q" if wide else ">I", data, p + 8 + (8 if wide else 4) * i)[0]
+                for i in range(n_chunks)
+            ]
+            p = stsc[0]
+            n_ent = struct.unpack_from(">I", data, p + 4)[0]
+            runs = [
+                struct.unpack_from(">III", data, p + 8 + 12 * i) for i in range(n_ent)
+            ]
+            # expand stsc: samples-per-chunk for every chunk
+            spc = []
+            for i, (first, per, _) in enumerate(runs):
+                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+                spc.extend([per] * (last - first + 1))
+            durs = []
+            if stts:
+                p = stts[0]
+                n_runs = struct.unpack_from(">I", data, p + 4)[0]
+                for i in range(n_runs):
+                    cnt, d = struct.unpack_from(">II", data, p + 8 + 8 * i)
+                    durs.extend([d] * cnt)
+            samples = []
+            si = 0
+            t = 0
+            for ci, off in enumerate(offs):
+                pos = off
+                for _ in range(spc[ci] if ci < len(spc) else 0):
+                    if si >= len(sizes):
+                        break
+                    d = durs[si] if si < len(durs) else 0
+                    samples.append((pos, sizes[si], t * 1000 // timescale))
+                    pos += sizes[si]
+                    t += d
+                    si += 1
+            if samples or n == 0:
+                return samples
+    raise NotImplementedError("BMFF without a parseable sample table")
+
+
+def mp4_frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL video frame sampling (no codec): resolve each MP4 payload's
+    per-frame byte ranges and timestamps from its ISO-BMFF sample tables
+    (:func:`_parse_mp4_samples`) and emit every ``every_n``-th frame
+    with its exact bytes sliced out of ``mdat`` — the 1→N fan-out shape
+    of a production frame sampler (id, frame_idx, pts, bytes), with the
+    frame *selection* done from container metadata so unsampled frame
+    bytes are never copied. Non-BMFF payloads yield no rows.
+
+    Scale: pure byte parsing per row inside one Arrow ``mapInPandas``
+    pass — no shuffle, no driver participation; output size is input
+    bytes / every_n."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, pts, frames = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    samples = _parse_mp4_samples(data)
+                except NotImplementedError:
+                    continue
+                for fi in range(0, len(samples), every_n):
+                    off, size, t = samples[fi]
+                    ids.append(i)
+                    idxs.append(fi)
+                    pts.append(t)
+                    frames.append(data[off : off + size])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([int(x) for x in ids], dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "pts_ms": pd.array(pts, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "doc_id long, frame_idx long, pts_ms long, frame binary"
+    )
 
 
 def _fake_dims(n_bytes: int) -> tuple[int, int]:

@@ -159,6 +159,9 @@ _MANIFEST = [
     # normal-equations fit (rows-only, numpy-pinned) + stored serving.
     "quality_probe_fit_docs",
     "quality_probe_score_stored",
+    # round 8 (late batch): real MP4 frame sampling via ISO-BMFF
+    # sample-table resolution (stts/stsc/stsz/stco).
+    "multimodal_mp4_frames",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

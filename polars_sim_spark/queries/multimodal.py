@@ -44,7 +44,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
        CASE WHEN doc_id % 5 = 0 THEN dlen + 44
-            WHEN doc_id % 5 = 1 THEN dlen + 240
+            WHEN doc_id % 5 = 1 THEN dlen + 473 + 4 * ((dlen + 63) // 64)
             ELSE dlen END AS n_bytes,
        CASE WHEN doc_id % 5 = 0 THEN 'wav'
             WHEN doc_id % 5 = 1 THEN 'mp4'
@@ -247,4 +247,54 @@ def multimodal_ppm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("peak_rgb", 1).alias("peak_r"),
         F.element_at("peak_rgb", 2).alias("peak_g"),
         F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
+@register(
+    "multimodal_mp4_frames",
+    """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents
+  WHERE doc_id % 5 = 1 AND octet_length(encode(text)) > 0
+),
+f AS (
+  SELECT doc_id, hx, dlen, u.i AS frame_idx
+  FROM m, unnest(range((dlen + 63) // 64)) AS u(i)
+  WHERE u.i % 2 = 0
+)
+SELECT doc_id, frame_idx,
+       frame_idx * 40 AS pts_ms,
+       least(64, dlen - frame_idx * 64) AS n_bytes,
+       substr(hx, CAST(frame_idx * 128 + 1 AS BIGINT),
+              CAST(least(64, dlen - frame_idx * 64) * 2 AS BIGINT)) AS frame_hex
+FROM f
+""",
+)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling with no codec (the MP4 twin of the PPM
+    pixel and WAV PCM slices): the mixed-media fixture corpus's MP4
+    payloads (ids ≡ 1 mod 5, operators/multimodal.py:synth_mp4 — now
+    with full stsd/stts/stsc/stsz/stco sample tables) are resolved by
+    :func:`mp4_frame_sample` into per-frame byte ranges + timestamps
+    via the standard ISO/IEC 14496-12 stbl resolution, and every 2nd
+    frame's exact bytes are sliced out of mdat. The DuckDB oracle
+    reconstructs each sampled frame's bytes (hex) and pts from the text
+    column in closed form, proving the OFFSET ARITHMETIC of the chunk
+    walk — a mis-parsed stsz entry or chunk offset shifts every
+    subsequent frame and fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        mp4_frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mp4_frame_sample(attach_media_payload(docs), every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "pts_ms",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
     )

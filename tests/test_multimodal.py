@@ -261,7 +261,7 @@ def test_decode_media_meta_end_to_end(spark):
     dlen6 = len("hello media world " * 7)
     assert out[6]["width"] == 256 and out[6]["height"] == 120
     assert out[6]["duration_ms"] == dlen6 * 40
-    assert out[6]["n_bytes"] == dlen6 + 240
+    assert out[6]["n_bytes"] == dlen6 + 473 + 4 * ((dlen6 + 63) // 64)
     assert out[6]["sample_rate"] is None and out[6]["channels"] is None
     # stub rows keep the fake-dims contract and null media fields
     dlen2 = len("hello media world " * 3)
@@ -328,3 +328,81 @@ def test_ppm_parse_and_pixel_stats(spark):
     rgb = np.frombuffer(data[: 5 * 51 * 3], dtype=np.uint8).reshape(-1, 3)
     assert got[1]["sum_rgb"] == [int(x) for x in rgb.astype(np.int64).sum(axis=0)]
     assert got[1]["peak_rgb"] == [int(x) for x in rgb.max(axis=0)]
+
+
+def test_mp4_sample_tables_roundtrip():
+    from polars_sim_spark.operators.multimodal import (
+        FRAME_BYTES,
+        _parse_mp4_samples,
+        synth_mp4,
+    )
+
+    data = bytes(range(256)) * 3  # 768 bytes = 12 full frames
+    mp4 = synth_mp4(data, width=320, height=240, duration_ms=100)
+    samples = _parse_mp4_samples(mp4)
+    assert len(samples) == (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+    assert b"".join(mp4[o : o + s] for o, s, _ in samples) == data
+    assert [t for _, _, t in samples] == [i * 40 for i in range(len(samples))]
+    # 'stco' bytes inside the payload must not confuse the offset patch
+    tricky = b"__stco__" * 33
+    mp4t = synth_mp4(tricky, width=160, height=120, duration_ms=0)
+    st = _parse_mp4_samples(mp4t)
+    assert b"".join(mp4t[o : o + s] for o, s, _ in st) == tricky
+
+
+def test_mp4_parser_handles_general_layouts():
+    """Fixed-size stsz, multiple chunks via stsc runs, and co64 offsets —
+    layouts real muxers emit that the synth fixture doesn't."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import _parse_mp4_samples
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    # 6 samples of 10 bytes in 2 chunks of 3; 64-bit chunk offsets
+    payload = bytes(range(60))
+    mdhd = box(b"mdhd", struct.pack(">BBBBIIII", 0, 0, 0, 0, 0, 0, 600, 240) + struct.pack(">HH", 0, 0))
+    stts = box(b"stts", struct.pack(">II", 0, 2) + struct.pack(">IIII", 3, 60, 3, 30))
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 3, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, 10, 6))  # fixed size, no table
+    # chunk offsets chosen inside the mdat we append below
+    stbl_sized = None
+    for _ in range(2):  # two passes: offsets depend on header length
+        co64 = box(b"co64", struct.pack(">II", 0, 2) + struct.pack(">QQ", *( [0, 0] if stbl_sized is None else stbl_sized)))
+        stbl = box(b"stbl", stts + stsc + stsz + co64)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        base = len(ftyp) + len(moov) + 8
+        stbl_sized = (base, base + 30)
+    mp4 = ftyp + moov + struct.pack(">I", 8 + 60) + b"mdat" + payload
+    samples = _parse_mp4_samples(mp4)
+    assert [s for _, s, _ in samples] == [10] * 6
+    assert b"".join(mp4[o : o + s] for o, s, _ in samples) == payload
+    # pts at timescale 600: durations 60,60,60,30,30,30 -> ms via *1000//600
+    assert [t for _, _, t in samples] == [0, 100, 200, 300, 350, 400]
+
+
+def test_mp4_frame_sample_spark_fanout(spark):
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        mp4_frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "frame payload bytes " * (i + 3)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = mp4_frame_sample(attach_media_payload(df), every_n=2).collect()
+    # only ids ≡ 1 (mod 5) are MP4
+    assert {r["doc_id"] for r in out} == {1, 6}
+    for r in out:
+        assert r["frame_idx"] % 2 == 0
+        assert r["pts_ms"] == r["frame_idx"] * 40
+        dlen = len("frame payload bytes " * (r["doc_id"] + 3))
+        start = r["frame_idx"] * 64
+        want = ("frame payload bytes " * (r["doc_id"] + 3)).encode()[start : start + 64]
+        assert bytes(r["frame"]) == want
