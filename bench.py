@@ -152,6 +152,7 @@ HEADLINE = [
     "quality_probe_fit_docs",
     "quality_probe_score_stored",
     "multimodal_mp4_frames",
+    "multimodal_ppm_resize",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -825,6 +825,80 @@ def _parse_ppm(data: bytes):
     return vals[0], vals[1], i + 1
 
 
+def ppm_resize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    factor: int = 2,
+) -> DataFrame:
+    """REAL image resizing with no codec (supersedes the byte-cycling
+    stand-in :func:`resize_image` for PPM payloads): downsample each
+    binary-PPM payload by an integer ``factor`` using exact block-mean
+    pooling — output pixel (Y,X,ch) is the truncating integer mean of
+    its ``factor×factor`` source block, edge rows/cols beyond the last
+    full block dropped. Sums of ≤ factor²·255 stay in exact integers,
+    so every output byte is engine-reproducible and the contract row's
+    DuckDB oracle recomputes the full resized bitmap from the fixture
+    text bytes. Non-PPM payloads and images smaller than one block are
+    dropped.
+
+    Output: (id, src_w, src_h, out_w, out_h, resized) where ``resized``
+    is the raw interleaved RGB uint8 bitmap (out_h·out_w·3 bytes) — the
+    tensor-shaped thing a feature-extraction stage consumes.
+
+    Scale: one zero-copy frombuffer + two reshapes per payload inside
+    Arrow ``mapInPandas`` — no shuffle, no driver; output bytes are
+    input/factor²."""
+    import numpy as np
+
+    f = int(factor)
+    if f < 1:
+        raise ValueError("ppm_resize: factor must be >= 1")
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sws, shs, ows, ohs, outs = [], [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    w, h, off = _parse_ppm(data)
+                except NotImplementedError:
+                    continue
+                if len(data) - off < w * h * 3:
+                    continue
+                ow, oh = w // f, h // f
+                if ow < 1 or oh < 1:
+                    continue
+                px = np.frombuffer(data, dtype=np.uint8, offset=off, count=w * h * 3)
+                img = px.reshape(h, w, 3)[: oh * f, : ow * f]
+                pooled = (
+                    img.reshape(oh, f, ow, f, 3).astype(np.int64).sum(axis=(1, 3))
+                    // (f * f)
+                ).astype(np.uint8)
+                ids.append(int(i))
+                sws.append(w)
+                shs.append(h)
+                ows.append(ow)
+                ohs.append(oh)
+                outs.append(pooled.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "src_w": pd.array(sws, dtype="int32"),
+                    "src_h": pd.array(shs, dtype="int32"),
+                    "out_w": pd.array(ows, dtype="int32"),
+                    "out_h": pd.array(ohs, dtype="int32"),
+                    "resized": outs,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, "doc_id long, src_w int, src_h int, out_w int, out_h int, resized binary"
+    )
+
+
 def attach_image_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -162,6 +162,8 @@ _MANIFEST = [
     # round 8 (late batch): real MP4 frame sampling via ISO-BMFF
     # sample-table resolution (stts/stsc/stsz/stco).
     "multimodal_mp4_frames",
+    # round 8 (late batch): real 2x block-mean image resize on PPM pixels.
+    "multimodal_ppm_resize",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

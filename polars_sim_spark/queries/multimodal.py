@@ -298,3 +298,54 @@ def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("n_bytes"),
         F.hex("frame").alias("frame_hex"),
     )
+
+
+@register(
+    "multimodal_ppm_resize",
+    """
+WITH im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 3) // (4 + doc_id % 8) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, hx, w, h, w // 2 AS ow, h // 2 AS oh
+  FROM im WHERE h >= 2
+),
+px AS (
+  SELECT doc_id, hx, w, ow, oh, u.i AS k,
+         u.i // (ow*3) AS yy, (u.i % (ow*3)) // 3 AS xx, u.i % 3 AS ch
+  FROM dims, unnest(range(ow*oh*3)) AS u(i)
+),
+v AS (
+  SELECT doc_id, ow, oh, k,
+         ( CAST(('0x' || substr(hx, CAST(((2*yy)*w + 2*xx)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy)*w + 2*xx+1)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy+1)*w + 2*xx)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy+1)*w + 2*xx+1)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         ) // 4 AS b
+  FROM px
+)
+SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       string_agg(lpad(hex(b), 2, '0'), '' ORDER BY k) AS resized_hex
+FROM v GROUP BY doc_id, ow, oh
+""",
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resizing with no codec (completes the decode →
+    resize → feature-extract multimodal chain): the PPM fixture corpus
+    is downsampled 2× by exact block-mean pooling
+    (operators/multimodal.py:ppm_resize — zero-copy frombuffer +
+    reshape-sum per payload in Arrow batches, truncating integer means
+    so every output byte is engine-exact). The DuckDB oracle recomputes
+    the ENTIRE resized bitmap per document from the text bytes by hex
+    extraction — a mis-averaged block, wrong edge truncation, or RGB
+    interleave slip changes the hex and fails the hash."""
+    from polars_sim_spark.operators.multimodal import attach_image_payload, ppm_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ppm_resize(attach_image_payload(docs), factor=2)
+    return out.select(
+        "doc_id", "out_w", "out_h", F.hex("resized").alias("resized_hex")
+    )

@@ -406,3 +406,25 @@ def test_mp4_frame_sample_spark_fanout(spark):
         start = r["frame_idx"] * 64
         want = ("frame payload bytes " * (r["doc_id"] + 3)).encode()[start : start + 64]
         assert bytes(r["frame"]) == want
+
+
+def test_ppm_resize_block_means(spark):
+    """2x block-mean pooling: exact truncating integer means, edge
+    rows/cols beyond the last full block dropped, non-PPM rows gone."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import ppm_resize, synth_ppm
+
+    # 4x5 image (w=4, h=5): 60 pixel bytes 0..59; 5th row is dropped at f=2
+    data = bytes(range(60))
+    rows = [(1, synth_ppm(data, 4)), (2, b"not a ppm")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in ppm_resize(df, factor=2).collect()}
+    assert list(out) == [1]
+    r = out[1]
+    assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (4, 5, 2, 2)
+    img = np.frombuffer(data, dtype=np.uint8).reshape(5, 4, 3)
+    want = (
+        img[:4, :4].reshape(2, 2, 2, 2, 3).astype(np.int64).sum(axis=(1, 3)) // 4
+    ).astype(np.uint8)
+    assert bytes(r["resized"]) == want.tobytes()
