@@ -153,6 +153,7 @@ HEADLINE = [
     "quality_probe_score_stored",
     "multimodal_mp4_frames",
     "multimodal_ppm_resize",
+    "events_profile",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -164,6 +164,8 @@ _MANIFEST = [
     "multimodal_mp4_frames",
     # round 8 (late batch): real 2x block-mean image resize on PPM pixels.
     "multimodal_ppm_resize",
+    # round 8 (late batch): single-pass per-column dataset profiler.
+    "events_profile",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -956,3 +956,50 @@ def events_upsert_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_upserted_events_lake(spark, sf_dir)
     lake = spark.read.parquet(path)
     return lake.select("event_id", "user_id", "value", "event_type")
+
+
+def _duck_profile_block(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS min_str,
+       CAST(max({col}) AS VARCHAR) AS max_str
+FROM t"""
+
+
+@register(
+    "events_profile",
+    """
+WITH t AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS value_micro,
+         props
+  FROM events
+)
+"""
+    + "\nUNION ALL".join(
+        _duck_profile_block(c)
+        for c in ("event_id", "ts_us", "user_id", "event_type", "value_micro", "props")
+    ),
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass dataset profiler (operators/profile.py): null count,
+    exact distinct cardinality and native-typed min/max for every
+    column of the events table, in long format from ONE aggregate over
+    ONE scan (multi-DISTINCT via Catalyst's Expand — the standard
+    profiler plan). Timestamps and doubles are pre-canonicalized to
+    exact integers (epoch micros / 1e-6 micro-units) so every cell —
+    including the stringified extrema — is engine-identical; the oracle
+    recomputes all six columns' statistics with plain SQL."""
+    from polars_sim_spark.operators.profile import profile_columns
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.round("value", 6) * 1000000, 0).cast("long").alias("value_micro"),
+        "props",
+    )
+    return profile_columns(ev)

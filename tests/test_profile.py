@@ -1,0 +1,50 @@
+"""Dataset profiler (operators/profile.py): values and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_sim_spark.operators.profile import profile_columns
+
+
+def test_profile_values_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (3, "b", None), (4, "a", 8.0)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for r in got.values():
+        assert r["n_rows"] == 4
+    assert (got["id"]["n_null"], got["id"]["n_distinct"]) == (0, 4)
+    assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["n_null"], got["v"]["n_distinct"]) == (1, 3)
+    # native-typed extrema, cast AFTER aggregation: numeric order, not
+    # lexicographic ('10' < '9' as strings would flip this)
+    assert (got["id"]["min_str"], got["id"]["max_str"]) == ("1", "4")
+    assert (got["v"]["min_str"], got["v"]["max_str"]) == ("2.0", "8.0")
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    got = {r["column"]: r for r in profile_columns(df, ["s"]).collect()}
+    r = got["s"]
+    assert (r["n_null"], r["n_distinct"], r["min_str"], r["max_str"]) == (2, 0, None, None)
+
+
+def test_profile_single_scan_plan(spark, sf_small):
+    """All columns' stats come from ONE scan: the plan has exactly one
+    parquet scan and the multi-DISTINCT compiles through Expand."""
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    out = profile_columns(ev, ["event_id", "user_id", "event_type"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert out.count() == 3
+
+
+def test_profile_validates_empty(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
