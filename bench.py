@@ -154,6 +154,7 @@ HEADLINE = [
     "multimodal_mp4_frames",
     "multimodal_ppm_resize",
     "events_profile",
+    "events_drift_tv",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

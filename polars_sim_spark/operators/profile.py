@@ -56,3 +56,55 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         f"stack({len(cols)}, {', '.join(stack_args)}) "
         "as (column, n_null, n_distinct, min_str, max_str)",
     ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def drift_tv(
+    df_a: DataFrame, df_b: DataFrame, bucket_cols: list[str]
+) -> DataFrame:
+    """Distribution drift between two table snapshots, bucketed by
+    ``bucket_cols``: per bucket, both sides' counts, each side's exact
+    micro-unit probability mass ``p = (cnt·1e6) div N`` (integral
+    truncating division — engine-exact, no float), and the absolute
+    mass difference. Total-variation distance = Σ tv_micro / 2e6 — an
+    L1 drift score with none of the cross-engine ``ln`` hazards of
+    KL/PSI, which is why the whole output is oracle-checkable
+    bit-for-bit. Buckets present on only one side contribute their full
+    mass (the union+conditional-count keeps them with a zero on the
+    other side); an empty side contributes zero mass everywhere.
+
+    Scale: ONE pass over the snapshots — sides are tagged and unioned
+    map-side, one hash aggregate produces per-bucket conditional
+    counts, and the side totals come from a WINDOW over that already-
+    aggregated (bucket-bounded) table rather than a second aggregate
+    branch: a separate ``agg`` + join-back would duplicate the whole
+    scan subtree, because ReusedExchange does not fire across
+    duplicated aggregate subtrees (measured on the TPC-H q2/q20
+    decorrelation shapes, BASELINE.md). The window's single partition
+    holds |buckets| rows, not corpus rows."""
+    from pyspark.sql import Window
+
+    if not bucket_cols:
+        raise ValueError("drift_tv: bucket_cols must be non-empty")
+    a = df_a.select(*bucket_cols).withColumn("__s", F.lit(0))
+    b = df_b.select(*bucket_cols).withColumn("__s", F.lit(1))
+    per = (
+        a.unionByName(b)
+        .groupBy(*bucket_cols)
+        .agg(
+            F.sum((F.col("__s") == 0).cast("long")).alias("cnt_a"),
+            F.sum(F.col("__s").cast("long")).alias("cnt_b"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        per.withColumn("__na", F.sum("cnt_a").over(w))
+        .withColumn("__nb", F.sum("cnt_b").over(w))
+        .select(
+            *bucket_cols,
+            "cnt_a",
+            "cnt_b",
+            F.expr("cnt_a * 1000000 div greatest(__na, 1)").alias("p_micro"),
+            F.expr("cnt_b * 1000000 div greatest(__nb, 1)").alias("q_micro"),
+        )
+        .withColumn("tv_micro", F.abs(F.col("p_micro") - F.col("q_micro")))
+    )

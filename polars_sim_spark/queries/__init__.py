@@ -166,6 +166,8 @@ _MANIFEST = [
     "multimodal_ppm_resize",
     # round 8 (late batch): single-pass per-column dataset profiler.
     "events_profile",
+    # round 8 (late batch): snapshot drift via exact-integer TV distance.
+    "events_drift_tv",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -1003,3 +1003,54 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     return profile_columns(ev)
+
+
+@register(
+    "events_drift_tv",
+    """
+WITH t AS (
+  SELECT event_type,
+         CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) // 10000000 AS value_bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS s
+  FROM events
+),
+per AS (
+  SELECT event_type, value_bucket,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(s) AS BIGINT) AS cnt_b
+  FROM t GROUP BY event_type, value_bucket
+),
+tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per)
+SELECT event_type, value_bucket, cnt_a, cnt_b,
+       cnt_a * 1000000 // greatest(na, 1) AS p_micro,
+       cnt_b * 1000000 // greatest(nb, 1) AS q_micro,
+       abs(cnt_a * 1000000 // greatest(na, 1) - cnt_b * 1000000 // greatest(nb, 1)) AS tv_micro
+FROM per, tot
+""",
+)
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitoring (operators/profile.py:drift_tv — the
+    profiler's monitoring sibling): the events stream's first 15 days
+    vs the rest, bucketed by (event_type, 10-unit value bucket), with
+    each side's probability mass in EXACT integer micro-units and the
+    per-bucket total-variation contribution. One shuffle (tag + union +
+    conditional-count aggregate), broadcast totals; no ln/PSI float
+    hazards, so the oracle reproduces every cell bit-for-bit."""
+    from polars_sim_spark.operators.profile import drift_tv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.expr(
+            "cast(round(round(value, 6) * 1000000, 0) as bigint) div 10000000"
+        ).alias("value_bucket"),
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = drift_tv(
+        ev.where(F.col("ts") < cut),
+        ev.where(F.col("ts") >= cut),
+        ["event_type", "value_bucket"],
+    )
+    return out.select(
+        "event_type", "value_bucket", "cnt_a", "cnt_b", "p_micro", "q_micro", "tv_micro"
+    )

@@ -48,3 +48,42 @@ def test_profile_validates_empty(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_drift_tv_hand_values(spark):
+    from polars_sim_spark.operators.profile import drift_tv
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("z",)], "b string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("y",)], "b string")
+    got = {r["b"]: r for r in drift_tv(a, b, ["b"]).collect()}
+    # p: x=2/4, y=1/4, z=1/4 ; q: x=1/4, y=3/4, z=0
+    assert (got["x"]["p_micro"], got["x"]["q_micro"]) == (500000, 250000)
+    assert (got["y"]["p_micro"], got["y"]["q_micro"]) == (250000, 750000)
+    assert (got["z"]["cnt_b"], got["z"]["q_micro"]) == (0, 0)  # one-sided bucket kept
+    assert sum(r["tv_micro"] for r in got.values()) == 1000000  # TV = 0.5
+    # identical snapshots → zero drift everywhere
+    same = drift_tv(a, a, ["b"]).collect()
+    assert all(r["tv_micro"] == 0 for r in same)
+
+
+def test_drift_tv_single_shuffle(spark, sf_small):
+    from polars_sim_spark.operators.profile import drift_tv
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    out = drift_tv(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        ["event_type"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash-partition exchange for the bucket agg; side totals come
+    # from a window over the aggregated table, NOT a second aggregate
+    # branch — so the parquet scan appears exactly twice (side A + side
+    # B of the union), not four times
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+    assert out.count() > 0
