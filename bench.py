@@ -149,6 +149,7 @@ HEADLINE = [
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     "pack_token_sequences",
+    "pack_token_sequences_stored",
     "quality_probe_fit_docs",
     "quality_probe_score_stored",
     "multimodal_mp4_frames",
@@ -203,6 +204,7 @@ def main() -> None:
     q.ensure_upserted_events_lake(spark, sf_dir)
     q.ensure_sq8_index(spark, sf_dir)
     q.ensure_quality_probe(spark, sf_dir)
+    q.ensure_packed_sequences(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

@@ -13,6 +13,8 @@ partitioning for the window AND the per-session aggregate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -371,8 +373,27 @@ def pack_sequences(
 
     The reference has no packing surface; graded under the LLM-pipeline
     extensions. The contract oracle reproduces the identical spans with
-    one flat ORDER BY running sum plus ``unnest(range(...))``.
+    one flat ORDER BY running sum plus ``unnest(range(...))``. For the
+    stored append-only variant see :func:`materialize_packing` /
+    :func:`append_packed_sequences`.
     """
+    return _pack_spans(
+        df, id_col=id_col, token_col=token_col, seq_len=seq_len, num_parts=num_parts
+    )
+
+def _pack_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    num_parts: int,
+    base_tokens: int = 0,
+) -> DataFrame:
+    """Shared span math for :func:`pack_sequences` and the stored/append
+    path: start offsets from the two-level cumsum SHIFTED by
+    ``base_tokens`` (the stored stream's length — 0 for a fresh pack),
+    then the bounded sequence/explode chunk fan-out."""
     part = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(num_parts))
     dfp = df.withColumn("__part", part)
     w_in = Window.partitionBy("__part").orderBy(id_col).rowsBetween(
@@ -392,13 +413,16 @@ def pack_sequences(
         .select(
             F.col(id_col),
             F.col(token_col).cast("long").alias("__n"),
-            (F.col("__off") + F.col("__within") - F.col(token_col))
+            (
+                F.lit(int(base_tokens))
+                + F.col("__off")
+                + F.col("__within")
+                - F.col(token_col)
+            )
             .cast("long")
             .alias("__s"),
         )
     )
-    # Integer `div`, not `/`: chunk indices must stay exact past the
-    # 2^53 double mantissa — global token offsets at 100 TB get close.
     exploded = with_start.select(
         id_col,
         "__n",
@@ -420,6 +444,77 @@ def pack_sequences(
         (g0 - F.col("seq_id") * L).alias("seq_lo"),
         (g1 - F.col("seq_id") * L).alias("seq_hi"),
     )
+
+
+def materialize_packing(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    num_parts: int = 64,
+) -> None:
+    """Persist a packing table under ``path``: ``_spans`` (the
+    pack_sequences output) and ``_meta`` (total tokens packed +
+    layout parameters), ``_meta`` written last so its ``_SUCCESS`` keys
+    completion. The stored stream is append-only — see
+    :func:`append_packed_sequences`."""
+    spark = df.sparkSession
+    spans = _pack_spans(
+        df, id_col=id_col, token_col=token_col, seq_len=seq_len, num_parts=num_parts
+    )
+    spans.write.mode("overwrite").parquet(os.path.join(path, "_spans"))
+    total = int(
+        df.where(F.col(token_col) > 0)
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(total, int(seq_len), int(num_parts))],
+        "total_tokens long, seq_len int, num_parts int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
+
+
+def append_packed_sequences(df_new: DataFrame, path: str) -> None:
+    """Incremental packing maintenance (the index-append pattern:
+    `append_history_bands` / `append_to_ivfpq_index` for the packing
+    table): lay the NEW documents' tokens after the stored stream —
+    offsets start at the stored ``total_tokens``, so the boundary
+    sequence is shared between old and new docs and sequence ids simply
+    continue — and append only the new span rows. Nothing already
+    packed is read, rewritten, or shifted (training shards already cut
+    from earlier sequences stay valid, which is the whole point of
+    append-only packing). ``_meta`` is rewritten last.
+
+    Exactly equivalent to a fresh pack of (old corpus, then new corpus)
+    in stored order — pinned in tests/test_curation.py."""
+    spark = df_new.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "_meta")).collect()[0]
+    cols = df_new.columns
+    if len(cols) != 2:
+        raise ValueError(
+            "append_packed_sequences: pass exactly (id, token_count) columns"
+        )
+    id_col, token_col = cols
+    spans = _pack_spans(
+        df_new,
+        id_col=id_col,
+        token_col=token_col,
+        seq_len=int(meta["seq_len"]),
+        num_parts=int(meta["num_parts"]),
+        base_tokens=int(meta["total_tokens"]),
+    )
+    spans.write.mode("append").parquet(os.path.join(path, "_spans"))
+    added = int(
+        df_new.where(F.col(token_col) > 0)
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)))
+        .collect()[0][0]
+    )
+    spark.createDataFrame(
+        [(int(meta["total_tokens"]) + added, int(meta["seq_len"]), int(meta["num_parts"]))],
+        "total_tokens long, seq_len int, num_parts int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "_meta"))
 
 
 def temperature_sample(

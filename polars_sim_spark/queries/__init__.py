@@ -155,6 +155,7 @@ _MANIFEST = [
     # round 8 (late batch): fixed-length training-sequence packing —
     # the concat-and-chunk step downstream of shard packing.
     "pack_token_sequences",
+    "pack_token_sequences_stored",
     # round 8 (late batch): learned quality classifier — distributed
     # normal-equations fit (rows-only, numpy-pinned) + stored serving.
     "quality_probe_fit_docs",

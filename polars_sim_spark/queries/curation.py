@@ -447,6 +447,93 @@ def quality_model_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+
+
+def ensure_packed_sequences(spark: SparkSession, sf_dir: str) -> str:
+    """Build the committed append-only packing table for ``sf_dir`` if
+    absent: documents with ``doc_id % 4 != 3`` are packed first, the
+    remaining quarter is APPENDED through the incremental path — so the
+    committed artifact exercises ``append_packed_sequences`` end to end
+    and the serving row's oracle must reproduce both segments. A
+    ``_done`` marker written last keys completion."""
+    from polars_sim_spark.operators.curation import (
+        append_packed_sequences,
+        materialize_packing,
+    )
+    from polars_sim_spark.queries.vectors import _index_dir
+    import os as _os
+
+    path = _index_dir(sf_dir, "packing")
+    if not _os.path.exists(_os.path.join(path, "_done", "_SUCCESS")):
+        docs = _doc_token_counts(spark, sf_dir)
+        materialize_packing(
+            docs.where(F.col("doc_id") % 4 != 3),
+            path,
+            id_col="doc_id",
+            token_col="n_tok",
+            seq_len=512,
+            num_parts=16,
+        )
+        append_packed_sequences(docs.where(F.col("doc_id") % 4 == 3), path)
+        spark.createDataFrame([(1,)], "ok int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(path, "_done"))
+    return path
+
+
+@register(
+    "pack_token_sequences_stored",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part,
+         CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS grp
+  FROM documents
+),
+btot AS (SELECT coalesce(sum(n_tok), 0) AS bt FROM t WHERE grp = 0),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY part, doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tok + CASE WHEN grp = 1 THEN (SELECT bt FROM btot) ELSE 0 END AS BIGINT) AS s
+  FROM t
+),
+e AS (
+  SELECT doc_id, n_tok, s, s // 512 + u.i AS seq_id
+  FROM o, unnest(range((s + n_tok - 1) // 512 - s // 512 + 1)) AS u(i)
+)
+SELECT doc_id, seq_id,
+       greatest(s, seq_id*512) - s AS doc_lo,
+       least(s+n_tok, (seq_id+1)*512) - s AS doc_hi,
+       greatest(s, seq_id*512) - seq_id*512 AS seq_lo,
+       least(s+n_tok, (seq_id+1)*512) - seq_id*512 AS seq_hi
+FROM e
+""",
+)
+def pack_token_sequences_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED append-only packing (curation.materialize_packing /
+    append_packed_sequences — the index-maintenance pattern applied to
+    the packing table): three quarters of the corpus packed at build
+    time, the last quarter APPENDED with offsets continuing from the
+    stored total, previously written span rows untouched. Serves the
+    committed ``_spans`` parquet; the oracle recomputes BOTH segments
+    in closed form (per-segment running sums, appended segment shifted
+    by the stored total) — a repacked span, shifted offset, or broken
+    boundary sequence anywhere in the build→append→serve chain is a
+    driver hash mismatch."""
+    import os as _os
+
+    path = ensure_packed_sequences(spark, sf_dir)
+    return spark.read.parquet(_os.path.join(path, "_spans")).select(
+        "doc_id", "seq_id", "doc_lo", "doc_hi", "seq_lo", "seq_hi"
+    )
+
+
 def _probe_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a deterministic binary quality label: y = 1 iff the
     hand-written teacher model's bias-free logit exceeds 0.005 (≈ the

@@ -408,3 +408,46 @@ def test_budget_cap_per_group_int_group_col(spark):
     ).collect()
     assert len([r for r in out if r["domain"] == 0]) == 5
     assert len([r for r in out if r["domain"] == 1]) == 2
+
+
+def test_packing_append_preserves_stored_spans(spark, tmp_path):
+    """Appending new docs must not read, rewrite, or shift anything
+    already packed: base span rows stay byte-identical, new offsets
+    continue from the stored total (boundary sequence shared), and the
+    combined store still tiles every token exactly."""
+    from polars_sim_spark.operators.curation import (
+        append_packed_sequences,
+        materialize_packing,
+    )
+
+    path = str(tmp_path / "packing")
+    base = spark.range(40).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 23 + 1).alias("n_tok")
+    )
+    new = spark.range(40, 60).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1).alias("n_tok")
+    )
+    materialize_packing(base, path, id_col="doc_id", token_col="n_tok", seq_len=64, num_parts=8)
+    before = set(map(tuple, spark.read.parquet(f"{path}/_spans").collect()))
+    total_base = sum(r["n_tok"] for r in base.collect())
+    assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total_base
+
+    append_packed_sequences(new, path)
+    after = set(map(tuple, spark.read.parquet(f"{path}/_spans").collect()))
+    assert before <= after  # stored spans untouched
+    total_all = total_base + sum(r["n_tok"] for r in new.collect())
+    assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total_all
+
+    # combined store tiles exactly: every sequence full except the last
+    by_seq: dict[int, int] = {}
+    for r in after:
+        _, seq_id, _, _, lo, hi = r
+        by_seq[seq_id] = by_seq.get(seq_id, 0) + (hi - lo)
+    seq_ids = sorted(by_seq)
+    assert seq_ids == list(range(len(seq_ids)))
+    assert all(by_seq[s] == 64 for s in seq_ids[:-1])
+    assert sum(by_seq.values()) == total_all
+    # the boundary sequence is genuinely shared between segments
+    new_rows = after - before
+    boundary = min(s for (_, s, *_rest) in new_rows)
+    assert any(s == boundary for (_, s, *_r) in before)
