@@ -1281,3 +1281,38 @@ def stream_upsert_lake(
         )
 
     return apply
+
+
+def stream_score_stored_model(
+    model_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming model serving: returns a ``foreachBatch`` callable that
+    scores each micro-batch of documents through the COMMITTED quality
+    model (operators/classifier.py:score_with_stored_model — the same
+    broadcast-join DECIMAL plan the batch contract row serves) and
+    appends ``(id, score)`` rows to a parquet sink. Running the batch
+    operator per micro-batch is the honest production shape for
+    stateless inference — one code path for batch and stream, so
+    availableNow output is EQUAL to the batch scores by construction
+    (no re-implemented arithmetic to drift; pinned in
+    tests/test_streaming.py), and there is no aggregation state or
+    watermark at all: scoring is per-document, documents arrive whole.
+
+    Scale: the model is a table read once per batch (vocab-bounded,
+    broadcast); document text never shuffles — the per-batch plan is
+    explode → broadcast join → per-doc aggregate within the batch."""
+    from polars_sim_spark.operators.classifier import score_with_stored_model
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = score_with_stored_model(
+            batch_df.sparkSession, batch_df, id_col, text_col, model_path
+        )
+        scored.write.mode("append").parquet(out_path)
+
+    return apply

@@ -1356,3 +1356,44 @@ def test_stream_upsert_lake_equals_batch_merge(spark, tmp_path):
     assert got == expected
     assert got[1000] == ("p1", 7.0, 3)
     assert got[0][2] == 2 and got[1][2] == 3 and got[2][2] == 0
+
+
+def test_stream_score_stored_model_equals_batch(spark, sf_small, tmp_path):
+    """availableNow foreachBatch scoring with the committed model ==
+    the batch stored-serving scores, row for row (same code path)."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.classifier import (
+        materialize_quality_probe,
+        score_with_stored_model,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_score_stored_model
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(200)
+    model = str(tmp_path / "model")
+    labeled = docs.withColumn("y", (F.col("doc_id") % 2 == 0).cast("int"))
+    materialize_quality_probe(labeled, "doc_id", "text", "y", model, vocab_size=32)
+
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").write.parquet(src)
+    sink = str(tmp_path / "scored")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    qn = f"score_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_score_stored_model(model, sink, id_col="doc_id", text_col="text")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r["doc_id"], r["score"]) for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["score"])
+        for r in score_with_stored_model(spark, docs, "doc_id", "text", model).collect()
+    }
+    assert got == want
