@@ -1316,3 +1316,67 @@ def stream_score_stored_model(
         scored.write.mode("append").parquet(out_path)
 
     return apply
+
+
+def stream_drift_tv(
+    stream: DataFrame,
+    reference: DataFrame,
+    *,
+    bucket_col: str,
+    ts_col: str = "ts",
+    buckets: list[str],
+    window: str = "10 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/profile.py:drift_tv — per event-time
+    window, each bucket's live probability mass (exact integer
+    micro-units) against a static REFERENCE distribution
+    ``(bucket, q_micro)`` (e.g. the training snapshot's masses from the
+    batch operator), with the per-bucket total-variation contribution.
+    The monitoring loop this serves: reference = what the model was
+    trained on, stream = live traffic, alert on Σ tv_micro / 2e6.
+
+    Structured Streaming allows ONE aggregation before the append-mode
+    sink, so per-bucket counts AND the window total come from a single
+    windowed aggregate over a BOUNDED, caller-declared bucket domain
+    (conditional sums, one column per bucket — the same
+    carry-the-domain trick as the streaming CMS/HLL twins), unpivoted
+    with ``stack`` and joined against the broadcast reference after the
+    aggregation. Buckets absent from a window emit an explicit zero
+    row — missing mass IS drift, and an outer-join shape can't express
+    that in one streaming agg. Watermark finalizes windows; state is
+    |windows in flight| × (|buckets|+1) counters."""
+    if not buckets:
+        raise ValueError("stream_drift_tv: buckets must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, b in enumerate(buckets):
+        aggs.append(
+            F.sum((F.col(bucket_col) == F.lit(b)).cast("long")).alias(f"__c{i}")
+        )
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"))
+        .agg(*aggs)
+    )
+    stack_args = ", ".join(f"'{b}', __c{i}" for i, b in enumerate(buckets))
+    long = agg.selectExpr(
+        "__w.start as window_start",
+        "__w.end as window_end",
+        "__total",
+        f"stack({len(buckets)}, {stack_args}) as ({bucket_col}, cnt)",
+    )
+    ref = reference.select(
+        F.col(bucket_col), F.col("q_micro").cast("long").alias("q_micro")
+    )
+    return (
+        long.join(F.broadcast(ref), bucket_col, "left")
+        .select(
+            "window_start",
+            "window_end",
+            bucket_col,
+            "cnt",
+            F.expr("cnt * 1000000 div greatest(__total, 1)").alias("p_micro"),
+            F.coalesce(F.col("q_micro"), F.lit(0)).alias("q_micro"),
+        )
+        .withColumn("tv_micro", F.abs(F.col("p_micro") - F.col("q_micro")))
+    )

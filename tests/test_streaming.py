@@ -1397,3 +1397,64 @@ def test_stream_score_stored_model_equals_batch(spark, sf_small, tmp_path):
         for r in score_with_stored_model(spark, docs, "doc_id", "text", model).collect()
     }
     assert got == want
+
+
+def test_stream_drift_tv_equals_batch(spark, sf_small, events_stream_dir):
+    """availableNow windowed drift vs a static reference == the batch
+    recomputation per finalized window: same masses, same TV cells,
+    including explicit zero rows for buckets absent from a window."""
+    import uuid as _uuid
+
+    from polars_sim_spark.streaming.stream_ops import stream_drift_tv
+
+    batch = load_table(spark, sf_small, "events")
+    types = [r["event_type"] for r in batch.select("event_type").distinct().collect()]
+    # reference masses: the full table's distribution (exact micro ints)
+    n_all = batch.count()
+    ref = (
+        batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("event_type", F.expr(f"c * 1000000 div {n_all}").alias("q_micro"))
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"drift_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_drift_tv(
+            stream,
+            ref,
+            bucket_col="event_type",
+            ts_col="ts",
+            buckets=sorted(types),
+            window="1 day",
+            delay="2 hours",
+        ),
+        name,
+        "append",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], r["p_micro"], r["q_micro"], r["tv_micro"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch recomputation (all windows finalized under availableNow
+    # except possibly the last — compare on the windows the stream emitted)
+    day = F.date_trunc("day", "ts")
+    per = batch.groupBy(day.alias("ws"), "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = batch.groupBy(day.alias("ws")).agg(F.count(F.lit(1)).alias("tot"))
+    refm = {r["event_type"]: r["q_micro"] for r in ref.collect()}
+    want_cells = {}
+    for r in per.join(totals, "ws").collect():
+        p = r["cnt"] * 1000000 // r["tot"]
+        q = refm[r["event_type"]]
+        want_cells[(r["ws"], r["event_type"])] = (r["cnt"], p, q, abs(p - q))
+    emitted_windows = {w for (w, _) in got}
+    assert emitted_windows  # watermark finalized at least one window
+    for (w, b), cell in got.items():
+        if (w, b) in want_cells:
+            assert cell == want_cells[(w, b)], (w, b)
+        else:
+            # zero row for a bucket absent from that window
+            assert cell[0] == 0 and cell[1] == 0 and cell[3] == cell[2]
+    # every batch cell for an emitted window appears in the stream output
+    for (w, b), cell in want_cells.items():
+        if w in emitted_windows:
+            assert got[(w, b)] == cell
