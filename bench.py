@@ -156,6 +156,8 @@ HEADLINE = [
     "multimodal_ppm_resize",
     "events_profile",
     "events_drift_tv",
+    "events_drift_ks",
+    "events_retention_cohorts",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

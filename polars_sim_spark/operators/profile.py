@@ -108,3 +108,53 @@ def drift_tv(
         )
         .withColumn("tv_micro", F.abs(F.col("p_micro") - F.col("q_micro")))
     )
+
+
+def drift_ks(
+    df_a: DataFrame, df_b: DataFrame, bucket_col: str
+) -> DataFrame:
+    """CDF-sensitive companion to :func:`drift_tv` for ORDERED buckets:
+    per bucket, both sides' cumulative probability masses in exact
+    integer micro-units and their absolute difference — the maximum of
+    ``ks_micro`` over buckets is the (discretized) Kolmogorov-Smirnov
+    statistic. TV treats buckets as unordered categories; KS catches a
+    distribution that SHIFTED along an ordered axis (a value drifting
+    upward moves little mass per bucket but accumulates in the CDF).
+
+    Same exact-arithmetic posture as drift_tv: cumulative masses are
+    ``(running_cnt·1e6) div N`` (integral division of exact integer
+    running sums — no float, engine-reproducible bit-for-bit). Same
+    plan shape too: one tagged-union aggregate, then BOTH the running
+    sums and the side totals come from windows over the aggregated
+    bucket table (bucket-bounded rows; a second aggregate branch would
+    rescan the snapshots)."""
+    from pyspark.sql import Window
+
+    a = df_a.select(F.col(bucket_col)).withColumn("__s", F.lit(0))
+    b = df_b.select(F.col(bucket_col)).withColumn("__s", F.lit(1))
+    per = (
+        a.unionByName(b)
+        .groupBy(bucket_col)
+        .agg(
+            F.sum((F.col("__s") == 0).cast("long")).alias("cnt_a"),
+            F.sum(F.col("__s").cast("long")).alias("cnt_b"),
+        )
+    )
+    w_tot = Window.partitionBy(F.lit(1))
+    w_cum = Window.partitionBy(F.lit(1)).orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn("__na", F.sum("cnt_a").over(w_tot))
+        .withColumn("__nb", F.sum("cnt_b").over(w_tot))
+        .withColumn("__ca", F.sum("cnt_a").over(w_cum))
+        .withColumn("__cb", F.sum("cnt_b").over(w_cum))
+        .select(
+            bucket_col,
+            "cnt_a",
+            "cnt_b",
+            F.expr("__ca * 1000000 div greatest(__na, 1)").alias("cum_p_micro"),
+            F.expr("__cb * 1000000 div greatest(__nb, 1)").alias("cum_q_micro"),
+        )
+        .withColumn("ks_micro", F.abs(F.col("cum_p_micro") - F.col("cum_q_micro")))
+    )

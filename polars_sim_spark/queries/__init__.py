@@ -169,6 +169,9 @@ _MANIFEST = [
     "events_profile",
     # round 8 (late batch): snapshot drift via exact-integer TV distance.
     "events_drift_tv",
+    # round 8 (late batch): CDF drift (KS) + retention cohorts.
+    "events_drift_ks",
+    "events_retention_cohorts",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -1054,3 +1054,118 @@ def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "value_bucket", "cnt_a", "cnt_b", "p_micro", "q_micro", "tv_micro"
     )
+
+
+@register(
+    "events_drift_ks",
+    """
+WITH t AS (
+  SELECT CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) // 5000000 AS value_bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS s
+  FROM events
+),
+per AS (
+  SELECT value_bucket,
+         CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(s) AS BIGINT) AS cnt_b
+  FROM t GROUP BY value_bucket
+),
+cum AS (
+  SELECT value_bucket, cnt_a, cnt_b,
+         CAST(sum(cnt_a) OVER () AS BIGINT) AS na,
+         CAST(sum(cnt_b) OVER () AS BIGINT) AS nb,
+         CAST(sum(cnt_a) OVER (ORDER BY value_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         CAST(sum(cnt_b) OVER (ORDER BY value_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+  FROM per
+)
+SELECT value_bucket, cnt_a, cnt_b,
+       ca * 1000000 // greatest(na, 1) AS cum_p_micro,
+       cb * 1000000 // greatest(nb, 1) AS cum_q_micro,
+       abs(ca * 1000000 // greatest(na, 1) - cb * 1000000 // greatest(nb, 1)) AS ks_micro
+FROM cum
+""",
+)
+def events_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF drift (operators/profile.py:drift_ks — the ordered-axis
+    companion to events_drift_tv): first 15 days vs the rest over
+    5-unit value buckets; per bucket, both sides' exact-integer
+    cumulative masses and their gap — max(ks_micro)/1e6 is the
+    discretized Kolmogorov-Smirnov statistic. Running sums and side
+    totals both come from windows over the aggregated bucket table
+    (single snapshot pass); all arithmetic is integral division of
+    exact integer sums, so the oracle reproduces every cell."""
+    from polars_sim_spark.operators.profile import drift_ks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        F.expr(
+            "cast(round(round(value, 6) * 1000000, 0) as bigint) div 5000000"
+        ).alias("value_bucket"),
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = drift_ks(
+        ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut), "value_bucket"
+    )
+    return out.select(
+        "value_bucket", "cnt_a", "cnt_b", "cum_p_micro", "cum_q_micro", "ks_micro"
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(CAST(f.cohort_week AS TIMESTAMP))) // 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+),
+sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM firsts GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       count(*) * 1000000 // s.cohort_users AS retention_micro
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_users
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention-cohort analytics: users grouped by first-seen
+    week, per (cohort, week-offset) the count still active and the
+    exact-integer retention rate. Relational breadth shape: min-agg for
+    cohort assignment, self-join back (the firsts table is
+    user-cardinality — broadcastable for dimension-sized user sets,
+    shuffled hash join at 100 TB where both sides hash by user_id), one
+    distinct + one aggregate. Week arithmetic in epoch seconds —
+    integral, engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "(unix_timestamp(date_trunc('week', ts)) - unix_timestamp(cast(cohort_week as timestamp))) div 604800"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_users"))
+    return (
+        activity.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_users")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.expr("active_users * 1000000 div cohort_users").alias("retention_micro"),
+        )
+    )

@@ -87,3 +87,23 @@ def test_drift_tv_single_shuffle(spark, sf_small):
     assert plan.count("Scan parquet") == 2
     assert "Window" in plan
     assert out.count() > 0
+
+
+def test_drift_ks_detects_ordered_shift(spark):
+    from polars_sim_spark.operators.profile import drift_ks
+
+    # side B is side A shifted one bucket up: per-bucket TV is small
+    # (each bucket loses/gains 25%), but the CDF gap concentrates
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "b long")
+    b = spark.createDataFrame([(2,), (3,), (4,), (5,)], "b long")
+    got = {r["b"]: r for r in drift_ks(a, b, "b").collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    # cumulative masses: A = 25/50/75/100/100, B = 0/25/50/75/100 (micro)
+    want = {1: (250000, 0), 2: (500000, 250000), 3: (750000, 500000),
+            4: (1000000, 750000), 5: (1000000, 1000000)}
+    for k, (p, q) in want.items():
+        assert (got[k]["cum_p_micro"], got[k]["cum_q_micro"]) == (p, q)
+        assert got[k]["ks_micro"] == abs(p - q)
+    assert max(r["ks_micro"] for r in got.values()) == 250000  # KS = 0.25
+    # identical snapshots → KS 0
+    assert all(r["ks_micro"] == 0 for r in drift_ks(a, a, "b").collect())
