@@ -150,6 +150,7 @@ HEADLINE = [
     "ann_topk_ivf_filtered",
     "pack_token_sequences",
     "pack_token_sequences_stored",
+    "pack_sequences_gathered",
     "quality_probe_fit_docs",
     "quality_probe_score_stored",
     "multimodal_mp4_frames",

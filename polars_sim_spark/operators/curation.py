@@ -735,3 +735,58 @@ def budget_cap_per_group(
     return out.where(F.col("__before") < F.col("__budget")).drop(
         "__part", "__within", "__off", "__before", "__budget"
     )
+
+
+def gather_packed_sequences(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    out_text_col: str = "seq_text",
+) -> DataFrame:
+    """Materialize packed training sequences: join the packing spans
+    (:func:`pack_sequences` output) back to document text and gather
+    each sequence's tokens in order — the step that turns packing
+    METADATA into actual model inputs ``(seq_id, n_tokens, seq_text)``.
+
+    Plan shape: documents explode to (id, pos, token) once
+    (posexplode — zero shuffle, scan-side), equi-join the spans on the
+    document id with the span range as a join-condition filter (each
+    token lands in exactly one span, so no fan-out), then one shuffle
+    groups by sequence and ``array_sort`` over (position, token)
+    structs restores in-sequence order without a window. Token text
+    moves through exactly one shuffle, keyed by sequence — the minimum
+    possible for a gather whose output IS sequence-grouped."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos", "__tok"),
+    ).where(F.col("__tok") != "")
+    placed = toks.join(
+        spans,
+        on=[
+            toks[id_col] == spans[id_col],
+            F.col("__pos") >= F.col("doc_lo"),
+            F.col("__pos") < F.col("doc_hi"),
+        ],
+    ).select(
+        "seq_id",
+        (F.col("seq_lo") + F.col("__pos") - F.col("doc_lo")).alias("__seq_pos"),
+        "__tok",
+    )
+    return (
+        placed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__seq_pos"), F.col("__tok")))
+            ).alias("__ordered"),
+        )
+        .select(
+            "seq_id",
+            "n_tokens",
+            F.concat_ws(
+                " ", F.transform(F.col("__ordered"), lambda s: s["__tok"])
+            ).alias(out_text_col),
+        )
+    )

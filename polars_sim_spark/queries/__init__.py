@@ -156,6 +156,7 @@ _MANIFEST = [
     # the concat-and-chunk step downstream of shard packing.
     "pack_token_sequences",
     "pack_token_sequences_stored",
+    "pack_sequences_gathered",
     # round 8 (late batch): learned quality classifier — distributed
     # normal-equations fit (rows-only, numpy-pinned) + stored serving.
     "quality_probe_fit_docs",

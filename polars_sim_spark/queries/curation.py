@@ -664,3 +664,67 @@ def mix_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=2000, num_parts=16,
     )
     return out.select("doc_id", "lang", "n_tok")
+
+
+@register(
+    "pack_sequences_gathered",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY part, doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS s
+  FROM t
+),
+spans AS (
+  SELECT doc_id,
+         s // 512 + u.i AS seq_id,
+         greatest(s, (s // 512 + u.i)*512) - s AS doc_lo,
+         least(s+n_tok, (s // 512 + u.i + 1)*512) - s AS doc_hi,
+         greatest(s, (s // 512 + u.i)*512) - (s // 512 + u.i)*512 AS seq_lo
+  FROM o, unnest(range((s + n_tok - 1) // 512 - s // 512 + 1)) AS u(i)
+),
+toks AS (
+  SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) AS pos, unnest(a) AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a FROM documents)
+),
+placed AS (
+  SELECT sp.seq_id, sp.seq_lo + tk.pos - sp.doc_lo AS seq_pos, tk.tok
+  FROM toks tk JOIN spans sp
+    ON tk.doc_id = sp.doc_id AND tk.pos >= sp.doc_lo AND tk.pos < sp.doc_hi
+  WHERE tk.tok != ''
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY seq_pos) AS seq_text
+FROM placed GROUP BY seq_id
+""",
+)
+def pack_sequences_gathered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end packed-sequence MATERIALIZATION
+    (curation.gather_packed_sequences): the packing spans joined back to
+    document text, every sequence's tokens gathered in order — actual
+    512-token model inputs, not just placement metadata. One
+    posexplode + equi-join with the span range in the join condition
+    (each token lands in exactly one span) + one sequence-keyed shuffle
+    with array_sort ordering. The oracle rebuilds every sequence string
+    with an ordered string_agg — a token routed to the wrong sequence,
+    offset by one, or out of order changes the text and fails the
+    hash."""
+    from polars_sim_spark.operators.curation import (
+        gather_packed_sequences,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = pack_sequences(
+        _doc_token_counts(spark, sf_dir),
+        id_col="doc_id",
+        token_col="n_tok",
+        seq_len=512,
+        num_parts=16,
+    )
+    return gather_packed_sequences(docs, spans, id_col="doc_id", text_col="text")

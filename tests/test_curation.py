@@ -451,3 +451,40 @@ def test_packing_append_preserves_stored_spans(spark, tmp_path):
     new_rows = after - before
     boundary = min(s for (_, s, *_rest) in new_rows)
     assert any(s == boundary for (_, s, *_r) in before)
+
+
+def test_gather_packed_sequences_reconstructs_stream(spark):
+    """Concatenating the gathered sequences in seq_id order must
+    reproduce the full token stream in packing order, with every
+    sequence exactly seq_len tokens except the last."""
+    from polars_sim_spark.operators.curation import (
+        gather_packed_sequences,
+        pack_sequences,
+    )
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(i % 7 + 1))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    counts = docs.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok")
+    )
+    spans = pack_sequences(counts, id_col="doc_id", token_col="n_tok", seq_len=16, num_parts=4)
+    got = {
+        r["seq_id"]: (r["n_tokens"], r["seq_text"])
+        for r in gather_packed_sequences(docs, spans, id_col="doc_id", text_col="text").collect()
+    }
+    # expected global stream: docs in (md5 % 4, doc_id) order
+    order = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.pmod(md5_hash64(F.col("doc_id").cast("string")), F.lit(4)).alias("p")
+        ).orderBy("p", "doc_id").collect()
+    ]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    stream = [w for d in order for w in texts[d].split()]
+    for k in sorted(got):
+        n, txt = got[k]
+        assert txt.split() == stream[k * 16 : k * 16 + 16]
+        assert n == len(txt.split())
