@@ -159,6 +159,7 @@ HEADLINE = [
     "events_drift_tv",
     "events_drift_ks",
     "events_retention_cohorts",
+    "text_kn_surprisal",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -173,6 +173,8 @@ _MANIFEST = [
     # round 8 (late batch): CDF drift (KS) + retention cohorts.
     "events_drift_ks",
     "events_retention_cohorts",
+    # round 8 (late batch): Kneser-Ney bigram surprisal.
+    "text_kn_surprisal",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

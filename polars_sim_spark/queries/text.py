@@ -810,3 +810,106 @@ def text_bpe_fit_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _merges, vocab = bpe_fit(docs, num_merges=20)
     return bpe_token_counts(docs, vocab).orderBy("doc_id")
+
+
+@register(
+    "text_kn_surprisal",
+    r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM w WHERE len(w) >= 2)
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS cctx, count(DISTINCT w2) AS n1f FROM big GROUP BY 1),
+back AS (SELECT w2, count(DISTINCT w1) AS n1b FROM big GROUP BY 1),
+types AS (SELECT count(*) AS nbt FROM bc),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / cctx
+                   + ((0.75 * n1f) / cctx) * (CAST(n1b AS DOUBLE) / nbt)), 6) AS surp
+  FROM big b
+  JOIN bc USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN back USING (w2)
+  CROSS JOIN types
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(CAST(round(surp * 1000000) AS BIGINT)) // count(*) AS DOUBLE)
+           / 1000000 AS mean_kn_surprisal
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(mean_kn_surprisal, 0.0) AS mean_kn_surprisal
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def text_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram surprisal — the top rung of the
+    perplexity-filter ladder (unigram → interpolated bigram → KN):
+    ``p_KN(w2|w1) = max(c12−d,0)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/N1+(··)`` with absolute discount d=0.75 and CONTINUATION
+    counts as the backoff — the standard fix for the MLE-interpolation
+    failure mode where a word frequent in one context ("francisco")
+    gets high backoff mass everywhere. All four count tables are
+    corpus-fit integer aggregates (the w1-keyed count and distinct-w2
+    share ONE aggregate/shuffle); the float expression is associated
+    identically in both engines and the per-document MEAN uses the
+    house exact-integer micro-unit protocol (round 6 dp → ×10⁶ →
+    exact sum → integral div), same as ``text_bigram_surprisal``."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    big = (
+        w.where(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cctx"), F.countDistinct("w2").alias("n1f")
+    )
+    back = big.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
+    types = bc.agg(F.count(F.lit(1)).alias("nbt"))
+    surp = F.round(
+        -F.log(
+            F.expr(
+                "greatest(cast(c12 as double) - 0.75, 0.0) / cctx"
+                " + ((0.75 * n1f) / cctx) * (cast(n1b as double) / nbt)"
+            )
+        ),
+        6,
+    )
+    agg = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(back), "w2")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", (surp * 1000000).alias("__surp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.expr("sum(cast(round(__surp_micro) as bigint)) div count(1)").cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("mean_kn_surprisal"),
+        )
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("mean_kn_surprisal"), F.lit(0.0)).alias("mean_kn_surprisal"),
+    )

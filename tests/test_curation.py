@@ -488,3 +488,47 @@ def test_gather_packed_sequences_reconstructs_stream(spark):
         n, txt = got[k]
         assert txt.split() == stream[k * 16 : k * 16 + 16]
         assert n == len(txt.split())
+
+
+def test_kn_surprisal_normalizes_and_discriminates(spark, tmp_path):
+    """Kneser-Ney sanity on a hand corpus: (1) for every observed
+    context, Σ_w2 p_KN(w2|w1) over the VOCAB of continuations = 1
+    (the property absolute discounting + continuation backoff is built
+    to preserve); (2) repetitive boilerplate scores lower surprisal
+    than token soup."""
+    import collections
+    import math
+
+    from polars_sim_spark import queries as q
+
+    rows = [
+        (0, "the cat sat on the mat the cat sat again"),
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "zeta quark blimp oxide nunatak grue vex kola jib womp"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["mean_kn_surprisal"]
+           for r in q.text_kn_surprisal(spark, str(tmp_path)).collect()}
+    assert out[0] == out[1] < out[2]
+
+    # pure-python replica of the model for the normalization check
+    toks = [t.split() for _, t in [(i, r[1]) for i, r in enumerate(rows)]]
+    bigs = [(w1, w2) for ws in toks for w1, w2 in zip(ws, ws[1:])]
+    c12 = collections.Counter(bigs)
+    cctx = collections.Counter(w1 for w1, _ in bigs)
+    n1f = collections.Counter(w1 for w1, _ in set(bigs))
+    n1b = collections.Counter(w2 for _, w2 in set(bigs))
+    nbt = len(set(bigs))
+    vocab2 = {w2 for _, w2 in bigs}
+    for w1 in cctx:
+        total = sum(
+            max(c12.get((w1, w2), 0) - 0.75, 0.0) / cctx[w1]
+            + 0.75 * n1f[w1] / cctx[w1] * (n1b[w2] / nbt)
+            for w2 in vocab2
+        )
+        # sums to 1 when Σ_w2 N1+(·w2) = N1+(··), which holds by definition
+        assert math.isclose(total, 1.0, rel_tol=1e-9), (w1, total)
