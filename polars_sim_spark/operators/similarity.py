@@ -1053,6 +1053,68 @@ def materialize_bm25_index(
     ).write.mode("overwrite").saveAsTable(table + "_stats")
 
 
+def append_to_bm25_index(
+    new_docs: DataFrame,
+    table: str,
+    *,
+    doc_id_col: str,
+    doc_text_col: str,
+    num_buckets: int = 32,
+) -> None:
+    """Incremental BM25 index maintenance with FROZEN corpus statistics
+    — the index-append pattern (`append_history_bands`,
+    `append_to_ivfpq_index`, `append_packed_sequences`) applied to the
+    lexical index, with the contract production search engines use
+    between segment merges: newly appended documents are retrievable
+    immediately, scored against the term statistics (df, n_docs, avgdl)
+    of the LAST FULL BUILD; statistics refresh only on the next rebuild.
+
+    Mechanics: the new docs' (tf, dl) are exact; their ``df`` column is
+    looked up from the STORED postings' term→df mapping (a distinct
+    over the indexed vocabulary — bounded by vocabulary, not corpus).
+    A term unseen at build time gets df=0, i.e. the maximal
+    out-of-corpus idf ``ln((N+0.5)/0.5 + 1)`` — deliberately loud, the
+    same behavior a frozen-idf serving tier exhibits. The stats sidecar
+    is NOT rewritten (frozen n_docs/avgdl), and the appended rows land
+    through the same bucketed-by-doc-id writer, so the serve plan keeps
+    its exchange-free score aggregation. Equivalence to a rebuild with
+    pinned statistics is tested in tests/test_sinks.py.
+
+    Scale: one pass over the NEW docs only; the only touch of the
+    existing index is the vocabulary-sized df projection. Nothing
+    already indexed is read in full, rewritten, or re-scored.
+    """
+    spark = new_docs.sparkSession
+    toks = new_docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(doc_text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stored_df = spark.table(table).select("term", "df").distinct()
+    rows = (
+        postings.join(dl, "doc_id")
+        .join(F.broadcast(stored_df), "term", "left")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+        )
+    )
+    # bucket spec must match the build's (Spark rejects a mismatched
+    # append to a bucketed catalog table, so a wrong value fails loudly)
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    write_bucketed(
+        rows, table, bucket_by=["doc_id"], num_buckets=num_buckets,
+        sort_by=["doc_id"], mode="append",
+    )
+
+
 def bm25_topk_prebuilt(
     spark,
     table: str,

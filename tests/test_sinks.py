@@ -463,3 +463,75 @@ def test_upsert_partitions_merges_and_leaves_others_untouched(spark, tmp_path):
             spark, path, escape, key_cols=["k"], partition_col="p",
             verify_global_keys=True,
         )
+
+
+def test_bm25_append_frozen_stats_equals_pinned_rebuild(spark, sf_small):
+    """append_to_bm25_index: appended docs serve immediately against the
+    BASE build's frozen term statistics — equal, score for score, to an
+    index hand-built from (base ∪ new) postings with df pinned to the
+    base vocabulary (unseen terms df=0) and the base stats sidecar."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from polars_sim_spark.operators.similarity import (
+        append_to_bm25_index,
+        bm25_topk_prebuilt,
+        materialize_bm25_index,
+    )
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    t1 = f"bm25_app_{_uuid.uuid4().hex[:8]}"
+    t2 = f"{t1}_expected"
+    try:
+        materialize_bm25_index(base, t1, doc_id_col="doc_id", doc_text_col="text")
+        append_to_bm25_index(new, t1, doc_id_col="doc_id", doc_text_col="text")
+
+        # expected: postings over base ∪ new, df/dl exact per segment,
+        # df from BASE vocabulary only, base stats sidecar
+        def postings_of(d):
+            toks = d.select(
+                F.col("doc_id"),
+                F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+            ).where(F.col("term") != "")
+            p = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+            dl = p.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            return p.join(dl, "doc_id")
+
+        base_p = postings_of(base)
+        base_df = base_p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        exp = base_p.join(base_df, "term").select("doc_id", "term", "tf", "dl", "df").unionByName(
+            postings_of(new)
+            .join(base_df, "term", "left")
+            .select(
+                "doc_id", "term", "tf", "dl",
+                F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+            )
+        )
+        write_bucketed(exp, t2, bucket_by=["doc_id"], num_buckets=32, sort_by=["doc_id"])
+        spark.table(t1 + "_stats").write.saveAsTable(t2 + "_stats")
+
+        qs = docs.where(F.col("doc_id") < 6).select(
+            F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+        )
+        got = {
+            (r["q_id"], r["doc_id"], r["score"])
+            for r in bm25_topk_prebuilt(
+                spark, t1, qs, query_id_col="q_id", query_text_col="q_text", k=10
+            ).collect()
+        }
+        want = {
+            (r["q_id"], r["doc_id"], r["score"])
+            for r in bm25_topk_prebuilt(
+                spark, t2, qs, query_id_col="q_id", query_text_col="q_text", k=10
+            ).collect()
+        }
+        assert got == want and got
+        # appended docs are actually retrievable
+        assert any(d % 5 == 0 for (_, d, _) in got)
+    finally:
+        for t in (t1, t1 + "_stats", t2, t2 + "_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
