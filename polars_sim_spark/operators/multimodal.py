@@ -640,10 +640,12 @@ def resize_image(
     target_w: int = 64,
     target_h: int = 64,
 ) -> DataFrame:
-    """Stand-in for image resizing: binary in → binary out through
-    mapInPandas (the real thing once a codec ships; the stub truncates /
-    cycles payload bytes to exactly target_w*target_h bytes so output
-    sizes are shape-correct and deterministic)."""
+    """Stand-in for image resizing on COMPRESSED formats: binary in →
+    binary out through mapInPandas (the real thing once a codec ships;
+    the stub truncates / cycles payload bytes to exactly
+    target_w*target_h bytes so output sizes are shape-correct and
+    deterministic). For uncompressed PPM payloads the REAL resize is
+    :func:`ppm_resize` (exact block-mean pooling, oracle-checked)."""
     n_out = target_w * target_h
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -707,9 +709,12 @@ def frame_sample(
     *,
     every_n_bytes: int = 64,
 ) -> DataFrame:
-    """Stand-in for video frame sampling: emit one row per sampled offset
-    of the payload (1→N row fan-out through mapInPandas, the exact batch
-    shape a real frame sampler produces: id, frame_idx, frame_bytes)."""
+    """Stand-in for frame sampling on arbitrary payloads: emit one row
+    per fixed byte offset (1→N row fan-out through mapInPandas, the
+    exact batch shape a real frame sampler produces). For ISO-BMFF/MP4
+    payloads the REAL sampler is :func:`mp4_frame_sample`, which
+    resolves true per-frame byte ranges and timestamps from the
+    container's sample tables (oracle-checked)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

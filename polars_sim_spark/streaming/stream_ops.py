@@ -1380,3 +1380,41 @@ def stream_drift_tv(
         )
         .withColumn("tv_micro", F.abs(F.col("p_micro") - F.col("q_micro")))
     )
+
+
+def stream_append_packed(pack_path: str, *, id_col: str, token_col: str):
+    """Streaming packing ingestion: returns a ``foreachBatch`` callable
+    that lays each micro-batch of new documents after the stored token
+    stream via curation.append_packed_sequences — the same append-only
+    contract as the batch path (offsets continue from the stored total,
+    nothing already packed is rewritten), so a corpus can be packed AS
+    IT ARRIVES and earlier training shards stay valid. One code path
+    with batch append ⇒ equivalence by construction; cross-batch
+    sequencing pinned in tests/test_streaming.py.
+
+    Replay posture (honest): a ``_stream_meta`` marker records the last
+    applied batch id, so a batch REPLAYED after successful commit is
+    skipped (idempotent for the common restart case). A crash in the
+    window between the span append and the marker write can still
+    duplicate that one batch — parquet appends are not atomic with the
+    marker; that is the standard caveat of any non-transactional sink
+    and is stated rather than hidden."""
+    import os as _os
+
+    from polars_sim_spark.operators.curation import append_packed_sequences
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = _os.path.join(pack_path, "_stream_meta")
+        if _os.path.exists(_os.path.join(marker, "_SUCCESS")):
+            last = spark.read.parquet(marker).collect()[0]["last_batch_id"]
+            if batch_id <= last:
+                return
+        append_packed_sequences(batch_df.select(id_col, token_col), pack_path)
+        spark.createDataFrame([(int(batch_id),)], "last_batch_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(marker)
+
+    return apply

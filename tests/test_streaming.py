@@ -1458,3 +1458,53 @@ def test_stream_drift_tv_equals_batch(spark, sf_small, events_stream_dir):
     for (w, b), cell in want_cells.items():
         if w in emitted_windows:
             assert got[(w, b)] == cell
+
+
+def test_stream_append_packed_sequences(spark, tmp_path):
+    """Streaming packing ingestion: a base pack + two streamed batches
+    must tile the combined token stream exactly (sequences continue
+    across batch boundaries), and replaying a committed batch id is a
+    no-op (the _stream_meta marker)."""
+    from polars_sim_spark.operators.curation import materialize_packing
+    from polars_sim_spark.streaming.stream_ops import stream_append_packed
+
+    path = str(tmp_path / "pack")
+    base = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("n_tok")
+    )
+    materialize_packing(base, path, id_col="doc_id", token_col="n_tok", seq_len=32, num_parts=4)
+
+    # two micro-batches as separate parquet FILES (file stream source)
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": range(20, 30), "n_tok": [(i % 9) + 1 for i in range(20, 30)]}).to_parquet(src / "b0.parquet")
+    pd.DataFrame({"doc_id": range(30, 40), "n_tok": [(i % 7) + 1 for i in range(30, 40)]}).to_parquet(src / "b1.parquet")
+    stream = spark.readStream.schema("doc_id long, n_tok long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    fn = stream_append_packed(path, id_col="doc_id", token_col="n_tok")
+    (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    spans = spark.read.parquet(f"{path}/_spans").collect()
+    total = (sum((i % 13) + 1 for i in range(20))
+             + sum((i % 9) + 1 for i in range(20, 30))
+             + sum((i % 7) + 1 for i in range(30, 40)))
+    by_seq: dict[int, int] = {}
+    for r in spans:
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + (r["seq_hi"] - r["seq_lo"])
+    seq_ids = sorted(by_seq)
+    assert seq_ids == list(range(len(seq_ids)))
+    assert all(by_seq[s] == 32 for s in seq_ids[:-1])
+    assert sum(by_seq.values()) == total
+    assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total
+    # replaying an already-committed batch id is a no-op
+    replay = spark.createDataFrame([(99, 5)], "doc_id long, n_tok long")
+    fn(replay, 0)
+    assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total
