@@ -160,6 +160,8 @@ HEADLINE = [
     "events_drift_ks",
     "events_retention_cohorts",
     "text_kn_surprisal",
+    "ingest_jsonl_docs",
+    "events_expectations",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since
@@ -209,6 +211,7 @@ def main() -> None:
     q.ensure_sq8_index(spark, sf_dir)
     q.ensure_quality_probe(spark, sf_dir)
     q.ensure_packed_sequences(spark, sf_dir)
+    q.ensure_jsonl_fixture(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     timings: dict[str, float] = {}

@@ -158,3 +158,44 @@ def drift_ks(
         )
         .withColumn("ks_micro", F.abs(F.col("cum_p_micro") - F.col("cum_q_micro")))
     )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: dict[str, "F.Column"],
+    *,
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Data-contract validation (the expectations pattern): ``rules``
+    maps rule name → a boolean Column that is TRUE when a row VIOLATES
+    the rule; ``unique_cols`` adds a uniqueness expectation per listed
+    column, counted as (non-null rows − distinct values) so it folds
+    into the same aggregate. Output is long-format
+    ``(rule, violations, n_rows)`` — zero violations everywhere is the
+    green light a pipeline gates on.
+
+    Scale: ALL rules — including uniqueness — evaluate in ONE aggregate
+    over ONE scan (conditional sums + countDistinct through the same
+    Expand the profiler uses); the long-format pivot is a driver-free
+    ``stack`` over the single aggregated row."""
+    if not rules and not unique_cols:
+        raise ValueError("check_expectations: no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names: list[str] = []
+    for i, (name, cond) in enumerate(rules.items()):
+        aggs.append(F.sum(cond.cast("long")).alias(f"__v{i}"))
+        names.append(name)
+    base = len(rules)
+    for j, c in enumerate(unique_cols or []):
+        aggs.append(
+            (
+                F.sum(F.col(c).isNotNull().cast("long")) - F.countDistinct(F.col(c))
+            ).alias(f"__v{base + j}")
+        )
+        names.append(f"unique_{c}")
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return one.selectExpr(
+        "__n as n_rows",
+        f"stack({len(names)}, {stack_args}) as (rule, violations)",
+    ).select("rule", "violations", "n_rows")

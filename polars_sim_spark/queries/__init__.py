@@ -175,6 +175,10 @@ _MANIFEST = [
     "events_retention_cohorts",
     # round 8 (late batch): Kneser-Ney bigram surprisal.
     "text_kn_surprisal",
+    # round 8 (late batch): schema-on-read JSONL ingestion with corrupt isolation.
+    "ingest_jsonl_docs",
+    # round 8 (late batch): data-contract expectations in one aggregate.
+    "events_expectations",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -728,3 +728,52 @@ def pack_sequences_gathered(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_parts=16,
     )
     return gather_packed_sequences(docs, spans, id_col="doc_id", text_col="text")
+
+
+def ensure_jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the committed JSONL ingest fixture for ``sf_dir`` if
+    absent: one JSON line per document, with every ``doc_id % 50 == 7``
+    line deterministically TRUNCATED (unterminated string → guaranteed
+    parse failure) so the corrupt-record path is exercised by real bad
+    lines, not synthetic ones."""
+    from polars_sim_spark.queries.vectors import _index_dir
+    import os as _os
+
+    path = _index_dir(sf_dir, "docs_jsonl")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        line = F.to_json(F.struct("doc_id", "text", "lang"))
+        out = docs.withColumn("l", line).select(
+            F.when(
+                F.col("doc_id") % 50 == 7,
+                F.expr("substr(l, 1, length(l) - 5)"),
+            )
+            .otherwise(F.col("l"))
+            .alias("value")
+        )
+        out.coalesce(1).write.mode("overwrite").text(path)
+    return path
+
+
+@register(
+    "ingest_jsonl_docs",
+    """
+SELECT doc_id, md5(text) AS text_md5, lang
+FROM documents WHERE doc_id % 50 != 7
+""",
+)
+def ingest_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSONL ingestion (sources/ingest.py:read_jsonl):
+    the committed fixture carries one JSON line per document with every
+    50th line deterministically truncated mid-string; PERMISSIVE parse
+    with explicit corrupt-record isolation must land EXACTLY the intact
+    lines in the good set — the oracle recomputes the survivors from
+    the original table, so a silently dropped good line, a null-filled
+    corrupt line leaking through, or a parser-behavior drift is a
+    driver hash mismatch. (Corrupt-line ACCOUNTING — the bad set — is
+    pinned in tests/test_ingest.py.)"""
+    from polars_sim_spark.sources.ingest import read_jsonl
+
+    path = ensure_jsonl_fixture(spark, sf_dir)
+    good, _bad = read_jsonl(spark, path, "doc_id long, text string, lang string")
+    return good.select("doc_id", F.md5(F.col("text")).alias("text_md5"), "lang")

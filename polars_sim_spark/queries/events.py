@@ -1169,3 +1169,61 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("active_users * 1000000 div cohort_users").alias("retention_micro"),
         )
     )
+
+
+@register(
+    "events_expectations",
+    """
+WITH t AS (SELECT * FROM events)
+SELECT 'event_id_not_null' AS rule,
+       CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS n_rows FROM t
+UNION ALL
+SELECT 'user_id_not_null',
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM t
+UNION ALL
+SELECT 'value_non_negative',
+       CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM t
+UNION ALL
+SELECT 'event_type_accepted',
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                     OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM t
+UNION ALL
+SELECT 'ts_in_2024',
+       CAST(sum(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01'
+                     OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM t
+UNION ALL
+SELECT 'unique_event_id',
+       CAST(sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)
+            - count(DISTINCT event_id) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM t
+""",
+)
+def events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (operators/profile.py
+    check_expectations): six expectations over the events table — null
+    checks, a range, an accepted-values set, a time-window sanity rule,
+    and event_id uniqueness — ALL evaluated in one aggregate over one
+    scan (uniqueness folds in as non-null-count − distinct-count). The
+    oracle recomputes every violation count with plain SQL; the green
+    state this pins is 'zero violations on the contract corpus', so any
+    ingestion regression that nulls, duplicates, or range-breaks a
+    column flips a cell and fails the hash."""
+    from polars_sim_spark.operators.profile import check_expectations
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "event_id_not_null": F.col("event_id").isNull(),
+        "user_id_not_null": F.col("user_id").isNull(),
+        "value_non_negative": F.col("value").isNull() | (F.col("value") < 0),
+        "event_type_accepted": F.col("event_type").isNull()
+        | ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+        "ts_in_2024": F.col("ts").isNull()
+        | (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+    }
+    return check_expectations(ev, rules, unique_cols=["event_id"])

@@ -107,3 +107,42 @@ def test_drift_ks_detects_ordered_shift(spark):
     assert max(r["ks_micro"] for r in got.values()) == 250000  # KS = 0.25
     # identical snapshots → KS 0
     assert all(r["ks_micro"] == 0 for r in drift_ks(a, a, "b").collect())
+
+
+def test_check_expectations_counts_violations(spark):
+    from polars_sim_spark.operators.profile import check_expectations
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 3.0), (None, "c", 50.0)],
+        "id long, s string, v double",
+    )
+    out = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in check_expectations(
+            df,
+            {
+                "id_not_null": F.col("id").isNull(),
+                "s_not_null": F.col("s").isNull(),
+                "v_in_range": F.col("v").isNull() | (F.col("v") < 0) | (F.col("v") > 10),
+            },
+            unique_cols=["id"],
+        ).collect()
+    }
+    assert out == {
+        "id_not_null": (1, 4),
+        "s_not_null": (1, 4),
+        "v_in_range": (2, 4),   # -1.0 below, 50.0 above
+        "unique_id": (1, 4),    # id=2 twice → one extra
+    }
+    plan_df = check_expectations(df, {"x": F.col("id").isNull()}, unique_cols=["id"])
+    assert plan_df.count() == 2
+
+
+def test_check_expectations_validates_empty(spark):
+    import pytest
+
+    from polars_sim_spark.operators.profile import check_expectations
+
+    with pytest.raises(ValueError):
+        check_expectations(spark.range(3), {})
