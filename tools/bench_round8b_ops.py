@@ -30,6 +30,12 @@ QUERIES = [
     "multimodal_ppm_resize",
     "events_profile",
     "events_drift_tv",
+    # second batch of late-round ops:
+    "pack_sequences_gathered",
+    "text_kn_surprisal",
+    "events_drift_ks",
+    "events_retention_cohorts",
+    "events_expectations",
 ]
 
 
