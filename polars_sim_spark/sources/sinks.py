@@ -18,6 +18,7 @@ and queries exercise a single audited path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -196,3 +197,86 @@ def upsert_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     return vals
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+    format: str = "parquet",
+) -> list[dict]:
+    """Small-file compaction for a hive-partitioned lake — the OPTIMIZE
+    primitive: streaming ingest and partition-pruned upserts both leave
+    partitions with many small files over time, and at 100 TB the scan
+    cost of a partition is dominated by file-open/footer overhead once
+    files shrink below ~tens of MB. Per partition, if the current file
+    count exceeds what ``target_file_bytes`` would need, rewrite THAT
+    PARTITION coalesced to the target; every other partition keeps
+    byte-identical files (dynamic partition overwrite, same isolation
+    contract as :func:`upsert_partitions`, asserted in
+    tests/test_sinks.py).
+
+    Returns an audit list of dicts (partition, files_before,
+    files_after_target, bytes) for the partitions rewritten — the
+    driver-side work is one directory listing per partition, never row
+    data. Row content is untouched: compaction is a pure re-layout
+    (equality asserted in tests)."""
+    import math
+    import os
+
+    audit: list[dict] = []
+    todo: list[tuple[str, int, int, int]] = []
+    prefix = f"{partition_col}="
+    for d in sorted(os.listdir(path)):
+        if not d.startswith(prefix):
+            continue
+        pdir = os.path.join(path, d)
+        files = [
+            f
+            for f in os.listdir(pdir)
+            if not f.startswith((".", "_")) and f.endswith((".parquet", ".orc", ".json"))
+        ]
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        target = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(files) >= min_files_to_compact and len(files) > target:
+            todo.append((d[len(prefix) :], len(files), target, nbytes))
+    if not todo:
+        return audit
+    values = [v for v, *_ in todo]
+    existing = spark.read.format(format).load(path).where(
+        F.col(partition_col).isin(values)
+    )
+    # localCheckpoint: the rewrite reads the same files it overwrites —
+    # cut the self-overwrite dependency exactly like upsert_partitions
+    existing = existing.localCheckpoint()
+    # One write for all listed partitions: shuffle on (partition value,
+    # deterministic row-hash salt mod target) so every partition lands
+    # in ≤ max_target tasks → ≤ max_target files (exactly-per-partition
+    # targets would cost one write job per partition — not worth it; the
+    # audit reports the per-partition target for observability).
+    max_target = max(t for _, _, t, _ in todo)
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in existing.columns])),
+        F.lit(max_target),
+    )
+    (
+        existing.repartition(max_target * len(values), F.col(partition_col), salt)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .format(format)
+        .save(path)
+    )
+    for v, before, target, nbytes in todo:
+        audit.append(
+            {
+                "partition": v,
+                "files_before": before,
+                "files_after_target": target,
+                "bytes": nbytes,
+            }
+        )
+    return audit

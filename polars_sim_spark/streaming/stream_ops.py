@@ -1418,3 +1418,41 @@ def stream_append_packed(pack_path: str, *, id_col: str, token_col: str):
         ).write.mode("overwrite").parquet(marker)
 
     return apply
+
+
+def stream_expectations(
+    stream: DataFrame,
+    rules: dict[str, "F.Column"],
+    *,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/profile.py:check_expectations for the
+    SCALAR rules: per event-time window, each rule's violation count
+    and the window's row count — the live data-contract monitor that
+    gates an ingestion pipeline before bad batches reach training.
+    Same carry-the-rule-set trick as the drift/CMS twins: all rules
+    evaluate as conditional sums inside ONE windowed aggregation
+    (append mode, watermark-finalized), then unpivot with ``stack``.
+    Uniqueness rules are deliberately absent here — distinct-counting
+    needs either unbounded state or a sketch; use the batch operator on
+    settled data, or the streaming HLL twin for an estimate."""
+    if not rules:
+        raise ValueError("stream_expectations: no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = list(rules)
+    for i, name in enumerate(names):
+        aggs.append(F.sum(rules[name].cast("long")).alias(f"__v{i}"))
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window).alias("__w"))
+        .agg(*aggs)
+    )
+    stack_args = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return agg.selectExpr(
+        "__w.start as window_start",
+        "__w.end as window_end",
+        "__n as n_rows",
+        f"stack({len(names)}, {stack_args}) as (rule, violations)",
+    ).select("window_start", "window_end", "rule", "violations", "n_rows")

@@ -535,3 +535,52 @@ def test_bm25_append_frozen_stats_equals_pinned_rebuild(spark, sf_small):
     finally:
         for t in (t1, t1 + "_stats", t2, t2 + "_stats"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: the fragmented partition's file count drops to the
+    target, row content is unchanged, and partitions below the
+    threshold keep byte-identical files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from polars_sim_spark.sources.sinks import compact_partitions
+
+    lake = str(tmp_path / "lake")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    # partition p=0 fragmented into many small files; p=1/p=2 compact
+    base.where("p = 0").repartition(40).write.partitionBy("p").parquet(lake)
+    base.where("p != 0").coalesce(1).write.mode("append").partitionBy("p").parquet(lake)
+
+    def files_of(p):
+        d = os.path.join(lake, f"p={p}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    def bytes_of(p):
+        d = os.path.join(lake, f"p={p}")
+        return {f: os.path.getsize(os.path.join(d, f)) for f in files_of(p)}
+
+    before_rows = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    before_p1, before_p2 = bytes_of(1), bytes_of(2)
+    assert len(files_of(0)) == 40
+
+    audit = compact_partitions(
+        spark, lake, partition_col="p", target_file_bytes=1024 * 1024 * 1024
+    )
+    assert [a["partition"] for a in audit] == ["0"]
+    assert audit[0]["files_before"] == 40 and audit[0]["files_after_target"] == 1
+    assert len(files_of(0)) <= 1 + 0  # one file at the 1 GiB target
+    # untouched partitions keep byte-identical files
+    assert bytes_of(1) == before_p1 and bytes_of(2) == before_p2
+    # pure re-layout: row content unchanged
+    after_rows = sorted(map(tuple, spark.read.parquet(lake).collect()))
+    assert after_rows == before_rows
+    # idempotent: nothing left to compact
+    assert compact_partitions(spark, lake, partition_col="p") == []

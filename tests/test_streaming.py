@@ -1508,3 +1508,44 @@ def test_stream_append_packed_sequences(spark, tmp_path):
     replay = spark.createDataFrame([(99, 5)], "doc_id long, n_tok long")
     fn(replay, 0)
     assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total
+
+
+def test_stream_expectations_equals_batch(spark, sf_small, events_stream_dir):
+    """availableNow per-window violation counts == batch recomputation
+    per finalized window, rule for rule."""
+    import uuid as _uuid
+
+    from polars_sim_spark.streaming.stream_ops import stream_expectations
+
+    batch = load_table(spark, sf_small, "events")
+    rules = {
+        "value_non_negative": F.col("value").isNull() | (F.col("value") < 0),
+        "type_accepted": F.col("event_type").isNull()
+        | ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+    }
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    name = f"exp_{_uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_expectations(stream, rules, window="1 day", delay="2 hours"),
+        name,
+        "append",
+    )
+    got = {
+        (r["window_start"], r["rule"]): (r["violations"], r["n_rows"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got
+    day = F.date_trunc("day", "ts")
+    want_rows = (
+        batch.groupBy(day.alias("ws"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c.cast("long")).alias(f"v_{n}") for n, c in rules.items()],
+        )
+        .collect()
+    )
+    emitted = {w for (w, _) in got}
+    for r in want_rows:
+        if r["ws"] in emitted:
+            for n in rules:
+                assert got[(r["ws"], n)] == (r[f"v_{n}"], r["n"])
