@@ -162,6 +162,7 @@ HEADLINE = [
     "text_kn_surprisal",
     "ingest_jsonl_docs",
     "events_expectations",
+    "text_hash_embed_docs",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

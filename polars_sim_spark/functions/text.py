@@ -180,3 +180,56 @@ def word_shingles(s: Column | str, n: int = 3) -> Column:
     # let-bound: inlined, the split+trim+lower re-runs once PER SHINGLE
     # POSITION (measured 5-6× slower on the documents corpus at sf0.1).
     return let_col(F.split(F.trim(F.lower(_as_col(s))), r"\s+"), body)
+
+
+def hash_embed(
+    df, id_col: str, text_col: str, *, dim: int = 16
+):
+    """Model-free text embeddings by feature hashing (public: Weinberger
+    et al.'s hashing trick + signed random projection — the SimHash
+    construction kept CONTINUOUS instead of binarized): dimension j of
+    a document's vector is Σ over tokens of ±weight, the sign drawn
+    from bit j of the token's md5 and the weight the exact micro-unit
+    token frequency ``(c·1e6) div n``. Closes the text→vector loop with
+    no external model: the output plugs straight into the ANN/dedup
+    operators, and every component is an exact integer the contract
+    oracle reproduces.
+
+    Returns ``(id, emb_micro array<long>, embedding array<double>)``
+    (the double view is micro/1e6, for cosine math downstream).
+
+    Scale: one shuffle to count (id, token), a same-key window for the
+    per-doc total (the counts table is already hash-clustered by id
+    component), then the per-dim signed sums aggregate WITHOUT a new
+    exchange — ``dim`` conditional-sum columns, the simhash trick, no
+    vocabulary table and no explode over dimensions.
+    """
+    from pyspark.sql import Window
+
+    from polars_sim_spark.operators.dedup import md5_hash64
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    counts = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = Window.partitionBy("id")
+    weighted = counts.withColumn("n", F.sum("c").over(n)).select(
+        "id", "w", F.expr("(c * 1000000) div n").alias("wt")
+    )
+    h = md5_hash64(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("wt")).otherwise(
+                -F.col("wt")
+            )
+        ).alias(f"__v{j}")
+        for j in range(dim)
+    ]
+    out = weighted.groupBy("id").agg(*aggs)
+    emb_micro = F.array(*[F.col(f"__v{j}") for j in range(dim)])
+    return out.select(
+        "id",
+        emb_micro.alias("emb_micro"),
+        F.transform(emb_micro, lambda v: v.cast("double") / 1000000).alias("embedding"),
+    )

@@ -179,6 +179,8 @@ _MANIFEST = [
     "ingest_jsonl_docs",
     # round 8 (late batch): data-contract expectations in one aggregate.
     "events_expectations",
+    # round 8 (late batch): model-free hash embeddings from raw text.
+    "text_hash_embed_docs",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

@@ -913,3 +913,45 @@ def text_kn_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce(F.col("mean_kn_surprisal"), F.lit(0.0)).alias("mean_kn_surprisal"),
     )
+
+
+@register(
+    "text_hash_embed_docs",
+    """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+nz AS (SELECT id, w FROM toks WHERE w != ''),
+counts AS (SELECT id, w, count(*) AS c FROM nz GROUP BY id, w),
+n AS (SELECT id, sum(c) AS n FROM counts GROUP BY id),
+weighted AS (
+  SELECT c.id, c.w, (c.c * 1000000) // n.n AS wt,
+         CAST(('0x' || substr(md5(c.w), 1, 8)) AS BIGINT) AS h
+  FROM counts c JOIN n USING (id)
+)
+SELECT id AS doc_id, u.i AS dim,
+       CAST(sum(CASE WHEN (h >> CAST(u.i AS INT)) & 1 = 1 THEN wt ELSE -wt END) AS BIGINT) AS v_micro
+FROM weighted, unnest(range(16)) AS u(i)
+GROUP BY id, u.i
+""",
+)
+def text_hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free hash embeddings from raw text (functions/text.py
+    hash_embed — the hashing trick + signed projection, SimHash kept
+    continuous): 16 exact-integer micro-unit components per document,
+    every one reproduced by the oracle's md5-bit arithmetic. The double
+    view of the same vectors plugs into the ANN stack (pinned in
+    tests/test_similarity.py: embed → brute-force cosine top-k runs
+    end-to-end from raw text with no external model)."""
+    from polars_sim_spark.functions.text import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    emb = hash_embed(docs, "doc_id", "text", dim=16)
+    return emb.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("emb_micro").alias("dim", "v_micro"),
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "v_micro")
