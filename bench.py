@@ -163,6 +163,7 @@ HEADLINE = [
     "ingest_jsonl_docs",
     "events_expectations",
     "text_hash_embed_docs",
+    "events_profile_sketch",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -181,6 +181,8 @@ _MANIFEST = [
     "events_expectations",
     # round 8 (late batch): model-free hash embeddings from raw text.
     "text_hash_embed_docs",
+    # round 8 (late batch): profiler cardinalities on the sketch path.
+    "events_profile_sketch",
     "temperature_sample_docs",
     "dedup_incremental_docs",
     "docs_length_quartiles",

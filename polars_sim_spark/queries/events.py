@@ -1227,3 +1227,75 @@ def events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
     }
     return check_expectations(ev, rules, unique_cols=["event_id"])
+
+
+@register(
+    "events_profile_sketch",
+    """
+WITH t AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+         CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS value_micro,
+         props
+  FROM events
+),
+u AS (
+  SELECT 'event_id' AS "column", CAST(event_id AS VARCHAR) AS val FROM t
+  UNION ALL SELECT 'ts_us', CAST(ts_us AS VARCHAR) FROM t
+  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM t
+  UNION ALL SELECT 'event_type', event_type FROM t
+  UNION ALL SELECT 'value_micro', CAST(value_micro AS VARCHAR) FROM t
+  UNION ALL SELECT 'props', props FROM t
+),
+r AS (
+  SELECT "column",
+         CAST(('0x' || substr(md5(val), 1, 8)) AS BIGINT) % 256 AS b,
+         floor(CAST(('0x' || substr(md5(val), 1, 8)) AS BIGINT) / 256) AS rem
+  FROM u WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT "column", b,
+         max(CASE WHEN rem = 0 THEN 25 ELSE 25 - length(bin(CAST(rem AS BIGINT))) END) AS M
+  FROM r GROUP BY 1, 2
+),
+g AS (
+  SELECT "column", count(*) AS present,
+         sum(CAST(power(2, 25 - M) AS BIGINT)) AS s
+  FROM regs GROUP BY 1
+)
+SELECT "column",
+       round(CASE WHEN (CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                        / (s + (256 - present) * 33554432)) <= 640.0
+                   AND (256 - present) > 0
+             THEN 256 * ln(256.0 / (256 - present))
+             ELSE CAST(0.7182725932495458 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+                  / (s + (256 - present) * 33554432)
+             END, 4) AS hll_distinct
+FROM g
+""",
+)
+def events_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's 100 TB cardinality path made real (the swap
+    ``events_profile``'s docstring promises): per-column DISTINCT
+    estimates from the deterministic HLL family instead of the exact
+    multi-DISTINCT Expand — register state is O(columns × 256) at any
+    corpus size where the exact form's hash table grows with true
+    cardinality. Columns unpivot map-side (``stack`` in the scan
+    stage), then ONE sketch aggregate serves all six columns; the
+    ESTIMATES are digit-for-digit oracle-reproduced like every sketch
+    row."""
+    from polars_sim_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.round("value", 6) * 1000000, 0).cast("long").alias("value_micro"),
+        "props",
+    )
+    cols = ["event_id", "ts_us", "user_id", "event_type", "value_micro", "props"]
+    stack_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    long = ev.selectExpr(f"stack({len(cols)}, {stack_args}) as (column, val)").where(
+        F.col("val").isNotNull()
+    )
+    return hll_distinct(long, "column", "val")

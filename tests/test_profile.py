@@ -146,3 +146,21 @@ def test_check_expectations_validates_empty(spark):
 
     with pytest.raises(ValueError):
         check_expectations(spark.range(3), {})
+
+
+def test_profile_sketch_tracks_exact_cardinalities(spark, sf_small):
+    """The HLL profiler path estimates within HLL's expected error of
+    the exact profiler's distinct counts, column for column."""
+    from polars_sim_spark import queries as q
+
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in q.events_profile(spark, sf_small).collect()
+    }
+    est = {
+        r["column"]: r["hll_distinct"]
+        for r in q.events_profile_sketch(spark, sf_small).collect()
+    }
+    assert set(est) == set(exact)
+    for c, e in exact.items():
+        assert abs(est[c] - e) <= max(0.15 * e, 3.0), (c, est[c], e)
