@@ -164,6 +164,7 @@ HEADLINE = [
     "events_expectations",
     "text_hash_embed_docs",
     "events_profile_sketch",
+    "join_edit_customers",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

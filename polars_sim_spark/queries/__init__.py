@@ -241,6 +241,7 @@ _MANIFEST = [
     "events_hll_users",
     "events_cms_user_counts",
     # round 8:
+    "join_edit_customers",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -153,3 +153,28 @@ def trigram_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
     )
 
+
+
+@register(
+    "join_edit_customers",
+    """
+SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey
+  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def join_edit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join: every customer-name pair within Levenshtein
+    distance 1 (operators/edit_join.py — Ed-Join q-gram prefix pruning).
+    Extends the reference's similarity-join family (join.py:15-30) to the
+    edit metric; the oracle runs the O(n^2) cross product the Spark plan
+    exists to avoid."""
+    from polars_sim_spark.operators.edit_join import edit_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_join(
+        cust, None, "c_name", left_id="c_custkey", max_dist=1
+    ).select("l_id", "r_id", "edit_dist")
