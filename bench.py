@@ -165,6 +165,8 @@ HEADLINE = [
     "text_hash_embed_docs",
     "events_profile_sketch",
     "join_edit_customers",
+    "graph_part_triangles",
+    "graph_part_pagerank",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1,0 +1,221 @@
+"""Graph analytics over relational co-occurrence graphs — triangle counting
+and exact-arithmetic PageRank.
+
+The reference ships no graph operators (its one operator is the string
+similarity join, reference ``python/polars_sim/dataframe/join.py:15-30``);
+this module generalizes the engine the same way ``operators/dedup.py``'s
+connected components did: graphs ARISE from similarity/co-occurrence
+output (near-dup pairs, co-purchase baskets), and clustering/centrality
+over them is the natural next query.
+
+Scale design:
+
+* **Edge derivation** (:func:`cooccurrence_edges`) is a self-equi-join on
+  the group key — per-group pair count is quadratic in basket size, so a
+  ``max_group_size`` guard drops pathological baskets map-side (standard
+  market-basket hygiene; the groups-too-big set is computed with one
+  narrow agg).
+* **Triangle counting** (:func:`triangle_counts`) uses the classic
+  degree-ordered node-iterator (Schank & Wagner 2005): orient every edge
+  from its (degree, id)-smaller endpoint to the larger, enumerate wedges
+  under the orientation (per-node work bounded by oriented out-degree,
+  which is O(sqrt(m)) on any graph), then close each wedge with a
+  semi-join back to the oriented edge set.  Three narrow shuffles total;
+  no node ever materializes its full neighborhood in one task beyond the
+  sqrt(m) bound.
+* **PageRank** (:func:`pagerank`) runs a FIXED iteration count in exact
+  int64 micro-units: rank mass starts at ``SCALE // n`` per node, each
+  step moves ``rank // degree`` along every edge (integer division —
+  deterministic), and damping applies as ``(d_pct * inflow) // 100``.
+  Every operation is exact integer arithmetic, identical in Spark and
+  ANSI SQL — which is what makes a 5-iteration PageRank *hash-checkable
+  against DuckDB* (the oracle unrolls the iterations as a CTE chain).
+  Total mass stays <= SCALE = 10^12, so ``85 * inflow`` stays far below
+  2^63 (no ANSI overflow).  Per-iteration ``localCheckpoint`` caps plan
+  growth exactly as ``connected_components`` does (measured there:
+  un-checkpointed iterative plans re-evaluate prior rounds superlinearly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: PageRank mass scale: 10^12 micro-micro-units. n * SCALE fits int64 for
+#: any realistic node count, and 100 * SCALE < 2^63.
+PR_SCALE = 1_000_000_000_000
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(a, b)`` with ``a < b``:
+    two items are connected iff they appear in the same group (order,
+    basket, session, document)."""
+    # One shuffle (groupBy group), then the per-group pair set explodes
+    # MAP-SIDE from the sorted item array — a self-equi-join would
+    # shuffle the items twice more and re-shuffle the pair stream
+    # (measured 15s vs 6s for the sf0.1 co-purchase graph).
+    baskets = (
+        df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i"))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("i")).alias("arr"))
+    )
+    if max_group_size is not None:
+        baskets = baskets.where(F.size("arr") <= max_group_size)
+    pairs = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(arr, (x, ix) -> "
+                "transform(slice(arr, ix + 2, size(arr)), y -> struct(x AS a, y AS b)))"
+            )
+        )
+    ).alias("p")
+    return (
+        baskets.select(pairs)
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    ends = edges.select(F.col("a").alias("n")).unionByName(
+        edges.select(F.col("b").alias("n"))
+    )
+    return ends.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles): how many triangles each node participates in.
+
+    ``edges`` must be distinct undirected pairs with ``a < b`` (the
+    :func:`cooccurrence_edges` contract).  Degree-ordered orientation
+    bounds the wedge enumeration per node by the oriented out-degree.
+    """
+    # The edge set feeds degree counting, orientation, and the closing
+    # probe — materialize it once (no ReusedExchange fires across
+    # aggregate subtrees; unchecked, the derivation re-runs three times).
+    edges = edges.localCheckpoint()
+    deg = _degrees(edges)
+
+    # Orient each edge from the (deg, id)-smaller endpoint to the larger.
+    # Degree tables are |V| rows — broadcast them onto the |E|-row edge
+    # set (at 100 TB |V| can outgrow the driver: drop the hint and these
+    # become shuffle joins, same plan shape).
+    e = (
+        edges.join(F.broadcast(deg.withColumnsRenamed({"n": "a", "deg": "da"})), "a")
+        .join(F.broadcast(deg.withColumnsRenamed({"n": "b", "deg": "db"})), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+        .localCheckpoint()  # reused by the in-adjacency agg AND the closing probe
+    )
+
+    # Under the orientation every triangle has one source u with edges
+    # u->v, u->w and the closing edge v->w — so each oriented edge (v, w)
+    # closes exactly |N_in(v) ∩ N_in(w)| triangles.  Intersecting
+    # in-neighbor ARRAYS per edge keeps the quadratic wedge work inside
+    # whole-stage codegen instead of shuffling the wedge stream (measured
+    # at sf0.1: 3.7s vs 11.7s for the wedge-join formulation on 41M
+    # wedges / 1.9M triangles).  Exploding the intersection recovers u,
+    # so per-node attribution stays exact.
+    in_adj = e.groupBy("v").agg(F.collect_list("u").alias("ins"))
+    in_v = in_adj.select("v", F.col("ins").alias("ins_v"))
+    in_w = in_adj.select(F.col("v").alias("w"), F.col("ins").alias("ins_w"))
+    tri = (
+        e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        .join(in_v, "v")
+        .join(in_w, "w")
+        .select(
+            "v", "w", F.explode(F.array_intersect("ins_v", "ins_w")).alias("u")
+        )
+    )
+
+    member = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+    return member.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank_micro): PageRank after a FIXED number of iterations in
+    exact int64 arithmetic (micro-units of PR_SCALE; see module doc).
+
+    ``edges`` are distinct undirected pairs (a < b); each becomes two
+    directed edges, so every node has out-degree >= 1 and there are no
+    dangling-mass corrections.  ``rank_micro`` is engine-portable: the
+    DuckDB oracle reproduces every value exactly by unrolling the same
+    integer recurrence.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"pagerank: damping_pct must be in [0, 100], got {damping_pct}")
+    if iterations < 0:
+        raise ValueError(f"pagerank: iterations must be >= 0, got {iterations}")
+    edges = edges.localCheckpoint()  # feeds both the degree agg and the adjacency
+    deg = _degrees(edges)  # undirected degree == directed out-degree
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge set")
+    base = int(PR_SCALE) // n_nodes  # teleport-free initial mass per node
+    teleport = (int(PR_SCALE) * (100 - damping_pct)) // (100 * n_nodes)
+
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # One shuffle-stable copy of the adjacency + degrees, reused every
+    # iteration (re-deriving it per round would rescan the fact table).
+    adj = directed.join(deg.withColumnRenamed("n", "src"), "src").localCheckpoint()
+
+    ranks = deg.select("n", F.lit(base).cast("long").alias("rank_micro")).localCheckpoint()
+    # The rank table is |V| rows vs the |E|-row adjacency: broadcast it so
+    # each iteration is one map-side join + one partial-agg shuffle of |V|
+    # rows, never a sort-merge of the adjacency (checkpointed RDD scans
+    # carry no stats, so Catalyst would pick SMJ otherwise).  Past driver
+    # memory (~hundreds of millions of nodes) drop the hint — plan shape
+    # survives, with an extra exchange.
+    bcast = n_nodes <= 5_000_000
+    for _ in range(int(iterations)):
+        rsrc = ranks.withColumnRenamed("n", "src")
+        inflow = (
+            adj.join(F.broadcast(rsrc) if bcast else rsrc, "src")
+            .select(
+                F.col("dst").alias("n"),
+                # `div` = exact integer division (DuckDB `//` twin); a
+                # double `/` + cast can land one off at representation
+                # boundaries and break the cross-engine hash.
+                F.expr("rank_micro div deg").alias("__c"),
+            )
+            .groupBy("n")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # Every node has inflow (symmetric edges), but keep the join left
+        # + coalesce so a future directed-graph caller degrades safely.
+        ranks = (
+            ranks.select("n")
+            .join(inflow, "n", "left")
+            .select(
+                "n",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({int(damping_pct)}L * coalesce(__in, 0L)) div 100"
+                    )
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.withColumnRenamed("n", "node")

@@ -19,11 +19,12 @@ from polars_sim_spark.queries import (  # noqa: F401  (registration order = chro
     vectors,
     multimodal,
     curation,
+    graph,
 )
 
 # Re-export every public query function / oracle helper at package level
 # (tests and tools address e.g. queries.revenue_by_nation directly).
-for _m in (simjoin, relational, events, dedup, text, vectors, multimodal, curation):
+for _m in (simjoin, relational, events, dedup, text, vectors, multimodal, curation, graph):
     for _k, _v in vars(_m).items():
         if callable(_v) and getattr(_v, '__module__', '').startswith('polars_sim_spark.queries.'):
             globals().setdefault(_k, _v)
@@ -242,6 +243,8 @@ _MANIFEST = [
     "events_cms_user_counts",
     # round 8:
     "join_edit_customers",
+    "graph_part_triangles",
+    "graph_part_pagerank",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

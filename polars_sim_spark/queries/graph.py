@@ -1,0 +1,106 @@
+"""Graph-analytics contract queries: co-occurrence edges, triangle counts,
+exact-integer PageRank (operators/graph.py).
+
+The graph is the part co-purchase graph: two parts are connected iff some
+order contains both.  Both queries are fully hash-checkable — triangle
+counting is plain exact counting, and PageRank runs a FIXED iteration
+count in int64 micro-units so the DuckDB oracle reproduces every value by
+unrolling the same integer recurrence (module doc of operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.queries._registry import register
+
+#: Shared oracle CTEs: the co-purchase edge set (distinct part pairs per
+#: order, a < b) — the SQL twin of operators.graph.cooccurrence_edges.
+_EDGES_CTE = """
+items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+edges AS (
+  SELECT x.i AS a, y.i AS b
+  FROM items x JOIN items y ON x.g = y.g AND x.i < y.i
+  GROUP BY 1, 2
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_sim_spark.operators.graph import cooccurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
+
+
+@register(
+    "graph_part_triangles",
+    f"""
+WITH {_EDGES_CTE},
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM edges e1
+  JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+GROUP BY node
+""",
+)
+def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph.  The
+    Spark plan is the degree-ordered node-iterator (per-node wedge work
+    bounded by sqrt(m)); the oracle is the textbook three-way self-join
+    the node-iterator exists to avoid at scale."""
+    from polars_sim_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
+    """Unroll the exact integer PageRank recurrence as a CTE chain."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""
+r{i} AS (
+  SELECT deg.n AS node,
+         tele.t + CAST(({damping_pct} * coalesce(infl.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM deg
+  CROSS JOIN tele
+  LEFT JOIN (
+    SELECT dir.dst AS n, CAST(sum(r.rank_micro // d2.deg) AS BIGINT) AS s
+    FROM dir
+    JOIN deg d2 ON d2.n = dir.src
+    JOIN {prev} r ON r.node = dir.src
+    GROUP BY dir.dst
+  ) infl ON infl.n = deg.n
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src AS n, count(*) AS deg FROM dir GROUP BY 1),
+c AS (SELECT count(*) AS n FROM deg),
+tele AS (SELECT CAST((1000000000000 * (100 - {damping_pct})) // (100 * n) AS BIGINT) AS t FROM c),
+r0 AS (SELECT deg.n AS node, CAST(1000000000000 // c.n AS BIGINT) AS rank_micro FROM deg CROSS JOIN c),
+{chain}
+SELECT node, rank_micro FROM {prev}
+"""
+
+
+@register("graph_part_pagerank", _pagerank_oracle(iterations=3))
+def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the co-purchase graph in
+    exact int64 micro-units — every value hash-matches the oracle's
+    unrolled integer recurrence.  Iterative Spark loop with per-round
+    localCheckpoint (the connected-components pattern)."""
+    from polars_sim_spark.operators.graph import pagerank
+
+    return pagerank(_copurchase_edges(spark, sf_dir), iterations=3)

@@ -1,0 +1,115 @@
+"""Graph operators: triangle counts and exact-integer PageRank
+(operators/graph.py) pinned on handcrafted graphs with known answers,
+plus a pure-Python recurrence twin for PageRank.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_sim_spark.operators.graph import (
+    PR_SCALE,
+    cooccurrence_edges,
+    pagerank,
+    triangle_counts,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], ["a", "b"]
+    ).distinct()
+
+
+def test_cooccurrence_edges_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"), (2, "y")],
+        ["g", "i"],
+    )
+    got = {
+        (r.a, r.b)
+        for r in cooccurrence_edges(df, group_col="g", item_col="i").collect()
+    }
+    assert got == {("x", "y"), ("x", "z"), ("y", "z")}
+
+
+def test_cooccurrence_edges_max_group_size(spark):
+    rows = [(1, i) for i in range(5)] + [(2, 10), (2, 11)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    got = {
+        (r.a, r.b)
+        for r in cooccurrence_edges(
+            df, group_col="g", item_col="i", max_group_size=3
+        ).collect()
+    }
+    assert got == {(10, 11)}  # the 5-item basket is dropped entirely
+
+
+def test_triangle_counts_known_graphs(spark):
+    # K4: every node is in C(3,2) = 3 triangles.
+    k4 = _edges_df(spark, itertools.combinations(range(4), 2))
+    got = {(r.node, r.n_triangles) for r in triangle_counts(k4).collect()}
+    assert got == {(i, 3) for i in range(4)}
+
+    # Square + one diagonal: two triangles sharing the diagonal 0-2.
+    sq = _edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    got = {(r.node, r.n_triangles) for r in triangle_counts(sq).collect()}
+    assert got == {(0, 2), (2, 2), (1, 1), (3, 1)}
+
+    # Triangle-free graph (star): empty result.
+    star = _edges_df(spark, [(0, i) for i in range(1, 5)])
+    assert triangle_counts(star).count() == 0
+
+
+def _pagerank_py(pairs, iterations=3, damping_pct=85):
+    """Pure-Python twin of the exact integer recurrence."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    n = len(adj)
+    tele = (PR_SCALE * (100 - damping_pct)) // (100 * n)
+    rank = {v: PR_SCALE // n for v in adj}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in adj}
+        for v, nbrs in adj.items():
+            c = rank[v] // len(nbrs)
+            for w in nbrs:
+                inflow[w] += c
+        rank = {v: tele + (damping_pct * inflow[v]) // 100 for v in adj}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [0, 1, 3])
+def test_pagerank_matches_python_recurrence(spark, iterations):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    got = {
+        (r.node, r.rank_micro)
+        for r in pagerank(_edges_df(spark, pairs), iterations=iterations).collect()
+    }
+    want = set(_pagerank_py(pairs, iterations=iterations).items())
+    assert got == want
+
+
+def test_pagerank_mass_and_order(spark):
+    # Hub-and-spoke: the hub must outrank every spoke, and total mass
+    # stays within integer-truncation slack of PR_SCALE.
+    pairs = [(0, i) for i in range(1, 6)]
+    rows = pagerank(_edges_df(spark, pairs), iterations=5).collect()
+    ranks = {r.node: r.rank_micro for r in rows}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
+    total = sum(ranks.values())
+    assert 0 < PR_SCALE - total < 1000 * len(ranks)  # truncation-only loss
+
+
+def test_pagerank_rejects_bad_args(spark):
+    e = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        pagerank(e, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=-1)
+    with pytest.raises(ValueError):
+        pagerank(e.where(F.lit(False)))
