@@ -167,6 +167,8 @@ HEADLINE = [
     "join_edit_customers",
     "graph_part_triangles",
     "graph_part_pagerank",
+    "text_pmi_pairs",
+    "events_robust_anomalies",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -245,6 +245,8 @@ _MANIFEST = [
     "join_edit_customers",
     "graph_part_triangles",
     "graph_part_pagerank",
+    "text_pmi_pairs",
+    "events_robust_anomalies",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -1299,3 +1299,83 @@ def events_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").isNotNull()
     )
     return hll_distinct(long, "column", "val")
+
+
+@register(
+    "events_robust_anomalies",
+    """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         CAST(round(round(abs(e.value - m.med), 6) * 1000000, 0) AS BIGINT) AS dev_micro
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dranked AS (
+  SELECT event_type, dev_micro,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev_micro, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, dev_micro AS mad_micro FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value, d.med, d.dev_micro, m.mad_micro
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.dev_micro * 10000 > m.mad_micro * 44478
+""",
+)
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: flag events whose absolute
+    deviation from the type's median exceeds 3 x 1.4826 x MAD (the robust
+    z-score rule; 1.4826 makes MAD a consistent sigma estimate).  Medians
+    are LOWER medians picked by exact rank selection — a data value, not
+    an interpolation — and deviations are compared in integer micro-units
+    (dev_micro*10000 > mad_micro*44478), so no float rounding ever enters
+    the engine comparison and every row hash-matches the oracle.  Exact
+    per-group rank selection needs group co-location (the same shuffle
+    bound events_value_quantiles documents); at 100 TB swap the median
+    for the deterministic KLL-class sketch estimate
+    (events_value_quantiles_sketch) and the flag rule is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def lower_median(df: DataFrame, val_col: str):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("event_type", F.col(val_col).alias("__med"))
+        )
+
+    med = lower_median(ev.select("event_type", "value", "event_id"), "value")
+    dev = (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("__med").alias("med"),
+            F.expr(
+                "CAST(round(round(abs(value - __med), 6) * 1000000, 0) AS BIGINT)"
+            ).alias("dev_micro"),
+        )
+    )
+    mad = lower_median(
+        dev.select("event_type", F.col("dev_micro").alias("value"), "event_id"),
+        "value",
+    ).select("event_type", F.col("__med").alias("mad_micro"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev_micro") * 10000 > F.col("mad_micro") * 44478)
+        .select("event_id", "event_type", "value", "med", "dev_micro", "mad_micro")
+    )

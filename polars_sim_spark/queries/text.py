@@ -955,3 +955,86 @@ def text_hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.posexplode("emb_micro").alias("dim", "v_micro"),
     ).select("doc_id", F.col("dim").cast("long").alias("dim"), "v_micro")
+
+
+@register(
+    "text_pmi_pairs",
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+pairs AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, count(*) AS c_xy
+  FROM toks x JOIN toks y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, c_xy, c_x, c_y, ratio_micro FROM (
+  SELECT p.tok_a, p.tok_b, p.c_xy, da.df AS c_x, db.df AS c_y,
+         CAST((p.c_xy * t.n_docs * 1000000) // (da.df * db.df) AS BIGINT) AS ratio_micro,
+         row_number() OVER (
+           ORDER BY (p.c_xy * t.n_docs * 1000000) // (da.df * db.df) DESC,
+                    p.tok_a, p.tok_b
+         ) AS rn
+  FROM pairs p
+  JOIN dfreq da ON da.tok = p.tok_a
+  JOIN dfreq db ON db.tok = p.tok_b
+  CROSS JOIN total t
+  WHERE p.c_xy >= 5
+) WHERE rn <= 50
+""",
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by pointwise mutual information over the corpus
+    (presence-based co-occurrence).  PMI = ln(c_xy*N / (c_x*c_y)) — but ln
+    is monotone, so the RANKING uses the exact integer micro-unit ratio
+    ``(c_xy*N*10^6) div (c_x*c_y)`` and no float ever enters the query:
+    every value hash-matches the oracle.  Pair generation explodes
+    map-side from each document's sorted distinct-token array (the
+    cooccurrence_edges pattern, operators/graph.py) — never a self-join
+    on the corpus; co-occurrence counting is one narrow (tok_a, tok_b)
+    agg, the same shape at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            )
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.select("doc_id").distinct().count()
+
+    baskets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_set("tok")).alias("arr"))
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(arr, (x, ix) -> "
+                "transform(slice(arr, ix + 2, size(arr)), y -> struct(x AS a, y AS b)))"
+            )
+        )
+    ).alias("p")
+    pairs = (
+        baskets.select(pair)
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    scored = (
+        pairs.join(F.broadcast(dfreq.withColumnsRenamed({"tok": "tok_a", "df": "c_x"})), "tok_a")
+        .join(F.broadcast(dfreq.withColumnsRenamed({"tok": "tok_b", "df": "c_y"})), "tok_b")
+        .withColumn(
+            "ratio_micro",
+            F.expr(f"(c_xy * {n_docs}L * 1000000L) div (c_x * c_y)"),
+        )
+    )
+    w = Window.orderBy(F.col("ratio_micro").desc(), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("tok_a", "tok_b", "c_xy", "c_x", "c_y", "ratio_micro")
+    )
