@@ -169,6 +169,7 @@ HEADLINE = [
     "graph_part_pagerank",
     "text_pmi_pairs",
     "events_robust_anomalies",
+    "pack_webdataset_docs",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -247,6 +247,7 @@ _MANIFEST = [
     "graph_part_pagerank",
     "text_pmi_pairs",
     "events_robust_anomalies",
+    "pack_webdataset_docs",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

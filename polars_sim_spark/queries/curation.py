@@ -777,3 +777,44 @@ def ingest_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_jsonl_fixture(spark, sf_dir)
     good, _bad = read_jsonl(spark, path, "doc_id long, text string, lang string")
     return good.select("doc_id", F.md5(F.col("text")).alias("text_md5"), "lang")
+
+
+@register(
+    "pack_webdataset_docs",
+    """
+WITH t AS (
+  SELECT doc_id, strlen(text) AS ob, strlen(source) AS os,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+),
+a AS (
+  SELECT doc_id, ob, os,
+         (row_number() OVER (ORDER BY part, doc_id) - 1) // 100 AS shard_id
+  FROM t
+)
+SELECT shard_id, count(*) AS n_samples,
+       CAST(((sum(1024 + ((ob + 511) // 512) * 512 + ((os + 511) // 512) * 512)
+              + 1024 + 10239) // 10240) * 10240 AS BIGINT) AS n_bytes
+FROM a GROUP BY shard_id
+""",
+)
+def pack_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shards of the document corpus (100 samples/shard,
+    members {doc_id}.txt + {doc_id}.src).  The engine BUILDS each archive
+    in a bounded per-shard Arrow task (sources/webdataset.py); the oracle
+    cannot build tars, but USTAR overhead is closed-form, so it verifies
+    the manifest — shard assignment, sample counts, and the exact byte
+    size of every archive — from octet lengths alone.  Byte-level tar
+    correctness is pinned by tests/test_webdataset.py (tarfile read-back
+    + run-to-run identity)."""
+    from polars_sim_spark.sources.webdataset import pack_webdataset_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_webdataset_shards(
+        docs,
+        id_col="doc_id",
+        members=[("txt", "text"), ("src", "source")],
+        docs_per_shard=100,
+        num_parts=16,
+    )
+    return out.select("shard_id", "n_samples", "n_bytes")
