@@ -170,6 +170,7 @@ HEADLINE = [
     "text_pmi_pairs",
     "events_robust_anomalies",
     "pack_webdataset_docs",
+    "ann_mmr_rerank",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1344,3 +1344,86 @@ def ann_topk_sq8_prebuilt(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    *,
+    group_col: str = "q_id",
+    id_col: str = "n_id",
+    vec_col: str = "embedding",
+    rel_col: str = "sim",
+    k: int = 10,
+    lambda_pct: int = 70,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    an ANN candidate list: greedily select ``k`` results per query
+    maximizing ``lambda*relevance - (1-lambda)*max_sim_to_selected`` —
+    the standard diversity pass between retrieval and training-batch /
+    context assembly.  Returns (group, rank, id, mmr_micro).
+
+    Scale shape: the iterative argmax is inherently sequential PER QUERY
+    but touches only that query's candidate list (k from the upstream
+    ANN top-k), so each group is one bounded Arrow task via
+    ``applyInPandas`` — thousands of queries re-rank in parallel and
+    nothing ever funnels through the driver.  This is the sanctioned
+    groupBy+apply case: per-group work is a real O(k*n*d) algorithm,
+    not a trivial lookup (see BASELINE.md's per-batch-vs-per-group
+    measurement for the opposite case).
+
+    Determinism: all scores are exact int64 micro-units — relevance and
+    pairwise cosines round through ``round(x, 6) * 1e6`` and combine as
+    ``(lambda_pct * rel - (100 - lambda_pct) * maxsim) // 100``, ties
+    break on the smaller id — so the selection is a pure function of the
+    candidate set, pinned against a local numpy reference in
+    tests/test_mmr.py (iterative selection is not SQL-expressible; the
+    contract query is a sanctioned rows-only row like BPE/PQ fit).
+    """
+    if k < 1:
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(
+            f"mmr_rerank: lambda_pct must be in [0, 100], got {lambda_pct}"
+        )
+    import numpy as np
+
+    lam = int(lambda_pct)
+    kk = int(k)
+
+    def _micro(x: "np.ndarray") -> "np.ndarray":
+        return np.round(np.round(x, 6) * 1_000_000).astype(np.int64)
+
+    def body(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = _micro(pdf[rel_col].to_numpy(dtype=np.float64))
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms[:, None]
+        n = len(ids)
+        sims = _micro(mat @ mat.T)  # candidate lists are small: n <= ANN top-k
+        remaining = np.ones(n, dtype=bool)
+        maxsim = np.zeros(n, dtype=np.int64)
+        out = []
+        for rank in range(min(kk, n)):
+            score = (lam * rel - (100 - lam) * maxsim) // 100
+            score[~remaining] = np.iinfo(np.int64).min
+            best = int(np.flatnonzero(score == score.max())[0])  # ids sorted: first = smallest id
+            out.append((key[0], rank + 1, ids[best], int(score[best])))
+            remaining[best] = False
+            maxsim = np.maximum(maxsim, sims[:, best])
+        return pd.DataFrame(out, columns=["group", "rank", "id", "mmr_micro"])
+
+    gtype = dict(cands.dtypes)[group_col]
+    itype = dict(cands.dtypes)[id_col]
+    schema = f"group {gtype}, rank int, id {itype}, mmr_micro long"
+    out = cands.groupBy(group_col).applyInPandas(body, schema=schema)
+    return out.select(
+        F.col("group").alias(group_col),
+        "rank",
+        F.col("id").alias(id_col),
+        "mmr_micro",
+    )

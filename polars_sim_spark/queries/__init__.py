@@ -248,6 +248,7 @@ _MANIFEST = [
     "text_pmi_pairs",
     "events_robust_anomalies",
     "pack_webdataset_docs",
+    "ann_mmr_rerank",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -784,3 +784,32 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = emb.where(F.col("label") < 3).select("vec_id")
     out = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3, allowed=allowed)
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
+
+
+@register("ann_mmr_rerank")
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-rank of the brute-force ANN candidates: top-50 cosine
+    candidates per query, MMR-selected down to 10 (lambda=0.70) in exact
+    int64 micro-units (operators/similarity.mmr_rerank).  Iterative
+    greedy selection is not SQL-expressible — sanctioned rows-only like
+    the BPE/PQ fits; the selection itself is pinned bit-for-bit against
+    a local numpy reference in tests/test_mmr.py."""
+    from polars_sim_spark.operators.similarity import ann_topk_bruteforce as ann_bf
+    from polars_sim_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = ann_bf(emb, queries, k=50).join(
+        emb.select(F.col("vec_id").alias("n_id"), "embedding"), "n_id"
+    )
+    return mmr_rerank(
+        cands,
+        group_col="q_id",
+        id_col="n_id",
+        vec_col="embedding",
+        rel_col="sim",
+        k=10,
+        lambda_pct=70,
+    )
