@@ -199,3 +199,88 @@ def check_expectations(
         "__n as n_rows",
         f"stack({len(names)}, {stack_args}) as (rule, violations)",
     ).select("rule", "violations", "n_rows")
+
+
+def robust_group_stats(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(group, med, mad_micro): per-group LOWER median and integer
+    micro-unit MAD — the reference table for robust (median/MAD) outlier
+    flagging.  Both medians are exact rank selections (a data value, not
+    an interpolation: rank ``(n+1) div 2`` under the deterministic order
+    ``(value, id)``), and deviations round through the micro-int idiom,
+    so the whole table is a pure, engine-portable function of the data —
+    the contract query's DuckDB oracle reproduces it bit-for-bit.
+
+    Exact per-group rank selection needs group co-location (one window
+    per group — the shuffle bound events_value_quantiles documents); at
+    100 TB swap the medians for the deterministic KLL-class sketch
+    estimates (operators/sketches.py) and downstream flagging is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    def lower_median(d: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("__g").orderBy(col, "__id")
+        wc = Window.partitionBy("__g")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+            .select("__g", F.col(col).alias("__med"))
+        )
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    med = lower_median(base, "__v")
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        "__id",
+        F.expr(
+            "CAST(round(round(abs(__v - __med), 6) * 1000000, 0) AS BIGINT)"
+        ).alias("__dev"),
+    )
+    mad = lower_median(dev, "__dev").select(
+        "__g", F.col("__med").alias("mad_micro")
+    )
+    return (
+        med.join(mad, "__g")
+        .select(F.col("__g").alias(group_col), F.col("__med").alias("med"), "mad_micro")
+    )
+
+
+def flag_robust_anomalies(
+    df: DataFrame,
+    stats: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    sigmas_x10000: int = 44478,
+) -> DataFrame:
+    """Rows of ``df`` whose deviation from their group's stored median
+    exceeds ``sigmas_x10000/10000 * 1.0 * MAD`` — the integer-exact flag
+    rule shared by the batch contract query (events_robust_anomalies)
+    and the streaming serve path (stream_flag_anomalies): ONE code path,
+    so stream output equals batch output by construction.  The default
+    44478 = 3 x 1.4826 x 10^4 (MAD-to-sigma consistency factor).
+
+    The stats table is |groups| rows — broadcast; the fact stream never
+    shuffles.
+    """
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(
+            "dev_micro",
+            F.expr(
+                f"CAST(round(round(abs({value_col} - med), 6) * 1000000, 0) AS BIGINT)"
+            ),
+        )
+        .where(F.col("dev_micro") * 10000 > F.col("mad_micro") * F.lit(int(sigmas_x10000)))
+    )

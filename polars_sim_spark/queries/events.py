@@ -1344,38 +1344,18 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound events_value_quantiles documents); at 100 TB swap the median
     for the deterministic KLL-class sketch estimate
     (events_value_quantiles_sketch) and the flag rule is unchanged."""
+    from polars_sim_spark.operators.profile import (
+        flag_robust_anomalies,
+        robust_group_stats,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-
-    def lower_median(df: DataFrame, val_col: str):
-        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
-        wc = Window.partitionBy("event_type")
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__n", F.count(F.lit(1)).over(wc))
-            .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
-            .select("event_type", F.col(val_col).alias("__med"))
-        )
-
-    med = lower_median(ev.select("event_type", "value", "event_id"), "value")
-    dev = (
-        ev.select("event_id", "event_type", "value")
-        .join(F.broadcast(med), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.col("__med").alias("med"),
-            F.expr(
-                "CAST(round(round(abs(value - __med), 6) * 1000000, 0) AS BIGINT)"
-            ).alias("dev_micro"),
-        )
+    stats = robust_group_stats(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
     )
-    mad = lower_median(
-        dev.select("event_type", F.col("dev_micro").alias("value"), "event_id"),
-        "value",
-    ).select("event_type", F.col("__med").alias("mad_micro"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .where(F.col("dev_micro") * 10000 > F.col("mad_micro") * 44478)
-        .select("event_id", "event_type", "value", "med", "dev_micro", "mad_micro")
-    )
+    return flag_robust_anomalies(
+        ev.select("event_id", "event_type", "value"),
+        stats,
+        group_col="event_type",
+        value_col="value",
+    ).select("event_id", "event_type", "value", "med", "dev_micro", "mad_micro")

@@ -1456,3 +1456,44 @@ def stream_expectations(
         "__n as n_rows",
         f"stack({len(names)}, {stack_args}) as (rule, violations)",
     ).select("window_start", "window_end", "rule", "violations", "n_rows")
+
+
+def stream_flag_anomalies(
+    stats_path: str,
+    out_path: str,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    sigmas_x10000: int = 44478,
+):
+    """Streaming robust-anomaly serving: returns a ``foreachBatch``
+    callable that flags each micro-batch of events against the STORED
+    per-group median/MAD reference table
+    (operators/profile.robust_group_stats, materialized by the batch
+    job) and appends the flagged rows to a parquet sink.  Flagging runs
+    the SAME flag_robust_anomalies code path as the batch contract row
+    (events_robust_anomalies), so availableNow output equals the batch
+    flags by construction — the stream_score_stored_model pattern:
+    stateless per-row serving, no watermark, no aggregation state.
+
+    The monitoring loop this closes: the nightly batch job refits the
+    reference table from the full corpus; the stream flags live traffic
+    against it (a stats table of |groups| rows, broadcast per batch —
+    the fact stream never shuffles).
+    """
+    from polars_sim_spark.operators.profile import flag_robust_anomalies
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats = batch_df.sparkSession.read.parquet(stats_path)
+        flagged = flag_robust_anomalies(
+            batch_df,
+            stats,
+            group_col=group_col,
+            value_col=value_col,
+            sigmas_x10000=sigmas_x10000,
+        )
+        flagged.write.mode("append").parquet(out_path)
+
+    return apply

@@ -1549,3 +1549,51 @@ def test_stream_expectations_equals_batch(spark, sf_small, events_stream_dir):
         if r["ws"] in emitted:
             for n in rules:
                 assert got[(r["ws"], n)] == (r[f"v_{n}"], r["n"])
+
+
+def test_stream_flag_anomalies_equals_batch(spark, sf_small, tmp_path):
+    """availableNow foreachBatch flagging against the stored median/MAD
+    table == the batch flags on the same events (same code path)."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.profile import (
+        flag_robust_anomalies,
+        robust_group_stats,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_flag_anomalies
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats_path = str(tmp_path / "stats")
+    robust_group_stats(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
+    ).write.parquet(stats_path)
+
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    sink = str(tmp_path / "flagged")
+    stream = spark.readStream.schema("event_id long, event_type string, value double").parquet(src)
+    qn = f"anom_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_flag_anomalies(stats_path, sink)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.event_id, r.dev_micro, r.mad_micro)
+        for r in spark.read.parquet(sink).collect()
+    }
+    stats = spark.read.parquet(stats_path)
+    want = {
+        (r.event_id, r.dev_micro, r.mad_micro)
+        for r in flag_robust_anomalies(
+            ev, stats, group_col="event_type", value_col="value"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
