@@ -171,6 +171,7 @@ HEADLINE = [
     "events_robust_anomalies",
     "pack_webdataset_docs",
     "ann_mmr_rerank",
+    "events_value_deciles",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -249,6 +249,7 @@ _MANIFEST = [
     "events_robust_anomalies",
     "pack_webdataset_docs",
     "ann_mmr_rerank",
+    "events_value_deciles",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -1359,3 +1359,36 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="event_type",
         value_col="value",
     ).select("event_id", "event_type", "value", "med", "dev_micro", "mad_micro")
+
+
+@register(
+    "events_value_deciles",
+    """
+WITH r AS (
+  SELECT event_id, value,
+         row_number() OVER (ORDER BY value, event_id) AS rank,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT event_id, value, rank,
+       CAST(CASE WHEN rank <= (n % 10) * ((n + 9) // 10)
+                 THEN (rank - 1) // ((n + 9) // 10) + 1
+                 ELSE (n % 10) + (rank - (n % 10) * ((n + 9) // 10) - 1) // (n // 10) + 1
+            END AS INT) AS bucket
+FROM r
+""",
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank + exact decile of every event value WITHOUT a global
+    window (operators/ranking.py: range repartition, parallel local
+    row_numbers, |partitions|-row offset lift — the same two-level trick
+    pack_shards uses, applied to value order).  The oracle runs the
+    single-sort global window the operator exists to avoid, with the
+    ntile rule spelled out as integer arithmetic so both engines
+    evaluate the identical expression."""
+    from polars_sim_spark.operators.ranking import ntile_exact
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return ntile_exact(
+        ev, ["value", "event_id"], 10, rank_col="rank", out_col="bucket"
+    ).select("event_id", "value", "rank", "bucket")
