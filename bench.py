@@ -172,6 +172,7 @@ HEADLINE = [
     "pack_webdataset_docs",
     "ann_mmr_rerank",
     "events_value_deciles",
+    "dedup_containment_docs",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1356,3 +1356,79 @@ def embedding_near_dup_pairs(
         .select("l_id", "r_id", sim.alias("sim"))
         .where(F.round("sim", 6) >= min_cosine)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Directed containment near-dup pairs: (src_id, dst_id, overlap,
+    src_size, contain_micro) where ``|sh(src) ∩ sh(dst)| / |sh(src)| >=
+    threshold_pct/100`` — the ASYMMETRIC twin of Jaccard dedup, catching
+    quotes/excerpts/supersets where a small document lives inside a big
+    one (Jaccard misses those: the union is dominated by the big side).
+
+    Candidate generation prefix-filters the SOURCE side only — if the
+    overlap reaches ``T = ceil(t*|A|)``, at least one of A's
+    ``|A| - T + 1`` globally-rarest shingles must appear in B's full
+    posting list (pigeonhole on A's side; containment puts no constraint
+    on B, so B is NOT prefixed).  Hot shingles therefore never join
+    prefix-to-prefix, and the candidate stream stays near-linear — the
+    same economics as the ppjoin path in ``jaccard_pairs``.
+
+    Verification is map-side: each candidate pair joins the two DISTINCT
+    shingle ARRAYS and counts ``array_intersect`` inside codegen —
+    exact, no postings re-join (the triangle-counting trick,
+    operators/graph.py).  All thresholds are integer arithmetic
+    (``overlap*100 >= t*|A|``; ``contain_micro = overlap*10^6 div |A|``)
+    so the DuckDB oracle matches bit-for-bit.
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(
+            f"containment_pairs: threshold_pct must be in [1, 100], got {threshold_pct}"
+        )
+    post = shingle_postings(df, id_col, text_col, n)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("__sz"))
+    dfreq = post.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+
+    # A-side prefix: keep each src's (|A| - ceil(t*|A|) + 1) rarest
+    # shingles under the deterministic global (df, sh) order.
+    w = Window.partitionBy("id").orderBy("__df", "sh")
+    prefix = (
+        post.join(dfreq, "sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(
+            F.col("__rn")
+            <= F.col("__sz") - F.expr(f"(__sz * {int(threshold_pct)} + 99) div 100") + 1
+        )
+        .select(F.col("id").alias("__src"), "sh")
+    )
+    cand = (
+        prefix.join(post.select(F.col("id").alias("__dst"), "sh"), "sh")
+        .where(F.col("__src") != F.col("__dst"))
+        .select("__src", "__dst")
+        .distinct()
+    )
+
+    arrs = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("__arr")
+    )
+    verified = (
+        cand.join(arrs.select(F.col("id").alias("__src"), F.col("__arr").alias("__arr_s")), "__src")
+        .join(arrs.select(F.col("id").alias("__dst"), F.col("__arr").alias("__arr_d")), "__dst")
+        .select(
+            F.col("__src").alias("src_id"),
+            F.col("__dst").alias("dst_id"),
+            F.size(F.array_intersect("__arr_s", "__arr_d")).cast("long").alias("overlap"),
+            F.size("__arr_s").cast("long").alias("src_size"),
+        )
+        .where(F.col("overlap") * 100 >= F.lit(int(threshold_pct)) * F.col("src_size"))
+    )
+    return verified.withColumn(
+        "contain_micro", F.expr("(overlap * 1000000) div src_size")
+    )

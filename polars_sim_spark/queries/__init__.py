@@ -250,6 +250,7 @@ _MANIFEST = [
     "pack_webdataset_docs",
     "ann_mmr_rerank",
     "events_value_deciles",
+    "dedup_containment_docs",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

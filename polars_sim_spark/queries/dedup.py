@@ -888,3 +888,34 @@ def dedup_remove_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("vec_id", "label")
 
+
+
+@register(
+    "dedup_containment_docs",
+    f"""
+WITH sh AS ({duck_shingles_cte('documents', 'doc_id', 'text', 5)}),
+sz AS (SELECT id, count(*) AS src_size FROM sh GROUP BY id),
+ov AS (
+  SELECT a.id AS src_id, b.id AS dst_id, count(*) AS overlap
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, overlap, sz.src_size,
+       CAST((overlap * 1000000) // sz.src_size AS BIGINT) AS contain_micro
+FROM ov JOIN sz ON sz.id = ov.src_id
+WHERE overlap * 100 >= 80 * sz.src_size
+""",
+)
+def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment near-dups (>=80% of the source's 5-gram
+    shingles inside the target) — the asymmetric dedup Jaccard misses
+    when an excerpt lives inside a superset document.  Source-side-only
+    prefix filtering + map-side array_intersect verification
+    (operators/dedup.py:containment_pairs); the oracle runs the full
+    postings self-join the prefix filter exists to avoid."""
+    from polars_sim_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.containment_pairs(
+        docs, "doc_id", "text", n=5, threshold_pct=80
+    ).select("src_id", "dst_id", "overlap", "src_size", "contain_micro")

@@ -91,6 +91,18 @@ def replicate(spark, src: str, dst: str, replicas: int, tables: list[str] | None
             tag = tag_for(r)
             if t == "part":
                 df = df.withColumn("p_name", F.concat("p_name", F.lit(f" z{tag}")))
+            elif t == "customer":
+                # Names must track the shifted keys (a real 10x corpus
+                # has 10x distinct names) — otherwise every replica pair
+                # is a distance-0 name dup and edit-join slopes measure
+                # a synthetic clique, not scale.
+                df = df.withColumn(
+                    "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+                )
+            elif t == "supplier":
+                df = df.withColumn(
+                    "s_name", F.format_string("Supplier#%09d", F.col("s_suppkey"))
+                )
             elif t == "documents" and r > 0:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1{tag}")
