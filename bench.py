@@ -173,6 +173,8 @@ HEADLINE = [
     "ann_mmr_rerank",
     "events_value_deciles",
     "dedup_containment_docs",
+    "events_markov_transitions",
+    "graph_part_kcore",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

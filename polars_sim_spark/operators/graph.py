@@ -219,3 +219,46 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.withColumnRenamed("n", "node")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, core_deg): the k-core — the maximal subgraph where every
+    node keeps degree >= k — by iterative peeling: drop all nodes below
+    degree k, recompute degrees on the induced subgraph, repeat to
+    fixpoint.  The classic density filter between raw co-occurrence
+    graphs and clustering (peripheral one-off items never survive).
+
+    Peeling converges in O(peel depth) rounds; each round is one degree
+    agg + two anti joins against the (small, shrinking) dropped-node
+    set, with a ``localCheckpoint`` per round — the connected-components
+    loop contract (un-checkpointed iterative plans re-evaluate prior
+    rounds superlinearly; measured in operators/dedup.py).  The
+    convergence probe is a short-circuiting isEmpty over the
+    just-checkpointed low-degree frame, not a count job.
+
+    The fixpoint is unique (the k-core is order-independent), so the
+    result is a pure function of the edge set — pinned against a plain
+    Python peeling reference in tests/test_graph.py; iterative peeling
+    is not SQL-expressible, so the contract row is sanctioned rows-only
+    like BPE/PQ/MMR.
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    cur = edges.select("a", "b").localCheckpoint()
+    for _ in range(int(max_iter)):
+        deg = _degrees(cur)
+        low = deg.where(F.col("deg") < k).select("n").localCheckpoint()
+        if low.isEmpty():
+            return deg.select(F.col("n").alias("node"), F.col("deg").alias("core_deg"))
+        cur = (
+            cur.join(low.withColumnRenamed("n", "a"), "a", "left_anti")
+            .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")

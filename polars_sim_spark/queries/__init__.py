@@ -251,6 +251,8 @@ _MANIFEST = [
     "ann_mmr_rerank",
     "events_value_deciles",
     "dedup_containment_docs",
+    "events_markov_transitions",
+    "graph_part_kcore",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -1392,3 +1392,51 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntile_exact(
         ev, ["value", "event_id"], 10, rank_col="rank", out_col="bucket"
     ).select("event_id", "value", "rank", "bucket")
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS src, next_type AS dst, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_micro
+FROM c
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the "what follows what" table behind session modeling and synthetic
+    sequence generation.  One shuffle keyed by user (the lead window),
+    one narrow (src, dst) agg; transition probabilities are exact integer
+    micro-units (``n*10^6 div row_total`` — the row total rides a window
+    over the already-aggregated |types|² table, never a second agg
+    branch).  Deterministic sequence order (ts, event_id) ties."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.expr(f"(n * 1000000)").alias("__num"),
+        F.sum("n").over(wt).alias("__tot"),
+    ).select(
+        "src", "dst", "n", F.expr("__num div __tot").cast("long").alias("p_micro")
+    )

@@ -104,3 +104,18 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_sim_spark.operators.graph import pagerank
 
     return pagerank(_copurchase_edges(spark, sf_dir), iterations=3)
+
+
+@register("graph_part_kcore")
+def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80-core of the co-purchase graph with each survivor's induced
+    degree (operators/graph.py:k_core — iterative peeling, checkpointed
+    rounds, isEmpty convergence probe).  The testdata graph has a sharp
+    core transition (k=80 keeps ~93% of parts in 6 peel rounds; k=90 is
+    empty), so the query exercises real multi-round peeling.  Iterative
+    fixpoints are not SQL-expressible — sanctioned rows-only; the
+    fixpoint is pinned against a plain-Python peeling reference in
+    tests/test_graph.py."""
+    from polars_sim_spark.operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=80)

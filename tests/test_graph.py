@@ -6,6 +6,7 @@ plus a pure-Python recurrence twin for PageRank.
 from __future__ import annotations
 
 import itertools
+import random
 
 import pytest
 from pyspark.sql import functions as F
@@ -113,3 +114,45 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank(e, iterations=-1)
     with pytest.raises(ValueError):
         pagerank(e.where(F.lit(False)))
+
+
+def _kcore_py(pairs, k):
+    g = {}
+    for a, b in pairs:
+        g.setdefault(a, set()).add(b)
+        g.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        low = [n for n, s in g.items() if len(s) < k]
+        changed = bool(low)
+        for n in low:
+            for m in g[n]:
+                g[m].discard(n)
+            del g[n]
+    return {n: len(s) for n, s in g.items()}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_k_core_matches_python_peeling(spark, k):
+    from polars_sim_spark.operators.graph import k_core
+
+    rng = random.Random(17)
+    pairs = {tuple(sorted(rng.sample(range(40), 2))) for _ in range(220)}
+    got = {
+        (r.node, r.core_deg)
+        for r in k_core(_edges_df(spark, pairs), k).collect()
+    }
+    assert got == set(_kcore_py(pairs, k).items())
+
+
+def test_k_core_empty_and_full(spark):
+    from polars_sim_spark.operators.graph import k_core
+
+    # K4 is its own 3-core; its 4-core is empty.
+    k4 = _edges_df(spark, itertools.combinations(range(4), 2))
+    assert {
+        (r.node, r.core_deg) for r in k_core(k4, 3).collect()
+    } == {(i, 3) for i in range(4)}
+    assert k_core(k4, 4).count() == 0
+    with pytest.raises(ValueError):
+        k_core(k4, 0)
