@@ -175,6 +175,7 @@ HEADLINE = [
     "dedup_containment_docs",
     "events_markov_transitions",
     "graph_part_kcore",
+    "graph_part_communities",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

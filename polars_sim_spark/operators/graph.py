@@ -262,3 +262,50 @@ def k_core(
             .localCheckpoint()
         )
     raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, community): synchronous label propagation after a FIXED
+    number of iterations — each round every node adopts its neighbors'
+    most frequent label, ties to the smallest label (Raghavan et al.
+    2007, made deterministic).  Fixing the round count and the tie rule
+    makes the whole algorithm a pure function of the edge set, so —
+    like :func:`pagerank` — it is HASH-CHECKABLE against a DuckDB
+    oracle that unrolls the rounds as a CTE chain (exact counting, no
+    floats anywhere).
+
+    Per round: one |E|-row join label->neighbor, one (node, label)
+    count agg (map-side combined), one per-node argmax window (groups =
+    a node's distinct neighbor labels — bounded by degree, no hot
+    partition).  ``localCheckpoint`` per round caps plan growth (the
+    connected-components contract).
+    """
+    if iterations < 0:
+        raise ValueError(
+            f"label_propagation: iterations must be >= 0, got {iterations}"
+        )
+    edges = edges.localCheckpoint()
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    directed = directed.localCheckpoint()
+
+    labels = _degrees(edges).select("n", F.col("n").alias("lbl")).localCheckpoint()
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(int(iterations)):
+        freq = (
+            directed.join(labels.withColumnRenamed("n", "src"), "src")
+            .groupBy(F.col("dst").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("n", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))

@@ -253,6 +253,7 @@ _MANIFEST = [
     "dedup_containment_docs",
     "events_markov_transitions",
     "graph_part_kcore",
+    "graph_part_communities",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -119,3 +119,42 @@ def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_sim_spark.operators.graph import k_core
 
     return k_core(_copurchase_edges(spark, sf_dir), k=80)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unroll deterministic synchronous label propagation as a CTE chain."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""
+l{i} AS (
+  SELECT n AS node, lbl FROM (
+    SELECT d.dst AS n, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY d.dst ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM dir d JOIN {prev} l ON l.node = d.src
+    GROUP BY d.dst, l.lbl
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM dir),
+{chain}
+SELECT node, lbl AS community FROM {prev}
+"""
+
+
+@register("graph_part_communities", _lpa_oracle(iterations=3))
+def graph_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (3 synchronous rounds,
+    most-frequent-neighbor label, smallest-label ties) on the co-purchase
+    graph — exact counting end to end, so every (node, community)
+    assignment hash-matches the oracle's unrolled rounds
+    (operators/graph.py:label_propagation)."""
+    from polars_sim_spark.operators.graph import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), iterations=3)

@@ -156,3 +156,45 @@ def test_k_core_empty_and_full(spark):
     assert k_core(k4, 4).count() == 0
     with pytest.raises(ValueError):
         k_core(k4, 0)
+
+
+def _lpa_py(pairs, iterations):
+    from collections import Counter
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            c = Counter(lbl[w] for w in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0] if isinstance(kv[0], int) else kv[0]))
+            # deterministic: max count, then SMALLEST label
+            top = max(c.values())
+            new[v] = min(l for l, n in c.items() if n == top)
+        lbl = new
+    return lbl
+
+
+@pytest.mark.parametrize("iterations", [0, 1, 3])
+def test_label_propagation_matches_python(spark, iterations):
+    from polars_sim_spark.operators.graph import label_propagation
+
+    # Two K4 cliques joined by one bridge edge.
+    cliques = list(itertools.combinations(range(4), 2)) + list(
+        itertools.combinations(range(10, 14), 2)
+    )
+    pairs = cliques + [(3, 10)]
+    got = {
+        (r.node, r.community)
+        for r in label_propagation(_edges_df(spark, pairs), iterations=iterations).collect()
+    }
+    assert got == set(_lpa_py(pairs, iterations).items())
+    if iterations == 3:
+        comm = dict(got)
+        # the two cliques resolve to separate communities
+        assert len({comm[i] for i in range(3)}) == 1
+        assert len({comm[i] for i in range(10, 14)}) == 1
+        assert comm[0] != comm[11]
