@@ -176,6 +176,7 @@ HEADLINE = [
     "events_markov_transitions",
     "graph_part_kcore",
     "graph_part_communities",
+    "ingest_csv_docs",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -254,6 +254,7 @@ _MANIFEST = [
     "events_markov_transitions",
     "graph_part_kcore",
     "graph_part_communities",
+    "ingest_csv_docs",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

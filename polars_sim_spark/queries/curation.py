@@ -818,3 +818,50 @@ def pack_webdataset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_parts=16,
     )
     return out.select("shard_id", "n_samples", "n_bytes")
+
+
+def ensure_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the committed CSV ingest fixture for ``sf_dir`` if absent:
+    one ``doc_id,lang,n_chars`` line per document, with every
+    ``doc_id % 50 == 7`` line's numeric field replaced by a non-numeric
+    token (guaranteed type-mismatch under PERMISSIVE parse)."""
+    from polars_sim_spark.queries.vectors import _index_dir
+    import os as _os
+
+    path = _index_dir(sf_dir, "docs_csv")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        line = F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.when(F.col("doc_id") % 50 == 7, F.lit("not_a_number")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        )
+        docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(path)
+    return path
+
+
+@register(
+    "ingest_csv_docs",
+    """
+SELECT doc_id, lang, n_chars
+FROM documents WHERE doc_id % 50 != 7
+""",
+)
+def ingest_csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read CSV ingestion with corrupt-record isolation
+    (sources/ingest.py:read_csv_ingest — the JSONL row's format twin):
+    the committed fixture poisons every 50th line's numeric field, and
+    the good set must land EXACTLY the intact lines — the oracle
+    recomputes the survivors from the original table, so silently
+    dropped good rows or null-filled corrupt rows are a driver hash
+    mismatch."""
+    from polars_sim_spark.sources.ingest import read_csv_ingest
+
+    path = ensure_csv_fixture(spark, sf_dir)
+    good, _bad = read_csv_ingest(
+        spark, path, "doc_id long, lang string, n_chars long"
+    )
+    return good.select("doc_id", "lang", "n_chars")

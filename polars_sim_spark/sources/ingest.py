@@ -47,3 +47,27 @@ def read_jsonl(
     good = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def read_csv_ingest(
+    spark: SparkSession, path: str, schema: str, *, header: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl`: PERMISSIVE parse with explicit
+    corrupt-record isolation — ``(good, bad)`` where ``good`` holds
+    exactly the lines that parsed to the schema's types and ``bad``
+    holds the raw text of every line that did not (wrong arity, type
+    mismatch, mangled quoting).  Same caveats: the corrupt column must
+    be materialized from one cached read, or Spark's scan-level
+    optimization can drop it."""
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    raw = raw.cache()
+    good = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad

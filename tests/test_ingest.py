@@ -37,3 +37,24 @@ def test_read_jsonl_fixture_accounting(spark, sf_small):
     n_bad_expected = docs.where(F.col("doc_id") % 50 == 7).count()
     assert bad.count() == n_bad_expected
     assert good.count() == docs.count() - n_bad_expected
+
+
+def test_read_csv_ingest_corrupt_isolation(spark, tmp_path):
+    from polars_sim_spark.sources.ingest import read_csv_ingest
+
+    p = tmp_path / "data.csv"
+    p.write_text(
+        "1,en,100\n"
+        "2,de,not_a_number\n"   # type mismatch -> corrupt
+        "3,fr,300\n"
+        "4,en\n"                # missing column -> corrupt? (arity short)
+        "5,en,500\n"
+    )
+    good, bad = read_csv_ingest(
+        spark, str(tmp_path), "doc_id long, lang string, n_chars long"
+    )
+    good_rows = {(r.doc_id, r.lang, r.n_chars) for r in good.collect()}
+    assert (1, "en", 100) in good_rows and (3, "fr", 300) in good_rows and (5, "en", 500) in good_rows
+    assert not any(r[0] == 2 for r in good_rows)
+    bad_texts = {r["_corrupt_record"] for r in bad.collect()}
+    assert "2,de,not_a_number" in bad_texts
