@@ -177,6 +177,7 @@ HEADLINE = [
     "graph_part_kcore",
     "graph_part_communities",
     "ingest_csv_docs",
+    "ann_rrf_hybrid",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

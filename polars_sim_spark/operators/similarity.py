@@ -1427,3 +1427,59 @@ def mmr_rerank(
         F.col("id").alias(id_col),
         "mmr_micro",
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    group_col: str = "q_id",
+    id_col: str = "n_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings: ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))`` — the standard
+    hybrid-retrieval merge (lexical + vector, exact + quantized) that
+    needs no score calibration because it consumes only RANKS.
+
+    Scores are exact integer nano-units (``10^9 div (k0 + rank)`` summed
+    as int64), so fused output is engine-portable and hash-checkable.
+    Returns (group, id, rrf_nano, n_lists, rank) for the per-group
+    ``top_k`` by (rrf_nano desc, id).
+
+    Plan: union of the (already small: queries x k) ranking tables, one
+    (group, id) hash agg, one WindowGroupLimit top-k — fusion cost is
+    independent of corpus size, the upstream retrievers own the scans.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    if k0 < 1 or top_k < 1:
+        raise ValueError(f"rrf_fuse: k0 and top_k must be >= 1, got {k0}, {top_k}")
+    parts = [
+        r.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("i"),
+            F.col(rank_col).alias("r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("g", "i").agg(
+        F.sum(F.expr(f"1000000000 div ({int(k0)} + r)")).alias("rrf_nano"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("rrf_nano").desc(), "i")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("i").alias(id_col),
+            "rrf_nano",
+            "n_lists",
+            "rank",
+        )
+    )

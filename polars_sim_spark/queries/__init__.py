@@ -255,6 +255,7 @@ _MANIFEST = [
     "graph_part_kcore",
     "graph_part_communities",
     "ingest_csv_docs",
+    "ann_rrf_hybrid",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

@@ -813,3 +813,100 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         lambda_pct=70,
     )
+
+
+@register(
+    "ann_rrf_hybrid",
+    """
+WITH bf AS (
+  SELECT q_id, n_id, rn FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                      b.vec_id
+           ) AS rn
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+  ) WHERE rn <= 20
+),
+comps AS (
+  SELECT vec_id AS n_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS xi
+  FROM embeddings
+),
+stats AS (SELECT idx, min(xi) AS mn, max(xi) AS mx FROM comps GROUP BY 1),
+codes AS (
+  SELECT c.n_id, c.idx, s.mn, s.mx,
+         CASE WHEN s.mx = s.mn THEN 0 ELSE ((c.xi - s.mn) * 255) // (s.mx - s.mn) END AS code
+  FROM comps c JOIN stats s USING (idx)
+),
+qv AS (
+  SELECT vec_id AS q_id,
+         generate_subscripts(embedding, 1) - 1 AS idx,
+         CAST(round(round(CAST(unnest(embedding) AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS qi
+  FROM embeddings WHERE vec_id < 20
+),
+s8 AS (
+  SELECT q_id, n_id, rn FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score_sq DESC, n_id) AS rn
+    FROM (
+      SELECT qv.q_id, codes.n_id,
+             sum(qv.qi * (codes.mn * 255 + codes.code * (codes.mx - codes.mn))) AS score_sq
+      FROM codes JOIN qv USING (idx)
+      WHERE codes.n_id != qv.q_id
+      GROUP BY 1, 2
+    )
+  ) WHERE rn <= 20
+),
+u AS (SELECT * FROM bf UNION ALL SELECT * FROM s8),
+f AS (
+  SELECT q_id, n_id,
+         CAST(sum(1000000000 // (60 + rn)) AS BIGINT) AS rrf_nano,
+         count(*) AS n_lists
+  FROM u GROUP BY 1, 2
+)
+SELECT q_id, n_id, rrf_nano, n_lists, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_nano DESC, n_id) AS rank
+  FROM f
+) WHERE rank <= 10
+""",
+)
+def ann_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: merge the EXACT cosine
+    top-20 with the SQ8-quantized top-20 per query into a fused top-10
+    (operators/similarity.rrf_fuse).  RRF consumes only ranks, so no
+    score calibration across retrievers is needed; exact integer
+    nano-unit scores make the merged ranking hash-checkable end to end —
+    the oracle recomputes BOTH retrievers and the fusion in one SQL
+    statement."""
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_bruteforce as ann_bf,
+        ann_topk_sq8 as sq8,
+        rrf_fuse,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id")
+    bf = (
+        ann_bf(emb, queries, k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.round("sim", 6).desc(), "n_id")),
+        )
+        .select("q_id", "n_id", "rank")
+    )
+    s8 = (
+        sq8(emb, queries, k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.col("score_sq").desc(), "n_id")),
+        )
+        .select("q_id", "n_id", "rank")
+    )
+    return rrf_fuse([bf, s8], top_k=10)

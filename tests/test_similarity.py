@@ -558,3 +558,25 @@ def test_hash_embed_feeds_ann_end_to_end(spark, sf_small):
     both = hash_embed(docs, "doc_id", "text", dim=16).collect()
     for r in both:
         assert r["embedding"] == [m / 1e6 for m in r["emb_micro"]]
+
+
+def test_rrf_fuse_known_values(spark):
+    from polars_sim_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["q_id", "n_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 13, 3)], ["q_id", "n_id", "rank"]
+    )
+    out = {r.n_id: (r.rrf_nano, r.n_lists, r.rank) for r in rrf_fuse([a, b], top_k=4).collect()}
+    d = lambda r: 1000000000 // (60 + r)
+    # 10: ranks 1+2; 11: ranks 2+1 -> same sum; tie broken by smaller id
+    assert out[10] == (d(1) + d(2), 2, 1)
+    assert out[11] == (d(2) + d(1), 2, 2)
+    assert out[12] == (d(3), 1, 3)
+    assert out[13] == (d(3), 1, 4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
