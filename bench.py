@@ -178,6 +178,7 @@ HEADLINE = [
     "graph_part_communities",
     "ingest_csv_docs",
     "ann_rrf_hybrid",
+    "entity_resolve_customers",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

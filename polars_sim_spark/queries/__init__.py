@@ -256,6 +256,7 @@ _MANIFEST = [
     "graph_part_communities",
     "ingest_csv_docs",
     "ann_rrf_hybrid",
+    "entity_resolve_customers",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

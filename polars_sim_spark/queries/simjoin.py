@@ -178,3 +178,49 @@ def join_edit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_join(
         cust, None, "c_name", left_id="c_custkey", max_dist=1
     ).select("l_id", "r_id", "edit_dist")
+
+
+@register(
+    "entity_resolve_customers",
+    """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS l_id, b.c_custkey AS r_id
+  FROM customer a, customer b
+  WHERE a.c_custkey < b.c_custkey
+    AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    AND levenshtein(a.c_name, b.c_name) <= 1
+),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+reach AS (
+  SELECT c_custkey AS id, c_custkey AS lab FROM customer
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+)
+SELECT id AS c_custkey, min(lab) AS entity_id FROM reach GROUP BY id
+""",
+)
+def entity_resolve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution: names within edit distance 1 are the
+    same entity — edit_join (FastSS candidates + threshold DP) produces
+    the match pairs, connected components (pointer jumping,
+    operators/dedup.py) collapses transitive chains, and every customer
+    gets a canonical entity_id (the smallest member key).  One oracle
+    checks the whole composition: the O(n^2) Levenshtein cross product
+    plus a recursive-CTE closure.  This is the similarity-join family's
+    production shape — dedup_cluster_docs for STRUCTURED identifiers."""
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.edit_join import edit_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit_join(cust, None, "c_name", left_id="c_custkey", max_dist=1)
+    out = connected_components(
+        cust.select(F.col("c_custkey").alias("id")),
+        pairs,
+        id_col="id",
+        src_col="l_id",
+        dst_col="r_id",
+    )
+    return out.select(
+        F.col("id").alias("c_custkey"), F.col("cluster_id").alias("entity_id")
+    )
