@@ -179,6 +179,7 @@ HEADLINE = [
     "ingest_csv_docs",
     "ann_rrf_hybrid",
     "entity_resolve_customers",
+    "graph_part_pagerank_seeded",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -151,6 +151,7 @@ def pagerank(
     *,
     iterations: int = 5,
     damping_pct: int = 85,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank_micro): PageRank after a FIXED number of iterations in
     exact int64 arithmetic (micro-units of PR_SCALE; see module doc).
@@ -160,6 +161,12 @@ def pagerank(
     dangling-mass corrections.  ``rank_micro`` is engine-portable: the
     DuckDB oracle reproduces every value exactly by unrolling the same
     integer recurrence.
+
+    ``seeds`` (one column ``n``) switches to PERSONALIZED PageRank: the
+    teleport mass (and the initial mass) is split over the seed set
+    instead of all nodes — "relevance to these items" propagation, the
+    related-items/recommendation shape.  Seeds not present in the edge
+    set are ignored (they have no adjacency to propagate through).
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"pagerank: damping_pct must be in [0, 100], got {damping_pct}")
@@ -170,8 +177,6 @@ def pagerank(
     n_nodes = deg.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set")
-    base = int(PR_SCALE) // n_nodes  # teleport-free initial mass per node
-    teleport = (int(PR_SCALE) * (100 - damping_pct)) // (100 * n_nodes)
 
     directed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -180,7 +185,29 @@ def pagerank(
     # iteration (re-deriving it per round would rescan the fact table).
     adj = directed.join(deg.withColumnRenamed("n", "src"), "src").localCheckpoint()
 
-    ranks = deg.select("n", F.lit(base).cast("long").alias("rank_micro")).localCheckpoint()
+    if seeds is not None:
+        seedset = deg.join(seeds.select("n"), "n", "left_semi").localCheckpoint()
+        n_seeds = seedset.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: no seed is present in the edge set")
+        base = int(PR_SCALE) // n_seeds
+        tele_val = (int(PR_SCALE) * (100 - damping_pct)) // (100 * n_seeds)
+        flags = deg.select("n").join(
+            F.broadcast(seedset.select("n", F.lit(True).alias("__seed"))), "n", "left"
+        )
+        ranks = flags.select(
+            "n",
+            F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_micro"),
+        ).localCheckpoint()
+        tele_col = F.when(F.col("__seed"), F.lit(tele_val)).otherwise(F.lit(0)).cast("long")
+        tele_table = flags.select("n", tele_col.alias("__tele")).localCheckpoint()
+    else:
+        base = int(PR_SCALE) // n_nodes  # teleport-free initial mass per node
+        teleport = (int(PR_SCALE) * (100 - damping_pct)) // (100 * n_nodes)
+        ranks = deg.select("n", F.lit(base).cast("long").alias("rank_micro")).localCheckpoint()
+        tele_table = deg.select("n", F.lit(teleport).cast("long").alias("__tele")).localCheckpoint()
     # The rank table is |V| rows vs the |E|-row adjacency: broadcast it so
     # each iteration is one map-side join + one partial-agg shuffle of |V|
     # rows, never a sort-merge of the adjacency (checkpointed RDD scans
@@ -205,12 +232,11 @@ def pagerank(
         # Every node has inflow (symmetric edges), but keep the join left
         # + coalesce so a future directed-graph caller degrades safely.
         ranks = (
-            ranks.select("n")
-            .join(inflow, "n", "left")
+            tele_table.join(inflow, "n", "left")
             .select(
                 "n",
                 (
-                    F.lit(teleport).cast("long")
+                    F.col("__tele")
                     + F.expr(
                         f"({int(damping_pct)}L * coalesce(__in, 0L)) div 100"
                     )

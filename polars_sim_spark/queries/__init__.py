@@ -257,6 +257,7 @@ _MANIFEST = [
     "ingest_csv_docs",
     "ann_rrf_hybrid",
     "entity_resolve_customers",
+    "graph_part_pagerank_seeded",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

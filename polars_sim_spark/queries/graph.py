@@ -158,3 +158,62 @@ def graph_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_sim_spark.operators.graph import label_propagation
 
     return label_propagation(_copurchase_edges(spark, sf_dir), iterations=3)
+
+
+def _ppr_oracle(iterations: int = 3, damping_pct: int = 85, seed_where: str = "n < 100") -> str:
+    """Unrolled personalized-PageRank oracle: teleport mass only to seeds."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""
+r{i} AS (
+  SELECT tele.node,
+         tele.t + CAST(({damping_pct} * coalesce(infl.s, 0)) // 100 AS BIGINT) AS rank_micro
+  FROM tele
+  LEFT JOIN (
+    SELECT dir.dst AS n, CAST(sum(r.rank_micro // d2.deg) AS BIGINT) AS s
+    FROM dir
+    JOIN deg d2 ON d2.n = dir.src
+    JOIN {prev} r ON r.node = dir.src
+    GROUP BY dir.dst
+  ) infl ON infl.n = tele.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH {_EDGES_CTE},
+dir AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src AS n, count(*) AS deg FROM dir GROUP BY 1),
+seeds AS (SELECT n FROM deg WHERE {seed_where}),
+cs AS (SELECT count(*) AS n FROM seeds),
+r0 AS (
+  SELECT deg.n AS node,
+         CASE WHEN s.n IS NOT NULL THEN CAST(1000000000000 // cs.n AS BIGINT) ELSE 0 END AS rank_micro
+  FROM deg LEFT JOIN seeds s ON s.n = deg.n CROSS JOIN cs
+),
+tele AS (
+  SELECT deg.n AS node,
+         CASE WHEN s.n IS NOT NULL
+              THEN CAST((1000000000000 * (100 - {damping_pct})) // (100 * cs.n) AS BIGINT)
+              ELSE 0 END AS t
+  FROM deg LEFT JOIN seeds s ON s.n = deg.n CROSS JOIN cs
+),
+{chain}
+SELECT node, rank_micro FROM {prev}
+"""
+
+
+@register("graph_part_pagerank_seeded", _ppr_oracle(iterations=3))
+def graph_part_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: teleport mass restricted to the seed parts
+    (p_partkey < 100) — "relevance to these items" propagation over the
+    co-purchase graph, the related-items/recommendation shape.  Same
+    exact int64 recurrence as graph_part_pagerank (hash-exact vs the
+    unrolled oracle), teleport vector now a per-node column."""
+    from polars_sim_spark.operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = edges.sparkSession.range(100).select(F.col("id").alias("n"))
+    return pagerank(edges, iterations=3, seeds=seeds)

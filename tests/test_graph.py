@@ -198,3 +198,26 @@ def test_label_propagation_matches_python(spark, iterations):
         assert len({comm[i] for i in range(3)}) == 1
         assert len({comm[i] for i in range(10, 14)}) == 1
         assert comm[0] != comm[11]
+
+
+def test_personalized_pagerank_seed_mass(spark):
+    from polars_sim_spark.operators.graph import PR_SCALE, pagerank
+    from pyspark.sql import functions as F2
+
+    # Path graph 0-1-2-3-4 with seed {0}: all mass enters at node 0,
+    # decays with distance; non-seed-reachable mass only via propagation.
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(0,)], ["n"])
+    rows = {r.node: r.rank_micro for r in pagerank(_edges_df(spark, pairs), iterations=4, seeds=seeds).collect()}
+    # mass decays with distance from the seed side (node 1 can outrank
+    # the degree-1 seed, which sends ALL its outflow to node 1):
+    assert rows[1] > rows[2] > rows[3] > rows[4]
+    assert rows[0] > 0 and sum(rows.values()) <= PR_SCALE
+    # seed absent from the graph -> error
+    import pytest as _p
+    bad = spark.createDataFrame([(99,)], ["n"])
+    with _p.raises(ValueError):
+        pagerank(_edges_df(spark, pairs), seeds=bad)
+    # unseeded path unchanged: matches the python twin
+    got = {(r.node, r.rank_micro) for r in pagerank(_edges_df(spark, pairs), iterations=2).collect()}
+    assert got == set(_pagerank_py(pairs, iterations=2).items())
