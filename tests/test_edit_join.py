@@ -110,3 +110,43 @@ def test_no_cartesian_in_plan(spark):
     plan = edit_join(df, None, "s", left_id="id", max_dist=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        words=st.lists(st.text(alphabet="abc", min_size=0, max_size=7), min_size=2, max_size=25),
+        k=st.integers(min_value=0, max_value=2),
+    )
+    def test_edit_join_property_vs_bruteforce(spark, words, k):
+        """Any corpus, any k in the neighborhood regime: edit_join ==
+        the cross product filtered by Levenshtein (incl. empty strings,
+        duplicates, and all-short corpora)."""
+        rows = [(i, w) for i, w in enumerate(words) if w != ""]
+        if len(rows) < 2:
+            return
+        df = spark.createDataFrame(rows, ["id", "s"])
+        got = {
+            (r.l_id, r.r_id, r.edit_dist)
+            for r in edit_join(df, None, "s", left_id="id", max_dist=k).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if _lev(a, b) <= k
+        }
+        assert got == want
