@@ -1497,3 +1497,45 @@ def stream_flag_anomalies(
         flagged.write.mode("append").parquet(out_path)
 
     return apply
+
+
+def stream_edit_match(
+    historical_path: str,
+    out_path: str,
+    *,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 1,
+):
+    """Streaming fuzzy-identity gate: returns a ``foreachBatch`` callable
+    that matches each micro-batch of incoming names against the STORED
+    historical name table within Levenshtein ``max_dist`` — the
+    ingest-time shape of entity resolution (flag "is this customer
+    already known under a near-identical name?" before the record lands).
+
+    Runs the batch ``edit_join`` operator per micro-batch (FastSS
+    deletion-signature candidates + threshold DP), so availableNow output
+    is EQUAL to the batch two-sided join by construction — the
+    stream_score_stored_model pattern: one code path, stateless, no
+    watermark.  The historical side re-reads per batch (pruned scan;
+    production would snapshot-cache it), and candidate volume is
+    output-proportional, so per-batch cost tracks the batch's true match
+    count."""
+    from polars_sim_spark.operators.edit_join import edit_join
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = batch_df.sparkSession.read.parquet(historical_path)
+        out = edit_join(
+            batch_df,
+            hist,
+            name_col,
+            name_col,
+            left_id=id_col,
+            right_id=id_col,
+            max_dist=max_dist,
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return apply

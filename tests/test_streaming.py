@@ -1597,3 +1597,45 @@ def test_stream_flag_anomalies_equals_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_edit_match_equals_batch(spark, sf_small, tmp_path):
+    """availableNow fuzzy-identity matching against the stored name table
+    == the batch two-sided edit_join (same code path)."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.edit_join import edit_join
+    from polars_sim_spark.streaming.stream_ops import stream_edit_match
+
+    cust = load_table(spark, sf_small, "customer").select("c_custkey", "c_name")
+    hist = cust.where(F.col("c_custkey") % 2 == 0)
+    new = cust.where(F.col("c_custkey") % 2 == 1)
+    hist_path = str(tmp_path / "hist")
+    hist.write.parquet(hist_path)
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    sink = str(tmp_path / "matched")
+    stream = spark.readStream.schema("c_custkey long, c_name string").parquet(src)
+    qn = f"editmatch_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_edit_match(hist_path, sink, name_col="c_name", id_col="c_custkey")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.l_id, r.r_id, r.edit_dist)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.l_id, r.r_id, r.edit_dist)
+        for r in edit_join(
+            new, hist, "c_name", "c_name",
+            left_id="c_custkey", right_id="c_custkey", max_dist=1,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
