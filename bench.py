@@ -180,6 +180,8 @@ HEADLINE = [
     "ann_rrf_hybrid",
     "entity_resolve_customers",
     "graph_part_pagerank_seeded",
+    "graph_part_clustering",
+    "graph_part_link_prediction",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

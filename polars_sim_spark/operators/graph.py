@@ -52,10 +52,13 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     max_group_size: int | None = None,
+    min_support: int = 1,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(a, b)`` with ``a < b``:
-    two items are connected iff they appear in the same group (order,
-    basket, session, document)."""
+    two items are connected iff they appear together in at least
+    ``min_support`` groups (order, basket, session, document).
+    ``min_support >= 2`` is the standard market-basket noise filter —
+    single co-occurrences in a large corpus are mostly chance."""
     # One shuffle (groupBy group), then the per-group pair set explodes
     # MAP-SIDE from the sorted item array — a self-equi-join would
     # shuffle the items twice more and re-shuffle the pair stream
@@ -75,10 +78,16 @@ def cooccurrence_edges(
             )
         )
     ).alias("p")
+    flat = baskets.select(pairs).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    if min_support <= 1:
+        return flat.distinct()
     return (
-        baskets.select(pairs)
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
+        flat.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .where(F.col("__sup") >= int(min_support))
+        .select("a", "b")
     )
 
 
@@ -335,3 +344,70 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, coef_micro): local clustering coefficient
+    ``2*T / (deg*(deg-1))`` in exact integer micro-units — the standard
+    graph-health statistic (how clique-like each node's neighborhood is;
+    a dedup-pair graph whose coefficients collapse is banding noise, not
+    clusters).  Pure composition: triangle_counts x degrees, one
+    broadcast join; only nodes with deg >= 2 (the coefficient is
+    undefined below)."""
+    deg = _degrees(edges)
+    tri = triangle_counts(edges)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, deg["n"] == tri["node"], "left")
+        .select(
+            F.col("n").alias("node"),
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000) div (deg * (deg - 1))"
+            ).alias("coef_micro"),
+        )
+    )
+
+
+def link_prediction_topk(
+    edges: DataFrame,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """(node, candidate, common): top-k link predictions per node by
+    COMMON-NEIGHBOR count — "items frequently co-bought with your item's
+    neighbors but never with the item itself", the classic
+    recommendation primitive over a co-occurrence graph.
+
+    Candidates are 2-hop pairs (they share >= 1 neighbor), scored by one
+    wedge-count aggregation, existing edges removed with a left-anti
+    join, ranked per node under WindowGroupLimit.  Wedge enumeration is
+    quadratic in degree — run this on a SUPPORT-THRESHOLDED graph
+    (repeat co-occurrence), which is both the statistically honest
+    signal for recommendations and the thing that bounds per-center
+    fan-out; for dense graphs add a deterministic per-center neighbor
+    cap (the IVF hot-cell-cap move, operators/dedup.py)."""
+    if k < 1:
+        raise ValueError(f"link_prediction_topk: k must be >= 1, got {k}")
+    edges = edges.localCheckpoint()
+    directed = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    d2 = directed.withColumnsRenamed({"v": "w"})
+    cand = (
+        directed.join(d2, "u")
+        .where(F.col("v") != F.col("w"))
+        .groupBy(F.col("v").alias("node"), F.col("w").alias("candidate"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    existing = edges.select(
+        F.col("a").alias("node"), F.col("b").alias("candidate")
+    ).unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("candidate")))
+    nonedge = cand.join(existing, ["node", "candidate"], "left_anti")
+    w = Window.partitionBy("node").orderBy(F.col("common").desc(), "candidate")
+    return (
+        nonedge.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("node", "candidate", "common")
+    )

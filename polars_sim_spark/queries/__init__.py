@@ -258,6 +258,8 @@ _MANIFEST = [
     "ann_rrf_hybrid",
     "entity_resolve_customers",
     "graph_part_pagerank_seeded",
+    "graph_part_clustering",
+    "graph_part_link_prediction",
     "events_zorder_pruned",
     "events_heavy_hitters_exact",
     "events_value_quantiles_sketch",

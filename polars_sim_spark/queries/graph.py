@@ -217,3 +217,88 @@ def graph_part_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     seeds = edges.sparkSession.range(100).select(F.col("id").alias("n"))
     return pagerank(edges, iterations=3, seeds=seeds)
+
+
+@register(
+    "graph_part_clustering",
+    f"""
+WITH {_EDGES_CTE},
+tri3 AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM edges e1
+  JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tri AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT unnest([u, v, w]) AS node FROM tri3)
+  GROUP BY node
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges
+  ) GROUP BY n
+)
+SELECT deg.n AS node, deg.deg,
+       coalesce(tri.n_triangles, 0) AS n_triangles,
+       CAST((2 * coalesce(tri.n_triangles, 0) * 1000000) // (deg.deg * (deg.deg - 1)) AS BIGINT) AS coef_micro
+FROM deg LEFT JOIN tri ON tri.node = deg.n
+WHERE deg.deg >= 2
+""",
+)
+def graph_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part (2T / deg(deg-1), exact
+    integer micro-units) — the graph-health statistic: how clique-like
+    each node's co-purchase neighborhood is
+    (operators/graph.py:clustering_coefficients, a pure composition of
+    the triangle and degree operators)."""
+    from polars_sim_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_copurchase_edges(spark, sf_dir))
+
+
+@register(
+    "graph_part_link_prediction",
+    """
+WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+ew AS (
+  SELECT x.i AS a, y.i AS b
+  FROM items x JOIN items y ON x.g = y.g AND x.i < y.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+dir2 AS (SELECT a AS u, b AS v FROM ew UNION ALL SELECT b AS u, a AS v FROM ew),
+cand AS (
+  SELECT d1.v AS node, d2.v AS candidate, count(*) AS common
+  FROM dir2 d1 JOIN dir2 d2 ON d1.u = d2.u AND d1.v <> d2.v
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.node, c.candidate, c.common
+  FROM cand c
+  LEFT JOIN ew ON ew.a = least(c.node, c.candidate) AND ew.b = greatest(c.node, c.candidate)
+  WHERE ew.a IS NULL
+)
+SELECT node, candidate, common FROM (
+  SELECT *, row_number() OVER (PARTITION BY node ORDER BY common DESC, candidate) AS rn
+  FROM nonedge
+) WHERE rn <= 5
+""",
+)
+def graph_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the REPEAT-signal co-purchase
+    graph (pairs co-ordered >= 2 times): per part, the top-5 parts it has
+    never been co-ordered with but shares the most repeat-co-purchase
+    neighbors with — the recommendation primitive
+    (operators/graph.py:link_prediction_topk).  The support threshold is
+    both the honest statistical filter and what bounds the 2-hop wedge
+    fan-out at scale."""
+    from polars_sim_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_support=2
+    )
+    return link_prediction_topk(edges, k=5)

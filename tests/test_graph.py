@@ -248,3 +248,52 @@ def test_personalized_pagerank_seed_mass(spark):
     # unseeded path unchanged: matches the python twin
     got = {(r.node, r.rank_micro) for r in pagerank(_edges_df(spark, pairs), iterations=2).collect()}
     assert got == set(_pagerank_py(pairs, iterations=2).items())
+
+
+def test_clustering_coefficients_known(spark):
+    from polars_sim_spark.operators.graph import clustering_coefficients
+
+    # Square + diagonal 0-2: nodes 0,2 have deg 3 and 2 triangles each ->
+    # 2*2/(3*2) = 2/3; nodes 1,3 have deg 2 and 1 triangle -> 1.0.
+    sq = _edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    got = {(r.node, r.deg, r.n_triangles, r.coef_micro)
+           for r in clustering_coefficients(sq).collect()}
+    assert got == {
+        (0, 3, 2, 666666), (2, 3, 2, 666666),
+        (1, 2, 1, 1000000), (3, 2, 1, 1000000),
+    }
+
+    # Star: center has deg 4, zero triangles -> coef 0; leaves deg 1 excluded.
+    star = _edges_df(spark, [(0, i) for i in range(1, 5)])
+    got = {(r.node, r.coef_micro) for r in clustering_coefficients(star).collect()}
+    assert got == {(0, 0)}
+
+
+def test_link_prediction_known(spark):
+    from polars_sim_spark.operators.graph import link_prediction_topk
+
+    # Path 0-1-2 plus 2-3: non-edges scored by common neighbors:
+    # (0,2) share 1; (1,3) share 2... wait 1-3 share only node 2 -> 1.
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {(r.node, r.candidate, r.common)
+           for r in link_prediction_topk(_edges_df(spark, pairs), k=5).collect()}
+    assert got == {
+        (0, 2, 1), (2, 0, 1),
+        (1, 3, 1), (3, 1, 1),
+    }
+    import pytest as _p
+    with _p.raises(ValueError):
+        link_prediction_topk(_edges_df(spark, pairs), k=0)
+
+
+def test_cooccurrence_min_support(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")], ["g", "i"]
+    )
+    got = {
+        (r.a, r.b)
+        for r in cooccurrence_edges(
+            df, group_col="g", item_col="i", min_support=2
+        ).collect()
+    }
+    assert got == {("x", "y")}  # (x,z) co-occurs once -> filtered
