@@ -217,12 +217,24 @@ def hash_embed(
     weighted = counts.withColumn("n", F.sum("c").over(n)).select(
         "id", "w", F.expr("(c * 1000000) div n").alias("wt")
     )
-    h = md5_hash64(F.col("w"))
+    if dim > 64:
+        raise ValueError(
+            f"hash_embed supports dim <= 64 (two independent 32-bit md5 "
+            f"slices of sign bits); got dim={dim}"
+        )
+    # md5_hash64 is a 32-bit value (first 8 hex chars of md5), so bits
+    # j >= 32 of it are all zero — dims past 32 draw their sign bit from
+    # the SECOND 8-hex-char slice of the same md5 instead, keeping every
+    # dimension an independent coin and the whole thing oracle-exact.
+    h_lo = md5_hash64(F.col("w"))
+    h_hi = F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("long")
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("wt")).otherwise(
-                -F.col("wt")
-            )
+            F.when(
+                F.shiftright(h_lo if j < 32 else h_hi, j % 32).bitwiseAND(F.lit(1))
+                == 1,
+                F.col("wt"),
+            ).otherwise(-F.col("wt"))
         ).alias(f"__v{j}")
         for j in range(dim)
     ]

@@ -270,8 +270,13 @@ def decontaminate_bloom(
     maybe_sh = contains(bits, sh, "sh", m=m, k=k).where(F.col("bloom_maybe"))
     cand_pairs = sh.join(maybe_sh.select("sh"), "sh", "left_semi")
     cand = cand_pairs.select(id_col).distinct().withColumn("bloom_candidate", F.lit(True))
+    # No broadcast hint here on purpose: the operator exists precisely
+    # because the raw eval shingle set may be too large to broadcast, so
+    # the exact confirm pass lets Catalyst/AQE pick the join strategy
+    # (broadcast when ev fits, shuffled semi join when it doesn't). Only
+    # the fixed-m-bit Bloom side is broadcast-bounded by construction.
     confirmed = (
-        cand_pairs.join(F.broadcast(ev), "sh", "left_semi")
+        cand_pairs.join(ev, "sh", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(True))

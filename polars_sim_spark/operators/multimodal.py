@@ -468,15 +468,18 @@ def mp4_frame_sample(
                     frames.append(data[off : off + size])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array([int(x) for x in ids], dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype=object),
                     "frame_idx": pd.array(idxs, dtype="int64"),
                     "pts_ms": pd.array(pts, dtype="int64"),
                     "frame": frames,
                 }
             )
 
+    # propagate the input id type (same pattern as wav_pcm_stats) so a
+    # string/decimal id column round-trips instead of crashing on int()
+    id_type = dict(df.dtypes)[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, "doc_id long, frame_idx long, pts_ms long, frame binary"
+        op, f"doc_id {id_type}, frame_idx long, pts_ms long, frame binary"
     )
 
 
@@ -882,7 +885,7 @@ def ppm_resize(
                     img.reshape(oh, f, ow, f, 3).astype(np.int64).sum(axis=(1, 3))
                     // (f * f)
                 ).astype(np.uint8)
-                ids.append(int(i))
+                ids.append(i)
                 sws.append(w)
                 shs.append(h)
                 ows.append(ow)
@@ -890,7 +893,7 @@ def ppm_resize(
                 outs.append(pooled.tobytes())
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(ids, dtype="int64"),
+                    "doc_id": pd.Series(ids, dtype=object),
                     "src_w": pd.array(sws, dtype="int32"),
                     "src_h": pd.array(shs, dtype="int32"),
                     "out_w": pd.array(ows, dtype="int32"),
@@ -899,8 +902,10 @@ def ppm_resize(
                 }
             )
 
+    # propagate the input id type (same pattern as wav_pcm_stats)
+    id_type = dict(df.dtypes)[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op, "doc_id long, src_w int, src_h int, out_w int, out_h int, resized binary"
+        op, f"doc_id {id_type}, src_w int, src_h int, out_w int, out_h int, resized binary"
     )
 
 

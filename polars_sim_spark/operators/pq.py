@@ -932,13 +932,38 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
     files down to one file each — content-identical (same rows, same
     schema; equivalence-tested), sidecars untouched, untouched cells
     untouched. Returns ``{"cells_compacted": n, "files_before": a,
-    "files_after": b}``. The rewrite stages into ``_compact_tmp`` and
-    swaps per cell, so a crash mid-compaction leaves every cell either
-    old or new, never half."""
+    "files_after": b}``. Crash safety is directory-rename granular: the
+    replacement is fully staged in ``_compact_tmp/<cell>`` (with Spark's
+    ``_SUCCESS`` marker), the live cell is renamed aside to
+    ``_compact_old/<cell>``, the staged dir renamed into place, and only
+    then is the old copy dropped — so at every crash point the cell is
+    either the complete old list or the complete new one, and the next
+    invocation's recovery preamble finishes or rolls back any
+    interrupted swap before compacting further."""
     import os
     import shutil
 
     root = path.rstrip("/")
+    tmp_root = os.path.join(root, "_compact_tmp")
+    old_root = os.path.join(root, "_compact_old")
+    # Recovery: a cell dir is renamed away only after its replacement is
+    # fully staged, so a missing cell dir means the swap was interrupted —
+    # finish it from the staged copy if complete (_SUCCESS present), else
+    # roll back to the old copy. Leftover stage dirs from crashes that
+    # happened before the swap began are simply discarded.
+    if os.path.isdir(old_root):
+        for d in os.listdir(old_root):
+            cell_dir = os.path.join(root, d)
+            staged = os.path.join(tmp_root, d)
+            if not os.path.isdir(cell_dir):
+                if os.path.isdir(staged) and os.path.exists(
+                    os.path.join(staged, "_SUCCESS")
+                ):
+                    os.rename(staged, cell_dir)
+                else:
+                    os.rename(os.path.join(old_root, d), cell_dir)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
     todo = []
     for d in sorted(os.listdir(root)):
         if not d.startswith("c_id="):
@@ -948,18 +973,18 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
             todo.append((d, len(files)))
     files_before = sum(n for _d, n in todo)
     files_after = 0
+    os.makedirs(old_root, exist_ok=True)
     for d, _n in todo:
         cell_dir = os.path.join(root, d)
-        tmp = os.path.join(root, "_compact_tmp", d)
+        tmp = os.path.join(tmp_root, d)
+        old = os.path.join(old_root, d)
         spark.read.parquet(cell_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        new_files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        files_after += len(new_files)
-        for f in os.listdir(cell_dir):
-            os.remove(os.path.join(cell_dir, f))
-        for f in new_files:
-            shutil.move(os.path.join(tmp, f), os.path.join(cell_dir, f))
-        shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(os.path.join(root, "_compact_tmp"), ignore_errors=True)
+        files_after += sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(cell_dir, old)  # old aside (cell now "missing" → recoverable)
+        os.rename(tmp, cell_dir)  # complete new list in place
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    shutil.rmtree(old_root, ignore_errors=True)
     return {
         "cells_compacted": len(todo),
         "files_before": files_before,

@@ -329,9 +329,14 @@ def quantile_sketch(
 
     gnames = [group_col] if isinstance(group_col, str) else list(group_col)
     h = md5_hash64(F.col(key_col).cast("string"))
+    # value_col is the FINAL tiebreaker: if key_col is not unique per row,
+    # rows tied on (hash, key) but carrying different values would make
+    # the kept sample shuffle-order-dependent; ordering by value last
+    # keeps the sample (and thus the served quantiles) a pure function of
+    # the data multiset even under duplicate keys.
     w = (
         Window.partitionBy(*gnames)
-        .orderBy(F.col("__h"), F.col(key_col))
+        .orderBy(F.col("__h"), F.col(key_col), F.col(value_col))
     )
     kept = (
         df.select(*gnames, F.col(value_col), F.col(key_col), h.alias("__h"))

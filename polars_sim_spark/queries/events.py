@@ -1020,7 +1020,7 @@ per AS (
          CAST(sum(s) AS BIGINT) AS cnt_b
   FROM t GROUP BY event_type, value_bucket
 ),
-tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per)
+tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS na, CAST(sum(cnt_b) AS BIGINT) AS nb FROM per)
 SELECT event_type, value_bucket, cnt_a, cnt_b,
        cnt_a * 1000000 // greatest(na, 1) AS p_micro,
        cnt_b * 1000000 // greatest(nb, 1) AS q_micro,
