@@ -146,6 +146,7 @@ HEADLINE = [
     "events_value_quantiles_sketch",
     "multimodal_wav_pcm_stats",
     "multimodal_ppm_pixel_stats",
+    "dedup_images_phash",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     "pack_token_sequences",

@@ -855,6 +855,70 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select("id", sig.cast("long").alias("simhash"))
 
 
+def phash_near_pairs(
+    ph: DataFrame,
+    *,
+    id_col: str = "id",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_dist: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(l_id, r_id, hamming): near-duplicate pairs by banded Hamming
+    join over banded bit signatures (perceptual image hashes from
+    operators/multimodal.py:ppm_phash, or any fixed-width hash split
+    into integer bands).
+
+    Recall GUARANTEE, not a heuristic (pigeonhole): a pair within
+    Hamming distance d differs in at most d of the ``len(band_cols)``
+    bands, so with d ≤ bands−1 at least one band is bit-identical and
+    the pair surfaces in the band equi-join; the exact Hamming verify
+    then makes the output precisely {pairs : hamming ≤ max_dist}. The
+    contract row's oracle exploits this: it computes ALL-pairs Hamming
+    in SQL and filters — hash-equality proves the banded plan loses
+    nothing.
+
+    Scale: same economics as the MinHash LSH path (reuses
+    :func:`lsh_candidate_pairs`) — pair generation touches only band
+    bucket collisions, never n²; ``max_bucket_size`` caps pathological
+    buckets (e.g. byte-identical boilerplate images) exactly like the
+    text path. Verification is a keyed join back to the |corpus|-row
+    hash table plus JVM-side xor/bit_count — no Python, no shuffle
+    beyond the candidate keys."""
+    nb = len(band_cols)
+    if max_dist > nb - 1:
+        raise ValueError(
+            f"max_dist={max_dist} voids the band recall guarantee for "
+            f"{nb} bands (requires max_dist <= {nb - 1}); add bands or "
+            "lower the threshold"
+        )
+    bands_df = ph.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_key"
+        ),
+    )
+    cand = lsh_candidate_pairs(bands_df, max_bucket_size)
+    lt = ph.select(
+        F.col(id_col).alias("l_id"),
+        *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],
+    )
+    rt = ph.select(
+        F.col(id_col).alias("r_id"),
+        *[F.col(c).alias(f"__r{j}") for j, c in enumerate(band_cols)],
+    )
+    ham = None
+    for j in range(nb):
+        t = F.bit_count(F.col(f"__l{j}").bitwiseXOR(F.col(f"__r{j}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(lt, "l_id")
+        .join(rt, "r_id")
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_dist)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

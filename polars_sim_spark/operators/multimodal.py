@@ -909,6 +909,84 @@ def ppm_resize(
     )
 
 
+def ppm_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    n_bands: int = 4,
+) -> DataFrame:
+    """64-bit perceptual dHash per binary-PPM payload, with NO codec —
+    the gradient hash (public: the classic dHash construction) over a
+    point-sampled 9×8 grayscale grid:
+
+    * grid cell (y, x) samples source pixel ``(y·h div 8, x·w div 9)``
+      — point (nearest-pixel) downsampling instead of area pooling, so
+      the construction is defined for ANY image size (classic 9×8
+      area-mean resize needs w ≥ 9; this fixture has w as small as 4)
+      and every sampled byte is a closed-form function of (w, h) the
+      SQL oracle can hex-extract;
+    * gray = (r + g + b) div 3 — exact integer luma;
+    * bit ``y·8 + x`` = 1 iff gray(y, x) < gray(y, x+1) — the horizontal
+      gradient sign, invariant to global brightness shifts;
+    * the 64 bits come back as ``n_bands`` equal-width band integers
+      ``band0..band{n_bands-1}`` (band j = bits [j·64/n_bands,
+      (j+1)·64/n_bands)) — exactly the shape the Hamming band join
+      (operators/dedup.py:phash_near_pairs) consumes; more bands buys a
+      recall guarantee at a larger max Hamming distance (≤ n_bands − 1)
+      for proportionally more candidate-join rows — plus the assembled
+      16-hex digest for display/storage.
+
+    Non-PPM payloads are dropped (they cannot be images). Scale: one
+    Arrow ``mapInPandas`` byte parse per row touching 72 sampled bytes
+    per image regardless of image size — no shuffle, no driver."""
+    import numpy as np
+
+    if n_bands not in (2, 4, 8, 16):
+        raise ValueError(f"n_bands must divide 64 evenly (2/4/8/16); got {n_bands}")
+    bpb = 64 // n_bands
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, hexes = [], [[] for _ in range(n_bands)], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    w, h, off = _parse_ppm(data)
+                except NotImplementedError:
+                    continue
+                if w < 1 or h < 1 or len(data) - off < w * h * 3:
+                    continue
+                px = np.frombuffer(
+                    data, dtype=np.uint8, offset=off, count=w * h * 3
+                ).reshape(h, w, 3)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                gray = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3  # 8 rows × 9 cols
+                bits = (gray[:, :8] < gray[:, 1:]).astype(np.int64).ravel()
+                vals = [
+                    int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
+                    for j in range(n_bands)
+                ]
+                ids.append(i)
+                for j in range(n_bands):
+                    bands[j].append(vals[j])
+                hexes.append(
+                    format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
+                )
+            cols = {"doc_id": pd.Series(ids, dtype=object)}
+            for j in range(n_bands):
+                cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
+            cols["phash_hex"] = pd.Series(hexes, dtype=object)
+            yield pd.DataFrame(cols)
+
+    id_type = dict(df.dtypes)[id_col]
+    band_schema = ", ".join(f"band{j} int" for j in range(n_bands))
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"doc_id {id_type}, {band_schema}, phash_hex string"
+    )
+
+
 def attach_image_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -349,3 +349,63 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "out_w", "out_h", F.hex("resized").alias("resized_hex")
     )
+
+
+@register(
+    "dedup_images_phash",
+    """
+WITH im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 3) // (4 + doc_id % 8) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+ok AS (SELECT * FROM im WHERE h >= 1),
+g AS (
+  SELECT doc_id, u.i // 9 AS y, u.i % 9 AS x,
+         ( CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 3 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 5 AS BIGINT), 2)) AS BIGINT)
+         ) // 3 AS gray
+  FROM ok, unnest(range(72)) AS u(i)
+),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+)
+SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+       CAST(sum(abs(a.bit - b.bit)) AS INT) AS hamming
+FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(sum(abs(a.bit - b.bit)) AS INT) <= 7
+""",
+)
+def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection with no codec — the
+    multimodal family's dedup op: every PPM fixture image gets a 64-bit
+    dHash (operators/multimodal.py:ppm_phash — point-sampled 9×8
+    integer-luma grid, horizontal gradient sign bits), split into 8
+    byte-wide bands, and pairs within Hamming distance ≤ 7 surface via
+    the banded equi-join + exact xor/bit_count verify
+    (operators/dedup.py:phash_near_pairs — same machinery as the
+    MinHash-LSH text path). The construction is integer-exact end to
+    end, so the DuckDB oracle recomputes EVERY pair's Hamming distance
+    from the raw text bytes ALL-PAIRS and filters — hash-equality
+    therefore proves the pigeonhole recall guarantee (d ≤ bands−1 ⇒ ≥1
+    identical band) holds on real data, not just in the docstring."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import attach_image_payload, ppm_phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = ppm_phash(attach_image_payload(docs), n_bands=8)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(8)),
+        max_dist=7,
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_doc"), F.col("r_id").alias("r_doc"), "hamming"
+    )

@@ -1,0 +1,121 @@
+"""Perceptual-hash image dedup (operators/multimodal.ppm_phash +
+operators/dedup.phash_near_pairs): the Spark hash is bit-pinned against a
+pure-python/numpy dHash reference, and the banded Hamming join is pinned
+against brute-force all-pairs — the pigeonhole recall guarantee
+(max_dist ≤ bands−1 ⇒ zero missed pairs) checked exactly, not sampled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from polars_sim_spark.operators.dedup import phash_near_pairs
+from polars_sim_spark.operators.multimodal import ppm_phash, synth_ppm
+
+
+def _dhash_py(px: np.ndarray) -> int:
+    """Local reference: point-sampled 9x8 integer-luma grid, horizontal
+    gradient sign bits, bit index y*8+x."""
+    h, w, _ = px.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    gray = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3
+    bits = (gray[:, :8] < gray[:, 1:]).ravel()
+    return sum(int(b) << k for k, b in enumerate(bits))
+
+
+def _rand_images(seed: int, n: int) -> list[tuple[int, int, bytes]]:
+    """(id, width, raw pixel bytes) — sizes span the degenerate (w<9,
+    h<8) and comfortable regimes."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        w = int(rng.integers(1, 14))
+        h = int(rng.integers(1, 20))
+        out.append((i, w, rng.integers(0, 256, size=h * w * 3, dtype=np.uint8).tobytes()))
+    return out
+
+
+def _ppm_df(spark, images):
+    rows = [(i, synth_ppm(data, w)) for i, w, data in images]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_ppm_phash_matches_python_reference(spark):
+    images = _rand_images(7, 40)
+    df = _ppm_df(spark, images)
+    got = {r["doc_id"]: r for r in ppm_phash(df, n_bands=8).collect()}
+    assert len(got) == len(images)
+    for i, w, data in images:
+        h = (len(data) // 3) // w
+        used = h * w * 3
+        px = np.frombuffer(data[:used], dtype=np.uint8).reshape(h, w, 3)
+        expect = _dhash_py(px)
+        r = got[i]
+        assert int(r["phash_hex"], 16) == expect
+        # bands reassemble to the same 64-bit value, LSB-first
+        assembled = sum(r[f"band{j}"] << (8 * j) for j in range(8))
+        assert assembled == expect
+
+
+@pytest.mark.parametrize("n_bands,max_dist", [(4, 3), (8, 7)])
+def test_banded_join_equals_bruteforce_allpairs(spark, n_bands, max_dist):
+    """The recall guarantee, checked exactly: banded output ==
+    {pairs : hamming <= max_dist} over brute-force all-pairs."""
+    images = _rand_images(11, 60)
+    df = _ppm_df(spark, images)
+    hashes = {}
+    for i, w, data in images:
+        h = (len(data) // 3) // w
+        px = np.frombuffer(data[: h * w * 3], dtype=np.uint8).reshape(h, w, 3)
+        hashes[i] = _dhash_py(px)
+    expect = {}
+    ids = sorted(hashes)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin(hashes[ids[a]] ^ hashes[ids[b]]).count("1")
+            if d <= max_dist:
+                expect[(ids[a], ids[b])] = d
+    ph = ppm_phash(df, n_bands=n_bands)
+    pairs = phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(n_bands)),
+        max_dist=max_dist,
+    )
+    got = {(r["l_id"], r["r_id"]): r["hamming"] for r in pairs.collect()}
+    assert got == expect
+
+
+def test_constructed_near_dup_found_with_exact_distance(spark):
+    """A base image and a copy with one sampled pixel's luma flipped hard
+    must surface as a pair, with the exact (small) Hamming distance."""
+    rng = np.random.default_rng(3)
+    w, h = 9, 8  # grid == image: every pixel is sampled exactly once
+    base = rng.integers(0, 128, size=h * w * 3, dtype=np.uint8)
+    twin = base.copy()
+    twin[0:3] = 255  # pixel (0,0) goes bright: flips at most bit 0
+    df = _ppm_df(spark, [(0, w, base.tobytes()), (1, w, twin.tobytes())])
+    ph = ppm_phash(df, n_bands=8)
+    pairs = phash_near_pairs(
+        ph, id_col="doc_id", band_cols=tuple(f"band{j}" for j in range(8)), max_dist=7
+    ).collect()
+    d_true = bin(
+        _dhash_py(base.reshape(h, w, 3)) ^ _dhash_py(twin.reshape(h, w, 3))
+    ).count("1")
+    assert d_true <= 1
+    assert [(r["l_id"], r["r_id"], r["hamming"]) for r in pairs] == [(0, 1, d_true)]
+
+
+def test_max_dist_beyond_guarantee_raises(spark):
+    df = _ppm_df(spark, _rand_images(5, 3))
+    ph = ppm_phash(df, n_bands=4)
+    with pytest.raises(ValueError, match="recall guarantee"):
+        phash_near_pairs(ph, id_col="doc_id", max_dist=4)
+
+
+def test_ppm_phash_rejects_bad_band_count(spark):
+    df = _ppm_df(spark, _rand_images(5, 3))
+    with pytest.raises(ValueError, match="n_bands"):
+        ppm_phash(df, n_bands=5)
