@@ -106,16 +106,55 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_copurchase_edges(spark, sf_dir), iterations=3)
 
 
-@register("graph_part_kcore")
+def _kcore_oracle(k: int = 80, peels: int = 5) -> str:
+    """Unroll k-core peeling to the observed sf0.01 fixpoint depth AND
+    assert the fixpoint in-oracle: after ``peels`` peel rounds the
+    low-degree set must be EMPTY, and the final SELECT is gated on that
+    emptiness — if the data ever needs more rounds the oracle returns 0
+    rows and the contract row goes red (a safe failure, never a wrong
+    pass).  Same unrolled-CTE trick as the PageRank/LPA oracles; each
+    edge CTE is MATERIALIZED because the degree union references it
+    twice."""
+    steps = []
+    for r in range(peels + 1):
+        steps.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS deg
+  FROM (SELECT a AS n FROM e{r} UNION ALL SELECT b AS n FROM e{r})
+  GROUP BY n
+),
+low{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg < {k})"""
+        )
+        if r < peels:
+            steps.append(
+                f""",
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a NOT IN (SELECT n FROM low{r}) AND b NOT IN (SELECT n FROM low{r})
+)"""
+            )
+    return f"""
+WITH {_EDGES_CTE},
+e0 AS MATERIALIZED (SELECT a, b FROM edges){"".join(steps)}
+SELECT n AS node, CAST(deg AS BIGINT) AS core_deg
+FROM d{peels}
+WHERE (SELECT count(*) FROM low{peels}) = 0
+"""
+
+
+@register("graph_part_kcore", _kcore_oracle(k=80, peels=5))
 def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 80-core of the co-purchase graph with each survivor's induced
     degree (operators/graph.py:k_core — iterative peeling, checkpointed
     rounds, isEmpty convergence probe).  The testdata graph has a sharp
-    core transition (k=80 keeps ~93% of parts in 6 peel rounds; k=90 is
-    empty), so the query exercises real multi-round peeling.  Iterative
-    fixpoints are not SQL-expressible — sanctioned rows-only; the
-    fixpoint is pinned against a plain-Python peeling reference in
-    tests/test_graph.py."""
+    core transition (k=80 keeps ~93% of parts; k=90 is empty), so the
+    query exercises real multi-round peeling.  FULLY oracle-checked
+    since round 9: the peel is unrolled to the observed sf0.01 fixpoint
+    (5 peel rounds + the empty check), with the fixpoint ASSERTED in
+    the oracle's final stage — more-rounds-needed degrades to 0 oracle
+    rows (red), never a wrong pass.  The plain-Python peeling reference
+    in tests/test_graph.py stays as the scale-independent second pin."""
     from polars_sim_spark.operators.graph import k_core
 
     return k_core(_copurchase_edges(spark, sf_dir), k=80)

@@ -786,14 +786,84 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 
-@register("ann_mmr_rerank")
+def _mmr_unrolled_sql(k: int = 10, n_cands: int = 50, lam: int = 70) -> str:
+    """Unrolled-CTE oracle for MMR's greedy selection — the same trick
+    the fixed-round PageRank/LPA oracles use (queries/graph.py): a
+    fixed-k greedy over exact int64 micro-units is a k-round integer
+    recurrence, so each round is one CTE pair (argmax pick + state
+    update) and the whole selection is plain SQL. ``MATERIALIZED``
+    pins each state CTE (referenced twice per round) so DuckDB doesn't
+    inline the chain exponentially. Floor division is spelled
+    ``floor(x / 100.0)`` because DuckDB's integer ``//`` truncates
+    toward zero while numpy's ``//`` floors — exact for these
+    magnitudes (|numerator| ≤ 1e8, quotient ≥ 0.01 from any integer
+    unless exact)."""
+    mu = 100 - lam
+    score = f"CAST(floor(({lam} * rel - {mu} * maxsim) / 100.0) AS BIGINT)"
+    parts = [
+        f"""
+WITH cand AS MATERIALIZED (
+  SELECT q_id, n_id, CAST(round(sim6 * 1000000, 0) AS BIGINT) AS rel
+  FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim6,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                      b.vec_id
+           ) AS rn
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+  ) WHERE rn <= {n_cands}
+),
+pair AS MATERIALIZED (
+  SELECT c1.q_id, c1.n_id AS i_id, c2.n_id AS j_id,
+         CAST(round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS s
+  FROM cand c1 JOIN cand c2 ON c1.q_id = c2.q_id
+  JOIN embeddings a ON a.vec_id = c1.n_id
+  JOIN embeddings b ON b.vec_id = c2.n_id
+),
+st0 AS MATERIALIZED (SELECT q_id, n_id, rel, CAST(0 AS BIGINT) AS maxsim FROM cand)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+sel{r} AS MATERIALIZED (
+  SELECT q_id, n_id, score FROM (
+    SELECT q_id, n_id, {score} AS score,
+           row_number() OVER (PARTITION BY q_id ORDER BY {score} DESC, n_id) AS rn
+    FROM st{r - 1}
+  ) WHERE rn = 1
+)"""
+        )
+        if r < k:
+            parts.append(
+                f""",
+st{r} AS MATERIALIZED (
+  SELECT s.q_id, s.n_id, s.rel, greatest(s.maxsim, p.s) AS maxsim
+  FROM st{r - 1} s
+  JOIN sel{r} x ON x.q_id = s.q_id AND s.n_id != x.n_id
+  JOIN pair p ON p.q_id = s.q_id AND p.i_id = s.n_id AND p.j_id = x.n_id
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, CAST({r} AS INT) AS rank, n_id, score AS mmr_micro FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@register("ann_mmr_rerank", _mmr_unrolled_sql())
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity re-rank of the brute-force ANN candidates: top-50 cosine
     candidates per query, MMR-selected down to 10 (lambda=0.70) in exact
-    int64 micro-units (operators/similarity.mmr_rerank).  Iterative
-    greedy selection is not SQL-expressible — sanctioned rows-only like
-    the BPE/PQ fits; the selection itself is pinned bit-for-bit against
-    a local numpy reference in tests/test_mmr.py."""
+    int64 micro-units (operators/similarity.mmr_rerank). FULLY
+    oracle-checked since round 9: greedy selection at fixed k is a
+    k-round integer recurrence, so the DuckDB oracle unrolls the 10
+    picks as a CTE chain (argmax + maxsim update per round) — the same
+    trick as the PageRank/LPA oracles — and reproduces every (rank, id,
+    score) cell; the numpy bit-pin in tests/test_mmr.py stays as the
+    second, independent reference."""
     from polars_sim_spark.operators.similarity import ann_topk_bruteforce as ann_bf
     from polars_sim_spark.operators.similarity import mmr_rerank
 
