@@ -451,6 +451,112 @@ def _pack_spans(
     )
 
 
+def pack_sequences_boundary(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    num_parts: int = 64,
+) -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing — the cross-doc attention
+    hygiene variant :func:`pack_sequences` explicitly isn't: no document
+    is ever split below the context window. Documents longer than
+    ``seq_len`` split ONLY at exact window multiples (piece j covers
+    tokens [j·L, min((j+1)·L, n))); every piece then packs WHOLE into a
+    sequence via harmonic shelf packing (the shelf-algorithm family,
+    Lee & Lee 1985, with per-capacity classes):
+
+    * class of a piece of size m = ``q = L div m`` — by construction
+      ``q·m ≤ L``, so a shelf holding q class-q pieces NEVER exceeds L
+      (the invariant is arithmetic, not bookkeeping);
+    * pieces take a deterministic global index within their class in
+      (md5-partition, id, piece) order — the same two-level distributed
+      rank as :func:`pack_shards` (within-partition ``row_number`` +
+      a broadcast (class × num_parts)-row offset table, no global
+      window) — and shelf = ``index div q``;
+    * sequence ids number shelves across classes via a cumulative
+      shelf-count table (≤ L classes — driver-free, one tiny window
+      over an aggregated table);
+    * within-shelf offsets are a windowed running sum over the
+      (class, shelf) partition — bounded by q ≤ L rows per group, so
+      no hot partition at ANY corpus size.
+
+    Guaranteed fill ≥ q/(q+1) of every full shelf (class-q pieces are
+    > L/(q+1)), i.e. ≥ 50% overall minus the per-class partial tail —
+    the classic harmonic bound; the contract test reports the measured
+    utilization. Output mirrors :func:`pack_sequences`:
+    (id, piece, seq_id, doc_lo, doc_hi, seq_lo, seq_hi), all exact
+    integers, so the DuckDB oracle replays the ENTIRE layout (chunking,
+    class ranks, shelf ids, offsets) cell-for-cell.
+
+    Scale: one explode bounded by ceil(n/L) per doc, one shuffle for
+    the class rank, one bounded window — same economics as
+    :func:`pack_sequences` plus the (tiny) class tables."""
+    L = int(seq_len)
+    if L < 1:
+        raise ValueError(f"pack_sequences_boundary: seq_len must be >= 1, got {seq_len}")
+    pieces = (
+        df.where(F.col(token_col) > 0)
+        .select(F.col(id_col), F.col(token_col).cast("long").alias("__n"))
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(0L, (__n - 1) div {L})")).alias("piece"),
+            "__n",
+        )
+        .select(
+            id_col,
+            "piece",
+            (F.col("piece") * L).alias("doc_lo"),
+            F.least(F.col("__n"), (F.col("piece") + 1) * L).alias("doc_hi"),
+        )
+        .withColumn("m", F.col("doc_hi") - F.col("doc_lo"))
+        .withColumn("q", F.expr(f"{L}L div m"))
+    )
+    part = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(num_parts))
+    p = pieces.withColumn("__part", part)
+    w_in = Window.partitionBy("q", "__part").orderBy(id_col, "piece")
+    counts = p.groupBy("q", "__part").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.partitionBy("q").orderBy("__part").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "q", "__part", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__o")
+    )
+    with_idx = (
+        p.withColumn("__i", F.row_number().over(w_in).cast("long") - 1)
+        .join(F.broadcast(offsets), ["q", "__part"])
+        .withColumn("idx", F.col("__o") + F.col("__i"))
+        .withColumn("shelf", F.expr("idx div q"))
+    )
+    cls = p.groupBy("q").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cls = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    cls_off = cls.select(
+        "q",
+        F.coalesce(
+            F.sum(F.expr("(__cnt + q - 1) div q")).over(w_cls), F.lit(0)
+        ).alias("__qoff"),
+    )
+    w_shelf = (
+        Window.partitionBy("q", "shelf")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_idx.join(F.broadcast(cls_off), "q")
+        .withColumn("__pos", F.coalesce(F.sum("m").over(w_shelf), F.lit(0)))
+        .select(
+            id_col,
+            "piece",
+            (F.col("__qoff") + F.col("shelf")).cast("long").alias("seq_id"),
+            F.col("doc_lo").cast("long").alias("doc_lo"),
+            F.col("doc_hi").cast("long").alias("doc_hi"),
+            F.col("__pos").cast("long").alias("seq_lo"),
+            (F.col("__pos") + F.col("m")).cast("long").alias("seq_hi"),
+        )
+    )
+
+
 def materialize_packing(
     df: DataFrame,
     path: str,

@@ -266,6 +266,7 @@ _MANIFEST = [
     "multimodal_wav_pcm_stats",
     "multimodal_ppm_pixel_stats",
     "dedup_images_phash",
+    "pack_sequences_boundary",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     # round 7:

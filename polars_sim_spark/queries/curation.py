@@ -357,6 +357,69 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_boundary",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS part
+  FROM documents
+),
+pp AS (
+  SELECT doc_id, part, u.i AS piece,
+         u.i * 512 AS doc_lo,
+         least(n_tok, (u.i + 1) * 512) AS doc_hi,
+         least(n_tok, (u.i + 1) * 512) - u.i * 512 AS m,
+         512 // (least(n_tok, (u.i + 1) * 512) - u.i * 512) AS q
+  FROM t, unnest(range((n_tok - 1) // 512 + 1)) AS u(i)
+  WHERE n_tok > 0
+),
+ix AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY part, doc_id, piece) - 1 AS idx
+  FROM pp
+),
+sh AS (SELECT *, idx // q AS shelf FROM ix),
+cof AS (
+  SELECT q,
+         CAST(coalesce(sum((cnt + q - 1) // q) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS qoff
+  FROM (SELECT q, count(*) AS cnt FROM pp GROUP BY q)
+),
+pos AS (
+  SELECT s.*,
+         CAST(coalesce(sum(m) OVER (PARTITION BY q, shelf ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_lo
+  FROM sh s
+)
+SELECT p.doc_id, CAST(p.piece AS BIGINT) AS piece,
+       CAST(c.qoff + p.shelf AS BIGINT) AS seq_id,
+       CAST(p.doc_lo AS BIGINT) AS doc_lo, CAST(p.doc_hi AS BIGINT) AS doc_hi,
+       seq_lo, CAST(seq_lo + p.m AS BIGINT) AS seq_hi
+FROM pos p JOIN cof c USING (q)
+""",
+)
+def pack_sequences_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting packing of the corpus into 512-token
+    sequences (curation.pack_sequences_boundary — harmonic shelf
+    packing): no document is split below the context window (oversize
+    docs chunk ONLY at exact 512 multiples), shelves never exceed 512
+    by the arithmetic invariant q·m ≤ L, and the whole layout —
+    chunking, per-class distributed ranks, shelf ids, within-shelf
+    offsets — is exact integers the oracle replays cell-for-cell. The
+    hygiene complement of ``pack_token_sequences``: that row pins the
+    throughput-maximal concat-and-chunk layout, this one the
+    no-cross-window-split layout a contamination-sensitive training
+    run wants."""
+    from polars_sim_spark.operators.curation import pack_sequences_boundary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return pack_sequences_boundary(
+        docs, id_col="doc_id", token_col="n_tok", seq_len=512, num_parts=16
+    )
+
+
+@register(
     "temperature_sample_docs",
     """
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

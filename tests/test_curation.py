@@ -532,3 +532,140 @@ def test_kn_surprisal_normalizes_and_discriminates(spark, tmp_path):
         )
         # sums to 1 when Σ_w2 N1+(·w2) = N1+(··), which holds by definition
         assert math.isclose(total, 1.0, rel_tol=1e-9), (w1, total)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-respecting (harmonic shelf) sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _boundary_pack(spark, sizes, seq_len=512, num_parts=8):
+    from polars_sim_spark.operators.curation import pack_sequences_boundary
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tok long"
+    )
+    return pack_sequences_boundary(
+        df, id_col="doc_id", token_col="n_tok", seq_len=seq_len, num_parts=num_parts
+    ).collect()
+
+
+def test_boundary_pack_invariants(spark):
+    """The three contract invariants on a size mix spanning every regime
+    (tiny, half-window, exact-window, oversize, zero), plus the measured
+    utilization report."""
+    import collections
+
+    L = 512
+    sizes = [1, 3, 17, 100, 255, 256, 257, 400, 511, 512, 513, 1000, 1024, 2000, 0, 7, 7, 7]
+    rows = _boundary_pack(spark, sizes, seq_len=L)
+
+    # 1. Full coverage, split ONLY at window multiples: each doc's pieces
+    # partition [0, n) and every interior boundary is a multiple of L.
+    per_doc = collections.defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+    for i, n in enumerate(sizes):
+        got = sorted(per_doc[i], key=lambda r: r["piece"])
+        if n == 0:
+            assert not got
+            continue
+        assert [r["doc_lo"] for r in got] == [j * L for j in range(len(got))]
+        assert got[-1]["doc_hi"] == n
+        for r in got[:-1]:
+            assert r["doc_hi"] == r["doc_lo"] + L  # interior cut at the window
+        for r in got:
+            assert r["doc_hi"] - r["doc_lo"] <= L  # never below-window splits
+
+    # 2. Sequences never exceed L and are packed contiguously from 0
+    # (next-fit within a shelf: spans tile [0, fill) with no overlap).
+    per_seq = collections.defaultdict(list)
+    for r in rows:
+        per_seq[r["seq_id"]].append(r)
+    for seq_rows in per_seq.values():
+        seq_rows.sort(key=lambda r: r["seq_lo"])
+        assert seq_rows[0]["seq_lo"] == 0
+        for a, b in zip(seq_rows, seq_rows[1:]):
+            assert b["seq_lo"] == a["seq_hi"]
+        assert seq_rows[-1]["seq_hi"] <= L
+
+    # 3. Harmonic fill bound on every FULL shelf (q pieces of class q):
+    # fill > q * (L // (q + 1)) >= L // 2 for q >= 1 — and report overall
+    # utilization for the record.
+    total = sum(r["seq_hi"] - r["seq_lo"] for r in rows)
+    n_seqs = len(per_seq)
+    util = total / (n_seqs * L)
+    class_counts = collections.Counter()
+    for r in rows:
+        m = r["doc_hi"] - r["doc_lo"]
+        class_counts[L // m] += 1
+    full_shelves = sum(c // q for q, c in class_counts.items())
+    if full_shelves:
+        fills = sorted(
+            sum(r["seq_hi"] - r["seq_lo"] for r in v) for v in per_seq.values()
+        )
+        # the full_shelves largest fills are the full ones
+        for fill in fills[-full_shelves:]:
+            assert fill > L // 2
+    print(f"boundary-pack utilization: {util:.3f} over {n_seqs} sequences")
+    assert util > 0.5
+
+
+def test_boundary_pack_matches_local_reference(spark):
+    """Bit-pin the distributed layout against a plain-python replay of
+    the same deterministic rule (md5-part order, class rank, shelf)."""
+    import hashlib
+
+    L = 64
+    num_parts = 4
+    sizes = [1, 2, 5, 9, 13, 17, 21, 30, 33, 40, 63, 64, 65, 130, 7, 7, 25, 25, 25]
+    rows = _boundary_pack(spark, sizes, seq_len=L, num_parts=num_parts)
+
+    def md5part(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % num_parts
+
+    pieces = []
+    for i, n in enumerate(sizes):
+        for j in range((max(n, 1) - 1) // L + 1):
+            if n == 0:
+                continue
+            lo, hi = j * L, min(n, (j + 1) * L)
+            pieces.append((i, j, lo, hi, hi - lo, L // (hi - lo)))
+    # class ranks in (part, id, piece) order
+    expect = {}
+    classes = sorted({p[5] for p in pieces})
+    qoff = 0
+    shelf_counts = {}
+    for q in classes:
+        members = sorted(
+            [p for p in pieces if p[5] == q],
+            key=lambda p: (md5part(p[0]), p[0], p[1]),
+        )
+        shelf_counts[q] = (len(members) + q - 1) // q
+        pos = 0
+        for idx, p in enumerate(members):
+            shelf = idx // q
+            if idx % q == 0:
+                pos = 0
+            expect[(p[0], p[1])] = (qoff + shelf, p[2], p[3], pos, pos + p[4])
+            pos += p[4]
+        qoff += shelf_counts[q]
+    got = {
+        (r["doc_id"], r["piece"]): (
+            r["seq_id"],
+            r["doc_lo"],
+            r["doc_hi"],
+            r["seq_lo"],
+            r["seq_hi"],
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_boundary_pack_rejects_bad_seq_len(spark):
+    from polars_sim_spark.operators.curation import pack_sequences_boundary
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences_boundary(df, id_col="doc_id", token_col="n_tok", seq_len=0)
