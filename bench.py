@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_ppm_pixel_stats",
     "dedup_images_phash",
     "pack_sequences_boundary",
+    "entity_resolve_embeddings",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     "pack_token_sequences",

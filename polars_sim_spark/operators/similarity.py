@@ -1004,6 +1004,103 @@ def ann_topk_ivf_prebuilt(
     )
 
 
+def knn_graph_ivf_prebuilt(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    mutual: bool = True,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Self kNN-GRAPH over a committed IVF index — the edge builder for
+    semantic entity resolution / kNN-graph clustering, where EVERY
+    corpus vector is a query. That inverts the serving-path economics
+    of :func:`ann_topk_ivf_prebuilt` (which broadcasts a small query
+    batch): here the only broadcast is the O(num_centroids) stored
+    centroid table; the corpus-as-queries side takes its ``nprobe``
+    probe cells as a zero-shuffle projection (:func:`_centroid_scores`
+    over the STORED vectors and norms — the corpus floats are read once
+    from the index, never re-normed) and meets the inverted lists in a
+    ``c_id``-keyed SHUFFLE join, so nothing driver-sized scales with
+    the corpus. Hot probe cells shuffle-skew like any hot key — AQE
+    skew-join handles moderate skew; for adversarial quantizer cells
+    build the index with the hot-cell cap (operators/dedup.py's capped
+    IVF, BASELINE.md: 72.9×→23.8× slope).
+
+    Per query, candidates are exact-cosine reranked (stored ``vnorm``,
+    no recompute) and top-``k`` kept; ``mutual=True`` keeps edge (a, b)
+    only if each is in the other's top-k — the standard hub-denoising
+    gate for kNN-graph clustering — and ``min_cosine`` adds a floor.
+    Returns undirected edges ``(l_id, r_id, sim)`` with l < r, exact
+    6-dp cosines, fully DuckDB-reproducible from the same committed
+    files."""
+    p = path.rstrip("/")
+    cent = spark.read.parquet(p + "/_centroids").collect()
+    cent_rows = [
+        {"c_id": r["c_id"], "__centroid": list(r["centroid"]), "__cnorm": r["cnorm"]}
+        for r in sorted(cent, key=lambda r: r["c_id"])
+    ]
+    stored = spark.read.parquet(p)
+    scores = _centroid_scores(cent_rows)
+    probes = (
+        stored.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__v"),
+            F.col("vnorm").alias("__vn"),
+        )
+        .select(
+            "q_id",
+            F.col("__v").alias("__qv"),
+            F.col("__vn").alias("__qn"),
+            F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)).alias("__s"),
+        )
+        .select("q_id", "__qv", "__qn", F.col("__s").getField("c_id").alias("c_id"))
+    )
+    lists = stored.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"),
+        F.col("vnorm").alias("__cn"), "c_id",
+    )
+    sim = F.round(
+        F.when(
+            F.col("__qn") * F.col("__cn") > F.lit(0.0),
+            dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    knn = (
+        probes.join(lists, "c_id")  # shuffle join on c_id: both sides corpus-sized
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", "n_id", "sim")
+    )
+    if mutual:
+        back = knn.select(
+            F.col("n_id").alias("q_id"), F.col("q_id").alias("n_id")
+        )
+        knn = knn.join(back, ["q_id", "n_id"], "left_semi")
+    edges = knn.where(F.col("q_id") < F.col("n_id")).select(
+        F.col("q_id").alias("l_id"), F.col("n_id").alias("r_id"), "sim"
+    )
+    if not mutual:
+        # keep one row per unordered pair even when only one direction
+        # made the top-k: union the reversed survivors, dedup
+        rev = knn.where(F.col("q_id") > F.col("n_id")).select(
+            F.col("n_id").alias("l_id"), F.col("q_id").alias("r_id"), "sim"
+        )
+        edges = edges.unionByName(rev).groupBy("l_id", "r_id").agg(
+            F.max("sim").alias("sim")
+        )
+    if min_cosine is not None:
+        edges = edges.where(F.col("sim") >= float(min_cosine))
+    return edges
+
+
 def materialize_bm25_index(
     docs: DataFrame,
     table: str,

@@ -267,6 +267,7 @@ _MANIFEST = [
     "multimodal_ppm_pixel_stats",
     "dedup_images_phash",
     "pack_sequences_boundary",
+    "entity_resolve_embeddings",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     # round 7:

@@ -786,6 +786,95 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 
+def _entity_resolve_embeddings_sql(k: int = 5, nprobe: int = 3, tau: str = "0.3") -> str:
+    """ONE oracle for the whole ANN→edges→CC composition (the embedding
+    twin of entity_resolve_customers' levenshtein+closure oracle): the
+    committed IVF probe pipeline (same CTEs as
+    duck_ann_ivf_filtered_sql), per-query exact top-k, the mutual-kNN +
+    threshold edge gate, then a recursive-CTE reachability closure with
+    min-label canonicalization."""
+    idx = _index_dir("sf0.01", "ivf_k1")
+    cos_c = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    cos_n = (
+        "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), "
+        "CAST(en.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+WITH RECURSIVE cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+assign AS (
+  SELECT vec_id, CAST(c_id AS BIGINT) AS c_id
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_c} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+knn AS MATERIALIZED (
+  SELECT q_id, n_id, sim FROM (
+    SELECT p.q_id, a.vec_id AS n_id, {cos_n} AS sim,
+           row_number() OVER (PARTITION BY p.q_id ORDER BY {cos_n} DESC, a.vec_id) AS rn
+    FROM probes p
+    JOIN assign a USING (c_id)
+    JOIN embeddings eq ON eq.vec_id = p.q_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+    WHERE a.vec_id != p.q_id
+  ) WHERE rn <= {k}
+),
+mutual AS (
+  SELECT k1.q_id AS l_id, k1.n_id AS r_id
+  FROM knn k1 JOIN knn k2 ON k2.q_id = k1.n_id AND k2.n_id = k1.q_id
+  WHERE k1.q_id < k1.n_id AND k1.sim >= CAST({tau} AS DOUBLE)
+),
+e AS (SELECT l_id AS src, r_id AS dst FROM mutual
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM mutual),
+reach AS (
+  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+)
+SELECT id AS vec_id, min(lab) AS entity_id FROM reach GROUP BY id
+"""
+
+
+@register("entity_resolve_embeddings", _entity_resolve_embeddings_sql())
+def entity_resolve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC entity resolution over embeddings — the kNN-graph
+    clustering every large corpus pipeline runs, composed entirely from
+    proven pieces the way entity_resolve_customers composed
+    edit-join→CC: the committed IVF index serves a corpus-wide
+    mutual-5-NN graph (operators/similarity.knn_graph_ivf_prebuilt —
+    centroid-table broadcast + c_id shuffle join, nothing driver-sized
+    scales with the corpus), edges gate on mutuality + cosine ≥ 0.3,
+    connected components (pointer jumping, operators/dedup.py) collapse
+    transitive chains, and every vector gets the canonical smallest
+    member id. ONE recursive-CTE oracle checks the whole composition
+    from the same committed index files."""
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.similarity import knn_graph_ivf_prebuilt
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_graph_ivf_prebuilt(
+        spark, path, k=5, nprobe=3, mutual=True, min_cosine=0.3
+    )
+    out = connected_components(
+        emb.select(F.col("vec_id").alias("id")),
+        edges,
+        id_col="id",
+        src_col="l_id",
+        dst_col="r_id",
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), F.col("cluster_id").alias("entity_id")
+    )
+
+
 def _mmr_unrolled_sql(k: int = 10, n_cands: int = 50, lam: int = 70) -> str:
     """Unrolled-CTE oracle for MMR's greedy selection — the same trick
     the fixed-round PageRank/LPA oracles use (queries/graph.py): a

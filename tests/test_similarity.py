@@ -580,3 +580,70 @@ def test_rrf_fuse_known_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_knn_graph_prebuilt_equals_serving_path_plus_mutual_gate(spark, sf_small, tmp_path):
+    """knn_graph_ivf_prebuilt's corpus-shuffle plan must equal the
+    broadcast serving path run with the corpus as queries, followed by a
+    plain-python mutual+threshold gate — same committed index, two
+    independent plans."""
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf_prebuilt,
+        knn_graph_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, path, num_centroids=4, kmeans_iters=1, assignment="expr")
+
+    k, nprobe, tau = 4, 2, 0.25
+    directional = ann_topk_ivf_prebuilt(
+        spark,
+        path,
+        emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")),
+        k=k,
+        nprobe=nprobe,
+    ).collect()
+    topk = {}
+    sims = {}
+    for r in directional:
+        topk.setdefault(r["q_id"], set()).add(r["n_id"])
+        sims[(r["q_id"], r["n_id"])] = r["sim"]
+    expect = {
+        (a, b): sims[(a, b)]
+        for (a, b) in sims
+        if a < b and a in topk.get(b, set()) and b in topk.get(a, set())
+        and sims[(a, b)] >= tau
+    }
+
+    got = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in knn_graph_ivf_prebuilt(
+            spark, path, k=k, nprobe=nprobe, mutual=True, min_cosine=tau
+        ).collect()
+    }
+    assert got == expect
+    # undirected invariant: l < r, no duplicate pairs
+    assert all(l < r for (l, r) in got)
+
+
+def test_knn_graph_non_mutual_is_superset(spark, sf_small, tmp_path):
+    from polars_sim_spark.operators.similarity import (
+        knn_graph_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, path, num_centroids=4, kmeans_iters=1, assignment="expr")
+    mut = {
+        (r["l_id"], r["r_id"])
+        for r in knn_graph_ivf_prebuilt(spark, path, k=3, nprobe=2, mutual=True).collect()
+    }
+    allp = {
+        (r["l_id"], r["r_id"])
+        for r in knn_graph_ivf_prebuilt(spark, path, k=3, nprobe=2, mutual=False).collect()
+    }
+    assert mut <= allp
+    assert len(allp) > len(mut)  # asymmetric hub edges exist on real data
