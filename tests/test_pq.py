@@ -412,3 +412,58 @@ def test_ivfpq_compaction_preserves_content(spark, sf_small, tmp_path):
             assert n == 1, (d, n)
     assert read() == before_rows
     assert serve() == before_serve
+
+
+def test_ivfpq_compaction_crash_recovery(spark, sf_small, tmp_path):
+    """Directory-rename crash safety: simulate both interruption points
+    of the per-cell swap and assert the next compact() restores the cell
+    to a complete copy (old or new), never empty or half."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    pq.materialize_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, num_centroids=4, m=8, k_codes=16,
+        pq_iters=1,
+    )
+    pq.append_to_ivfpq_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    read = lambda: sorted(  # noqa: E731
+        (r["vec_id"], r["c_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(path).select("vec_id", "c_id", "codes").collect()
+    )
+    before = read()
+    cells = sorted(d for d in os.listdir(path) if d.startswith("c_id="))
+    assert len(cells) >= 2
+
+    # Crash point 1: old renamed aside, complete replacement staged but
+    # not yet moved in (the cell dir is missing).
+    victim = cells[0]
+    os.makedirs(os.path.join(path, "_compact_old"), exist_ok=True)
+    spark.read.parquet(os.path.join(path, victim)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_compact_tmp", victim))
+    os.rename(os.path.join(path, victim), os.path.join(path, "_compact_old", victim))
+    assert not os.path.isdir(os.path.join(path, victim))
+
+    # Crash point 2: replacement staging was interrupted (no _SUCCESS),
+    # old copy moved aside — recovery must roll BACK.
+    victim2 = cells[1]
+    tmp2 = os.path.join(path, "_compact_tmp", victim2)
+    os.makedirs(tmp2)
+    with open(os.path.join(tmp2, "part-borked.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    os.makedirs(os.path.join(path, "_compact_old"), exist_ok=True)
+    shutil.move(os.path.join(path, victim2), os.path.join(path, "_compact_old", victim2))
+
+    stats = pq.compact_ivfpq_cells(spark, path)
+    assert read() == before  # content identical after recovery + compact
+    assert not os.path.isdir(os.path.join(path, "_compact_tmp"))
+    assert not os.path.isdir(os.path.join(path, "_compact_old"))
+    for d in os.listdir(path):
+        if d.startswith("c_id="):
+            files = [
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            ]
+            assert files, f"cell {d} lost its inverted list"
+    assert stats["cells_compacted"] >= 0
