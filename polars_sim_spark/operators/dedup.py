@@ -855,6 +855,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return sums.select("id", sig.cast("long").alias("simhash"))
 
 
+def phash_match_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_dist: int = 3,
+) -> DataFrame:
+    """(l_id, r_id, hamming): TWO-SIDED banded Hamming match — every
+    (left, right) pair within ``max_dist`` — the ingest-time shape of
+    :func:`phash_near_pairs` (batch-vs-history instead of self-join),
+    with the same pigeonhole recall guarantee per side and the same
+    exact xor/bit_count verify. Both inputs carry ``id_col`` +
+    ``band_cols`` (:func:`~polars_sim_spark.operators.multimodal.ppm_phash`
+    output); the right side is typically a STORED phash table, so a
+    micro-batch costs its own band rows against the (pruned) history
+    bands — never a corpus rescan of pixels."""
+    nb = len(band_cols)
+    if max_dist > nb - 1:
+        raise ValueError(
+            f"max_dist={max_dist} voids the band recall guarantee for "
+            f"{nb} bands (requires max_dist <= {nb - 1})"
+        )
+
+    def bands_of(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+                "band", "band_key"
+            ),
+        )
+
+    cand = (
+        bands_of(left, "l_id")
+        .join(bands_of(right, "r_id"), ["band", "band_key"])
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    lt = left.select(
+        F.col(id_col).alias("l_id"),
+        *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],
+    )
+    rt = right.select(
+        F.col(id_col).alias("r_id"),
+        *[F.col(c).alias(f"__r{j}") for j, c in enumerate(band_cols)],
+    )
+    ham = None
+    for j in range(nb):
+        t = F.bit_count(F.col(f"__l{j}").bitwiseXOR(F.col(f"__r{j}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(lt, "l_id")
+        .join(rt, "r_id")
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_dist)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
 def phash_near_pairs(
     ph: DataFrame,
     *,

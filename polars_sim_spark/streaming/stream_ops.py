@@ -1539,3 +1539,47 @@ def stream_edit_match(
         out.write.mode("append").parquet(out_path)
 
     return apply
+
+
+def stream_phash_match(
+    phash_index_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    max_dist: int = 7,
+):
+    """Streaming image near-dup gate — the picture twin of
+    :func:`stream_edit_match`: returns a ``foreachBatch`` callable that
+    perceptual-hashes each micro-batch of incoming image payloads
+    (:func:`~polars_sim_spark.operators.multimodal.ppm_phash`) and
+    matches them against a STORED phash band table within Hamming
+    ``max_dist`` — the ingest-time "have we already trained on this
+    image?" check, run before the bytes land.
+
+    One code path with the batch operator
+    (:func:`~polars_sim_spark.operators.dedup.phash_match_pairs`), so
+    availableNow output equals the batch two-sided match by
+    construction — stateless, no watermark. History stores 16-byte
+    hashes, not pixels: a micro-batch costs hashing its own payloads
+    (72 sampled bytes per image) plus its band rows against the band
+    join; the pixel corpus is never rescanned."""
+    from polars_sim_spark.operators.dedup import phash_match_pairs
+    from polars_sim_spark.operators.multimodal import ppm_phash
+
+    band_cols = tuple(f"band{j}" for j in range(n_bands))
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = batch_df.sparkSession.read.parquet(phash_index_path)
+        ph = ppm_phash(
+            batch_df, id_col=id_col, payload_col=payload_col, n_bands=n_bands
+        )
+        out = phash_match_pairs(
+            ph, hist, id_col=id_col, band_cols=band_cols, max_dist=max_dist
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return apply

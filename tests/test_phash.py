@@ -119,3 +119,39 @@ def test_ppm_phash_rejects_bad_band_count(spark):
     df = _ppm_df(spark, _rand_images(5, 3))
     with pytest.raises(ValueError, match="n_bands"):
         ppm_phash(df, n_bands=5)
+
+
+def test_two_sided_match_equals_bruteforce(spark):
+    """phash_match_pairs == brute-force left x right Hamming filter."""
+    from polars_sim_spark.operators.dedup import phash_match_pairs
+    from polars_sim_spark.operators.multimodal import ppm_phash
+
+    images = _rand_images(23, 50)
+    left_imgs = [t for t in images if t[0] % 2 == 0]
+    right_imgs = [t for t in images if t[0] % 2 == 1]
+    lh = ppm_phash(_ppm_df(spark, left_imgs), n_bands=8)
+    rh = ppm_phash(_ppm_df(spark, right_imgs), n_bands=8)
+
+    def hashes(imgs):
+        out = {}
+        for i, w, data in imgs:
+            h = (len(data) // 3) // w
+            px = np.frombuffer(data[: h * w * 3], dtype=np.uint8).reshape(h, w, 3)
+            out[i] = _dhash_py(px)
+        return out
+
+    hl, hr = hashes(left_imgs), hashes(right_imgs)
+    expect = {
+        (a, b): bin(hl[a] ^ hr[b]).count("1")
+        for a in hl
+        for b in hr
+        if bin(hl[a] ^ hr[b]).count("1") <= 7
+    }
+    got = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in phash_match_pairs(
+            lh, rh, id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(8)), max_dist=7,
+        ).collect()
+    }
+    assert got == expect and len(got) > 0

@@ -647,3 +647,25 @@ def test_knn_graph_non_mutual_is_superset(spark, sf_small, tmp_path):
     }
     assert mut <= allp
     assert len(allp) > len(mut)  # asymmetric hub edges exist on real data
+
+
+def test_hash_embed_wide_dims_are_not_degenerate(spark, sf_small):
+    """Dims >= 32 draw sign bits from the second md5 slice: they must
+    vary across documents (the pre-fix behavior gave every dim >= 32 a
+    constant -wt sign), and dim > 64 is rejected."""
+    from polars_sim_spark.functions.text import hash_embed
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    emb = hash_embed(docs, "doc_id", "text", dim=64).collect()
+    import numpy as np
+
+    mat = np.array([r["emb_micro"] for r in emb], dtype=np.float64)
+    for j in range(32, 64):
+        col = mat[:, j]
+        # a degenerate dim would equal exactly -(sum of all wt) for every
+        # doc, i.e. perfectly correlated with every other high dim; the
+        # cheap detectable symptom is "always strictly negative"
+        assert (col > 0).any(), f"dim {j} never positive: constant-sign degeneracy"
+
+    with pytest.raises(ValueError, match="dim <= 64"):
+        hash_embed(docs, "doc_id", "text", dim=65)

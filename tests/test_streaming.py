@@ -1639,3 +1639,54 @@ def test_stream_edit_match_equals_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_phash_match_equals_batch(spark, sf_small, tmp_path):
+    """availableNow image near-dup gating against the stored phash table
+    == the batch two-sided phash match (same code path)."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.dedup import phash_match_pairs
+    from polars_sim_spark.operators.multimodal import attach_image_payload, ppm_phash
+    from polars_sim_spark.streaming.stream_ops import stream_phash_match
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    payloads = attach_image_payload(docs).select("doc_id", "payload")
+    # history = the same images under shifted ids, so every streamed
+    # image has a distance-0 twin and the match set is provably nonempty
+    hist_imgs = payloads.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "payload"
+    )
+    new_imgs = payloads
+
+    idx_path = str(tmp_path / "phash_idx")
+    ppm_phash(hist_imgs, n_bands=8).write.parquet(idx_path)
+    src = str(tmp_path / "src")
+    new_imgs.write.parquet(src)
+    sink = str(tmp_path / "matched")
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    qn = f"phashmatch_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_phash_match(idx_path, sink, n_bands=8, max_dist=7)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.l_id, r.r_id, r.hamming) for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.l_id, r.r_id, r.hamming)
+        for r in phash_match_pairs(
+            ppm_phash(new_imgs, n_bands=8),
+            spark.read.parquet(idx_path),
+            id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(8)),
+            max_dist=7,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
