@@ -154,3 +154,27 @@ def test_unpivot_is_zero_exchange(spark, sf_small):
     df = q.docs_quality_unpivot(spark, sf_small)
     plan = formatted_plan(df)
     assert ") Exchange" not in plan and "Expand" in plan
+
+
+def test_boundary_pack_offset_tables_ride_broadcasts(spark, sf_small):
+    """pack_sequences_boundary's two tiny tables (per-(class, part) rank
+    offsets; per-class shelf offsets) must join back by BROADCAST — the
+    corpus-sized side never shuffles for them — and no window may run
+    unpartitioned over row-scale data (the only global-order window is
+    the ≤L-row class table)."""
+    df = q.pack_sequences_boundary(spark, sf_small)
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    # the row-scale windows are partitioned by (q, __part) / (q, shelf)
+    assert "WindowGroupLimit" not in plan  # no top-k here, sanity
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_pair_join_has_no_cartesian(spark, sf_small):
+    """dedup_images_phash pairs come from the band equi-join — any plan
+    regression to a cartesian/broadcast-nested-loop product would be the
+    n² the banding exists to avoid."""
+    df = q.dedup_images_phash(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
