@@ -268,6 +268,8 @@ _MANIFEST = [
     "dedup_images_phash",
     "pack_sequences_boundary",
     "entity_resolve_embeddings",
+    "ann_recall_ivf",
+    "dedup_remove_images",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     # round 7:

@@ -409,3 +409,78 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("l_id").alias("l_doc"), F.col("r_id").alias("r_doc"), "hamming"
     )
+
+
+@register(
+    "dedup_remove_images",
+    """
+WITH RECURSIVE im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 3) // (4 + doc_id % 8) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+ok AS (SELECT * FROM im WHERE h >= 1),
+g AS (
+  SELECT doc_id, u.i // 9 AS y, u.i % 9 AS x,
+         ( CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 3 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 5 AS BIGINT), 2)) AS BIGINT)
+         ) // 3 AS gray
+  FROM ok, unnest(range(72)) AS u(i)
+),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+pairs AS (
+  SELECT a.doc_id AS l_id, b.doc_id AS r_id
+  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING sum(abs(a.bit - b.bit)) <= 7
+),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM ok
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+)
+SELECT id AS doc_id, min(lab) AS cluster_id, id = min(lab) AS keep
+FROM reach GROUP BY id
+""",
+)
+def dedup_remove_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image family's KEEP/DROP decision — phash near-dup pairs
+    (Hamming ≤ 7 over 8 byte-wide bands) collapsed by connected
+    components into clusters with the smallest member as the canonical
+    keeper: exactly the dedup_remove_* shape the text and embedding
+    paths already ship, now for pictures. ONE oracle replays hash
+    construction, ALL-pairs distances, the reachability closure and the
+    keep flag — the full pipeline a multimodal training-data curation
+    run executes before packing."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import attach_image_payload, ppm_phash
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = ppm_phash(attach_image_payload(docs), n_bands=8)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(8)),
+        max_dist=7,
+    )
+    out = dedup.connected_components(
+        ph.select(F.col("doc_id").alias("id")),
+        pairs,
+        id_col="id",
+        src_col="l_id",
+        dst_col="r_id",
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

@@ -786,6 +786,102 @@ def ann_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 
+def _ann_recall_sql(nprobe: int = 3, k: int = 5) -> str:
+    """Oracle for the recall REPORT: recompute the committed-IVF serving
+    top-k and the exact brute-force top-k in SQL and count the overlap —
+    recall as data, on the same deterministic grid as everything else."""
+    idx = _index_dir("sf0.01", "ivf_k1")
+    cos_c = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    cos_q = (
+        "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(n.embedding AS DOUBLE[])), 6)"
+    )
+    cos_bf = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+WITH assign AS (
+  SELECT vec_id AS n_id, CAST(c_id AS BIGINT) AS c_id
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+probes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_c} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 20
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.n_id
+  FROM probes p JOIN assign a USING (c_id)
+  WHERE a.n_id != p.q_id
+),
+ivf AS (
+  SELECT q_id, n_id FROM (
+    SELECT c.q_id, c.n_id,
+           row_number() OVER (PARTITION BY c.q_id ORDER BY {cos_q} DESC, c.n_id) AS rn
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.q_id
+    JOIN embeddings n ON n.vec_id = c.n_id
+  ) WHERE rn <= {k}
+),
+bf AS (
+  SELECT q_id, n_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos_bf} DESC, b.vec_id) AS rn
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < 20 AND b.vec_id != a.vec_id
+  ) WHERE rn <= {k}
+)
+SELECT bf.q_id,
+       CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) * 100 // {k} AS BIGINT) AS recall_pct
+FROM bf LEFT JOIN ivf i ON i.q_id = bf.q_id AND i.n_id = bf.n_id
+GROUP BY bf.q_id
+"""
+
+
+@register("ann_recall_ivf", _ann_recall_sql())
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall REPORT for the committed IVF serving path — the engine
+    measuring its own approximation quality as a first-class query (the
+    monitoring row a production vector store runs after every index
+    rebuild): per query, how many of the exact brute-force top-5 the
+    nprobe=3 stored-index serve returned (hits, recall_pct — exact
+    integers, so the oracle recomputes BOTH retrievers and the overlap
+    digit-for-digit). Composes two already-proven plans; the recall
+    trade it quantifies is the one ann_topk_ivf_prebuilt's docstring
+    states qualitatively."""
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_prebuilt,
+    )
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    ivf = ann_topk_ivf_prebuilt(spark, path, qs, k=5, nprobe=3).select(
+        "q_id", "n_id", F.lit(1).alias("__hit")
+    )
+    bf = ann_topk_bruteforce(emb, qs, k=5).select("q_id", "n_id")
+    return (
+        bf.join(ivf, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "q_id", "hits", F.expr("hits * 100 div 5").cast("long").alias("recall_pct")
+        )
+    )
+
+
 def _entity_resolve_embeddings_sql(k: int = 5, nprobe: int = 3, tau: str = "0.3") -> str:
     """ONE oracle for the whole ANN→edges→CC composition (the embedding
     twin of entity_resolve_customers' levenshtein+closure oracle): the
