@@ -151,6 +151,7 @@ HEADLINE = [
     "entity_resolve_embeddings",
     "ann_recall_ivf",
     "dedup_remove_images",
+    "decontaminate_fraction_docs",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     "pack_token_sequences",

@@ -293,6 +293,63 @@ def decontaminate_bloom(
     )
 
 
+def contamination_fraction(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """MEASURED decontamination — the fraction upgrade of
+    :func:`decontaminate`'s boolean: per corpus document, how much of
+    its distinct word-``n``-gram set appears in the eval/benchmark set,
+    as exact integers ``(id, n_sh, n_hit, frac_ppm)`` with
+    ``frac_ppm = n_hit·10⁶ div max(n_sh, 1)``. Production pipelines
+    threshold on overlap FRACTION (a 2000-shingle document sharing one
+    8-gram is noise; sharing half its shingles is a leaked benchmark),
+    and keeping the ratio in integer ppm keeps the whole report
+    oracle-exact.
+
+    Plan: one shingle-key join (no broadcast hint — the eval side may
+    be too large to broadcast; Catalyst/AQE picks, same reasoning as
+    :func:`decontaminate_bloom`'s confirm pass) followed by one
+    map-side-combined per-document aggregate. Documents shorter than
+    ``n`` words report (0, 0, 0)."""
+    from polars_sim_spark.functions.text import word_shingles
+
+    sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    ev = (
+        eval_df.select(F.explode(word_shingles(F.col(eval_text_col), n)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        sh.join(ev, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("long").alias("n_sh"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "cast(coalesce(n_hit, 0) * 1000000 div greatest(coalesce(n_sh, 0), 1) as bigint)"
+            ).alias("frac_ppm"),
+        )
+    )
+
+
 def pack_shards(
     df: DataFrame,
     *,

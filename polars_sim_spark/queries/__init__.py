@@ -270,6 +270,7 @@ _MANIFEST = [
     "entity_resolve_embeddings",
     "ann_recall_ivf",
     "dedup_remove_images",
+    "decontaminate_fraction_docs",
     "events_hll_users_sharded",
     "ann_topk_ivf_filtered",
     # round 7:

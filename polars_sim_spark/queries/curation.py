@@ -278,6 +278,38 @@ def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_fraction_docs",
+    f"""
+WITH c AS (SELECT DISTINCT id, sh FROM ({duck_shingles_cte("documents", "doc_id", "text", n=8)})),
+e AS (SELECT DISTINCT sh FROM ({duck_shingles_cte(_DECON_EVAL, "doc_id", "text", n=8)})),
+per AS (
+  SELECT c.id,
+         CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM c LEFT JOIN e USING (sh) GROUP BY c.id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_sh, 0) AS BIGINT) AS n_sh,
+       CAST(coalesce(per.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(per.n_hit, 0) * 1000000 // greatest(coalesce(per.n_sh, 0), 1) AS BIGINT) AS frac_ppm
+FROM documents d LEFT JOIN per ON per.id = d.doc_id
+""",
+)
+def decontaminate_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured decontamination (curation.contamination_fraction): per
+    document, the exact ppm fraction of its distinct 8-gram shingles
+    that appear in the eval set (doc_id < 50 — the same fixture as the
+    boolean rows) — what a production pipeline actually thresholds on,
+    with n_sh/n_hit alongside so the report is auditable. Every value
+    is an exact integer the oracle reproduces digit-for-digit."""
+    from polars_sim_spark.operators.curation import contamination_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 50)
+    return contamination_fraction(docs, ev, n=8)
+
+
+@register(
     "pack_documents_shards",
     """
 WITH t AS (
