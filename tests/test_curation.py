@@ -669,3 +669,42 @@ def test_boundary_pack_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_sequences_boundary(df, id_col="doc_id", token_col="n_tok", seq_len=0)
+
+
+def test_contamination_fraction_invariants(spark, sf_small):
+    """Eval documents measured against themselves hit 10^6 ppm exactly;
+    the boolean decontaminate flag is exactly (n_hit > 0); docs shorter
+    than n words report zeros."""
+    from polars_sim_spark.operators.curation import (
+        contamination_fraction,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    frac = contamination_fraction(docs, ev, n=8).collect()
+    by_id = {r["doc_id"]: r for r in frac}
+    assert len(by_id) == docs.count()
+
+    # eval members with >= 8 words are fully contained in the eval set
+    ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    saw_full = 0
+    for i in ev_ids:
+        r = by_id[i]
+        if r["n_sh"] > 0:
+            assert r["n_hit"] == r["n_sh"] and r["frac_ppm"] == 1_000_000
+            saw_full += 1
+        else:
+            assert r["n_hit"] == 0 and r["frac_ppm"] == 0
+    assert saw_full > 0
+
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, ev, n=8).collect()
+    }
+    for i, r in by_id.items():
+        assert flags[i] == (r["n_hit"] > 0), i
+    # fraction adds information the flag doesn't: some contaminated doc
+    # is only PARTIALLY contained
+    partial = [r for r in frac if 0 < r["frac_ppm"] < 1_000_000]
+    assert partial
