@@ -1541,6 +1541,65 @@ def stream_edit_match(
     return apply
 
 
+def stream_contamination_fraction(
+    eval_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """Streaming measured-decontamination gate: returns a
+    ``foreachBatch`` callable that scores each micro-batch of incoming
+    documents against the STORED eval shingle set and appends the exact
+    per-document overlap report ``(id, n_sh, n_hit, frac_ppm)`` — the
+    ingest-time shape of
+    :func:`~polars_sim_spark.operators.curation.contamination_fraction`
+    (one code path, so availableNow output equals the batch report by
+    construction; stateless, no watermark). ``eval_path`` holds the
+    PRE-SHINGLED distinct eval set (a one-column ``sh`` parquet — store
+    shingles, not text, so the per-batch cost is the batch's own
+    shingle explode plus the keyed join)."""
+    from polars_sim_spark.functions.text import word_shingles
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ev = (
+            batch_df.sparkSession.read.parquet(eval_path)
+            .select("sh")
+            .withColumn("__hit", F.lit(1))
+        )
+        sh = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        per = (
+            sh.join(ev, "sh", "left")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sh"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            )
+        )
+        out = (
+            batch_df.select(F.col(id_col).alias("id"))
+            .join(per, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("n_sh"), F.lit(0)).cast("long").alias("n_sh"),
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+                F.expr(
+                    "cast(coalesce(n_hit, 0) * 1000000 div "
+                    "greatest(coalesce(n_sh, 0), 1) as bigint)"
+                ).alias("frac_ppm"),
+            )
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return apply
+
+
 def stream_phash_match(
     phash_index_path: str,
     out_path: str,

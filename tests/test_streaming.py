@@ -1690,3 +1690,46 @@ def test_stream_phash_match_equals_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_contamination_fraction_equals_batch(spark, sf_small, tmp_path):
+    """availableNow measured decontamination against the stored eval
+    shingles == the batch contamination_fraction report."""
+    import uuid as _uuid
+
+    from polars_sim_spark.functions.text import word_shingles
+    from polars_sim_spark.operators.curation import contamination_fraction
+    from polars_sim_spark.streaming.stream_ops import stream_contamination_fraction
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    ev_docs = docs.where(F.col("doc_id") % 5 == 0)
+    ev_path = str(tmp_path / "eval_sh")
+    (
+        ev_docs.select(F.explode(word_shingles(F.col("text"), 8)).alias("sh"))
+        .distinct()
+        .write.parquet(ev_path)
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    sink = str(tmp_path / "report")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    qn = f"contamfrac_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_contamination_fraction(ev_path, sink, n=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.doc_id, r.n_sh, r.n_hit, r.frac_ppm)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.doc_id, r.n_sh, r.n_hit, r.frac_ppm)
+        for r in contamination_fraction(docs, ev_docs, n=8).collect()
+    }
+    assert got == want and any(t[3] > 0 for t in got)

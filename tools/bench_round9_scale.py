@@ -43,6 +43,9 @@ PART_A = [
     "dedup_images_phash",
     "pack_sequences_boundary",
     "entity_resolve_embeddings",
+    "ann_recall_ivf",
+    "dedup_remove_images",
+    "decontaminate_fraction_docs",
 ]
 PART_B = [
     "graph_part_communities",
