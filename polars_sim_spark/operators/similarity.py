@@ -1014,6 +1014,7 @@ def knn_graph_ivf_prebuilt(
     nprobe: int = 3,
     mutual: bool = True,
     min_cosine: float | None = None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Self kNN-GRAPH over a committed IVF index — the edge builder for
     semantic entity resolution / kNN-graph clustering, where EVERY
@@ -1036,7 +1037,19 @@ def knn_graph_ivf_prebuilt(
     gate for kNN-graph clustering — and ``min_cosine`` adds a floor.
     Returns undirected edges ``(l_id, r_id, sim)`` with l < r, exact
     6-dp cosines, fully DuckDB-reproducible from the same committed
-    files."""
+    files (contract rows pin ``probe_mode="expr"``; see below).
+
+    ``probe_mode``: probe-cell scoring strategy. ``"expr"`` is the
+    Column-expression path (zero extra joins, oracle-exact) — but it
+    builds a ``num_centroids × dim`` LITERAL array, which binds plan
+    construction past a few hundred centroids (measured, BASELINE.md
+    "probe scorer at large centroid counts"); ``"kernel"`` scores
+    probes via the broadcast-GEMM Arrow kernel
+    (:func:`centroid_assignments_kernel` — no plan literals, one extra
+    q_id-keyed join to re-attach query vectors) and is the √n-centroid
+    scale path; ``"auto"`` picks by centroid count."""
+    from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
+
     p = path.rstrip("/")
     cent = spark.read.parquet(p + "/_centroids").collect()
     cent_rows = [
@@ -1044,25 +1057,48 @@ def knn_graph_ivf_prebuilt(
         for r in sorted(cent, key=lambda r: r["c_id"])
     ]
     stored = spark.read.parquet(p)
-    scores = _centroid_scores(cent_rows)
-    probes = (
-        stored.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("__v"),
-            F.col("vnorm").alias("__vn"),
+    if probe_mode == "auto":
+        probe_mode = (
+            "kernel" if len(cent_rows) > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
         )
-        .select(
-            "q_id",
-            F.col("__v").alias("__qv"),
-            F.col("__vn").alias("__qn"),
-            F.explode(F.slice(F.sort_array(scores, asc=False), 1, nprobe)).alias("__s"),
-        )
-        .select("q_id", "__qv", "__qn", F.col("__s").getField("c_id").alias("c_id"))
-    )
     lists = stored.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("__cv"),
         F.col("vnorm").alias("__cn"), "c_id",
     )
+    if probe_mode == "kernel":
+        probe_cells = centroid_assignments_kernel(
+            stored.select(F.col(id_col), F.col(vec_col)),
+            id_col,
+            vec_col,
+            cent_rows,
+            nprobe=nprobe,
+        ).withColumnRenamed("id", "q_id")
+        qv = stored.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("vnorm").alias("__qn"),
+        )
+        paired = probe_cells.join(lists, "c_id").join(qv, "q_id")
+    else:
+        scores = _centroid_scores(cent_rows)
+        probes = (
+            stored.select(
+                F.col(id_col).alias("q_id"),
+                F.col(vec_col).alias("__v"),
+                F.col("vnorm").alias("__vn"),
+            )
+            .select(
+                "q_id",
+                F.col("__v").alias("__qv"),
+                F.col("__vn").alias("__qn"),
+                F.explode(
+                    F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+                ).alias("__s"),
+            )
+            .select("q_id", "__qv", "__qn", F.col("__s").getField("c_id").alias("c_id"))
+        )
+        # shuffle join on c_id: both sides corpus-sized
+        paired = probes.join(lists, "c_id")
     sim = F.round(
         F.when(
             F.col("__qn") * F.col("__cn") > F.lit(0.0),
@@ -1072,8 +1108,7 @@ def knn_graph_ivf_prebuilt(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     knn = (
-        probes.join(lists, "c_id")  # shuffle join on c_id: both sides corpus-sized
-        .where(F.col("n_id") != F.col("q_id"))
+        paired.where(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id", sim.alias("sim"))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)

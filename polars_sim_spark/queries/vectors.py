@@ -957,7 +957,7 @@ def entity_resolve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_ivf_kmeans_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn_graph_ivf_prebuilt(
-        spark, path, k=5, nprobe=3, mutual=True, min_cosine=0.3
+        spark, path, k=5, nprobe=3, mutual=True, min_cosine=0.3, probe_mode="expr"
     )
     out = connected_components(
         emb.select(F.col("vec_id").alias("id")),

@@ -669,3 +669,26 @@ def test_hash_embed_wide_dims_are_not_degenerate(spark, sf_small):
 
     with pytest.raises(ValueError, match="dim <= 64"):
         hash_embed(docs, "doc_id", "text", dim=65)
+
+
+def test_knn_graph_kernel_probe_equals_expr(spark, sf_small, tmp_path):
+    """probe_mode='kernel' (broadcast-GEMM, the sqrt-n-centroid scale
+    path) must produce the same edge set as the expression path on a
+    corpus away from rounding boundaries."""
+    from polars_sim_spark.operators.similarity import (
+        knn_graph_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, path, num_centroids=4, kmeans_iters=1, assignment="expr")
+    runs = {}
+    for mode in ("expr", "kernel"):
+        runs[mode] = {
+            (r["l_id"], r["r_id"]): r["sim"]
+            for r in knn_graph_ivf_prebuilt(
+                spark, path, k=4, nprobe=2, mutual=True, probe_mode=mode
+            ).collect()
+        }
+    assert runs["expr"] == runs["kernel"] and runs["expr"]
