@@ -985,7 +985,7 @@ def connected_components(
     id_col: str = "id",
     src_col: str = "l_id",
     dst_col: str = "r_id",
-    max_iter: int = 25,
+    max_iter: int = 64,
     rounds_per_check: int = 1,
 ) -> DataFrame:
     """(id, cluster_id): connected components by iterative min-label
@@ -993,8 +993,18 @@ def connected_components(
     KEEP/DROP groups (cluster_id = smallest member id, the canonical doc).
 
     Each round = one neighbor-min step + one pointer-jump step (label :=
-    label of my label), so convergence takes O(log diameter) rounds even
-    on adversarial chains, not O(diameter).
+    label of my label). The jump is a heuristic accelerator, NOT a
+    log-diameter guarantee: on a pure path it converges in ~log d
+    rounds (simulated: 13 rounds at d=4096), but on a real mutual-kNN
+    graph with a 968-node eccentricity-54 component the min label still
+    needed 32 rounds — and EXTRA jumps per round didn't help (simulated:
+    32 rounds at 1 AND at 2 jumps; the bottleneck is the label
+    frontier's graph distance from the min node, which jumping can't
+    shortcut). Hence ``max_iter=64`` by default, and non-convergence
+    RAISES instead of returning — unconverged labels are wrong answers
+    and are never an output (a depth-54 graph under the old silent
+    max_iter=25 truncation returned 352 mis-labeled nodes; caught
+    against a python reachability reference, round 9).
 
     Every round ends with ``localCheckpoint`` — without it the logical
     plan (and Catalyst analysis time) grows superlinearly across
@@ -1075,16 +1085,42 @@ def connected_components(
             lab2 = stepped.select(
                 F.col("id").alias("__pid"), F.col("cluster_id").alias("__plab")
             )
-            cur = (
-                stepped.join(lab2, stepped.cluster_id == lab2.__pid)
-                .select("id", F.least("cluster_id", "__plab").alias("cluster_id"), "__old")
-                .localCheckpoint(eager=True)
+            nxt = stepped.join(lab2, stepped.cluster_id == lab2.__pid).select(
+                "id", F.least("cluster_id", "__plab").alias("cluster_id"), "__old"
             )
+            # STATS SANITIZATION (every 6th round): Spark 4's
+            # localCheckpoint (rewriteStatsAndConstraints) stores the
+            # plan's ESTIMATED sizeInBytes on the new LogicalRDD, and a
+            # CC round's estimate is a PRODUCT over the previous round's
+            # stored stat (~3 references) — so the stat's bit length
+            # TRIPLES per round, and on graphs needing many rounds (a
+            # mutual-kNN graph with a 968-node eccentricity-54 component
+            # measured 32 rounds) the driver ends up burning minutes per
+            # checkpoint in BigInteger multiplies before any task
+            # launches (root-caused via jstack:
+            # SizeInBytesOnlyStatsPlanVisitor under Dataset.checkpoint).
+            # Materializing through the SQL cache first makes the
+            # checkpoint store the cache's REAL size, resetting growth;
+            # doing it every 6th round caps the estimate near 3^6× the
+            # base (~tens of kilobits — microseconds of BigInt math)
+            # while converge-in-a-few-rounds graphs — the common dedup
+            # shape — never pay the extra materialization.
+            if done % 6 == 5:
+                nxt = nxt.persist()
+                nxt.count()
+                cur = nxt.localCheckpoint(eager=True)
+                nxt.unpersist()
+            else:
+                cur = nxt.localCheckpoint(eager=True)
             done += 1
         labels = cur.select("id", "cluster_id")
         if cur.where(F.col("cluster_id") != F.col("__old")).isEmpty():
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint within max_iter={max_iter} "
+        "rounds — raise max_iter (labels would be WRONG on unconverged "
+        "components, so they are never returned)"
+    )
 
 
 def remove_near_dups(

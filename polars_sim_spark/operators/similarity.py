@@ -1114,6 +1114,19 @@ def knn_graph_ivf_prebuilt(
         .where(F.col("__rn") <= k)
         .select("q_id", "n_id", "sim")
     )
+    # Materialize the (n·k-row) kNN table before the mutual gate, for two
+    # measured reasons: (1) the gate references it TWICE (forward + the
+    # reversed semi side), so an un-checkpointed candidate join would
+    # recompute end to end (the connected-components lesson); (2) Spark
+    # 4's localCheckpoint/CC planning recomputes sizeInBytes stats over
+    # the full logical tree, and with default-sized function-source
+    # leaves (mapInPandas carries no stats) the BigInt size estimate
+    # DOUBLES in bit length per join level — past ~15 join levels the
+    # driver burns minutes in BigInteger.multiply before the first task
+    # launches (root-caused via jstack: rewriteStatsAndConstraints →
+    # SizeInBytesOnlyStatsPlanVisitor product). Cutting the plan here
+    # bounds the depth every downstream composition (mutual, CC) sees.
+    knn = knn.localCheckpoint(eager=True)
     if mutual:
         back = knn.select(
             F.col("n_id").alias("q_id"), F.col("q_id").alias("n_id")

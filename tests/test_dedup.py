@@ -415,3 +415,57 @@ def test_remove_duplicate_substrings_null_and_short_text(spark):
     assert out[3] == ("", 0, 0)
     assert out[4] == ("x y", 2, 0)
     assert out[5] == ("", 0, 4)
+
+
+def test_connected_components_deep_chain_graph(spark):
+    """Round-9 regression: long-chain graphs (many label-propagation
+    rounds) must (a) stay CORRECT vs a python reachability reference —
+    the old silent max_iter truncation returned wrong labels — and (b)
+    complete without the per-round checkpoint stats blowup (estimated
+    sizeInBytes tripling in bit length per round; sanitized through the
+    SQL cache every 6th round)."""
+    import collections
+
+    from polars_sim_spark.operators.dedup import connected_components
+
+    # one 400-node path (deep), a few medium components, singletons
+    edges = [(i, i + 1) for i in range(399)]
+    edges += [(1000 + 10 * c + i, 1000 + 10 * c + i + 1) for c in range(5) for i in range(9)]
+    nodes = list(range(400)) + [1000 + 10 * c + i for c in range(5) for i in range(10)] + list(range(2000, 2050))
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "l_id long, r_id long")
+    out = connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id")
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in nodes:
+        if n in want:
+            continue
+        comp, q = {n}, [n]
+        while q:
+            u = q.pop()
+            for v in adj.get(u, ()):
+                if v not in comp:
+                    comp.add(v)
+                    q.append(v)
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """Unconverged labels are never returned: a path needing more rounds
+    than max_iter raises instead of silently mis-clustering."""
+    import pytest as _pytest
+
+    from polars_sim_spark.operators.dedup import connected_components
+
+    ndf = spark.createDataFrame([(i,) for i in range(64)], "id long")
+    edf = spark.createDataFrame([(i, i + 1) for i in range(63)], "l_id long, r_id long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=2)
