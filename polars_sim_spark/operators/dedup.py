@@ -1116,6 +1116,23 @@ def connected_components(
         labels = cur.select("id", "cluster_id")
         if cur.where(F.col("cluster_id") != F.col("__old")).isEmpty():
             return labels
+    # The loop's changed-check compares against labels as of the START of
+    # the last rounds_per_check block, so a fixpoint reached exactly on
+    # round max_iter still shows "changed". Confirm with one extra
+    # NEIGHBOR-MIN probe (no new propagation is counted): on symmetric
+    # edges, no-change under neighbor-min ⇒ label(v) ≤ label(u) for every
+    # neighbor pair in both directions ⇒ labels constant per component,
+    # and the component-min node pins that constant to the min id — a
+    # genuine fixpoint certificate, not just "this round was quiet".
+    probe = (
+        both.join(labels, both.src == labels.id)
+        .groupBy("dst")
+        .agg(F.min("cluster_id").alias("nbr_min"))
+        .join(labels, F.col("dst") == labels.id)
+        .where(F.col("nbr_min") < F.col("cluster_id"))
+    )
+    if probe.isEmpty():
+        return labels
     raise RuntimeError(
         f"connected_components: no fixpoint within max_iter={max_iter} "
         "rounds — raise max_iter (labels would be WRONG on unconverged "

@@ -942,8 +942,12 @@ def ppm_phash(
     per image regardless of image size — no shuffle, no driver."""
     import numpy as np
 
-    if n_bands not in (2, 4, 8, 16):
-        raise ValueError(f"n_bands must divide 64 evenly (2/4/8/16); got {n_bands}")
+    # n_bands=2 is rejected: a 32-bit band cannot be carried in the int32
+    # band columns this schema declares (values up to 2^32-1 overflow), and
+    # a 2-band split only guarantees recall at Hamming distance ≤ 1 —
+    # useless for the d≤7 near-dup regime the band join targets.
+    if n_bands not in (4, 8, 16):
+        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
     bpb = 64 // n_bands
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -469,3 +469,20 @@ def test_connected_components_raises_on_round_exhaustion(spark):
     edf = spark.createDataFrame([(i, i + 1) for i in range(63)], "l_id long, r_id long")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=2)
+
+
+def test_connected_components_fixpoint_exactly_at_max_iter(spark):
+    """Round-10 ADVICE regression: labels that reach their fixpoint ON
+    round max_iter must be RETURNED, not rejected — the changed-check
+    compares against the start of the block, so the final verification
+    probe (one extra neighbor-min pass) is what certifies convergence."""
+    from polars_sim_spark.operators.dedup import connected_components
+
+    # a single edge converges in exactly 1 productive round
+    ndf = spark.createDataFrame([(0,), (1,)], "id long")
+    edf = spark.createDataFrame([(0, 1)], "l_id long, r_id long")
+    out = connected_components(
+        ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=1
+    )
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 0}
