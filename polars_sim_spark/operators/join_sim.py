@@ -99,6 +99,85 @@ def _tokens_long(
     )
 
 
+#: Micro-unit scale for TF-IDF weights: one weight unit = 1e-6 idf. All
+#: dot products / norms are exact int64 sums of squared micro-weights
+#: (1e-12 units), so the similarity is a deterministic function of the
+#: corpus — reproducible bit-for-bit by the DuckDB oracle.
+IDF_MICRO = 1_000_000
+
+
+def _idf_micro_expr(n_docs: int, df_col: Column) -> Column:
+    """Smoothed IDF in exact micro-units: round((ln((1+N)/(1+df)) + 1)·1e6).
+
+    The sklearn-standard smooth formulation (never zero, defined at
+    df=0). Every operation is IEEE-deterministic given integer inputs —
+    exact double division, libm ln, exact +1.0, one HALF_UP round — so
+    Spark and DuckDB produce the same bigint for the same (N, df); all
+    downstream arithmetic is exact integer sums.
+    """
+    idf = F.log(
+        F.lit(float(1 + n_docs)) / (F.lit(1.0) + df_col.cast("double"))
+    ) + F.lit(1.0)
+    return F.round(idf * F.lit(float(IDF_MICRO)), 0).cast("bigint")
+
+
+def idf_micro_weight(n_docs: int, df: int) -> int:
+    """Driver-side twin of :func:`_idf_micro_expr` (same HALF_UP round —
+    python's round() is banker's, so floor(x+0.5) instead)."""
+    import math
+
+    return int(math.floor((math.log((1 + n_docs) / (1.0 + df)) + 1.0) * IDF_MICRO + 0.5))
+
+
+def build_idf_weights(
+    corpus: DataFrame,
+    on: str,
+    *,
+    apply_word_normalization: bool = False,
+) -> tuple[DataFrame, int, int]:
+    """Per-trigram IDF weight table from a corpus — the fit half of the
+    TF-IDF-weighted similarity join (the reference's own declared roadmap:
+    the ``// TODO: eventually we could use tfidf`` comment above the
+    binary-weight choice at ``src/cossim.rs:45-48``).
+
+    Document frequency is counted over the corpus's DISTINCT (normalized,
+    when ``apply_word_normalization``) key strings with a nonzero trigram
+    set — the same collapse-invariant granularity the distinct-key
+    similarity pass evaluates at, so repeated rows never inflate a
+    token's weight. Returns ``(weights, n_docs, default_w2)``:
+    ``weights`` has columns ``(__token, __w2)`` where ``__w2`` is the
+    SQUARED micro-unit weight (the only form the pipeline consumes:
+    binary TF over distinct trigrams makes every dot-product term
+    idf(t)²); ``default_w2`` is the squared weight of a token the corpus
+    never saw (df=0).
+
+    Scale: the weight table is bounded by the 26³=17,576-token vocabulary
+    regardless of corpus size — always broadcastable; the df aggregation
+    is one map-side-combining pass over distinct corpus strings.
+    """
+    s: Column = F.col(on)
+    if apply_word_normalization:
+        s = normalize_string_col(s)
+    strs = (
+        corpus.select(s.alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .distinct()
+        .select(trigram_tokens(F.col("__s")).alias("__toks"))
+        .where(F.size("__toks") > 0)
+    )
+    strs = cache_registry.track(strs)  # referenced by the count AND the df agg
+    n_docs = strs.count()
+    w = _idf_micro_expr(n_docs, F.col("__df"))
+    weights = (
+        strs.select(F.explode("__toks").alias("__token"))
+        .groupBy("__token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .select("__token", (w * w).alias("__w2"))
+    )
+    w0 = idf_micro_weight(n_docs, 0)
+    return weights, n_docs, w0 * w0
+
+
 def similarity_mapping(
     left: DataFrame,
     right: DataFrame,
@@ -113,7 +192,11 @@ def similarity_mapping(
     right_id: str = _COL,
     max_token_df: int | None = None,
     dedup_keys: bool = True,
+    weighting: str = "binary",
+    idf_corpus: DataFrame | None = None,
+    idf_on: str | None = None,
     _rank_ties: bool = False,
+    _idf: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Compute the (row, col, sim) mapping table — the Spark equivalent of
     the reference kernel's COO output (``src/cossim.rs:203-262``).
@@ -144,6 +227,34 @@ def similarity_mapping(
             f"left_id and right_id must be distinct column names (both {left_id!r}); "
             "alias one side first, or use join_sim() which handles the rename"
         )
+    if weighting not in ("binary", "tfidf"):
+        raise ValueError(f"weighting must be 'binary' or 'tfidf', got {weighting!r}")
+    if weighting == "binary" and idf_corpus is not None:
+        raise ValueError("idf_corpus only applies with weighting='tfidf'")
+    if weighting == "tfidf":
+        if strategy == "kernel":
+            raise ValueError(
+                "strategy='kernel' (the broadcast dense-accumulator twin of the "
+                "reference's binary-weight SpGEMM) supports weighting='binary' only"
+            )
+        if _idf is None:
+            # Fit the IDF table ONCE, from the original corpus (default:
+            # the right side's key strings), BEFORE any distinct-key
+            # collapse — representatives must not distort document
+            # frequencies. Cached: both sides' posting joins read it.
+            corpus, ccol = (
+                (idf_corpus, idf_on if idf_on is not None else right_on)
+                if idf_corpus is not None
+                else (right, right_on)
+            )
+            if ccol not in corpus.columns:
+                raise ValueError(f"idf corpus column {ccol!r} not in corpus frame")
+            weights, _, w0_sq = build_idf_weights(
+                corpus, ccol, apply_word_normalization=apply_word_normalization
+            )
+            _idf = (cache_registry.track(weights), w0_sq)
+    else:
+        _idf = None
 
     if strategy == "kernel":
         # Broadcast dense-accumulator kernel (the reference's physical
@@ -176,6 +287,7 @@ def similarity_mapping(
             left_id=left_id,
             right_id=right_id,
             max_token_df=max_token_df,
+            _idf=_idf,
         )
 
     lt = _tokens_long(left, left_on, left_id, left_id, apply_word_normalization, "__nl")
@@ -202,28 +314,70 @@ def similarity_mapping(
         bounded = right.select(right_id).limit(BROADCAST_RIGHT_MAX_ROWS + 1).count()
         strategy = "broadcast" if bounded <= BROADCAST_RIGHT_MAX_ROWS else "shuffle"
 
-    rt_side = F.broadcast(rt) if strategy == "broadcast" else rt
-
-    # Binary weights ⇒ the sparse dot product (src/cossim.rs:88-108) is a
-    # plain overlap count per (row, col) pair.
-    pairs = (
-        lt.join(rt_side, "__token")
-        .groupBy(left_id, right_id)
-        .agg(
-            F.count(F.lit(1)).alias("__overlap"),
-            F.first("__nl").alias("__nl"),
-            F.first("__nr").alias("__nr"),
+    if _idf is not None:
+        # TF-IDF weighting (the reference's declared roadmap,
+        # src/cossim.rs:45-48): each distinct trigram carries weight
+        # idf(t) in exact micro-units, so a dot-product term is the
+        # exact int64 idf(t)² and norms are exact int64 sums — the
+        # similarity stays a deterministic (oracle-reproducible)
+        # function of the corpus. The weight table is vocabulary-bounded
+        # (≤ 26³ rows), hence always a broadcast join onto postings.
+        weights, w0_sq = _idf
+        wb = F.broadcast(weights)
+        ltw = lt.join(wb, "__token", "left").select(
+            left_id, "__token", F.coalesce("__w2", F.lit(w0_sq)).alias("__w2")
         )
-    )
-
-    if normalization == "l2":
-        # L2 row-normalization (src/csr.rs:194-210) folded into one final
-        # multiply: with binary weights ‖x‖₂ = √|T(x)|.
-        sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+        rtw = rt.join(wb, "__token", "left").select(
+            right_id, "__token", F.coalesce("__w2", F.lit(w0_sq)).alias("__w2")
+        )
+        # Norms per id (map-side-combining aggs over each side's own
+        # postings — skew-safe, no window).
+        nl2 = ltw.groupBy(left_id).agg(F.sum("__w2").alias("__nl2"))
+        nr2 = rtw.groupBy(right_id).agg(F.sum("__w2").alias("__nr2"))
+        rtw_side = rtw.select(right_id, "__token")
+        if strategy == "broadcast":
+            rtw_side = F.broadcast(rtw_side)
+            nr2 = F.broadcast(nr2)
+        # __w2 rides on the LEFT posting; the matched right token is the
+        # same trigram, so each pair term is idf(t)² counted once.
+        pairs = (
+            ltw.join(rtw_side, "__token")
+            .groupBy(left_id, right_id)
+            .agg(F.sum("__w2").alias("__dot"))
+            .join(nl2, left_id)
+            .join(nr2, right_id)
+        )
+        if normalization == "l2":
+            # Exact ints → one double division/multiply/sqrt each: IEEE-
+            # deterministic, identical in the oracle.
+            sim = F.col("__dot") / (F.sqrt(F.col("__nl2")) * F.sqrt(F.col("__nr2")))
+        else:
+            # Weighted overlap in natural idf units (micro² → unit).
+            sim = F.col("__dot") / F.lit(float(IDF_MICRO) ** 2)
+        scored = pairs.select(left_id, right_id, sim.alias("sim"))
     else:
-        sim = F.col("__overlap").cast("double")
+        rt_side = F.broadcast(rt) if strategy == "broadcast" else rt
 
-    scored = pairs.select(left_id, right_id, sim.alias("sim"))
+        # Binary weights ⇒ the sparse dot product (src/cossim.rs:88-108) is a
+        # plain overlap count per (row, col) pair.
+        pairs = (
+            lt.join(rt_side, "__token")
+            .groupBy(left_id, right_id)
+            .agg(
+                F.count(F.lit(1)).alias("__overlap"),
+                F.first("__nl").alias("__nl"),
+                F.first("__nr").alias("__nr"),
+            )
+        )
+
+        if normalization == "l2":
+            # L2 row-normalization (src/csr.rs:194-210) folded into one final
+            # multiply: with binary weights ‖x‖₂ = √|T(x)|.
+            sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+        else:
+            sim = F.col("__overlap").cast("double")
+
+        scored = pairs.select(left_id, right_id, sim.alias("sim"))
 
     # Per-left-row top-n (src/cossim.rs:110-133) with deterministic
     # tiebreak; Catalyst rewrites rank<=k into WindowGroupLimit (partial
@@ -257,6 +411,7 @@ def _similarity_mapping_distinct(
     left_id: str,
     right_id: str,
     max_token_df: int | None,
+    _idf: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Distinct-TOKEN-SET evaluation of the similarity mapping (exact).
 
@@ -378,7 +533,9 @@ def _similarity_mapping_distinct(
         right_id="__rkey",
         max_token_df=max_token_df,
         dedup_keys=False,
+        weighting="tfidf" if _idf is not None else "binary",
         _rank_ties=True,
+        _idf=_idf,
     )
 
     rrows = right.select(F.col(right_id), F.col(right_on).alias("__rs"))
@@ -420,9 +577,21 @@ def join_sim(
     max_token_df: int | None = None,
     threads: int | None = None,
     threading_dimension: str | None = None,
+    weighting: str = "binary",
+    idf_corpus: DataFrame | None = None,
+    idf_on: str | None = None,
 ) -> DataFrame:
     """Approximate string-similarity join (reference ``join_sim``,
     ``join.py:15-149``), keyword-compatible where Spark semantics allow.
+
+    ``weighting="tfidf"`` implements the reference's own declared roadmap
+    (the ``// TODO: eventually we could use tfidf`` comment above the
+    binary-weight choice, ``src/cossim.rs:45-48``): trigrams are weighted
+    by smoothed IDF (``ln((1+N)/(1+df)) + 1``) fitted over the distinct
+    key strings of ``idf_corpus[idf_on]`` (default: the right side's key
+    column), in exact micro-units so results are bit-reproducible.
+    ``weighting="binary"`` (default) is the reference's shipped behavior,
+    untouched.
 
     Differences from the reference, all deliberate and documented:
 
@@ -510,6 +679,9 @@ def join_sim(
         left_id=map_left_id,
         right_id=map_right_id,
         max_token_df=max_token_df,
+        weighting=weighting,
+        idf_corpus=idf_corpus,
+        idf_on=idf_on,
     )
 
     # Re-assembly (join.py:143-149): net-inner join of both payloads onto

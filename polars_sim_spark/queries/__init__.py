@@ -100,6 +100,9 @@ def _green_round_counts() -> dict[str, int]:
 
 _MANIFEST = [
     # Preference (tie-break) order only — see _apply_driver_order.
+    # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
+    # src/cossim.rs:45-48).
+    "join_sim_parts_tfidf",
     "join_sim_parts_l2",
     "join_sim_parts_count",
     "join_sim_suppliers_normalized",

@@ -71,6 +71,7 @@ def _self_join_sim(
     top_n: int,
     normalization: str = "l2",
     normalize_words: bool = False,
+    weighting: str = "binary",
 ) -> DataFrame:
     df = load_table(spark, sf_dir, table)
     left = df.select(F.col(id_col).alias("l_id"), F.col(str_col).alias("__s"))
@@ -85,8 +86,53 @@ def _self_join_sim(
         apply_word_normalization=normalize_words,
         left_id="l_id",
         right_id="r_id",
+        weighting=weighting,
     )
     return m.select("l_id", "r_id", F.round("sim", 6).alias("sim_r"))
+
+
+def duck_join_sim_tfidf_sql(table: str, id_col: str, str_col: str, top_n: int) -> str:
+    """Oracle twin of the TF-IDF-weighted l2 similarity self-join: smoothed
+    IDF (ln((1+N)/(1+df)) + 1) in exact micro-units over the table's
+    DISTINCT key strings, dot/norms as exact integer sums of squared
+    weights — the same deterministic arithmetic operators/join_sim.py
+    executes, so values hash-match bit-for-bit."""
+    return f"""
+WITH tok AS ({duck_trigrams_cte(table, id_col, str_col)}),
+base AS (
+  SELECT s, list_distinct([g FOR g IN
+    [substr(s, CAST(i AS INT), 3) FOR i IN range(1, greatest(length(s) - 2, 0) + 1)]
+    IF regexp_matches(g, '^[a-z]{{3}}$')]) AS toks
+  FROM (SELECT DISTINCT {str_col} AS s FROM {table} WHERE {str_col} IS NOT NULL)
+),
+nz AS (SELECT * FROM base WHERE len(toks) > 0),
+nn AS (SELECT count(*) AS n FROM nz),
+ndf AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT s, unnest(toks) AS tok FROM nz) GROUP BY tok
+),
+w AS (
+  SELECT tok,
+         CAST(round((ln(CAST(1 + nn.n AS DOUBLE) / (1.0 + CAST(df AS DOUBLE))) + 1.0)
+                    * 1000000.0, 0) AS BIGINT) AS wu
+  FROM ndf, nn
+),
+wt AS (SELECT t.id, t.tok, w.wu * w.wu AS w2 FROM tok t JOIN w USING (tok)),
+norm AS (SELECT id, sum(w2) AS n2 FROM wt GROUP BY id),
+ov AS (
+  SELECT a.id AS l_id, b.id AS r_id, sum(a.w2) AS dot
+  FROM wt a JOIN wt b USING (tok)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT l_id, r_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+  FROM ov JOIN norm na ON na.id = l_id JOIN norm nb ON nb.id = r_id
+)
+SELECT l_id, r_id, round(sim, 6) AS sim_r
+FROM (SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY sim DESC, r_id) AS rn FROM sim)
+WHERE rn <= {top_n}
+"""
 
 
 @register(
@@ -106,6 +152,22 @@ def join_sim_parts_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count-normalization mode: sim = raw trigram overlap (reference join.py:54-59)."""
     return _self_join_sim(
         spark, sf_dir, "part", "p_partkey", "p_name", top_n=5, normalization="count"
+    )
+
+
+@register(
+    "join_sim_parts_tfidf",
+    duck_join_sim_tfidf_sql("part", "p_partkey", "p_name", top_n=3),
+)
+def join_sim_parts_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted similarity self-join — the reference's own declared
+    roadmap (the ``// TODO: eventually we could use tfidf`` above the
+    binary-weight choice, src/cossim.rs:45-48): for each part, the top-3
+    most similarly-named parts under smoothed-IDF trigram weights fitted
+    over the distinct part names (operators/join_sim.py:build_idf_weights),
+    in exact micro-units so the oracle reproduces every bit."""
+    return _self_join_sim(
+        spark, sf_dir, "part", "p_partkey", "p_name", top_n=3, weighting="tfidf"
     )
 
 
