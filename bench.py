@@ -188,6 +188,14 @@ HEADLINE = [
     "graph_part_pagerank_seeded",
     "graph_part_clustering",
     "graph_part_link_prediction",
+    # round 10: the 5 previously-unbenched registry rows (VERDICT r9 #7)
+    # so every contract row is timed, plus the round's additions.
+    "normalize_part_names",
+    "multimodal_decode_meta",
+    "multimodal_frame_stats",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "join_sim_parts_tfidf",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

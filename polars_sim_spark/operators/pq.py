@@ -99,9 +99,16 @@ def _assign_codes_kernel(df: DataFrame, codebooks, *, id_type: str, carry_vec: b
             V = np.array(pdf["__v"].tolist(), dtype=np.float64)  # (n, dim)
             n = V.shape[0]
             Vs = V.reshape(n, m, dsub)
-            # ||v - c||² = ||c||² - 2 v·c (+ ||v||², constant per (row, j))
+            # ||v - c||² = ||c||² - 2 v·c (+ ||v||², constant per (row, j)).
+            # Rounded to the 6-decimal grid before the argmin (round 10):
+            # einsum's BLAS reduction order vs a SQL engine's sum order can
+            # differ in the last ulp, so the RAW argmin was not
+            # cross-engine reproducible; on the grid, assignment is a
+            # deterministic function of the (already grid-committed)
+            # codebooks — the same cos-round-6 idiom the IVF oracle uses.
+            # Ties break by codeword index (stable first-min).
             dots = np.einsum("nmd,mkd->nmk", Vs, cb)
-            d2 = sq[None, :, :] - 2.0 * dots
+            d2 = np.round(sq[None, :, :] - 2.0 * dots, 6)
             codes = d2.argmin(axis=2).astype(np.int32)  # stable: first min index
             out = {"id": pdf["id"], "codes": list(codes)}
             if carry_vec:

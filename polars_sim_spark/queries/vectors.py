@@ -706,9 +706,121 @@ def ann_topk_ivf_kmeans_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "n_id", F.col("sim").alias("sim_r"))
 
 
-@register("ann_topk_pq")  # iterative codebook fit + kernel scoring: rows-only
-# driver check; encode/ADC/recall semantics pinned vs numpy + the exact
-# brute-force baseline in tests/test_pq.py
+def duck_ann_pq_fit_sql(
+    m: int = 8,
+    kk: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    rerank: int = 10,
+    k: int = 5,
+) -> str:
+    """Oracle replaying the ENTIRE in-query PQ pipeline — fit, encode,
+    ADC, rerank — as unrolled CTEs (round 10; the same fixed-round-
+    recurrence unroll that oracle-ized MMR and k-core):
+
+    * init codewords = the md5-deterministic pick_centroids rows,
+      normalized components rounded to the 6-decimal grid;
+    * each Lloyd iteration: assignment by ``round(Σc² − 2Σv·c, 6)``
+      (the kernel's grid-committed argmin; ties → smallest code), then
+      per-cell component means as round-6 → DECIMAL(18,6) exact sums →
+      divide → round-6 (empty cells keep their codeword via COALESCE);
+    * final encode with the iterated codebooks, per-query int64
+      micro-unit ADC LUTs, shortlist rerank×k (self excluded AFTER the
+      shortlist window, matching pq_ann_topk), exact-cosine rerank.
+    """
+    dsub = dim // m
+    h = DUCK_HASH.format(c="CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""
+WITH nrm AS (
+  SELECT vec_id AS id,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT e.vec_id AS id, d.dim,
+         CASE WHEN n.nrm > 0 THEN CAST(e.embedding[d.dim + 1] AS DOUBLE) / n.nrm
+              ELSE 0.0 END AS uv
+  FROM embeddings e JOIN nrm n ON n.id = e.vec_id
+  CROSS JOIN range({dim}) d(dim)
+),
+picks AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS code
+  FROM (
+    SELECT vec_id AS id FROM (SELECT vec_id, {h} AS h FROM embeddings)
+    ORDER BY h, vec_id LIMIT {kk}
+  )
+),
+cw0 AS (
+  SELECT u.dim // {dsub} AS j, p.code, u.dim % {dsub} AS i, round(u.uv, 6) AS c
+  FROM picks p JOIN u ON u.id = p.id
+)"""
+    ]
+    # iters Lloyd rounds + one final encode assignment (iters+1 passes)
+    for r in range(1, iters + 2):
+        prev = f"cw{r - 1}"
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT uu.id, cw.j, cw.code,
+         round(sum(cw.c * cw.c) - 2.0 * sum(uu.uv * cw.c), 6) AS d2
+  FROM u uu JOIN {prev} cw ON cw.j = uu.dim // {dsub} AND cw.i = uu.dim % {dsub}
+  GROUP BY 1, 2, 3
+),
+a{r} AS (
+  SELECT id, j, code FROM (
+    SELECT id, j, code,
+           row_number() OVER (PARTITION BY id, j ORDER BY d2, code) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+        )
+        if r <= iters:
+            parts.append(
+                f""",
+m{r} AS (
+  SELECT a.j, a.code, uu.dim % {dsub} AS i,
+         round(CAST(sum(CAST(round(uu.uv, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM a{r} a JOIN u uu ON uu.id = a.id AND uu.dim // {dsub} = a.j
+  GROUP BY 1, 2, 3
+),
+cw{r} AS (
+  SELECT p.j, p.code, p.i, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN m{r} m ON m.j = p.j AND m.code = p.code AND m.i = p.i
+)"""
+            )
+    final_assign = f"a{iters + 1}"
+    parts.append(
+        f""",
+lut AS (
+  SELECT uu.id AS q_id, cw.j, cw.code,
+         CAST(round(round(sum(uu.uv * cw.c), 6) * 1000000, 0) AS BIGINT) AS l
+  FROM u uu JOIN cw{iters} cw ON cw.j = uu.dim // {dsub} AND cw.i = uu.dim % {dsub}
+  WHERE uu.id < 10
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT l.q_id, a.id AS n_id, sum(l.l) AS s
+  FROM {final_assign} a JOIN lut l ON l.j = a.j AND l.code = a.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS rn
+    FROM adc
+  ) WHERE rn <= {rerank * k} AND n_id != q_id
+)
+{_duck_ann_rerank(k)}"""
+    )
+    return "".join(parts)
+
+
+@register("ann_topk_pq", duck_ann_pq_fit_sql())
+# full value-hash oracle since round 10 (unrolled Lloyd CTEs); encode/ADC
+# semantics additionally pinned vs numpy + the exact brute-force baseline
+# in tests/test_pq.py
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: 8×16 product-quantization codebooks fit on the
     corpus (fused per-subspace Lloyd — one Arrow einsum pass per

@@ -45,7 +45,8 @@ def test_encode_matches_numpy_reference(spark, sf_small):
         ref = []
         for j in range(m):
             sv = v[j * dsub : (j + 1) * dsub]
-            d2 = ((cb[j] - sv[None, :]) ** 2).sum(axis=1)
+            # the kernel's grid-committed form: round(||c||² − 2 v·c, 6)
+            d2 = np.round((cb[j] * cb[j]).sum(axis=1) - 2.0 * (cb[j] @ sv), 6)
             ref.append(int(d2.argmin()))
         assert got[r["vec_id"]] == ref, r["vec_id"]
 
