@@ -170,9 +170,15 @@ def refine_centroids_kmeans(
     """
     import math
 
-    if assignment not in ("expr", "kernel"):
+    if assignment not in ("auto", "expr", "kernel"):
         raise ValueError(
-            f"assignment must be 'expr' or 'kernel', got {assignment!r}"
+            f"assignment must be 'auto', 'expr' or 'kernel', got {assignment!r}"
+        )
+    if assignment == "auto":
+        from polars_sim_spark.operators.dedup import KERNEL_ASSIGNMENT_MIN_CENTROIDS
+
+        assignment = (
+            "kernel" if len(cent_rows) > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"
         )
     cents = [
         {
@@ -1147,6 +1153,65 @@ def knn_graph_ivf_prebuilt(
     if min_cosine is not None:
         edges = edges.where(F.col("sim") >= float(min_cosine))
     return edges
+
+
+def knn_graph(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    mutual: bool = True,
+    min_cosine: float | None = None,
+    num_centroids: int | None = None,
+    kmeans_iters: int = 1,
+    probe_mode: str = "kernel",
+) -> DataFrame:
+    """One-call corpus self-kNN graph with the SCALE-PATH defaults —
+    the geometry that measured 1.2× per 10× data step vs 9.2× at a
+    fixed small centroid count (BASELINE.md, round 9/10 kNN-graph scale
+    rows): ``num_centroids = ⌈√n⌉`` (so probe-list size and centroid
+    count grow together, keeping per-query candidate work ~√n) and
+    ``probe_mode="kernel"`` (broadcast-GEMM probe scoring — NO
+    ``num_centroids × dim`` literal arrays anywhere in the plan, which
+    bind planning/codegen past a few hundred centroids; plan-asserted
+    in tests/test_plans.py).
+
+    Builds the IVF index at ``path`` if absent (completion keyed on
+    ``_centroids/_SUCCESS``, the ensure_* convention) and serves edges
+    via :func:`knn_graph_ivf_prebuilt`. The contract rows keep their
+    pinned 16-cell oracle-exact geometry (queries/vectors.py); this
+    entry is what a pipeline should call at real corpus sizes."""
+    import math
+    import os as _os
+
+    spark = corpus.sparkSession
+    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+        if num_centroids is None:
+            n = corpus.count()
+            num_centroids = math.isqrt(max(n, 1) - 1) + 1  # ⌈√n⌉, ≥ 1
+        materialize_ivf_index(
+            corpus,
+            path,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_centroids,
+            kmeans_iters=kmeans_iters,
+            assignment="auto",
+        )
+    return knn_graph_ivf_prebuilt(
+        spark,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+        mutual=mutual,
+        min_cosine=min_cosine,
+        probe_mode=probe_mode,
+    )
 
 
 def materialize_bm25_index(

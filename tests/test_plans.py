@@ -92,6 +92,47 @@ def test_ivf_assignment_zero_shuffle(spark, sf_small):
     assert "Exchange" not in plan, f"assignment must not shuffle:\n{plan}"
 
 
+def test_knn_graph_kernel_plan_has_no_centroid_literals(spark, sf_small, tmp_path):
+    """The √n-kernel scale path (round 10 default, operators/similarity.py
+    knn_graph) must carry NO num_centroids × dim literal arrays in its
+    plan — plan literals bind construction/codegen past ~100 entries
+    (BASELINE.md, 1000-centroid probe scorer: 120.9 s literal vs 8.3 s
+    broadcast kernel). The expr path embeds centroid component values as
+    literals; the kernel path must not."""
+    from polars_sim_spark.functions.vectors import l2_norm
+    from polars_sim_spark.operators.similarity import (
+        _centroid_scores,
+        centroid_assignments_kernel,
+        pick_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(400)
+    cent_rows = pick_centroids(emb, "vec_id", "embedding", 20).collect()
+    cent_rows.sort(key=lambda r: r["c_id"])
+    # a distinctive centroid component value, as Catalyst prints doubles
+    marker = repr(float(list(cent_rows[0]["__centroid"])[0]))
+
+    side = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("__v"),
+        l2_norm("embedding").alias("__vn"),
+    )
+    eplan = side.select(
+        "q_id", F.array_max(_centroid_scores(cent_rows)).getField("c_id").alias("c_id")
+    )._jdf.queryExecution().analyzed().treeString()
+    kplan = (
+        centroid_assignments_kernel(emb, "vec_id", "embedding", cent_rows, nprobe=2)
+        ._jdf.queryExecution()
+        .analyzed()
+        .treeString()
+    )
+    assert marker in eplan, f"expr path should embed centroid literals ({marker})"
+    assert marker not in kplan, "kernel path must not embed centroid literals"
+    # the literal blowup in one number: the expr tree carries the whole
+    # 20×64 centroid matrix; the kernel tree is O(columns)
+    assert len(kplan) < len(eplan) / 10, (len(kplan), len(eplan))
+
+
 def test_q6_filters_reach_parquet_scan(spark, sf_small):
     df = q.tpch_q6_forecast_revenue(spark, sf_small)
     assert_pushed_filters(df, "l_shipdate")

@@ -649,6 +649,47 @@ def test_knn_graph_non_mutual_is_superset(spark, sf_small, tmp_path):
     assert len(allp) > len(mut)  # asymmetric hub edges exist on real data
 
 
+def test_knn_graph_convenience_sqrt_n_kernel_default(spark, sf_small, tmp_path):
+    """knn_graph (round 10): the one-call scale-path entry builds a
+    ⌈√n⌉-centroid index with kernel probing by default, reuses the
+    committed files on a second call, and its edges equal the prebuilt
+    path served from the same index."""
+    import os
+
+    from polars_sim_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_ivf_prebuilt,
+    )
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "knn_ivf")
+    edges = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in knn_graph(emb, path, k=4, nprobe=2, min_cosine=0.25).collect()
+    }
+    # index materialized with ⌈√n⌉ centroids
+    cents = spark.read.parquet(os.path.join(path, "_centroids")).count()
+    import math
+
+    assert cents == math.isqrt(n - 1) + 1
+    # second call reuses the committed index (no rebuild) and matches the
+    # prebuilt entry point bit-for-bit
+    again = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in knn_graph(emb, path, k=4, nprobe=2, min_cosine=0.25).collect()
+    }
+    direct = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in knn_graph_ivf_prebuilt(
+            spark, path, k=4, nprobe=2, mutual=True, min_cosine=0.25,
+            probe_mode="kernel",
+        ).collect()
+    }
+    assert edges == again == direct
+    assert all(l < r for (l, r) in edges)
+
+
 def test_hash_embed_wide_dims_are_not_degenerate(spark, sf_small):
     """Dims >= 32 draw sign bits from the second md5 slice: they must
     vary across documents (the pre-fix behavior gave every dim >= 32 a
