@@ -124,6 +124,123 @@ def lsh_candidate_pairs(
     )
 
 
+def star_contract_pairs(
+    pairs: DataFrame,
+    *,
+    src_col: str = "l_id",
+    dst_col: str = "r_id",
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Collapse each bucket's local pair subgraph into a STAR — (local
+    min id) → member edges — before global connected components
+    (round 10, VERDICT r9 #8).
+
+    Global CC's round count tracks the pair graph's effective DIAMETER
+    (a near-dup chain a~b~c~… needs one min-label round per hop), and
+    per-round cost is dominated by fixed job latency on long chains.
+    Pairs that land in the same bucket (e.g. a shared phash band) are
+    locally union-found in one Arrow group pass and replaced by depth-1
+    star edges, so any within-bucket chain contributes ONE hop to the
+    global graph instead of its length. EXACT: every original edge
+    (a, b) lies in some bucket whose local union puts a and b in the
+    same local component, so a—min—b survives via the star — the
+    contracted graph has identical components (equivalence-tested in
+    tests/test_phash.py).
+
+    Scale: the only data moved is the PAIR set (output-proportional,
+    ≪ corpus) shuffled once by bucket; buckets are band collisions —
+    already bounded by ``max_bucket_size`` upstream — and the per-group
+    python union-find is O(edges α(n)) on a few-row pandas frame."""
+    import pandas as pd
+
+    t = dict(pairs.dtypes)[src_col]
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[src_col], pdf[dst_col]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # smaller id stays the star center
+        nodes = set(pdf[src_col]).union(pdf[dst_col])
+        rows = [(find(x), x) for x in nodes]
+        rows = [(m, x) for m, x in rows if m != x]
+        return pd.DataFrame(
+            {
+                src_col: pd.Series([r[0] for r in rows], dtype=object),
+                dst_col: pd.Series([r[1] for r in rows], dtype=object),
+            }
+        )
+
+    return (
+        pairs.select(bucket_col, src_col, dst_col)
+        .groupBy(bucket_col)
+        .applyInPandas(op, f"{src_col} {t}, {dst_col} {t}")
+        .distinct()
+    )
+
+
+def phash_contracted_pairs(
+    ph: DataFrame,
+    *,
+    id_col: str = "id",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_dist: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`phash_near_pairs` followed by band-local star contraction —
+    the edge set to feed :func:`connected_components` when only the
+    CLUSTERING matters (KEEP/DROP removal), not the individual pair
+    distances: components are identical (star contraction is exact) but
+    within-band chains collapse to depth 1, cutting global CC rounds.
+
+    Each verified pair is assigned to its FIRST shared band's bucket —
+    the pigeonhole guarantee (max_dist ≤ bands−1) means at least one
+    shared band always exists, so no edge is left behind."""
+    nb = len(band_cols)
+    pairs = phash_near_pairs(
+        ph,
+        id_col=id_col,
+        band_cols=band_cols,
+        max_dist=max_dist,
+        max_bucket_size=max_bucket_size,
+    )
+    lt = ph.select(
+        F.col(id_col).alias("l_id"),
+        *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],
+    )
+    rt = ph.select(
+        F.col(id_col).alias("r_id"),
+        *[F.col(c).alias(f"__r{j}") for j, c in enumerate(band_cols)],
+    )
+    bucket = F.coalesce(
+        *[
+            F.when(
+                F.col(f"__l{j}") == F.col(f"__r{j}"),
+                F.concat(F.lit(f"{j}:"), F.col(f"__l{j}").cast("string")),
+            )
+            for j in range(nb)
+        ],
+        F.lit("__none__"),  # unreachable under the pigeonhole guarantee
+    )
+    tagged = (
+        pairs.join(lt, "l_id")
+        .join(rt, "r_id")
+        .select("l_id", "r_id", bucket.alias("__bucket"))
+    )
+    return star_contract_pairs(tagged)
+
+
 def _hashed_postings(postings: DataFrame) -> DataFrame:
     """(id, sh): postings with the string shingle replaced by its 64-bit
     xxhash. Every downstream pair join only tests shingle EQUALITY, so a

@@ -466,7 +466,10 @@ def dedup_remove_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ph = ppm_phash(attach_image_payload(docs), n_bands=8)
-    pairs = dedup.phash_near_pairs(
+    # band-local star contraction (round 10): identical components —
+    # the oracle's reachability closure re-proves it every run — with
+    # within-band chains collapsed to depth 1 before the global rounds.
+    pairs = dedup.phash_contracted_pairs(
         ph,
         id_col="doc_id",
         band_cols=tuple(f"band{j}" for j in range(8)),
