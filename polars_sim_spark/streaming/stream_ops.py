@@ -1642,3 +1642,59 @@ def stream_phash_match(
         out.write.mode("append").parquet(out_path)
 
     return apply
+
+
+def stream_entity_resolve(
+    index_path: str,
+    labels_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    min_cosine: float = 0.3,
+):
+    """Streaming append-mode entity resolution (round 10) — the ingest
+    twin of ``entity_resolve_incremental``: returns a ``foreachBatch``
+    callable that, per micro-batch of incoming ``(id, embedding)`` rows,
+    (1) finds each new vector's top-``k`` neighbors ≥ ``min_cosine``
+    against the committed IVF index, (2) folds batch nodes + edges into
+    the STORED entity-label table via
+    :func:`~polars_sim_spark.operators.dedup.update_entity_labels` —
+    quotient-graph CC, only touched clusters move — and (3) overwrites
+    the label store.
+
+    One code path with the batch operator ⇒ availableNow over N
+    micro-batches equals N sequential batch folds by construction
+    (equivalence-tested in tests/test_streaming.py). Neighbor edges are
+    restricted to ALREADY-RESOLVED ids + the batch itself: an index
+    vector no batch has introduced yet must not leak into the label
+    space (it will get its labels when its own batch arrives). The
+    read→update→overwrite cycle cuts the self-overwrite read path with
+    an eager localCheckpoint, the partition-upsert lesson; the store
+    holds (id, entity_id) only — O(corpus) rows, no vectors."""
+    from polars_sim_spark.operators.dedup import update_entity_labels
+    from polars_sim_spark.operators.similarity import ann_topk_ivf_prebuilt
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        labels = spark.read.parquet(labels_path)
+        new_ids = batch_df.select(F.col(id_col).alias("id"))
+        qb = batch_df.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+        )
+        known = labels.select("id").unionByName(new_ids).distinct()
+        eb = (
+            ann_topk_ivf_prebuilt(spark, index_path, qb, k=k, nprobe=nprobe)
+            .where(F.col("sim") >= float(min_cosine))
+            .select(F.col("q_id").alias("l_id"), F.col("n_id").alias("r_id"))
+            .join(known.withColumnRenamed("id", "r_id"), "r_id", "left_semi")
+        )
+        updated = update_entity_labels(
+            labels, new_ids, eb, id_col="id", label_col="entity_id"
+        ).localCheckpoint(eager=True)
+        updated.write.mode("overwrite").parquet(labels_path)
+
+    return apply

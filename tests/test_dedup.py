@@ -471,6 +471,83 @@ def test_connected_components_raises_on_round_exhaustion(spark):
         connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=2)
 
 
+def test_update_entity_labels_equals_full_recompute(spark):
+    """Incremental resolution (round 10): folding a batch of new nodes +
+    edges into stored CC labels via the quotient graph must equal a full
+    CC recompute over the union edge set — including cross-historical
+    merges (a new edge bridging two old clusters relabels EVERY member
+    of the losing cluster), new-node-becomes-min cases, and isolated
+    new nodes."""
+    import collections
+    import random
+
+    from polars_sim_spark.operators.dedup import (
+        connected_components,
+        update_entity_labels,
+    )
+
+    rng = random.Random(42)
+    hist_nodes = list(range(10, 110))  # ids 10..109
+    hist_edges = [(a, a + 1) for a in range(10, 30)]  # one chain
+    hist_edges += [
+        (rng.choice(hist_nodes), rng.choice(hist_nodes)) for _ in range(25)
+    ]
+    hist_edges = [(a, b) for a, b in hist_edges if a != b]
+    new_nodes = [1, 2, 3] + list(range(200, 220))  # 1..3 are below all mins
+    new_edges = [
+        (1, 15),          # new node becomes the min of an old cluster
+        (200, 201), (201, 202),  # new-only chain
+        (205, 40), (205, 80),    # new node bridges two old clusters
+        (210, 210),              # degenerate self edge
+    ]
+    new_edges += [
+        (rng.choice(new_nodes), rng.choice(hist_nodes + new_nodes))
+        for _ in range(15)
+    ]
+
+    ndf = spark.createDataFrame([(n,) for n in hist_nodes], "id long")
+    edf = spark.createDataFrame(hist_edges, "l_id long, r_id long")
+    stored = connected_components(
+        ndf, edf, id_col="id", src_col="l_id", dst_col="r_id"
+    ).withColumnRenamed("cluster_id", "entity_id")
+
+    got = {
+        r["id"]: r["entity_id"]
+        for r in update_entity_labels(
+            stored,
+            spark.createDataFrame([(n,) for n in new_nodes], "id long"),
+            spark.createDataFrame(new_edges, "l_id long, r_id long"),
+            id_col="id",
+        ).collect()
+    }
+
+    # full recompute reference in python
+    adj = collections.defaultdict(set)
+    for a, b in hist_edges + new_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in hist_nodes + new_nodes:
+        if n in want:
+            continue
+        comp, q = {n}, [n]
+        while q:
+            u = q.pop()
+            for v in adj.get(u, ()):
+                if v not in comp:
+                    comp.add(v)
+                    q.append(v)
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
+    # the bridge case really merged two previously-distinct clusters
+    stored_labels = {r["id"]: r["entity_id"] for r in stored.collect()}
+    assert stored_labels[40] != stored_labels[80]
+    assert got[40] == got[80] == got[205]
+    assert got[15] == 1  # new min propagated into the old cluster
+
+
 def test_connected_components_fixpoint_exactly_at_max_iter(spark):
     """Round-10 ADVICE regression: labels that reach their fixpoint ON
     round max_iter must be RETURNED, not rejected — the changed-check

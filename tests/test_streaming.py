@@ -1510,6 +1510,80 @@ def test_stream_append_packed_sequences(spark, tmp_path):
     assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total
 
 
+def test_stream_entity_resolve_equals_sequential_batch_folds(spark, sf_small, tmp_path):
+    """Streaming append-mode entity resolution: N availableNow
+    micro-batches folding into the stored label table must equal the
+    SAME sequential folds run in batch mode (one code path), and the
+    final store must label every historical + streamed id."""
+    import os
+    import shutil
+    import time
+
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.similarity import (
+        knn_graph_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_entity_resolve
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, idx, num_centroids=8, kmeans_iters=1, assignment="expr")
+
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    seed = connected_components(
+        hist.select(F.col("vec_id").alias("id")),
+        knn_graph_ivf_prebuilt(
+            spark, idx, k=5, nprobe=3, mutual=True, min_cosine=0.3,
+            probe_mode="expr", allowed=hist.select("vec_id"),
+        ),
+        id_col="id", src_col="l_id", dst_col="r_id",
+    ).withColumnRenamed("cluster_id", "entity_id")
+
+    lab_stream = str(tmp_path / "labels_stream")
+    lab_batch = str(tmp_path / "labels_batch")
+    seed.write.parquet(lab_stream)
+    shutil.copytree(lab_stream, lab_batch)
+
+    # two micro-batch FILES with strictly increasing mtimes so the file
+    # stream source's modtime order (oldest first) is deterministic
+    b0 = emb.where(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 10 == 5).select("vec_id", "embedding")
+    src = tmp_path / "src"
+    src.mkdir()
+    b0.toPandas().to_parquet(src / "b0.parquet")
+    time.sleep(1.1)
+    b1.toPandas().to_parquet(src / "b1.parquet")
+    now = time.time()
+    os.utime(src / "b0.parquet", (now - 60, now - 60))
+    os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    (
+        stream.writeStream.foreachBatch(stream_entity_resolve(idx, lab_stream))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+
+    fold = stream_entity_resolve(idx, lab_batch)
+    fold(b0, 0)
+    fold(b1, 1)
+
+    got = {r["id"]: r["entity_id"] for r in spark.read.parquet(lab_stream).collect()}
+    want = {r["id"]: r["entity_id"] for r in spark.read.parquet(lab_batch).collect()}
+    assert got == want
+    n = emb.count()
+    assert len(got) == n  # every id labeled exactly once
+    merged = sum(1 for i, e in got.items() if e != i)
+    assert merged > 0  # the folds actually merged something
+
+
 def test_stream_expectations_equals_batch(spark, sf_small, events_stream_dir):
     """availableNow per-window violation counts == batch recomputation
     per finalized window, rule for rule."""
