@@ -955,15 +955,24 @@ def ppm_phash(
             ids, bands, hexes = [], [[] for _ in range(n_bands)], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(b)
+                px = None
                 try:
                     w, h, off = _parse_ppm(data)
+                    if w >= 1 and h >= 1 and len(data) - off >= w * h * 3:
+                        px = np.frombuffer(
+                            data, dtype=np.uint8, offset=off, count=w * h * 3
+                        ).reshape(h, w, 3)
                 except NotImplementedError:
+                    # cross-format: the hash is defined on LOGICAL pixels,
+                    # so a BMP with the same image hashes identically to
+                    # its PPM twin (tests/test_phash.py pins this).
+                    try:
+                        px = _bmp_logical_pixels(data)
+                        h, w, _ = px.shape
+                    except NotImplementedError:
+                        px = None
+                if px is None:
                     continue
-                if w < 1 or h < 1 or len(data) - off < w * h * 3:
-                    continue
-                px = np.frombuffer(
-                    data, dtype=np.uint8, offset=off, count=w * h * 3
-                ).reshape(h, w, 3)
                 ys = (np.arange(8) * h) // 8
                 xs = (np.arange(9) * w) // 9
                 gray = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3  # 8 rows × 9 cols
@@ -1018,6 +1027,151 @@ def attach_image_payload(
         df.schema.fields + [T.StructField("payload", T.BinaryType())]
     )
     return df.mapInPandas(op, schema)
+
+
+def synth_bmp(data: bytes, width: int) -> bytes | None:
+    """Deterministic uncompressed 24-bit BMP around ``data`` — the
+    second codec-free pixel container (round 10, VERDICT r9 #6). The
+    LOGICAL image is identical to :func:`synth_ppm`'s: pixel (y, x,
+    ch∈RGB) = ``data[(y·w + x)·3 + ch]``, truncated to whole rows — but
+    the FILE stores it the way real BMPs do: bottom-up row order,
+    BGR channel order, rows zero-padded to 4-byte boundaries, under a
+    BITMAPFILEHEADER + BITMAPINFOHEADER (public Windows DIB layout).
+    A decoder must therefore invert offset + row flip + BGR swap +
+    stride to recover the logical pixels the SQL oracle predicts from
+    the text column. Returns None when fewer than one full row fits."""
+    import struct
+
+    import numpy as np
+
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    used = height * width * 3
+    px = np.frombuffer(data[:used], dtype=np.uint8).reshape(height, width, 3)
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = px[::-1, :, ::-1].reshape(height, width * 3)  # flip+BGR
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    return header + body
+
+
+def _parse_bmp(data: bytes):
+    """Parse an uncompressed 24-bit BMP header: returns (width, height,
+    pixel offset, top_down, row stride). ``height`` is the magnitude;
+    ``top_down`` is True when the stored height is negative (rows
+    already top-to-bottom). Raises NotImplementedError for anything but
+    BI_RGB 24-bit (compressed/paletted BMPs need a real codec)."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise NotImplementedError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bitcount = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP is codec-free")
+    if w < 1 or h == 0 or off < 54:
+        raise NotImplementedError("malformed BMP header")
+    stride = ((w * 3 + 3) // 4) * 4
+    return int(w), abs(int(h)), int(off), h < 0, stride
+
+
+def _bmp_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 array of a 24-bit BMP's LOGICAL image (row 0 =
+    top), inverting bottom-up order, BGR interleave and row padding.
+    Raises NotImplementedError on non-BMP / truncated payloads."""
+    import numpy as np
+
+    w, h, off, top_down, stride = _parse_bmp(data)
+    if len(data) - off < stride * h:
+        raise NotImplementedError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, offset=off, count=stride * h)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def attach_bmp_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BMP twin of :func:`attach_image_payload`: ids ≡ 1 (mod 3) whose
+    text holds at least one full pixel row become real 24-bit BMPs
+    (:func:`synth_bmp`, width = 4 + id % 8, same logical pixels as the
+    PPM fixture rule); everything else stays raw utf-8 — disjoint from
+    the PPM fixture ids (≡ 0 mod 3), so both image corpora coexist."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = str(t).encode("utf-8")
+                p = synth_bmp(data, 4 + int(i) % 8) if int(i) % 3 == 1 else None
+                payloads.append(p if p is not None else data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+    return df.mapInPandas(op, schema)
+
+
+def bmp_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 24-bit BMP payloads — the BMP
+    twin of :func:`ppm_pixel_stats` (same output schema: id, width,
+    height, sum_rgb array<long>, peak_rgb array<int>), decoding the
+    real DIB layout: pixel-offset pointer, bottom-up row order, BGR
+    interleave, 4-byte row stride. Exact integers only, so the contract
+    oracle recomputes every value from the fixture text bytes — a wrong
+    flip, swap or stride is a hash mismatch, not a fuzzy diff."""
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    rgb = _bmp_logical_pixels(bytes(b))
+                except NotImplementedError:
+                    continue
+                h, w, _ = rgb.shape
+                flat = rgb.reshape(h * w, 3).astype("int64")
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in flat.sum(axis=0)])
+                peaks.append([int(x) for x in flat.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgb": sums,
+                    "peak_rgb": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
+    )
 
 
 def ppm_pixel_stats(

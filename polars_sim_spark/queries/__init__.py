@@ -105,6 +105,8 @@ _MANIFEST = [
     "join_sim_parts_tfidf",
     # round 10: append-mode entity resolution via quotient-graph CC.
     "entity_resolve_incremental",
+    # round 10: BMP pixel decode (second codec-free pixel format).
+    "multimodal_bmp_pixel_stats",
     "join_sim_parts_l2",
     "join_sim_parts_count",
     "join_sim_suppliers_normalized",

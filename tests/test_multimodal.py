@@ -330,6 +330,59 @@ def test_ppm_parse_and_pixel_stats(spark):
     assert got[1]["peak_rgb"] == [int(x) for x in rgb.max(axis=0)]
 
 
+def test_bmp_parse_and_pixel_stats(spark):
+    """24-bit BMP fixtures (round 10): header inversion, bottom-up row
+    flip, BGR→RGB swap, 4-byte stride removal — logical pixels must be
+    IDENTICAL to the PPM layout of the same bytes — plus rejection of
+    non-BMP, compressed, and truncated payloads; a negative-height
+    (top-down) DIB decodes without the flip."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _bmp_logical_pixels,
+        _parse_bmp,
+        bmp_pixel_stats,
+        synth_bmp,
+    )
+
+    data = bytes(range(256)) * 3
+    b = synth_bmp(data, 5)  # w=5 → row 15 bytes → stride 16 (padding real)
+    w, h, off, top_down, stride = _parse_bmp(b)
+    assert (w, h, off, top_down, stride) == (5, 51, 54, False, 16)
+    logical = _bmp_logical_pixels(b)
+    assert logical.tobytes() == data[: 5 * 51 * 3]  # ≡ the PPM layout
+
+    # top-down variant: negate height, store rows unflipped
+    body = np.zeros((2, 8), dtype=np.uint8)
+    body[0, :6] = [10, 20, 30, 40, 50, 60]   # row 0 = TOP (B,G,R per px)
+    body[1, :6] = [1, 2, 3, 4, 5, 6]
+    td = struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 16, 0, 0, 0, 0
+    ) + body.tobytes()
+    lt = _bmp_logical_pixels(td)
+    assert lt[0, 0].tolist() == [30, 20, 10]  # BGR swapped, no flip
+    assert lt[1, 1].tolist() == [6, 5, 4]
+
+    with pytest.raises(NotImplementedError):
+        _parse_bmp(b"JUNK")
+    bad = bytearray(b)
+    struct.pack_into("<H", bad, 28, 8)  # 8-bit paletted
+    with pytest.raises(NotImplementedError):
+        _parse_bmp(bytes(bad))
+    assert synth_bmp(b"xy", 5) is None
+
+    rows = [(1, b), (2, b"not an image"), (3, b[:100])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in bmp_pixel_stats(df).collect()}
+    assert list(got) == [1]
+    rgb = np.frombuffer(data[: 5 * 51 * 3], dtype=np.uint8).reshape(-1, 3)
+    assert got[1]["sum_rgb"] == [int(x) for x in rgb.astype(np.int64).sum(axis=0)]
+    assert got[1]["peak_rgb"] == [int(x) for x in rgb.max(axis=0)]
+
+
 def test_mp4_sample_tables_roundtrip():
     from polars_sim_spark.operators.multimodal import (
         FRAME_BYTES,

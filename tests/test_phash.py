@@ -162,6 +162,23 @@ def test_star_contraction_collapses_chain_to_depth_one(spark):
     assert got == [(1, 2), (1, 3), (1, 4), (1, 5), (10, 11)]
 
 
+def test_phash_cross_format_ppm_equals_bmp(spark):
+    """The dHash is defined on LOGICAL pixels, so the same image stored
+    as PPM (top-down RGB) and as BMP (bottom-up BGR + stride padding)
+    must hash to the identical 64 bits — the row-flip/channel-swap trap
+    pinned exactly."""
+    from polars_sim_spark.operators.multimodal import synth_bmp
+
+    images = _rand_images(19, 30)
+    ppm_rows = [(i, synth_ppm(data, w)) for i, w, data in images]
+    bmp_rows = [(i, synth_bmp(data, w)) for i, w, data in images]
+    pdf = spark.createDataFrame(ppm_rows, "doc_id long, payload binary")
+    bdf = spark.createDataFrame(bmp_rows, "doc_id long, payload binary")
+    hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
+    hb = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(bdf, n_bands=8).collect()}
+    assert hp == hb and len(hp) == len(images)
+
+
 def test_max_dist_beyond_guarantee_raises(spark):
     df = _ppm_df(spark, _rand_images(5, 3))
     ph = ppm_phash(df, n_bands=4)
