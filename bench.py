@@ -196,6 +196,8 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_lsh",
     "join_sim_parts_tfidf",
+    "entity_resolve_incremental",
+    "multimodal_bmp_pixel_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

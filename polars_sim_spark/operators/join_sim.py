@@ -755,6 +755,7 @@ def materialize_token_postings(
     id_col: str,
     apply_word_normalization: bool = False,
     num_buckets: int = 32,
+    weighting: str = "binary",
 ) -> None:
     """Persist a reference table's trigram posting list as a catalog
     table BUCKETED on the token — the cross-run half of the similarity
@@ -768,10 +769,40 @@ def materialize_token_postings(
     (plan-asserted in tests/test_sinks.py). Columns: ``(<id_col>,
     __nr, __token)`` — exactly the right side of the in-memory join.
     Set ``num_buckets`` to the probe runs' shuffle parallelism.
+
+    ``weighting="tfidf"`` (round 10) additionally freezes the IDF model
+    at build time — the BM25-append pattern's frozen-stats move applied
+    to the similarity join: posting rows gain ``__w2`` (squared
+    micro-unit weight) and ``__nr2`` (the row's denormalized doc
+    norm²), and two sidecar tables are written — ``<table>_weights``
+    (token, __w2: the FULL idf table, vocabulary-bounded) and
+    ``<table>_stats`` (default_w2 for tokens the reference corpus never
+    saw, which the probe side needs for ITS norms). Serving reads only
+    these tables; the reference corpus is never re-fit.
     """
     from polars_sim_spark.sources.sinks import write_bucketed
 
+    if weighting not in ("binary", "tfidf"):
+        raise ValueError(f"weighting must be 'binary' or 'tfidf', got {weighting!r}")
     rt = _tokens_long(right, on, id_col, id_col, apply_word_normalization, "__nr")
+    if weighting == "tfidf":
+        spark = right.sparkSession
+        weights, _, w0_sq = build_idf_weights(
+            right, on, apply_word_normalization=apply_word_normalization
+        )
+        weights = cache_registry.track(weights)  # read by postings AND sidecar
+        rtw = rt.join(F.broadcast(weights), "__token", "left").select(
+            id_col,
+            "__nr",
+            "__token",
+            F.coalesce("__w2", F.lit(w0_sq)).alias("__w2"),
+        )
+        nr2 = rtw.groupBy(id_col).agg(F.sum("__w2").alias("__nr2"))
+        rt = rtw.join(nr2, id_col)
+        weights.write.mode("overwrite").saveAsTable(f"{table}_weights")
+        spark.createDataFrame([(w0_sq,)], "default_w2 long").write.mode(
+            "overwrite"
+        ).saveAsTable(f"{table}_stats")
     write_bucketed(
         rt, table, bucket_by=["__token"], num_buckets=num_buckets,
         sort_by=["__token"],
@@ -788,6 +819,9 @@ def similarity_mapping_against_postings(
     normalization: str = "l2",
     apply_word_normalization: bool = False,
     left_id: str = _ROW,
+    weighting: str = "binary",
+    idf_weights: DataFrame | None = None,
+    default_w2: int | None = None,
 ) -> DataFrame:
     """:func:`similarity_mapping` with a PRECOMPUTED right posting list
     (``materialize_token_postings`` output, typically
@@ -804,28 +838,66 @@ def similarity_mapping_against_postings(
     drawn from a small shared vocabulary) the LIVE operator's
     distinct-key pre-pass dominates any postings reuse — measured:
     a part-name corpus that the deduped live path joins in ~6 s did not
-    finish un-deduped (BASELINE.md round 5, persisted-index serving)."""
+    finish un-deduped (BASELINE.md round 5, persisted-index serving).
+
+    ``weighting="tfidf"`` serves a TF-IDF-weighted postings table
+    (``materialize_token_postings(weighting="tfidf")``): pass the
+    ``<table>_weights`` sidecar as ``idf_weights`` and the stored
+    ``default_w2``. The reference side's weights and norms come
+    entirely from the stored rows (frozen at build time — the
+    BM25-append frozen-stats contract); the probe side weighs its own
+    tokens through the same sidecar. Equivalence to the live
+    ``weighting="tfidf"`` path is pinned in tests/test_sinks.py."""
     if normalization not in ("l2", "count"):
         raise ValueError(
             f"normalization must be 'l2' or 'count', got {normalization!r}"
         )
+    if weighting not in ("binary", "tfidf"):
+        raise ValueError(f"weighting must be 'binary' or 'tfidf', got {weighting!r}")
     lt = _tokens_long(
         left, left_on, left_id, left_id, apply_word_normalization, "__nl"
     )
-    pairs = (
-        lt.join(right_postings, "__token")
-        .groupBy(left_id, right_id)
-        .agg(
-            F.count(F.lit(1)).alias("__overlap"),
-            F.first("__nl").alias("__nl"),
-            F.first("__nr").alias("__nr"),
+    if weighting == "tfidf":
+        if idf_weights is None or default_w2 is None:
+            raise ValueError(
+                "weighting='tfidf' serving needs the stored idf sidecar: pass "
+                "idf_weights (the <table>_weights table) and default_w2 (from "
+                "<table>_stats)"
+            )
+        ltw = lt.join(F.broadcast(idf_weights), "__token", "left").select(
+            left_id, "__token", F.coalesce("__w2", F.lit(int(default_w2))).alias("__w2")
         )
-    )
-    if normalization == "l2":
-        sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+        nl2 = ltw.groupBy(left_id).agg(F.sum("__w2").alias("__nl2"))
+        pairs = (
+            ltw.drop("__w2")
+            .join(right_postings, "__token")
+            .groupBy(left_id, right_id)
+            .agg(
+                F.sum("__w2").alias("__dot"),  # the stored row's weight
+                F.first("__nr2").alias("__nr2"),
+            )
+            .join(nl2, left_id)
+        )
+        if normalization == "l2":
+            sim = F.col("__dot") / (F.sqrt(F.col("__nl2")) * F.sqrt(F.col("__nr2")))
+        else:
+            sim = F.col("__dot") / F.lit(float(IDF_MICRO) ** 2)
+        scored = pairs.select(left_id, right_id, sim.alias("sim"))
     else:
-        sim = F.col("__overlap").cast("double")
-    scored = pairs.select(left_id, right_id, sim.alias("sim"))
+        pairs = (
+            lt.join(right_postings, "__token")
+            .groupBy(left_id, right_id)
+            .agg(
+                F.count(F.lit(1)).alias("__overlap"),
+                F.first("__nl").alias("__nl"),
+                F.first("__nr").alias("__nr"),
+            )
+        )
+        if normalization == "l2":
+            sim = F.col("__overlap") / (F.sqrt(F.col("__nl")) * F.sqrt(F.col("__nr")))
+        else:
+            sim = F.col("__overlap").cast("double")
+        scored = pairs.select(left_id, right_id, sim.alias("sim"))
     w = Window.partitionBy(left_id).orderBy(F.desc("sim"), F.asc(right_id))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -221,6 +221,67 @@ def test_bm25_index_prebuilt_matches_live_and_avoids_builder_shuffles(spark):
         spark.sql(f"DROP TABLE {t}")
 
 
+def test_tfidf_postings_prebuilt_matches_live(spark):
+    """materialize_token_postings(weighting='tfidf') + the tfidf serving
+    path: identical rows to the live weighting='tfidf' join over the
+    same reference corpus (frozen-IDF build ≡ in-flight fit, since the
+    idf corpus is the reference side either way), across both
+    normalizations; missing-sidecar serving raises."""
+    import shutil
+    from urllib.parse import urlparse
+
+    import pytest
+
+    from polars_sim_spark.operators.join_sim import (
+        materialize_token_postings,
+        similarity_mapping,
+        similarity_mapping_against_postings,
+    )
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    left = part.select(F.col("p_partkey").alias("l_id"), F.col("p_name").alias("s"))
+    right = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("s")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("t_tfidf_postings", "t_tfidf_postings_weights", "t_tfidf_postings_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    materialize_token_postings(
+        right, "t_tfidf_postings", on="s", id_col="r_id", num_buckets=8,
+        weighting="tfidf",
+    )
+    postings = spark.table("t_tfidf_postings")
+    weights = spark.table("t_tfidf_postings_weights")
+    w0 = spark.table("t_tfidf_postings_stats").collect()[0]["default_w2"]
+
+    for norm in ("l2", "count"):
+        live = {
+            (r["l_id"], r["r_id"], round(r["sim"], 9))
+            for r in similarity_mapping(
+                left, right, left_on="s", right_on="s", top_n=3,
+                normalization=norm, strategy="shuffle",
+                left_id="l_id", right_id="r_id", dedup_keys=False,
+                weighting="tfidf",
+            ).collect()
+        }
+        served = {
+            (r["l_id"], r["r_id"], round(r["sim"], 9))
+            for r in similarity_mapping_against_postings(
+                left, postings, left_on="s", right_id="r_id", top_n=3,
+                normalization=norm, left_id="l_id",
+                weighting="tfidf", idf_weights=weights, default_w2=w0,
+            ).collect()
+        }
+        assert len(live) > 0 and served == live, norm
+
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity_mapping_against_postings(
+            left, postings, left_on="s", right_id="r_id",
+            left_id="l_id", weighting="tfidf",
+        )
+
+
 def test_token_postings_prebuilt_matches_live_and_skips_right_shuffle(spark):
     """materialize_token_postings + similarity_mapping_against_postings:
     identical fuzzy-join rows to the live shuffle-strategy join (with
