@@ -1157,6 +1157,31 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     both = both.localCheckpoint(eager=True)
 
+    # INCIDENT-ONLY iteration (round 10): only nodes touched by an edge
+    # can ever change label, so the loop iterates over edge endpoints
+    # and isolated nodes are unioned back as their own cluster at the
+    # end — exact by definition (edge endpoints must be node ids, the
+    # documented contract). On the sparse graphs dedup produces the
+    # label frame shrinks from |corpus| to |touched| (e.g. the ×10
+    # image-removal graph: 1.67M docs, ~3k touched), which is what each
+    # round joins, checkpoints, and probes — measured 37.4 s → ~8 s at
+    # ×10 (BASELINE.md round-10 table). Dense graphs (|incident| ≈
+    # |nodes|) pay one extra distinct over the edge frame, noise next
+    # to their per-round joins.
+    full_base = nodes.select(F.col(id_col).alias("id"))
+    incident = (
+        both.select(F.col("src").alias("id"))
+        .unionByName(both.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _with_isolated(labels: DataFrame) -> DataFrame:
+        isolated = full_base.join(incident, "id", "left_anti").select(
+            "id", F.col("id").alias("cluster_id")
+        )
+        return labels.unionByName(isolated)
+
     # Round-1 fusion (round 5): initial labels are identities, so round
     # 1's neighbor-min needs neither an edge ⋈ label join (min neighbor
     # id comes straight off the checkpointed edge frame) nor an initial
@@ -1167,7 +1192,7 @@ def connected_components(
     # because the un-checkpointed jump product is referenced twice by
     # the next neighbor-min and re-evaluates; honest negative result,
     # BASELINE.md round 5.)
-    base = nodes.select(F.col(id_col).alias("id"))
+    base = incident  # iterate over touched nodes only (exact; see above)
     labels: DataFrame | None = None  # None ⇒ identity labels (round 1)
     done = 0
     while done < max_iter:
@@ -1232,7 +1257,7 @@ def connected_components(
             done += 1
         labels = cur.select("id", "cluster_id")
         if cur.where(F.col("cluster_id") != F.col("__old")).isEmpty():
-            return labels
+            return _with_isolated(labels)
     # The loop's changed-check compares against labels as of the START of
     # the last rounds_per_check block, so a fixpoint reached exactly on
     # round max_iter still shows "changed". Confirm with one extra
@@ -1249,7 +1274,7 @@ def connected_components(
         .where(F.col("nbr_min") < F.col("cluster_id"))
     )
     if probe.isEmpty():
-        return labels
+        return _with_isolated(labels)
     raise RuntimeError(
         f"connected_components: no fixpoint within max_iter={max_iter} "
         "rounds — raise max_iter (labels would be WRONG on unconverged "
