@@ -1097,7 +1097,18 @@ def knn_graph_ivf_prebuilt(
             F.col(vec_col).alias("__qv"),
             F.col("vnorm").alias("__qn"),
         )
-        paired = probe_cells.join(lists, "c_id").join(qv, "q_id")
+        # JOIN ORDER IS THE 100 TB LEVER (round 10, found by the ×100
+        # probe failing on disk): attach the query vectors to the
+        # nq·nprobe-row probe list FIRST, then meet the inverted lists.
+        # The old order (probe_cells ⋈ lists, THEN ⋈ qv by q_id) put the
+        # q_id join ON TOP of the nq·nprobe·√n-row candidate explosion —
+        # once qv outgrows the broadcast threshold that is a sort-merge
+        # shuffle of ~n^1.5 rows each dragging a full vector (measured:
+        # ~150 GB of spill at ×100, "No space left on device"). With qv
+        # joined below, both shuffles are corpus-sized; the candidate
+        # explosion exists only inside tasks and is projected down to
+        # (q_id, n_id, sim) before the window exchange.
+        paired = probe_cells.join(qv, "q_id").join(lists, "c_id")
     else:
         scores = _centroid_scores(cent_rows)
         probes = (
