@@ -1644,6 +1644,73 @@ def stream_phash_match(
     return apply
 
 
+def stream_sim_match(
+    postings_table: str,
+    out_path: str,
+    *,
+    name_col: str,
+    id_col: str,
+    top_n: int = 3,
+    normalization: str = "l2",
+    min_sim: float | None = None,
+    apply_word_normalization: bool = False,
+    weighting: str = "binary",
+):
+    """Streaming trigram-similarity gate — the streaming twin of the
+    REFERENCE'S own flagship operator (join_sim, reference
+    ``python/polars_sim/dataframe/join.py:15-149``): returns a
+    ``foreachBatch`` callable that fuzzy-matches each micro-batch of
+    incoming names against a STORED reference posting table
+    (:func:`~polars_sim_spark.operators.join_sim.materialize_token_postings`)
+    and appends ``(<id_col>, r_id, sim)`` top-``top_n`` matches — the
+    ingest-time "which catalog entry is this?" lookup, run before the
+    record lands.
+
+    One code path with the batch serving operator
+    (:func:`~polars_sim_spark.operators.join_sim.similarity_mapping_against_postings`),
+    so availableNow output equals the batch join by construction —
+    stateless, no watermark. ``weighting="tfidf"`` reads the frozen IDF
+    sidecars (``<table>_weights`` / ``<table>_stats``) written at build
+    time, so every batch scores against the SAME model — the
+    BM25-append frozen-stats contract. Per-batch cost is the batch's
+    own tokenization + the co-located (bucketed) token join; the
+    reference corpus is never re-tokenized."""
+    from polars_sim_spark.operators.join_sim import (
+        similarity_mapping_against_postings,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        postings = spark.table(postings_table)
+        kw = {}
+        if weighting == "tfidf":
+            kw = dict(
+                weighting="tfidf",
+                idf_weights=spark.table(f"{postings_table}_weights"),
+                default_w2=int(
+                    spark.table(f"{postings_table}_stats").collect()[0]["default_w2"]
+                ),
+            )
+        out = similarity_mapping_against_postings(
+            batch_df.select(F.col(id_col), F.col(name_col)),
+            postings,
+            left_on=name_col,
+            right_id="r_id",
+            top_n=top_n,
+            normalization=normalization,
+            apply_word_normalization=apply_word_normalization,
+            left_id=id_col,
+            **kw,
+        )
+        if min_sim is not None:
+            out = out.where(F.col("sim") >= float(min_sim))
+        out.write.mode("append").parquet(out_path)
+
+    return apply
+
+
 def stream_entity_resolve(
     index_path: str,
     labels_path: str,

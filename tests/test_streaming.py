@@ -1510,6 +1510,78 @@ def test_stream_append_packed_sequences(spark, tmp_path):
     assert spark.read.parquet(f"{path}/_meta").collect()[0]["total_tokens"] == total
 
 
+def test_stream_sim_match_equals_batch(spark, sf_small, tmp_path):
+    """availableNow fuzzy-name matching against the stored posting table
+    == the batch serving join (same code path), under BOTH weightings."""
+    import shutil as _shutil
+    import uuid as _uuid
+    from urllib.parse import urlparse
+
+    from polars_sim_spark.operators.join_sim import (
+        materialize_token_postings,
+        similarity_mapping_against_postings,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_sim_match
+
+    part = load_table(spark, sf_small, "part")
+    right = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("s")
+    )
+    incoming = part.where(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("in_id"), F.col("p_name").alias("s")
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    import os as _os
+
+    for weighting in ("binary", "tfidf"):
+        tbl = f"t_stream_postings_{weighting}"
+        for t in (tbl, f"{tbl}_weights", f"{tbl}_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _shutil.rmtree(_os.path.join(wh, t), ignore_errors=True)
+        materialize_token_postings(
+            right, tbl, on="s", id_col="r_id", num_buckets=8, weighting=weighting
+        )
+        src = str(tmp_path / f"src_{weighting}")
+        incoming.write.parquet(src)
+        sink = str(tmp_path / f"matched_{weighting}")
+        (
+            spark.readStream.schema("in_id long, s string")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                stream_sim_match(
+                    tbl, sink, name_col="s", id_col="in_id", top_n=2,
+                    min_sim=0.4, weighting=weighting,
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{weighting}"))
+            .trigger(availableNow=True)
+            .queryName(f"simmatch_{_uuid.uuid4().hex[:8]}")
+            .start()
+            .awaitTermination(120)
+        )
+        kw = {}
+        if weighting == "tfidf":
+            kw = dict(
+                weighting="tfidf",
+                idf_weights=spark.table(f"{tbl}_weights"),
+                default_w2=int(
+                    spark.table(f"{tbl}_stats").collect()[0]["default_w2"]
+                ),
+            )
+        want = {
+            (r["in_id"], r["r_id"], round(r["sim"], 9))
+            for r in similarity_mapping_against_postings(
+                incoming, spark.table(tbl), left_on="s", right_id="r_id",
+                top_n=2, left_id="in_id", **kw,
+            ).where(F.col("sim") >= 0.4).collect()
+        }
+        got = {
+            (r["in_id"], r["r_id"], round(r["sim"], 9))
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got == want and len(got) > 0, weighting
+
+
 def test_stream_entity_resolve_equals_sequential_batch_folds(spark, sf_small, tmp_path):
     """Streaming append-mode entity resolution: N availableNow
     micro-batches folding into the stored label table must equal the
