@@ -809,6 +809,57 @@ def materialize_token_postings(
     )
 
 
+def append_token_postings(
+    new_rows: DataFrame,
+    table: str,
+    *,
+    on: str,
+    id_col: str,
+    apply_word_normalization: bool = False,
+    num_buckets: int = 32,
+) -> None:
+    """Incremental maintenance for the similarity-join postings — the
+    index-append pattern (``append_to_bm25_index``,
+    ``append_to_ivfpq_index``, ``append_packed_sequences``) applied to
+    the reference's OWN operator: newly appended reference rows are
+    fuzzy-matchable immediately, with the frozen-model contract a
+    serving tier exhibits between rebuilds.
+
+    Binary tables (no ``<table>_weights`` sidecar) append plain posting
+    rows. TF-IDF tables weigh the new rows' tokens through the STORED
+    sidecar — document frequencies are NOT refit (a token the build
+    never saw gets the stored ``default_w2``, the frozen-idf behavior),
+    and the sidecars are not rewritten; weights refresh only on the
+    next full build. Equivalence to a rebuild with pinned weights is
+    tested in tests/test_sinks.py.
+
+    Scale: one pass over the NEW rows only; the existing index is
+    touched solely through the vocabulary-bounded weights sidecar. The
+    append lands through the same token-bucketed writer, so the serve
+    plan keeps its exchange-free reference side (Spark rejects a
+    mismatched ``num_buckets`` loudly)."""
+    from polars_sim_spark.sources.sinks import write_bucketed
+
+    spark = new_rows.sparkSession
+    rt = _tokens_long(new_rows, on, id_col, id_col, apply_word_normalization, "__nr")
+    tfidf = spark.catalog.tableExists(f"{table}_weights")
+    if tfidf:
+        weights = spark.table(f"{table}_weights")
+        w0_sq = int(spark.table(f"{table}_stats").collect()[0]["default_w2"])
+        rtw = rt.join(F.broadcast(weights), "__token", "left").select(
+            id_col,
+            "__nr",
+            "__token",
+            F.coalesce("__w2", F.lit(w0_sq)).alias("__w2"),
+        )
+        nr2 = rtw.groupBy(id_col).agg(F.sum("__w2").alias("__nr2"))
+        rt = rtw.join(nr2, id_col)
+    write_bucketed(
+        rt, table, bucket_by=["__token"], num_buckets=num_buckets,
+        sort_by=["__token"], mode="append",
+    )
+
+
 def similarity_mapping_against_postings(
     left: DataFrame,
     right_postings: DataFrame,

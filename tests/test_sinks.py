@@ -282,6 +282,91 @@ def test_tfidf_postings_prebuilt_matches_live(spark):
         )
 
 
+def test_append_token_postings_equals_pinned_rebuild(spark):
+    """Incremental postings append (round 10): build on 60% of the
+    reference, append the other 40%, and serving must equal a full
+    build over everything — exactly for binary (weights are corpus-
+    free), and exactly vs a FROZEN-weights rebuild for tfidf (the
+    between-rebuilds contract; a refit rebuild differs by design)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from polars_sim_spark.operators.join_sim import (
+        append_token_postings,
+        materialize_token_postings,
+        similarity_mapping_against_postings,
+    )
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    left = part.limit(80).select(
+        F.col("p_partkey").alias("l_id"), F.col("p_name").alias("s")
+    )
+    right = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("s")
+    )
+    base = right.where(F.col("r_id") % 10 < 6)
+    extra = right.where(F.col("r_id") % 10 >= 6)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _drop(*tables):
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    def _serve(tbl, **kw):
+        return {
+            (r["l_id"], r["r_id"], round(r["sim"], 9))
+            for r in similarity_mapping_against_postings(
+                left, spark.table(tbl), left_on="s", right_id="r_id",
+                top_n=3, left_id="l_id", **kw,
+            ).collect()
+        }
+
+    # binary: append ≡ full rebuild exactly
+    _drop("t_app_bin", "t_app_bin_full")
+    materialize_token_postings(base, "t_app_bin", on="s", id_col="r_id", num_buckets=4)
+    append_token_postings(extra, "t_app_bin", on="s", id_col="r_id", num_buckets=4)
+    materialize_token_postings(
+        right, "t_app_bin_full", on="s", id_col="r_id", num_buckets=4
+    )
+    assert _serve("t_app_bin") == _serve("t_app_bin_full")
+
+    # tfidf: append ≡ rebuild scored through the BASE build's weights
+    _drop("t_app_tf", "t_app_tf_weights", "t_app_tf_stats")
+    materialize_token_postings(
+        base, "t_app_tf", on="s", id_col="r_id", num_buckets=4, weighting="tfidf"
+    )
+    w = spark.table("t_app_tf_weights")
+    w0 = int(spark.table("t_app_tf_stats").collect()[0]["default_w2"])
+    append_token_postings(extra, "t_app_tf", on="s", id_col="r_id", num_buckets=4)
+    got = _serve("t_app_tf", weighting="tfidf", idf_weights=w, default_w2=w0)
+    # pinned rebuild: full reference side weighed by the SAME frozen model
+    want = {
+        (r["l_id"], r["r_id"], round(r["sim"], 9))
+        for r in similarity_mapping_against_postings(
+            left,
+            _frozen_postings(spark, right, w, w0),
+            left_on="s", right_id="r_id", top_n=3, left_id="l_id",
+            weighting="tfidf", idf_weights=w, default_w2=w0,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def _frozen_postings(spark, right, weights, w0):
+    """Reference postings weighed through a FROZEN idf model — the
+    in-memory twin of what build+append produce on disk."""
+    from polars_sim_spark.operators.join_sim import _tokens_long
+
+    rt = _tokens_long(right, "s", "r_id", "r_id", False, "__nr")
+    rtw = rt.join(F.broadcast(weights), "__token", "left").select(
+        "r_id", "__nr", "__token",
+        F.coalesce("__w2", F.lit(w0)).alias("__w2"),
+    )
+    nr2 = rtw.groupBy("r_id").agg(F.sum("__w2").alias("__nr2"))
+    return rtw.join(nr2, "r_id")
+
+
 def test_token_postings_prebuilt_matches_live_and_skips_right_shuffle(spark):
     """materialize_token_postings + similarity_mapping_against_postings:
     identical fuzzy-join rows to the live shuffle-strategy join (with
