@@ -548,6 +548,22 @@ def test_update_entity_labels_equals_full_recompute(spark):
     assert got[15] == 1  # new min propagated into the old cluster
 
 
+def test_update_entity_labels_empty_edge_batch(spark):
+    """A batch with NO matching edges (all-novel vectors) must label
+    every new node as itself and leave stored labels untouched —
+    exercises connected_components on an empty edge set."""
+    from polars_sim_spark.operators.dedup import update_entity_labels
+
+    stored = spark.createDataFrame([(10, 10), (11, 10)], "id long, entity_id long")
+    new_nodes = spark.createDataFrame([(20,), (21,)], "id long")
+    edges = spark.createDataFrame([], "l_id long, r_id long")
+    got = {
+        r["id"]: r["entity_id"]
+        for r in update_entity_labels(stored, new_nodes, edges, id_col="id").collect()
+    }
+    assert got == {10: 10, 11: 10, 20: 20, 21: 21}
+
+
 def test_connected_components_fixpoint_exactly_at_max_iter(spark):
     """Round-10 ADVICE regression: labels that reach their fixpoint ON
     round max_iter must be RETURNED, not rejected — the changed-check
