@@ -1193,10 +1193,12 @@ def knn_graph(
     kmeans_iters: int = 1,
     probe_mode: str = "kernel",
 ) -> DataFrame:
-    """One-call corpus self-kNN graph with the SCALE-PATH defaults —
-    the geometry that measured 1.2× per 10× data step vs 9.2× at a
-    fixed small centroid count (BASELINE.md, round 9/10 kNN-graph scale
-    rows): ``num_centroids = ⌈√n⌉`` (so probe-list size and centroid
+    """One-call corpus self-kNN graph with the SCALE-PATH defaults
+    (measured 1×/10×/100×: BASELINE.md round-10 kNN-graph table — the
+    designed O(n^1.5) total, vs the n²/c blowup of a fixed small
+    centroid count; trade serve time vs recall with the
+    ``num_centroids`` knob, also measured there):
+    ``num_centroids = ⌈√n⌉`` (so probe-list size and centroid
     count grow together, keeping per-query candidate work ~√n) and
     ``probe_mode="kernel"`` (broadcast-GEMM probe scoring — NO
     ``num_centroids × dim`` literal arrays anywhere in the plan, which
