@@ -246,6 +246,50 @@ def test_tfidf_explicit_corpus_and_validation(spark):
         )
 
 
+def test_tfidf_with_word_normalization(spark):
+    """apply_word_normalization × tfidf: the IDF fit must count df over
+    DISTINCT NORMALIZED strings (two raw spellings of one normalized
+    form are one document), and matching must agree with a python
+    reference that normalizes the same way."""
+    raw = ["Green-Apple!", "green apple", "RED.apple", "blue cherry", "bluecherry"]
+    # normalized: greenapple ×2 (one distinct doc), redapple, bluecherry ×2
+    left = _frame(spark, ["greenapple", "redapple"], "l_id")
+    right = _frame(spark, raw, "r_id")
+    got = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in similarity_mapping(
+            left, right, left_on="s", right_on="s", top_n=5,
+            normalization="l2", left_id="l_id", right_id="r_id",
+            weighting="tfidf", apply_word_normalization=True,
+        ).collect()
+    }
+
+    def norm(s):
+        return "".join(c for c in s if c.isalnum()).lower()
+
+    docs = {norm(s) for s in raw if _trigrams(norm(s))}
+    n = len(docs)
+    from collections import Counter
+
+    df = Counter(t for s in docs for t in _trigrams(s))
+
+    def w2(t):
+        wt = idf_micro_weight(n, df.get(t, 0))
+        return wt * wt
+
+    for (li, ri), sim in got.items():
+        tl = _trigrams(norm(["greenapple", "redapple"][li]))
+        tr = _trigrams(norm(raw[ri]))
+        inter = tl & tr
+        assert inter, (li, ri)
+        want = sum(w2(t) for t in inter) / (
+            math.sqrt(sum(w2(t) for t in tl)) * math.sqrt(sum(w2(t) for t in tr))
+        )
+        assert sim == pytest.approx(want, rel=1e-12), (li, ri)
+    # the two raw spellings of "greenapple" both match the left row at 1.0
+    assert got[(0, 0)] == pytest.approx(1.0) and got[(0, 1)] == pytest.approx(1.0)
+
+
 def test_build_idf_weights_values(spark):
     """Weight table pins: df over DISTINCT strings; squared micro units."""
     corpus = _frame(spark, ["abcd", "abcd", "abce", "xyz"], "cid")
