@@ -1319,6 +1319,10 @@ def update_entity_labels(
     output-proportional, ≪ corpus); untouched clusters never move — the
     relabel is a broadcast-sized (old label → new label) mapping joined
     onto the stored table, and isolated new nodes label themselves."""
+    # project to the two contract columns up front: a payload column on
+    # the stored frame named e.g. "cluster_id" would otherwise collide
+    # with the CC mapping's output in the relabel joins below
+    labels = labels.select(F.col(id_col), F.col(label_col))
     lab = labels.select(F.col(id_col).alias("__i"), F.col(label_col).alias("__l"))
     e = (
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
