@@ -19,6 +19,14 @@ scoring) timed at 1x and 10x, index build and edge serve separately
 (build amortizes once per rebuild cadence; serve is the recurring
 cost).
 
+CAVEAT (BASELINE.md round-10 "measurement hygiene"): repeated
+knn_graph calls in ONE session slow down progressively — eager
+localCheckpoint blocks free only on JVM GC, so storage fills and later
+joins spill (measured 18 -> 71 -> 140 s for identical serves). The
+OFFICIAL 1x/10x/100x rows in BASELINE.md were re-measured with a FRESH
+session per cell; this script's one-session part B is a quick smoke,
+not the record.
+
 Measurement hygiene per the round-6 lessons: noop-sink writes (never
 count()), partitions sized for the LARGEST scale, caches released
 between cells.  Results -> BASELINE.md.
