@@ -1240,6 +1240,53 @@ def knn_graph(
     )
 
 
+def resolve_entities(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+    min_cosine: float | None = 0.3,
+    num_centroids: int | None = None,
+    probe_mode: str = "kernel",
+) -> DataFrame:
+    """One-call SEMANTIC ENTITY RESOLUTION over an embedding corpus —
+    ``(id, entity_id)`` with entity_id the smallest member id of each
+    mutual-kNN component: :func:`knn_graph` edges (scale-path defaults:
+    ⌈√n⌉ centroids, kernel probing, build-if-missing at ``path``)
+    collapsed by connected components. The composition the contract
+    rows run piecewise (`entity_resolve_embeddings`), packaged the way
+    ``dedup.remove_near_dups`` packages text dedup; downstream appends
+    fold into the returned labels via ``dedup.update_entity_labels``
+    instead of recomputing."""
+    from polars_sim_spark.operators.dedup import connected_components
+
+    edges = knn_graph(
+        corpus,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        nprobe=nprobe,
+        mutual=True,
+        min_cosine=min_cosine,
+        num_centroids=num_centroids,
+        probe_mode=probe_mode,
+    )
+    out = connected_components(
+        corpus.select(F.col(id_col).alias("id")),
+        edges,
+        id_col="id",
+        src_col="l_id",
+        dst_col="r_id",
+    )
+    return out.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("entity_id")
+    )
+
+
 def materialize_bm25_index(
     docs: DataFrame,
     table: str,

@@ -690,6 +690,32 @@ def test_knn_graph_convenience_sqrt_n_kernel_default(spark, sf_small, tmp_path):
     assert all(l < r for (l, r) in edges)
 
 
+def test_resolve_entities_equals_manual_composition(spark, sf_small, tmp_path):
+    """resolve_entities == knn_graph + connected_components composed by
+    hand over the same committed index, and labels are component minima."""
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.similarity import knn_graph, resolve_entities
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    path = str(tmp_path / "re_ivf")
+    got = {
+        r["vec_id"]: r["entity_id"]
+        for r in resolve_entities(emb, path, k=4, nprobe=2, min_cosine=0.25).collect()
+    }
+    edges = knn_graph(emb, path, k=4, nprobe=2, mutual=True, min_cosine=0.25)
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            emb.select(F.col("vec_id").alias("id")), edges,
+            id_col="id", src_col="l_id", dst_col="r_id",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == emb.count()
+    assert all(e <= i for i, e in got.items())  # canonical = component min
+    assert any(e != i for i, e in got.items())  # non-trivial clusters exist
+
+
 def test_hash_embed_wide_dims_are_not_degenerate(spark, sf_small):
     """Dims >= 32 draw sign bits from the second md5 slice: they must
     vary across documents (the pre-fix behavior gave every dim >= 32 a
