@@ -142,7 +142,21 @@ def probe_sufficient_stats(
     (quality_probe_score_stored). Together the fit chain is fully
     verified with no rows-only gap.
     """
-    feat, docs_ny, _ = _probe_features(df, id_col, text_col, label_col, vocab_size)
+    feat, docs_ny, vocab = _probe_features(df, id_col, text_col, label_col, vocab_size)
+    # The public aliases must be unambiguous keys of the output table: a
+    # corpus whose vocabulary actually contains '__bias__' or '__y__'
+    # would emit two distinct rows under one (tok, tok2) key (real token
+    # + pseudo row) while a SQL consumer GROUPing BY the public name
+    # merges them — refuse loudly instead of returning an ambiguous
+    # statistic. (Whitespace tokenization admits such tokens; callers
+    # hitting this should pre-filter or rename them.)
+    clash = {"__bias__", "__y__"} & set(vocab)
+    if clash:
+        raise ValueError(
+            "probe_sufficient_stats: corpus vocabulary contains reserved "
+            f"pseudo-token alias(es) {sorted(clash)}; the stats table key "
+            "would be ambiguous — rename or drop these tokens upstream"
+        )
     pub = lambda c: F.when(F.col(c) == BIAS_TOKEN, F.lit("__bias__")).otherwise(F.col(c))  # noqa: E731
     f2 = feat.select(F.col("tok").alias("tok2"), F.col("x").alias("x2"), "id")
     xtx = (

@@ -293,8 +293,14 @@ def similarity_mapping(
     lt = _tokens_long(left, left_on, left_id, left_id, apply_word_normalization, "__nl")
     rt = _tokens_long(right, right_on, right_id, right_id, apply_word_normalization, "__nr")
 
+    rt_full = rt
     if max_token_df is not None:
         # Prune ultra-frequent tokens on the right side (skew guard).
+        # Norms stay FULL on both weightings: `__nr` was already counted
+        # over the unpruned token set inside _tokens_long, and the tfidf
+        # branch below computes `__nr2` from rt_full — pruning only
+        # removes overlap terms, so a doc containing a hot token keeps
+        # its true norm and its sims can only shrink, never inflate.
         hot = (
             rt.groupBy("__token")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -331,9 +337,18 @@ def similarity_mapping(
             right_id, "__token", F.coalesce("__w2", F.lit(w0_sq)).alias("__w2")
         )
         # Norms per id (map-side-combining aggs over each side's own
-        # postings — skew-safe, no window).
+        # postings — skew-safe, no window). The right norm is computed
+        # over the UNPRUNED postings (rt_full) so max_token_df keeps the
+        # binary path's semantics: prune the overlap, never the norm.
+        rtw_full = (
+            rtw
+            if rt_full is rt
+            else rt_full.join(wb, "__token", "left").select(
+                right_id, F.coalesce("__w2", F.lit(w0_sq)).alias("__w2")
+            )
+        )
         nl2 = ltw.groupBy(left_id).agg(F.sum("__w2").alias("__nl2"))
-        nr2 = rtw.groupBy(right_id).agg(F.sum("__w2").alias("__nr2"))
+        nr2 = rtw_full.groupBy(right_id).agg(F.sum("__w2").alias("__nr2"))
         rtw_side = rtw.select(right_id, "__token")
         if strategy == "broadcast":
             rtw_side = F.broadcast(rtw_side)

@@ -1206,15 +1206,19 @@ def knn_graph(
     in tests/test_plans.py).
 
     Builds the IVF index at ``path`` if absent (completion keyed on
-    ``_centroids/_SUCCESS``, the ensure_* convention) and serves edges
-    via :func:`knn_graph_ivf_prebuilt`. The contract rows keep their
-    pinned 16-cell oracle-exact geometry (queries/vectors.py); this
-    entry is what a pipeline should call at real corpus sizes."""
+    ``_centroids/_SUCCESS``, the ensure_* convention — resolved through
+    the Hadoop FileSystem API so the gate works on HDFS/S3 paths, where
+    a driver-local stat would be always-False and silently rebuild the
+    index every call) and serves edges via
+    :func:`knn_graph_ivf_prebuilt`. The contract rows keep their pinned
+    16-cell oracle-exact geometry (queries/vectors.py); this entry is
+    what a pipeline should call at real corpus sizes."""
     import math
-    import os as _os
+
+    from polars_sim_spark.fsutil import hadoop_exists
 
     spark = corpus.sparkSession
-    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+    if not hadoop_exists(spark, path.rstrip("/") + "/_centroids/_SUCCESS"):
         if num_centroids is None:
             n = corpus.count()
             num_centroids = math.isqrt(max(n, 1) - 1) + 1  # ⌈√n⌉, ≥ 1

@@ -1739,7 +1739,16 @@ def stream_entity_resolve(
     space (it will get its labels when its own batch arrives). The
     read→update→overwrite cycle cuts the self-overwrite read path with
     an eager localCheckpoint, the partition-upsert lesson; the store
-    holds (id, entity_id) only — O(corpus) rows, no vectors."""
+    holds (id, entity_id) only — O(corpus) rows, no vectors.
+
+    Replay-idempotent: foreachBatch is at-least-once — a failure between
+    the parquet overwrite and the checkpoint commit replays the batch —
+    so batch ids are anti-joined against the stored labels first. A full
+    replay folds zero new ids and leaves the store byte-identical; a
+    torn partial state is impossible because the overwrite itself is the
+    only store write. (update_entity_labels REQUIRES new ids disjoint
+    from stored ids; without the anti-join a replay would emit duplicate
+    (id, entity_id) rows permanently.)"""
     from polars_sim_spark.operators.dedup import update_entity_labels
     from polars_sim_spark.operators.similarity import ann_topk_ivf_prebuilt
 
@@ -1748,9 +1757,18 @@ def stream_entity_resolve(
             return
         spark = batch_df.sparkSession
         labels = spark.read.parquet(labels_path)
-        new_ids = batch_df.select(F.col(id_col).alias("id"))
+        new_ids = (
+            batch_df.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(labels.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if new_ids.isEmpty():
+            return
         qb = batch_df.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+        ).join(
+            new_ids.withColumnRenamed("id", "q_id"), "q_id", "left_semi"
         )
         known = labels.select("id").unionByName(new_ids).distinct()
         eb = (

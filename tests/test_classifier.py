@@ -137,3 +137,22 @@ def test_bias_token_cannot_collide(spark):
     # The intercept pseudo-token is a NUL-prefixed string no whitespace
     # tokenization can produce.
     assert BIAS_TOKEN.startswith("\x00")
+
+
+def test_probe_stats_rejects_reserved_alias_tokens(spark):
+    """ADVICE r10: a corpus whose vocabulary contains the PUBLIC aliases
+    ('__bias__' / '__y__') would make the stats table key ambiguous —
+    probe_sufficient_stats must refuse, not merge rows silently."""
+    from polars_sim_spark.operators.classifier import probe_sufficient_stats
+
+    df = spark.createDataFrame(
+        [(1, "__bias__ weight lives here", 1), (2, "plain words", 0)],
+        "doc_id long, text string, label int",
+    )
+    with pytest.raises(ValueError, match="__bias__"):
+        probe_sufficient_stats(df, "doc_id", "text", "label").collect()
+    ok = spark.createDataFrame(
+        [(1, "plain words", 1), (2, "more words", 0)],
+        "doc_id long, text string, label int",
+    )
+    assert probe_sufficient_stats(ok, "doc_id", "text", "label").count() > 0

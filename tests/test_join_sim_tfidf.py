@@ -302,3 +302,58 @@ def test_build_idf_weights_values(spark):
         assert got[tok] == w * w, (tok, got[tok], w * w)
     w0 = idf_micro_weight(3, 0)
     assert w0_sq == w0 * w0
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_tfidf_max_token_df_prunes_overlap_not_norms(spark, strategy):
+    """max_token_df × tfidf (ADVICE r10): pruning a hot token removes it
+    from the OVERLAP only — both sides keep their full-corpus norms,
+    mirroring the binary path's convention (``__nr`` counted before the
+    prune). Sims for docs containing the pruned token therefore SHRINK
+    relative to unpruned, never inflate, and the exact values match a
+    python reference that prunes the intersection but not the norms."""
+    # "app" appears in 4 of 6 right rows → pruned at max_token_df=3;
+    # rarer trigrams survive.
+    left = ["greenapple", "redapple"]
+    right = ["greenapple", "redapple", "blueapple", "pinkapple", "bluecherry", "greenish"]
+    cutoff = 3
+
+    docs = {s for s in set(right) if _trigrams(s)}
+    n = len(docs)
+    df = Counter(t for s in docs for t in _trigrams(s))
+    row_df = Counter(t for s in right for t in _trigrams(s))  # posting-row df
+    hot = {t for t, c in row_df.items() if c > cutoff}
+
+    def w2(t):
+        wt = idf_micro_weight(n, df.get(t, 0))
+        return wt * wt
+
+    got = {
+        (r["l_id"], r["r_id"]): r["sim"]
+        for r in similarity_mapping(
+            _frame(spark, left, "l_id"),
+            _frame(spark, right, "r_id"),
+            left_on="s", right_on="s", top_n=6,
+            left_id="l_id", right_id="r_id",
+            weighting="tfidf", strategy=strategy, max_token_df=cutoff,
+        ).collect()
+    }
+    want = {}
+    for li, ls in enumerate(left):
+        tl = _trigrams(ls)
+        nl2 = sum(w2(t) for t in tl)  # full norm, unpruned
+        for ri, rs in enumerate(right):
+            tr = _trigrams(rs)
+            inter = (tl & tr) - hot  # pruned overlap
+            if not inter:
+                continue
+            nr2 = sum(w2(t) for t in tr)  # full norm, unpruned
+            want[(li, ri)] = sum(w2(t) for t in inter) / (
+                math.sqrt(nl2) * math.sqrt(nr2)
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+    # self-pairs no longer reach 1.0: the pruned hot token is missing
+    # from the dot but still in both norms.
+    assert got[(0, 0)] < 1.0 and got[(1, 1)] < 1.0

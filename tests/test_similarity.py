@@ -759,3 +759,20 @@ def test_knn_graph_kernel_probe_equals_expr(spark, sf_small, tmp_path):
             ).collect()
         }
     assert runs["expr"] == runs["kernel"] and runs["expr"]
+
+
+def test_hadoop_exists_resolves_markers(spark, tmp_path):
+    """ADVICE r10: knn_graph's build-if-missing gate goes through the
+    Hadoop FileSystem API (scheme-aware — works on HDFS/S3 where a
+    driver-local os.path.exists is always False). On local paths it must
+    agree with the local stat for both bare and file:// forms."""
+    from polars_sim_spark.fsutil import hadoop_exists
+
+    d = tmp_path / "idx" / "_centroids"
+    d.mkdir(parents=True)
+    marker = d / "_SUCCESS"
+    assert not hadoop_exists(spark, str(marker))
+    marker.write_text("")
+    assert hadoop_exists(spark, str(marker))
+    assert hadoop_exists(spark, "file://" + str(marker))
+    assert not hadoop_exists(spark, str(tmp_path / "nope" / "_SUCCESS"))

@@ -1879,3 +1879,62 @@ def test_stream_contamination_fraction_equals_batch(spark, sf_small, tmp_path):
         for r in contamination_fraction(docs, ev_docs, n=8).collect()
     }
     assert got == want and any(t[3] > 0 for t in got)
+
+
+def test_stream_entity_resolve_replay_idempotent(spark, sf_small, tmp_path):
+    """ADVICE r10 (medium): foreachBatch is at-least-once — a replayed
+    micro-batch (failure between store overwrite and checkpoint commit)
+    must leave the label store IDENTICAL, not fold already-labeled ids a
+    second time (which would emit duplicate (id, entity_id) rows). Also
+    covers the partial-overlap case: a batch mixing replayed and new ids
+    folds only the new ones."""
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.similarity import (
+        knn_graph_ivf_prebuilt,
+        materialize_ivf_index,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_entity_resolve
+
+    emb = load_table(spark, sf_small, "embeddings")
+    idx = str(tmp_path / "ivf")
+    materialize_ivf_index(emb, idx, num_centroids=8, kmeans_iters=1, assignment="expr")
+
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    seed = connected_components(
+        hist.select(F.col("vec_id").alias("id")),
+        knn_graph_ivf_prebuilt(
+            spark, idx, k=5, nprobe=3, mutual=True, min_cosine=0.3,
+            probe_mode="expr", allowed=hist.select("vec_id"),
+        ),
+        id_col="id", src_col="l_id", dst_col="r_id",
+    ).withColumnRenamed("cluster_id", "entity_id")
+    lab = str(tmp_path / "labels")
+    seed.write.parquet(lab)
+
+    fold = stream_entity_resolve(idx, lab)
+    b0 = emb.where(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    fold(b0, 0)
+    after_first = sorted(
+        (r["id"], r["entity_id"]) for r in spark.read.parquet(lab).collect()
+    )
+    ids = [t[0] for t in after_first]
+    assert len(ids) == len(set(ids))  # no duplicate ids
+
+    # full replay of the same batch: store must be row-identical
+    fold(b0, 0)
+    after_replay = sorted(
+        (r["id"], r["entity_id"]) for r in spark.read.parquet(lab).collect()
+    )
+    assert after_replay == after_first
+
+    # partial overlap: replayed ids + genuinely new ids in one batch
+    b_mix = emb.where(
+        (F.col("vec_id") % 10 == 0) | (F.col("vec_id") % 10 == 5)
+    ).select("vec_id", "embedding")
+    fold(b_mix, 1)
+    final = sorted(
+        (r["id"], r["entity_id"]) for r in spark.read.parquet(lab).collect()
+    )
+    fids = [t[0] for t in final]
+    assert len(fids) == len(set(fids))
+    assert len(fids) == emb.count()  # every id labeled exactly once
