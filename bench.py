@@ -197,6 +197,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "join_sim_parts_tfidf",
     "entity_resolve_incremental",
+    "resolve_entities_scale",
     "multimodal_bmp_pixel_stats",
 ]
 
@@ -242,6 +243,7 @@ def main() -> None:
     t_prep = time.perf_counter()
     q.ensure_ivfpq_index(spark, sf_dir)
     q.ensure_ivf_kmeans_index(spark, sf_dir)
+    q.ensure_ivf_sqrt_index(spark, sf_dir)
     q.ensure_zorder_events(spark, sf_dir)
     q.ensure_upserted_events_lake(spark, sf_dir)
     q.ensure_sq8_index(spark, sf_dir)

