@@ -39,7 +39,61 @@ import threading
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_CKPT_SLOTS: dict[str, object] = {}  # slot -> JVM RDD backing a localCheckpoint
 _LOCK = threading.Lock()
+
+
+def track_local_checkpoint(df: DataFrame, slot: str) -> DataFrame:
+    """Eager ``localCheckpoint`` with an explicit storage lifecycle:
+    materialize ``df``, register the backing JVM RDD under ``slot``, and
+    RELEASE the blocks of the previous checkpoint registered under the
+    same slot.
+
+    Why: localCheckpoint blocks otherwise free only when the JVM
+    garbage-collects the dropped DataFrame — measured on back-to-back
+    ``knn_graph`` serves, executor storage filled until later joins
+    spilled (18→71→140 s for identical calls, BASELINE.md round-10
+    repeated-serve table). Slot-keyed release caps a serving path at ONE
+    live checkpoint regardless of how many times it is called.
+
+    Contract: the frame a previous same-slot call returned becomes
+    INVALID once the next call checkpoints (its lineage was truncated to
+    the now-released blocks) — consume each serve's result before
+    requesting the next, which every sequential query/bench/driver loop
+    already does. Releasing is best-effort: if the JVM handle can't be
+    resolved the new checkpoint still works, the old blocks just wait
+    for GC as before."""
+    out = df.localCheckpoint(eager=True)
+    try:
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        jrdd = None
+    with _LOCK:
+        prev = _CKPT_SLOTS.pop(slot, None)
+        if jrdd is not None:
+            _CKPT_SLOTS[slot] = jrdd
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    return out
+
+
+def release_checkpoint(slot: str) -> bool:
+    """Free the blocks of the checkpoint registered under ``slot`` (the
+    explicit end-of-life call for a caller done with a serve's result
+    before any next serve would release it implicitly). True if a
+    registered checkpoint was released."""
+    with _LOCK:
+        prev = _CKPT_SLOTS.pop(slot, None)
+    if prev is None:
+        return False
+    try:
+        prev.unpersist(False)
+    except Exception:
+        pass
+    return True
 
 
 def track(df: DataFrame) -> DataFrame:

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_sim_spark import cache as cache_registry
 from polars_sim_spark.functions.vectors import dot, l2_norm
 
 
@@ -1156,7 +1157,14 @@ def knn_graph_ivf_prebuilt(
     # launches (root-caused via jstack: rewriteStatsAndConstraints →
     # SizeInBytesOnlyStatsPlanVisitor product). Cutting the plan here
     # bounds the depth every downstream composition (mutual, CC) sees.
-    knn = knn.localCheckpoint(eager=True)
+    # Slot-keyed (round 11): each serve releases the PREVIOUS serve's
+    # checkpoint blocks — without this, blocks freed only on JVM GC and
+    # back-to-back serves degraded 18→71→140 s as storage filled
+    # (BASELINE.md). A caller holding two serves' outputs live at once
+    # must consume the first before the second call (every sequential
+    # query loop does); cache.release_checkpoint("knn_graph_serve")
+    # frees the last serve explicitly.
+    knn = cache_registry.track_local_checkpoint(knn, slot="knn_graph_serve")
     if mutual:
         back = knn.select(
             F.col("n_id").alias("q_id"), F.col("q_id").alias("n_id")
