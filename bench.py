@@ -244,6 +244,7 @@ def main() -> None:
     q.ensure_ivfpq_index(spark, sf_dir)
     q.ensure_ivf_kmeans_index(spark, sf_dir)
     q.ensure_ivf_sqrt_index(spark, sf_dir)
+    q.ensure_entity_labels(spark, sf_dir)
     q.ensure_zorder_events(spark, sf_dir)
     q.ensure_upserted_events_lake(spark, sf_dir)
     q.ensure_sq8_index(spark, sf_dir)

