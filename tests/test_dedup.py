@@ -583,3 +583,77 @@ def test_connected_components_fixpoint_exactly_at_max_iter(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert got == {0: 0, 1: 0}
+
+
+def test_lsh_star_contraction_components_identical(spark, sf_small):
+    """VERDICT r10 #4: band-local star contraction on the MinHash-LSH
+    text path — CC over the contracted edge set must produce the same
+    components (hence the same keep set) as CC over the raw verified
+    pairs, and with_bucket must not change WHICH pairs verify."""
+    from polars_sim_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(postings))
+
+    raw = dedup.lsh_candidate_pairs(bands)
+    bucketed = dedup.lsh_candidate_pairs(bands, with_bucket=True)
+    assert sorted((r["l_id"], r["r_id"]) for r in raw.collect()) == sorted(
+        (r["l_id"], r["r_id"]) for r in bucketed.collect()
+    )
+
+    verified = dedup._verify_jaccard_pairs(postings, bucketed, 0.5)
+    assert "__bucket" in verified.columns
+    contracted = dedup.star_contract_pairs(
+        verified.select("l_id", "r_id", "__bucket")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc_raw = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            nodes, verified.select("l_id", "r_id")
+        ).collect()
+    }
+    cc_con = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(nodes, contracted).collect()
+    }
+    assert cc_raw == cc_con
+    assert any(v != k for k, v in cc_raw.items())  # non-trivial clusters exist
+
+
+def test_embedding_ivf_star_contraction_components_identical(spark, sf_small):
+    """VERDICT r10 #4, embedding side: with_bucket must not change which
+    pairs verify (uncapped AND hot-cell-capped paths), and CC over the
+    cell-local star contraction equals CC over the raw pairs."""
+    from polars_sim_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    for cap in (None, 0.2):
+        kw = dict(
+            min_cosine=0.35, num_centroids=16, nprobe=2, assignment="expr",
+            max_cell_fraction=cap,
+        )
+        raw = dedup.embedding_ivf_near_dup_pairs(emb, "vec_id", "embedding", **kw)
+        bucketed = dedup.embedding_ivf_near_dup_pairs(
+            emb, "vec_id", "embedding", with_bucket=True, **kw
+        )
+        raw_pairs = sorted((r["l_id"], r["r_id"]) for r in raw.collect())
+        assert raw_pairs == sorted(
+            (r["l_id"], r["r_id"]) for r in bucketed.collect()
+        ), f"cap={cap}"
+        contracted = dedup.star_contract_pairs(
+            bucketed.select("l_id", "r_id", "__bucket")
+        )
+        nodes = emb.select(F.col("vec_id").alias("id"))
+        cc_raw = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(
+                nodes, raw.select("l_id", "r_id")
+            ).collect()
+        }
+        cc_con = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(nodes, contracted).collect()
+        }
+        assert cc_raw == cc_con, f"cap={cap}"

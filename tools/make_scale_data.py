@@ -106,6 +106,39 @@ def replicate(spark, src: str, dst: str, replicas: int, tables: list[str] | None
             elif t == "documents" and r > 0:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1{tag}")
+                )
+                # Replica-keyed character permutation (round 11, VERDICT
+                # r10 #6): the word-suffix decorrelates SHINGLES but
+                # barely moves the PPM pixel grids the phash paths
+                # sample (synth images are the text bytes), so replica
+                # images stayed Hamming-close and ×N image pair counts
+                # grew ~quadratically (92×/step, BASELINE.md fixture
+                # caveat). A multiplicative alphabet permutation
+                # (x → 11·x + 7·r mod 26; 11 ⊥ 26) remaps byte VALUES
+                # uniformly: lengths, within-replica equality and
+                # similarity structure are preserved exactly (bijection
+                # applied uniformly), while cross-replica sampled
+                # gradients scramble — near-dup RATE stays ~constant as
+                # N grows, like a real corpus.
+                src_a = string.ascii_lowercase
+                dst_a = "".join(
+                    src_a[(11 * i + 7 * r) % 26] for i in range(26)
+                )
+                # …and a replica-distinct BYTE-OFFSET prefix: the letter
+                # permutation alone left the suffixed replicas' pair
+                # counts quadratic (measured: 184k of 205k ×10 pairs
+                # were cross-replica — all 9 suffixed replicas share
+                # identical word-length geometry, and the dHash's
+                # point-sampled gradients are dominated by space-vs-
+                # letter boundaries, which stay aligned). Shifting each
+                # replica's byte grid by a distinct offset (7r mod 101,
+                # injective for r ≤ 100) breaks the boundary alignment;
+                # within-replica structure is untouched (same shift both
+                # sides of every pair).
+                pre = "q" * ((7 * r) % 101 + 1)
+                df = df.withColumn(
+                    "text",
+                    F.concat(F.lit(pre + " "), F.translate("text", src_a, dst_a)),
                 ).withColumn("n_chars", F.length("text"))
             elif t == "embeddings" and r > 0:
                 # Roll by r mod dim; once rolls would repeat (r >= dim),
