@@ -964,13 +964,17 @@ def ppm_phash(
                         ).reshape(h, w, 3)
                 except NotImplementedError:
                     # cross-format: the hash is defined on LOGICAL pixels,
-                    # so a BMP with the same image hashes identically to
-                    # its PPM twin (tests/test_phash.py pins this).
+                    # so a BMP or GIF with the same image hashes identically
+                    # to its PPM twin (tests/test_phash.py pins this).
                     try:
                         px = _bmp_logical_pixels(data)
                         h, w, _ = px.shape
                     except NotImplementedError:
-                        px = None
+                        try:
+                            px = _gif_logical_pixels(data)
+                            h, w, _ = px.shape
+                        except NotImplementedError:
+                            px = None
                 if px is None:
                     continue
                 ys = (np.arange(8) * h) // 8
@@ -1208,6 +1212,376 @@ def ppm_pixel_stats(
                 hs.append(h)
                 sums.append([int(x) for x in rgb.sum(axis=0)])
                 peaks.append([int(x) for x in rgb.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgb": sums,
+                    "peak_rgb": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
+    )
+
+# ---------------------------------------------------------------------------
+# GIF: the codec-free COMPRESSED pixel path (round 11, VERDICT r10 #5).
+#
+# PPM and BMP store pixels raw; GIF is the one compressed raster format
+# decodable without any codec library, because GIF-LZW (public: the
+# GIF89a specification's variable-width LZW variant) is ~50 lines of
+# integer bookkeeping. Shipping it converts "compressed image decode is
+# environment-blocked" into the precise claim it should be: JPEG/PNG
+# need entropy coders this container lacks; GIF does not.
+#
+# The fixture trick is the BMP one (same LOGICAL pixels as synth_ppm, so
+# one oracle rule and one phash definition cover all three formats), but
+# GIF adds a real constraint a real encoder faces: a color table holds
+# at most 256 entries, while the fixture rows hold arbitrary RGB triples
+# of text bytes. synth_gif solves it the way true-color GIF writers do —
+# the image is split vertically into STRIPS, each its own image
+# descriptor with a local color table covering just that strip's
+# distinct colors. The decoder must therefore compose multiple
+# LZW-decoded sub-images onto the canvas at their (left, top) offsets to
+# reconstruct the logical image: a wrong strip placement, palette
+# lookup, code-width bump or dictionary reset is a hash mismatch in the
+# contract row, not a fuzzy diff.
+# ---------------------------------------------------------------------------
+
+
+_GIF_MAX_CODE = 4096  # 12-bit ceiling fixed by the GIF specification
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-LZW encode a sequence of palette indices (ints < 2**mcs) into
+    the code byte-stream (LSB-first bit packing, clear/EOI framing,
+    width growth at 2**w + 1, dictionary reset at the 12-bit ceiling).
+    Pure python — runs once per strip at fixture-synthesis time."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict = {}
+    emit(clear, width)
+    it = iter(indices)
+    try:
+        prev = next(it)
+    except StopIteration:
+        emit(eoi, width)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    for c in it:
+        key = (prev, int(c))
+        if key in table:
+            prev = table[key]
+            continue
+        emit(prev, width)
+        if next_code < _GIF_MAX_CODE:
+            table[key] = next_code
+            next_code += 1
+            # encoder bumps at 2**w + 1 (one AFTER the decoder's 2**w):
+            # the decoder's dictionary trails the encoder's by exactly
+            # one entry, so this keeps every emitted code readable at
+            # the width the decoder has in effect when it arrives.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        prev = int(c)
+    emit(prev, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """Decode a GIF-LZW code stream back to palette indices. General —
+    accepts any conformant stream (KwKwK self-reference, mid-stream
+    clear codes, deferred growth at the 12-bit ceiling), not just
+    :func:`_lzw_encode`'s output. Raises NotImplementedError on corrupt
+    streams (out-of-range code, missing data)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [(i,) for i in range(1 << min_code_size)]
+    out = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table = list(base) + [(), ()]
+    prev_entry = None
+
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise NotImplementedError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base) + [(), ()]
+            width = min_code_size + 1
+            prev_entry = None
+            continue
+        if code == eoi:
+            break
+        if prev_entry is None:
+            if code >= len(table):
+                raise NotImplementedError("GIF LZW: first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev_entry + (entry[0],))
+        elif code == len(table):
+            entry = prev_entry + (prev_entry[0],)  # KwKwK
+            table.append(entry)
+        else:
+            raise NotImplementedError("GIF LZW: code beyond dictionary")
+        out.extend(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(table) >= _GIF_MAX_CODE:
+            # dictionary full: stop adding until a clear code arrives
+            # (the spec's deferred-clear mode). Codes keep flowing at
+            # 12 bits; appends above are guarded by the == len checks.
+            table = table[:_GIF_MAX_CODE]
+        prev_entry = entry
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise NotImplementedError("GIF LZW stream ended short of the raster")
+    return out[:n_pixels]
+
+
+def synth_gif(data: bytes, width: int) -> bytes | None:
+    """Deterministic GIF89a around ``data`` — the third codec-free pixel
+    container, and the first COMPRESSED one. The LOGICAL image is
+    identical to :func:`synth_ppm`'s (pixel (y, x, ch) =
+    ``data[(y·w + x)·3 + ch]``, truncated to whole rows), but the file
+    stores it the way real true-color GIF writers must: the image is
+    split into vertical strips of rows such that each strip has ≤ 256
+    distinct colors, every strip is its own image descriptor with a
+    local color table (first-occurrence color order) and a GIF-LZW
+    compressed index raster, under one logical screen descriptor.
+    Returns None when fewer than one full row fits."""
+    import struct
+
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    rows = [
+        [tuple(data[(y * width + x) * 3 : (y * width + x) * 3 + 3]) for x in range(width)]
+        for y in range(height)
+    ]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x00, 0, 0)  # no global table
+    y = 0
+    while y < height:
+        colors: dict = {}
+        y0 = y
+        while y < height:
+            row_new = {c for c in rows[y] if c not in colors}
+            if len(colors) + len(row_new) > 256:
+                break
+            for c in rows[y]:
+                colors.setdefault(c, len(colors))
+            y += 1
+        if y == y0:  # single row exceeding 256 colors (w ≤ 256 ⇒ unreachable)
+            raise NotImplementedError("GIF strip with >256 colors in one row")
+        n = len(colors)
+        bits = max(2, (max(n, 2) - 1).bit_length())  # table size 2**bits ≥ n, ≥ 4
+        palette = bytearray()
+        for c in colors:  # insertion order = index order
+            palette += bytes(c)
+        palette += b"\x00" * (3 * ((1 << bits) - n))
+        strip_h = y - y0
+        out += struct.pack("<BHHHHB", 0x2C, 0, y0, width, strip_h, 0x80 | (bits - 1))
+        out += palette
+        idx = [colors[c] for yy in range(y0, y) for c in rows[yy]]
+        mcs = bits  # ≥ 2 per spec, and 2**mcs ≥ table size
+        out.append(mcs)
+        stream = _lzw_encode(idx, mcs)
+        for i in range(0, len(stream), 255):
+            blk = stream[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0x00)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 array of a GIF's LOGICAL image (row 0 = top),
+    composing every image descriptor's LZW-decoded raster through its
+    color table onto the canvas at its (left, top) offset. Extension
+    blocks are skipped; interlaced images and sub-images that overflow
+    the canvas raise NotImplementedError (they need a real codec's
+    reordering pass / error recovery)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if w < 1 or h < 1:
+        raise NotImplementedError("malformed GIF screen descriptor")
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise NotImplementedError("truncated GIF global color table")
+        global_table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    covered = np.zeros((h, w), dtype=bool)
+    while True:
+        if pos >= len(data):
+            raise NotImplementedError("GIF ended without trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise NotImplementedError("truncated GIF extension")
+                sz = data[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02X}")
+        if pos + 9 > len(data):
+            raise NotImplementedError("truncated GIF image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF needs a reordering codec pass")
+        if left + iw > w or top + ih > h or iw < 1 or ih < 1:
+            raise NotImplementedError("GIF sub-image overflows the canvas")
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                raise NotImplementedError("truncated GIF local color table")
+            table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        elif global_table is not None:
+            table = global_table
+        else:
+            raise NotImplementedError("GIF image with no color table")
+        if pos >= len(data):
+            raise NotImplementedError("truncated GIF image data")
+        mcs = data[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise NotImplementedError("GIF LZW min code size out of range")
+        stream = bytearray()
+        while True:
+            if pos >= len(data):
+                raise NotImplementedError("truncated GIF data sub-blocks")
+            sz = data[pos]
+            pos += 1
+            if sz == 0:
+                break
+            stream += data[pos : pos + sz]
+            pos += sz
+        idx = _lzw_decode(bytes(stream), mcs, iw * ih)
+        arr = np.asarray(idx, dtype=np.int64)
+        if arr.max(initial=0) >= len(table):
+            raise NotImplementedError("GIF pixel index beyond color table")
+        canvas[top : top + ih, left : left + iw] = table[arr].reshape(ih, iw, 3)
+        covered[top : top + ih, left : left + iw] = True
+    if not covered.all():
+        raise NotImplementedError("GIF sub-images do not cover the canvas")
+    return canvas
+
+
+def attach_gif_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """GIF twin of :func:`attach_image_payload`: ids ≡ 2 (mod 3) whose
+    text holds at least one full pixel row become real GIF89a files
+    (:func:`synth_gif`, width = 4 + id % 8, same logical pixels as the
+    PPM/BMP fixture rule); everything else stays raw utf-8 — disjoint
+    from the PPM (≡ 0) and BMP (≡ 1) fixture ids, so all three image
+    corpora coexist on one documents table."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = str(t).encode("utf-8")
+                p = synth_gif(data, 4 + int(i) % 8) if int(i) % 3 == 2 else None
+                payloads.append(p if p is not None else data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+    return df.mapInPandas(op, schema)
+
+
+def gif_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for GIF payloads — the COMPRESSED
+    twin of :func:`ppm_pixel_stats`/:func:`bmp_pixel_stats` (same output
+    schema), running the full inflate: sub-block reassembly → GIF-LZW
+    decode → palette lookup → strip composition. Exact integers only,
+    so the contract oracle recomputes every value from the fixture text
+    bytes — a wrong code-width bump, palette index or strip offset is a
+    hash mismatch, not a fuzzy diff. Non-GIF payloads are dropped."""
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    rgb = _gif_logical_pixels(bytes(b))
+                except NotImplementedError:
+                    continue
+                h, w, _ = rgb.shape
+                flat = rgb.reshape(h * w, 3).astype("int64")
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in flat.sum(axis=0)])
+                peaks.append([int(x) for x in flat.max(axis=0)])
             if not ids:
                 continue
             yield pd.DataFrame(

@@ -103,6 +103,9 @@ _MANIFEST = [
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",
+    # round 11: GIF pixel decode — the first COMPRESSED codec-free
+    # pixel format (pure-python GIF-LZW inflate, VERDICT r10 #5).
+    "multimodal_gif_pixel_stats",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

@@ -481,3 +481,109 @@ def test_ppm_resize_block_means(spark):
         img[:4, :4].reshape(2, 2, 2, 2, 3).astype(np.int64).sum(axis=(1, 3)) // 4
     ).astype(np.uint8)
     assert bytes(r["resized"]) == want.tobytes()
+
+
+def test_gif_lzw_roundtrip_with_dictionary_reset():
+    """The GIF-LZW pair (round 11): decode(encode(x)) == x for streams
+    long enough to grow the code width to 12 bits and force the
+    dictionary reset at the 4096-code ceiling, for repetitive AND
+    incompressible index sequences, plus the KwKwK self-reference and
+    empty/singleton edges."""
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    # deterministic pseudo-random indices (no RNG in tests): a full-period
+    # LCG over 0..15 stretched to 60k symbols grows the dict past 4096
+    # several times (each reset replays the growth schedule 3→12 bits).
+    seq, x = [], 7
+    for _ in range(60_000):
+        x = (5 * x + 3) % 16
+        seq.append(x)
+    assert _lzw_decode(_lzw_encode(seq, 4), 4, len(seq)) == seq
+
+    rep = (list(range(16)) * 2000)  # highly compressible: long table hits
+    assert _lzw_decode(_lzw_encode(rep, 4), 4, len(rep)) == rep
+
+    kwk = [1, 1, 1, 1, 1]  # forces the code == next_code (KwKwK) branch
+    assert _lzw_decode(_lzw_encode(kwk, 2), 2, len(kwk)) == kwk
+
+    assert _lzw_decode(_lzw_encode([3], 2), 2, 1) == [3]
+    with pytest.raises(NotImplementedError):
+        _lzw_decode(b"", 2, 1)  # truncated stream
+    with pytest.raises(NotImplementedError):
+        # stream ends (EOI) before the raster is complete
+        _lzw_decode(_lzw_encode([1, 2], 2), 2, 5)
+
+
+def test_gif_synth_decode_and_pixel_stats(spark):
+    """GIF fixtures (round 11): the full inflate — sub-block reassembly,
+    LZW decode, local-color-table lookup, strip composition — must
+    recover logical pixels IDENTICAL to the PPM layout of the same
+    bytes, including images whose color count forces multiple strips;
+    malformed/interlaced payloads raise; the stats operator drops
+    non-GIF rows."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _gif_logical_pixels,
+        gif_pixel_stats,
+        synth_gif,
+    )
+
+    # ≤256 colors: single strip
+    data = bytes(range(256)) * 3
+    g = synth_gif(data, 5)
+    assert g[:6] == b"GIF89a"
+    logical = _gif_logical_pixels(g)
+    assert logical.tobytes() == data[: 5 * 51 * 3]  # ≡ the PPM layout
+    assert g.count(b"\x2c") >= 1
+
+    # many distinct colors: force >1 strip (chained sha256 bytes — a
+    # byte-level LCG won't do: period 256 ⇒ ≤256 distinct RGB triples)
+    import hashlib
+
+    many, blk = bytearray(), b"seed"
+    while len(many) < 3 * 9 * 120:
+        blk = hashlib.sha256(blk).digest()
+        many += blk
+    many = many[: 3 * 9 * 120]
+    g2 = synth_gif(bytes(many), 9)
+    # count actual image descriptors by walking the file structure
+    n_desc = 0
+    pos = 13
+    while pos < len(g2) and g2[pos] != 0x3B:
+        assert g2[pos] == 0x2C
+        _l, top, _iw, ih, pk = struct.unpack_from("<HHHHB", g2, pos + 1)
+        pos += 10 + 3 * (2 << (pk & 7)) + 1  # desc + local table + mcs
+        while g2[pos] != 0:
+            pos += 1 + g2[pos]
+        pos += 1
+        n_desc += 1
+    assert n_desc > 1, "high-entropy image must split into multiple strips"
+    assert _gif_logical_pixels(g2).tobytes() == bytes(many)
+
+    with pytest.raises(NotImplementedError):
+        _gif_logical_pixels(b"JUNK")
+    with pytest.raises(NotImplementedError):
+        _gif_logical_pixels(g[:40])  # truncated mid-structure
+    bad = bytearray(g)
+    # flip the first image descriptor's interlace bit (descriptor starts
+    # at byte 13: 0x2C + 8 bytes then the packed field)
+    assert bad[13] == 0x2C
+    bad[13 + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        _gif_logical_pixels(bytes(bad))
+    assert synth_gif(b"xy", 5) is None
+
+    rows = [(1, g), (2, b"not an image"), (3, g[:60])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in gif_pixel_stats(df).collect()}
+    assert list(got) == [1]
+    rgb = np.frombuffer(data[: 5 * 51 * 3], dtype=np.uint8).reshape(-1, 3)
+    assert got[1]["width"] == 5 and got[1]["height"] == 51
+    assert got[1]["sum_rgb"] == [int(v) for v in rgb.astype(np.int64).sum(axis=0)]
+    assert got[1]["peak_rgb"] == [int(v) for v in rgb.max(axis=0)]

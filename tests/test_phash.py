@@ -226,3 +226,21 @@ def test_two_sided_match_equals_bruteforce(spark):
         ).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_phash_cross_format_ppm_equals_gif(spark):
+    """Round 11: the same image stored as PPM (raw RGB) and as GIF
+    (LZW-compressed strip-split palette rasters) must hash to the
+    identical 64 bits — the compression round-trip cannot move a single
+    sampled gray value."""
+    from polars_sim_spark.operators.multimodal import synth_gif
+
+    images = _rand_images(19, 30)
+    ppm_rows = [(i, synth_ppm(data, w)) for i, w, data in images]
+    gif_rows = [(i, synth_gif(data, w)) for i, w, data in images]
+    assert all(p is not None for _, p in gif_rows)
+    pdf = spark.createDataFrame(ppm_rows, "doc_id long, payload binary")
+    gdf = spark.createDataFrame(gif_rows, "doc_id long, payload binary")
+    hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
+    hg = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(gdf, n_bands=8).collect()}
+    assert hp == hg and len(hp) == len(images)
