@@ -1599,3 +1599,36 @@ def gif_pixel_stats(
         op,
         f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
     )
+
+
+def attach_multiformat_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The mixed-format image corpus (round 11): EVERY document whose
+    text holds at least one full pixel row becomes a real image file —
+    ids ≡ 0 (mod 3) as binary PPM, ≡ 1 as 24-bit BMP, ≡ 2 as GIF89a
+    (width = 4 + id % 8, identical logical-pixel rule across formats).
+    This is the corpus shape a real multimodal pipeline dedups: the
+    same picture arrives through different ingestion paths in different
+    containers, and near-dup detection must see through the container.
+    Rows whose text is too short stay raw utf-8."""
+    id_name, text_name = id_col, text_col
+    synths = {0: synth_ppm, 1: synth_bmp, 2: synth_gif}
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = str(t).encode("utf-8")
+                p = synths[int(i) % 3](data, 4 + int(i) % 8)
+                payloads.append(p if p is not None else data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+    return df.mapInPandas(op, schema)

@@ -533,6 +533,74 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_images_multiformat",
+    """
+WITH im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 3) // (4 + doc_id % 8) AS BIGINT) AS h
+  FROM documents
+),
+ok AS (SELECT * FROM im WHERE h >= 1),
+g AS (
+  SELECT doc_id, u.i // 9 AS y, u.i % 9 AS x,
+         ( CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 3 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST((((u.i // 9) * h // 8) * w + ((u.i % 9) * w // 9)) * 6 + 5 AS BIGINT), 2)) AS BIGINT)
+         ) // 3 AS gray
+  FROM ok, unnest(range(72)) AS u(i)
+),
+bits AS (
+  SELECT a.doc_id, a.y * 8 + a.x AS k,
+         CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+)
+SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+       CAST(sum(abs(a.bit - b.bit)) AS INT) AS hamming,
+       CASE WHEN a.doc_id % 3 = b.doc_id % 3 THEN 0 ELSE 1 END AS cross_format
+FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(sum(abs(a.bit - b.bit)) AS INT) <= 7
+""",
+)
+def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format image near-dup detection (round 11) — the corpus
+    shape a real multimodal pipeline faces: the same logical-pixel rule
+    arrives as raw PPM (ids ≡ 0 mod 3), 24-bit BMP (≡ 1) and
+    LZW-compressed GIF (≡ 2) through one table
+    (operators/multimodal.py:attach_multiformat_payload), and the dHash
+    (defined on LOGICAL pixels, so container-invariant by construction)
+    surfaces near-dup pairs ACROSS containers via the same banded
+    Hamming join. ``cross_format`` marks pairs whose two sides live in
+    different containers — the pairs only a format-blind hash can find.
+    The oracle recomputes every distance from the text bytes all-pairs
+    with no format column at all: hash-equality proves the three
+    decoders (raw read, DIB inversion, LZW inflate) land on identical
+    grids."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import (
+        attach_multiformat_payload,
+        ppm_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = ppm_phash(attach_multiformat_payload(docs), n_bands=8)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(8)),
+        max_dist=7,
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_doc"),
+        F.col("r_id").alias("r_doc"),
+        "hamming",
+        (F.col("l_id") % 3 != F.col("r_id") % 3).cast("int").alias("cross_format"),
+    )
+
+
+@register(
     "dedup_remove_images",
     """
 WITH RECURSIVE im AS (

@@ -244,3 +244,34 @@ def test_phash_cross_format_ppm_equals_gif(spark):
     hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
     hg = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(gdf, n_bands=8).collect()}
     assert hp == hg and len(hp) == len(images)
+
+
+def test_multiformat_corpus_hashes_equal_ppm_twin(spark):
+    """Round 11: dHashes over the MIXED-container corpus (PPM/BMP/GIF by
+    id mod 3, attach_multiformat_payload) must be IDENTICAL per doc to a
+    twin corpus storing every image as raw PPM — the container must be
+    invisible to the hash, which makes the near-dup pair set identical
+    by construction (pairs are a function of the hashes)."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_multiformat_payload,
+        synth_ppm,
+    )
+
+    images = _rand_images(31, 45)
+    text_rows = [(i, data.decode("latin-1")) for i, _w, data in images]
+    docs = spark.createDataFrame(text_rows, "doc_id long, text string")
+    mixed = ppm_phash(attach_multiformat_payload(docs), n_bands=8)
+    got = {r["doc_id"]: r["phash_hex"] for r in mixed.collect()}
+
+    # the attacher reads TEXT and encodes utf-8 (bytes ≥ 0x80 widen to
+    # two bytes) — the twin must hash the same utf-8 byte stream.
+    ppm_rows = [
+        (i, synth_ppm(t.encode("utf-8"), 4 + i % 8)) for i, t in text_rows
+    ]
+    twin = spark.createDataFrame(
+        [(i, p) for i, p in ppm_rows if p is not None],
+        "doc_id long, payload binary",
+    )
+    want = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(twin, n_bands=8).collect()}
+    assert got == want and len(got) == sum(1 for _, p in ppm_rows if p is not None)
+    assert len(got) > 30  # corpus mostly hashable, all three formats hit
