@@ -118,8 +118,7 @@ def replicate(spark, src: str, dst: str, replicas: int, tables: list[str] | None
                 # uniformly: lengths, within-replica equality and
                 # similarity structure are preserved exactly (bijection
                 # applied uniformly), while cross-replica sampled
-                # gradients scramble — near-dup RATE stays ~constant as
-                # N grows, like a real corpus.
+                # gradients scramble.
                 src_a = string.ascii_lowercase
                 dst_a = "".join(
                     src_a[(11 * i + 7 * r) % 26] for i in range(26)
@@ -135,6 +134,21 @@ def replicate(spark, src: str, dst: str, replicas: int, tables: list[str] | None
                 # injective for r ≤ 100) breaks the boundary alignment;
                 # within-replica structure is untouched (same shift both
                 # sides of every pair).
+                #
+                # MEASURED OUTCOME (round 11, tools/bench_round11_fixture):
+                # replica-copy pairs are gone — same-base-doc pairs are
+                # 615 of 311,618 ×10 phash pairs (0.2%; round 10's raw
+                # copy fixture had chains everywhere) and non-degenerate
+                # pair DENSITY drops 7.7× across replicas. The TOTAL
+                # pair count still grows ~quadratically, but for a
+                # different, fixture-independent reason: 99.99% of pairs
+                # touch a DEGENERATE image (h<8 or w<9 — the dHash's 9×8
+                # point grid repeats rows/cols, collapsing hashes to a
+                # few values), so tiny images collide by the birthday
+                # effect in ANY corpus, real or synthetic. That tail is
+                # what phash_near_pairs(max_bucket_size=...) exists for
+                # (99.5% true-dup recall at 14× less pair-gen wall at
+                # ×10 with cap 1000 — BASELINE.md round-11 table).
                 pre = "q" * ((7 * r) % 101 + 1)
                 df = df.withColumn(
                     "text",
