@@ -202,6 +202,7 @@ HEADLINE = [
     # round 11:
     "multimodal_gif_pixel_stats",
     "dedup_images_multiformat",
+    "dedup_audio_phash",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -1632,3 +1632,80 @@ def attach_multiformat_payload(
         df.schema.fields + [T.StructField("payload", T.BinaryType())]
     )
     return df.mapInPandas(op, schema)
+
+
+def wav_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    n_bands: int = 4,
+) -> DataFrame:
+    """64-bit perceptual hash per WAV payload with NO codec — the AUDIO
+    twin of :func:`ppm_phash` (round 11), completing the dedup family's
+    third modality: the amplitude-envelope gradient hash over channel-0
+    PCM:
+
+    * sample k ∈ [0, 65) reads frame ``(k·n) div 65`` of channel 0 —
+      point sampling, so the construction is defined for ANY length
+      n ≥ 1 and every sampled frame index is a closed-form function of
+      n the SQL oracle can replay;
+    * a(k) = |int16 LE sample| — exact integer amplitude;
+    * bit k = 1 iff a(k) < a(k+1) — the envelope gradient sign,
+      invariant to global gain inversion (|x| kills polarity) and to
+      uniform time-stretch of the underlying signal shape;
+    * the 64 bits return as ``n_bands`` band integers + the hex digest —
+      exactly the shape :func:`~polars_sim_spark.operators.dedup.
+      phash_near_pairs` consumes, so the banded Hamming join, the
+      pigeonhole recall guarantee, the hot-bucket cap and the star
+      contraction all apply to audio unchanged.
+
+    Non-WAV payloads are dropped. Scale: one Arrow ``mapInPandas`` byte
+    parse touching 65 sampled frames per clip regardless of duration —
+    no shuffle, no driver."""
+    import numpy as np
+
+    if n_bands not in (4, 8, 16):
+        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
+    bpb = 64 // n_bands
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, hexes = [], [[] for _ in range(n_bands)], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    _sr, ch, _br, off, dlen = _wav_chunks(data)
+                except NotImplementedError:
+                    continue
+                dlen = min(dlen, len(data) - off)
+                n = dlen // (2 * ch)
+                if n < 1:
+                    continue
+                pcm = np.frombuffer(data, dtype="<i2", offset=off, count=n * ch)
+                amp = np.abs(pcm.astype(np.int64).reshape(n, ch)[:, 0])
+                ks = (np.arange(65) * n) // 65
+                a = amp[ks]
+                bits = (a[:64] < a[1:]).astype(np.int64)
+                vals = [
+                    int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
+                    for j in range(n_bands)
+                ]
+                ids.append(i)
+                for j in range(n_bands):
+                    bands[j].append(vals[j])
+                hexes.append(
+                    format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
+                )
+            cols = {"doc_id": pd.Series(ids, dtype=object)}
+            for j in range(n_bands):
+                cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
+            cols["phash_hex"] = pd.Series(hexes, dtype=object)
+            yield pd.DataFrame(cols)
+
+    id_type = dict(df.dtypes)[id_col]
+    band_schema = ", ".join(f"band{j} int" for j in range(n_bands))
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"doc_id {id_type}, {band_schema}, phash_hex string"
+    )

@@ -109,6 +109,9 @@ _MANIFEST = [
     # round 11: cross-format (PPM/BMP/GIF) image near-dup pairs — the
     # container-invariant dHash working through three decoders at once.
     "dedup_images_multiformat",
+    # round 11: audio near-dup pairs — the dedup family's third
+    # modality (amplitude-envelope gradient hash over WAV PCM).
+    "dedup_audio_phash",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

@@ -533,6 +533,80 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_audio_phash",
+    """
+WITH wav AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch
+  FROM documents WHERE doc_id % 5 = 0
+),
+ok AS (SELECT *, dlen // (2 * ch) AS n FROM wav WHERE dlen // (2 * ch) >= 1),
+s AS (
+  SELECT doc_id, u.k AS k,
+         CAST(('0x' || substr(hx, CAST(((u.k * n // 65) * ch * 2) * 2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(hx, CAST(((u.k * n // 65) * ch * 2) * 2 + 3 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM ok, unnest(range(65)) AS u(k)
+),
+a AS (
+  SELECT doc_id, k,
+         CASE WHEN v >= 32768 THEN 65536 - v ELSE v END AS amp
+  FROM s
+),
+bits AS (
+  SELECT x.doc_id, x.k,
+         CASE WHEN x.amp < y.amp THEN 1 ELSE 0 END AS bit
+  FROM a x JOIN a y ON x.doc_id = y.doc_id AND y.k = x.k + 1
+  WHERE x.k < 64
+)
+SELECT x.doc_id AS l_doc, y.doc_id AS r_doc,
+       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING CAST(sum(abs(x.bit - y.bit)) AS INT) <= 15
+""",
+)
+def dedup_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection with no codec (round 11) — the THIRD
+    modality of the perceptual-hash dedup family (text MinHash, image
+    dHash, now audio): every WAV payload in the mixed-media fixture
+    corpus (ids ≡ 0 mod 5, operators/multimodal.py:attach_media_payload)
+    gets a 64-bit amplitude-envelope gradient hash
+    (:func:`wav_phash` — 65 point-sampled channel-0 |int16| amplitudes,
+    gradient sign bits), and pairs within Hamming ≤ 15 surface via the
+    SAME banded equi-join + exact xor/bit_count verify the image path
+    uses (operators/dedup.py:phash_near_pairs — the pigeonhole recall
+    guarantee, hot-bucket cap and star contraction carry over to audio
+    unchanged). Integer-exact end to end: the oracle recomputes every
+    sampled amplitude from the fixture text bytes by hex extraction and
+    filters ALL-pairs, proving both the sample interpretation (frame
+    indexing through the channel interleave, int16 signedness) and the
+    banded join's losslessness on real data."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        wav_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 16 bands / max_dist 15: audio envelopes are noisier than image
+    # gradients (the fixture's closest non-identical clips sit at
+    # Hamming 10), so the audio row runs the banding at its widest
+    # pigeonhole setting — which also exercises the 4-bit band width
+    # the image rows never touch.
+    ph = wav_phash(attach_media_payload(docs), n_bands=16)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(16)),
+        max_dist=15,
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_doc"), F.col("r_id").alias("r_doc"), "hamming"
+    )
+
+
+@register(
     "dedup_images_multiformat",
     """
 WITH im AS (

@@ -587,3 +587,65 @@ def test_gif_synth_decode_and_pixel_stats(spark):
     assert got[1]["width"] == 5 and got[1]["height"] == 51
     assert got[1]["sum_rgb"] == [int(v) for v in rgb.astype(np.int64).sum(axis=0)]
     assert got[1]["peak_rgb"] == [int(v) for v in rgb.max(axis=0)]
+
+
+def test_wav_phash_matches_python_reference(spark):
+    """Round 11: the audio envelope hash — engine bands/hex vs a
+    from-scratch python recomputation over synth_wav fixtures (mono and
+    stereo, lengths spanning n < 65 and n >> 65), and the banded join
+    at 16 bands equals the brute-force Hamming filter."""
+    import numpy as np
+
+    from polars_sim_spark.operators.dedup import phash_near_pairs
+    from polars_sim_spark.operators.multimodal import synth_wav, wav_phash
+
+    rng = np.random.default_rng(23)
+    rows, want = [], {}
+    for i in range(30):
+        ch = 1 + i % 2
+        n_bytes = int(rng.integers(2 * ch, 4000))
+        data = rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes()
+        rows.append((i, synth_wav(data, 8000, ch)))
+        n = len(data) // (2 * ch)
+        pcm = np.frombuffer(data[: n * ch * 2], dtype="<i2").reshape(n, ch)
+        amp = np.abs(pcm.astype(np.int64))[:, 0]
+        a = amp[(np.arange(65) * n) // 65]
+        bits = (a[:64] < a[1:]).astype(int)
+        want[i] = sum(int(b) << k for k, b in enumerate(bits))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in wav_phash(df, n_bands=16).collect()}
+    assert set(got) == set(want)
+    for i, r in got.items():
+        assert int(r["phash_hex"], 16) == want[i], i
+        # bands reassemble to the same 64 bits
+        assembled = sum(r[f"band{j}"] << (4 * j) for j in range(16))
+        assert assembled == want[i], i
+
+    ph = wav_phash(df, n_bands=16)
+    pairs = {
+        (r["l_id"], r["r_id"]): r["hamming"]
+        for r in phash_near_pairs(
+            ph,
+            id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(16)),
+            max_dist=15,
+        ).collect()
+    }
+    brute = {}
+    ids = sorted(want)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(want[ids[x]] ^ want[ids[y]]).count("1")
+            if h <= 15:
+                brute[(ids[x], ids[y])] = h
+    assert pairs == brute
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bands"):
+        wav_phash(df, n_bands=5)
+    # non-WAV payloads are dropped
+    mixed = spark.createDataFrame(
+        [(0, b"not audio"), (1, rows[1][1])], "doc_id long, payload binary"
+    )
+    assert [r["doc_id"] for r in wav_phash(mixed).collect()] == [1]
