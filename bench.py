@@ -203,6 +203,7 @@ HEADLINE = [
     "multimodal_gif_pixel_stats",
     "dedup_images_multiformat",
     "dedup_audio_phash",
+    "dedup_video_vhash",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -112,6 +112,9 @@ _MANIFEST = [
     # round 11: audio near-dup pairs — the dedup family's third
     # modality (amplitude-envelope gradient hash over WAV PCM).
     "dedup_audio_phash",
+    # round 11: video near-dup pairs — the fourth modality (majority
+    # fold of per-frame envelope hashes over the BMFF sample tables).
+    "dedup_video_vhash",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

@@ -533,6 +533,76 @@ def dedup_images_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_vhash",
+    """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents WHERE doc_id % 5 = 1 AND octet_length(encode(text)) > 0
+),
+fr AS (
+  SELECT doc_id, hx, u.i AS f,
+         least(64, dlen - u.i * 64) AS flen
+  FROM m, unnest(range((dlen + 63) // 64)) AS u(i)
+  WHERE u.i % 2 = 0
+),
+s AS (
+  SELECT doc_id, f, u.k AS k,
+         CAST(('0x' || substr(hx, CAST((f * 64 + (u.k * flen // 65)) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS b
+  FROM fr, unnest(range(65)) AS u(k)
+),
+fb AS (
+  SELECT x.doc_id, x.f, x.k,
+         CASE WHEN x.b < y.b THEN 1 ELSE 0 END AS bit
+  FROM s x JOIN s y ON x.doc_id = y.doc_id AND x.f = y.f AND y.k = x.k + 1
+  WHERE x.k < 64
+),
+vb AS (
+  SELECT doc_id, k,
+         CASE WHEN 2 * sum(bit) > count(*) THEN 1 ELSE 0 END AS bit
+  FROM fb GROUP BY doc_id, k
+)
+SELECT x.doc_id AS l_doc, y.doc_id AS r_doc,
+       CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
+FROM vb x JOIN vb y ON x.k = y.k AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING CAST(sum(abs(x.bit - y.bit)) AS INT) <= 7
+""",
+)
+def dedup_video_vhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection with no codec (round 11) — the FOURTH
+    modality, completing the dedup matrix (text MinHash, image dHash,
+    audio envelope, video): every MP4 payload in the mixed-media
+    fixture corpus (ids ≡ 1 mod 5) gets a 64-bit majority-vote fold of
+    per-frame byte-envelope hashes (operators/multimodal.py:mp4_vhash —
+    frames selected from the REAL ISO-BMFF sample tables, every 2nd
+    sample; 65 point-sampled bytes per frame; video bit j = strict
+    majority of frame bits j), and pairs within Hamming ≤ 7 surface via
+    the same banded equi-join + exact verify as every other modality.
+    The DuckDB oracle replays frame selection, per-frame byte sampling,
+    the majority fold and ALL-pairs distances from the text column in
+    closed form — a mis-resolved chunk offset or a wrong tie-break in
+    the majority shifts bits and fails the hash."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        mp4_vhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = mp4_vhash(attach_media_payload(docs), every_n=2, n_bands=8)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(8)),
+        max_dist=7,
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_doc"), F.col("r_id").alias("r_doc"), "hamming"
+    )
+
+
+@register(
     "dedup_audio_phash",
     """
 WITH wav AS (

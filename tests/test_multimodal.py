@@ -649,3 +649,60 @@ def test_wav_phash_matches_python_reference(spark):
         [(0, b"not audio"), (1, rows[1][1])], "doc_id long, payload binary"
     )
     assert [r["doc_id"] for r in wav_phash(mixed).collect()] == [1]
+
+
+def test_mp4_vhash_matches_python_reference(spark):
+    """Round 11: the video majority-fold hash — engine bands/hex vs a
+    from-scratch python recomputation over synth_mp4 fixtures, strict
+    majority (ties → 0) pinned by an even frame count, plus drop
+    behavior for non-BMFF and zero-frame payloads."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        FRAME_BYTES,
+        mp4_vhash,
+        synth_mp4,
+    )
+
+    rng = np.random.default_rng(41)
+    rows, want = [], {}
+    for i in range(12):
+        n_bytes = int(rng.integers(1, 2000))
+        data = rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes()
+        rows.append((i, synth_mp4(data, width=320, height=240, duration_ms=100)))
+        # python reference: frames = FRAME_BYTES slices, every 2nd
+        votes, used = np.zeros(64, dtype=int), 0
+        for f in range(0, (len(data) + FRAME_BYTES - 1) // FRAME_BYTES, 2):
+            frame = np.frombuffer(
+                data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES], np.uint8
+            ).astype(int)
+            m = len(frame)
+            if m < 1:
+                continue
+            fb = frame[(np.arange(65) * m) // 65]
+            votes += fb[:64] < fb[1:]
+            used += 1
+        bits = (2 * votes > used).astype(int)
+        want[i] = sum(int(b) << k for k, b in enumerate(bits))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mp4_vhash(df, every_n=2, n_bands=8).collect()}
+    assert set(got) == set(want)
+    for i, r in got.items():
+        assert int(r["phash_hex"], 16) == want[i], i
+        assert sum(r[f"band{j}"] << (8 * j) for j in range(8)) == want[i], i
+
+    # non-BMFF dropped; empty mdat (zero frames) dropped
+    mixed = spark.createDataFrame(
+        [
+            (0, b"not a video"),
+            (1, synth_mp4(b"", width=64, height=64, duration_ms=0)),
+            (2, rows[0][1]),
+        ],
+        "doc_id long, payload binary",
+    )
+    assert [r["doc_id"] for r in mp4_vhash(mixed).collect()] == [2]
+    with pytest.raises(ValueError, match="n_bands"):
+        mp4_vhash(df, n_bands=3)
+    with pytest.raises(ValueError, match="every_n"):
+        mp4_vhash(df, every_n=0)
