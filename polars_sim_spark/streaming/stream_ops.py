@@ -1608,32 +1608,52 @@ def stream_phash_match(
     payload_col: str = "payload",
     n_bands: int = 8,
     max_dist: int = 7,
+    modality: str = "image",
 ):
-    """Streaming image near-dup gate — the picture twin of
+    """Streaming perceptual near-dup gate — the media twin of
     :func:`stream_edit_match`: returns a ``foreachBatch`` callable that
-    perceptual-hashes each micro-batch of incoming image payloads
-    (:func:`~polars_sim_spark.operators.multimodal.ppm_phash`) and
+    perceptual-hashes each micro-batch of incoming media payloads and
     matches them against a STORED phash band table within Hamming
-    ``max_dist`` — the ingest-time "have we already trained on this
-    image?" check, run before the bytes land.
+    ``max_dist`` — the ingest-time "have we already trained on this?"
+    check, run before the bytes land.
+
+    ``modality`` selects the hasher (round 11 — all three emit the same
+    band schema, so history tables, band joins and this gate are shared
+    machinery): ``"image"`` →
+    :func:`~polars_sim_spark.operators.multimodal.ppm_phash` (PPM/BMP/
+    GIF payloads, container-invariant), ``"audio"`` →
+    :func:`~polars_sim_spark.operators.multimodal.wav_phash` (WAV PCM
+    envelope), ``"video"`` →
+    :func:`~polars_sim_spark.operators.multimodal.mp4_vhash` (BMFF
+    frame-hash majority fold).
 
     One code path with the batch operator
     (:func:`~polars_sim_spark.operators.dedup.phash_match_pairs`), so
     availableNow output equals the batch two-sided match by
     construction — stateless, no watermark. History stores 16-byte
-    hashes, not pixels: a micro-batch costs hashing its own payloads
-    (72 sampled bytes per image) plus its band rows against the band
-    join; the pixel corpus is never rescanned."""
+    hashes, not pixels/samples: a micro-batch costs hashing its own
+    payloads (≤72 sampled bytes per item) plus its band rows against
+    the band join; the media corpus is never rescanned."""
     from polars_sim_spark.operators.dedup import phash_match_pairs
-    from polars_sim_spark.operators.multimodal import ppm_phash
+    from polars_sim_spark.operators.multimodal import (
+        mp4_vhash,
+        ppm_phash,
+        wav_phash,
+    )
 
+    hashers = {"image": ppm_phash, "audio": wav_phash, "video": mp4_vhash}
+    if modality not in hashers:
+        raise ValueError(
+            f"modality must be one of {sorted(hashers)}; got {modality!r}"
+        )
+    hasher = hashers[modality]
     band_cols = tuple(f"band{j}" for j in range(n_bands))
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         hist = batch_df.sparkSession.read.parquet(phash_index_path)
-        ph = ppm_phash(
+        ph = hasher(
             batch_df, id_col=id_col, payload_col=payload_col, n_bands=n_bands
         )
         out = phash_match_pairs(

@@ -1968,3 +1968,57 @@ def test_stream_fold_from_committed_label_store_equals_contract_row(spark, tmp_p
         for r in q.entity_resolve_incremental(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_stream_phash_match_audio_equals_batch(spark, sf_small, tmp_path):
+    """Round 11: the generalized gate at modality='audio' — availableNow
+    WAV near-dup gating against a stored wav_phash table == the batch
+    two-sided match (same code path), and an unknown modality raises."""
+    import uuid as _uuid
+
+    import pytest
+
+    from polars_sim_spark.operators.dedup import phash_match_pairs
+    from polars_sim_spark.operators.multimodal import attach_media_payload, wav_phash
+    from polars_sim_spark.streaming.stream_ops import stream_phash_match
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    payloads = attach_media_payload(docs).select("doc_id", "payload")
+    hist = payloads.select((F.col("doc_id") + 100000).alias("doc_id"), "payload")
+
+    idx_path = str(tmp_path / "wav_idx")
+    wav_phash(hist, n_bands=8).write.parquet(idx_path)
+    src = str(tmp_path / "src")
+    payloads.write.parquet(src)
+    sink = str(tmp_path / "matched")
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    qn = f"wavmatch_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_phash_match(
+                idx_path, sink, n_bands=8, max_dist=7, modality="audio"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.l_id, r.r_id, r.hamming) for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.l_id, r.r_id, r.hamming)
+        for r in phash_match_pairs(
+            wav_phash(payloads, n_bands=8),
+            spark.read.parquet(idx_path),
+            id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(8)),
+            max_dist=7,
+        ).collect()
+    }
+    assert got == want and len(got) > 0  # every clip has a distance-0 twin
+
+    with pytest.raises(ValueError, match="modality"):
+        stream_phash_match(idx_path, sink, modality="text")
