@@ -937,7 +937,10 @@ def ppm_phash(
       for proportionally more candidate-join rows — plus the assembled
       16-hex digest for display/storage.
 
-    Non-PPM payloads are dropped (they cannot be images). Scale: one
+    PPM, BMP and GIF payloads all hash (the hash is defined on LOGICAL
+    pixels, so the container is invisible — cross-format identity is
+    pinned in tests/test_phash.py); anything else is dropped (it cannot
+    be decoded codec-free). Scale: one
     Arrow ``mapInPandas`` byte parse per row touching 72 sampled bytes
     per image regardless of image size — no shuffle, no driver."""
     import numpy as np
