@@ -909,6 +909,31 @@ def ppm_resize(
     )
 
 
+def _require_bands(n_bands: int) -> int:
+    """Validate a 64-bit band split and return bits-per-band.
+
+    n_bands=2 is rejected: a 32-bit band cannot be carried in the int32
+    band columns this schema declares (values up to 2^32-1 overflow),
+    and a 2-band split only guarantees recall at Hamming distance <= 1 —
+    useless for the near-dup regimes the band join targets."""
+    if n_bands not in (4, 8, 16):
+        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
+    return 64 // n_bands
+
+
+def _pack_bands(bits, n_bands: int, bpb: int):
+    """Split a 64-element 0/1 array into ``n_bands`` little-endian band
+    ints plus the assembled 16-hex digest — the one band-packing
+    arithmetic every perceptual hasher (image/audio/video) shares."""
+    import numpy as np
+
+    vals = [
+        int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
+        for j in range(n_bands)
+    ]
+    return vals, format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
+
+
 def ppm_phash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -945,13 +970,7 @@ def ppm_phash(
     per image regardless of image size — no shuffle, no driver."""
     import numpy as np
 
-    # n_bands=2 is rejected: a 32-bit band cannot be carried in the int32
-    # band columns this schema declares (values up to 2^32-1 overflow), and
-    # a 2-band split only guarantees recall at Hamming distance ≤ 1 —
-    # useless for the d≤7 near-dup regime the band join targets.
-    if n_bands not in (4, 8, 16):
-        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
-    bpb = 64 // n_bands
+    bpb = _require_bands(n_bands)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -984,16 +1003,11 @@ def ppm_phash(
                 xs = (np.arange(9) * w) // 9
                 gray = px[ys][:, xs].astype(np.int64).sum(axis=2) // 3  # 8 rows × 9 cols
                 bits = (gray[:, :8] < gray[:, 1:]).astype(np.int64).ravel()
-                vals = [
-                    int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
-                    for j in range(n_bands)
-                ]
+                vals, hx = _pack_bands(bits, n_bands, bpb)
                 ids.append(i)
                 for j in range(n_bands):
                     bands[j].append(vals[j])
-                hexes.append(
-                    format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
-                )
+                hexes.append(hx)
             cols = {"doc_id": pd.Series(ids, dtype=object)}
             for j in range(n_bands):
                 cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
@@ -1007,22 +1021,24 @@ def ppm_phash(
     )
 
 
-def attach_image_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def _attach_payload(
+    df: DataFrame, synths: dict, text_col: str, id_col: str
 ) -> DataFrame:
-    """Synthesize the image-fixture corpus: ids ≡ 0 (mod 3) whose text
-    holds at least one full pixel row become real binary PPMs
-    (:func:`synth_ppm`, width = 4 + id % 8); everything else stays raw
-    utf-8. Deterministic, so a closed-form SQL oracle predicts every
-    pixel byte from the text column."""
+    """Shared image-fixture attacher: for ids whose ``id % 3`` has an
+    entry in ``synths``, wrap the utf-8 text bytes in that container
+    (width = 4 + id % 8); rows whose text is too short for one pixel
+    row (synth returns None) and non-matching ids stay raw utf-8.
+    Deterministic, so closed-form SQL oracles predict every pixel byte
+    from the text column."""
     id_name, text_name = id_col, text_col
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for i, t in zip(pdf[id_name], pdf[text_name]):
-                data = str(t).encode("utf-8")
-                p = synth_ppm(data, 4 + int(i) % 8) if int(i) % 3 == 0 else None
+                data = ("" if t is None else str(t)).encode("utf-8")
+                synth = synths.get(int(i) % 3)
+                p = synth(data, 4 + int(i) % 8) if synth else None
                 payloads.append(p if p is not None else data)
             out = pdf.copy()
             out["payload"] = payloads
@@ -1034,6 +1050,16 @@ def attach_image_payload(
         df.schema.fields + [T.StructField("payload", T.BinaryType())]
     )
     return df.mapInPandas(op, schema)
+
+
+def attach_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize the image-fixture corpus: ids ≡ 0 (mod 3) whose text
+    holds at least one full pixel row become real binary PPMs
+    (:func:`synth_ppm`, width = 4 + id % 8); everything else stays raw
+    utf-8."""
+    return _attach_payload(df, {0: synth_ppm}, text_col, id_col)
 
 
 def synth_bmp(data: bytes, width: int) -> bytes | None:
@@ -1114,37 +1140,32 @@ def attach_bmp_payload(
     (:func:`synth_bmp`, width = 4 + id % 8, same logical pixels as the
     PPM fixture rule); everything else stays raw utf-8 — disjoint from
     the PPM fixture ids (≡ 0 mod 3), so both image corpora coexist."""
-    id_name, text_name = id_col, text_col
+    return _attach_payload(df, {1: synth_bmp}, text_col, id_col)
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i, t in zip(pdf[id_name], pdf[text_name]):
-                data = str(t).encode("utf-8")
-                p = synth_bmp(data, 4 + int(i) % 8) if int(i) % 3 == 1 else None
-                payloads.append(p if p is not None else data)
-            out = pdf.copy()
-            out["payload"] = payloads
-            yield out
 
-    from pyspark.sql import types as T
+def _ppm_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 array of a binary-PPM payload's pixels.
+    Raises NotImplementedError on non-PPM / truncated payloads (the
+    shared-stats drop contract)."""
+    import numpy as np
 
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    w, h, off = _parse_ppm(data)
+    n_px = w * h
+    if w < 1 or h < 1 or len(data) - off < n_px * 3:
+        raise NotImplementedError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * 3).reshape(
+        h, w, 3
     )
-    return df.mapInPandas(op, schema)
 
 
-def bmp_pixel_stats(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
-) -> DataFrame:
-    """Per-channel pixel statistics for 24-bit BMP payloads — the BMP
-    twin of :func:`ppm_pixel_stats` (same output schema: id, width,
-    height, sum_rgb array<long>, peak_rgb array<int>), decoding the
-    real DIB layout: pixel-offset pointer, bottom-up row order, BGR
-    interleave, 4-byte row stride. Exact integers only, so the contract
-    oracle recomputes every value from the fixture text bytes — a wrong
-    flip, swap or stride is a hash mismatch, not a fuzzy diff."""
+def _pixel_stats(df: DataFrame, decode, id_col: str, payload_col: str) -> DataFrame:
+    """Shared per-channel pixel-statistics body for the codec-free
+    formats: ``decode(bytes) -> (h, w, 3) RGB uint8`` (raising
+    NotImplementedError to drop non-decodable payloads). Exact integers
+    only — channel sums as int64, peaks as uint8-range ints — so every
+    format's contract oracle recomputes each value from the fixture
+    text bytes. Output: (id, width, height, sum_rgb array<long>,
+    peak_rgb array<int>)."""
     id_name = id_col
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1152,7 +1173,7 @@ def bmp_pixel_stats(
             ids, ws, hs, sums, peaks = [], [], [], [], []
             for i, b in zip(pdf[id_name], pdf[payload_col]):
                 try:
-                    rgb = _bmp_logical_pixels(bytes(b))
+                    rgb = decode(bytes(b))
                 except NotImplementedError:
                     continue
                 h, w, _ = rgb.shape
@@ -1181,6 +1202,19 @@ def bmp_pixel_stats(
     )
 
 
+def bmp_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 24-bit BMP payloads — the BMP
+    twin of :func:`ppm_pixel_stats` (same output schema: id, width,
+    height, sum_rgb array<long>, peak_rgb array<int>), decoding the
+    real DIB layout: pixel-offset pointer, bottom-up row order, BGR
+    interleave, 4-byte row stride. Exact integers only, so the contract
+    oracle recomputes every value from the fixture text bytes — a wrong
+    flip, swap or stride is a hash mismatch, not a fuzzy diff."""
+    return _pixel_stats(df, _bmp_logical_pixels, id_col, payload_col)
+
+
 def ppm_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -1192,46 +1226,8 @@ def ppm_pixel_stats(
     uint8-range ints), so the contract row's DuckDB oracle recomputes
     every value from the fixture text bytes. Output:
     (id, width, height, sum_rgb array<long>, peak_rgb array<int>)."""
-    import numpy as np
+    return _pixel_stats(df, _ppm_logical_pixels, id_col, payload_col)
 
-    id_name = id_col
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ws, hs, sums, peaks = [], [], [], [], []
-            for i, b in zip(pdf[id_name], pdf[payload_col]):
-                data = bytes(b)
-                try:
-                    w, h, off = _parse_ppm(data)
-                except NotImplementedError:
-                    continue
-                n_px = w * h
-                if len(data) - off < n_px * 3:
-                    continue  # truncated pixel data: not a valid P6
-                px = np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * 3)
-                rgb = px.reshape(n_px, 3).astype(np.int64)
-                ids.append(i)
-                ws.append(w)
-                hs.append(h)
-                sums.append([int(x) for x in rgb.sum(axis=0)])
-                peaks.append([int(x) for x in rgb.max(axis=0)])
-            if not ids:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "width": ws,
-                    "height": hs,
-                    "sum_rgb": sums,
-                    "peak_rgb": peaks,
-                }
-            )
-
-    id_type = dict(df.dtypes)[id_col]
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op,
-        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
-    )
 
 # ---------------------------------------------------------------------------
 # GIF: the codec-free COMPRESSED pixel path (round 11, VERDICT r10 #5).
@@ -1359,8 +1355,14 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev_entry + (entry[0],))
-        elif code == len(table):
+            # dictionary full (the spec's deferred-clear mode): stop
+            # adding until a clear code arrives; codes keep flowing at
+            # 12 bits. Guarding the append (instead of trimming after)
+            # keeps full-table decode O(1) per code — a trim was an
+            # O(4096) list copy per PIXEL on deferred-clear streams.
+            if len(table) < _GIF_MAX_CODE:
+                table.append(prev_entry + (entry[0],))
+        elif code == len(table) and len(table) < _GIF_MAX_CODE:
             entry = prev_entry + (prev_entry[0],)  # KwKwK
             table.append(entry)
         else:
@@ -1368,11 +1370,6 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
         out.extend(entry)
         if len(table) == (1 << width) and width < 12:
             width += 1
-        if len(table) >= _GIF_MAX_CODE:
-            # dictionary full: stop adding until a clear code arrives
-            # (the spec's deferred-clear mode). Codes keep flowing at
-            # 12 bits; appends above are guarded by the == len checks.
-            table = table[:_GIF_MAX_CODE]
         prev_entry = entry
         if len(out) >= n_pixels:
             break
@@ -1537,25 +1534,7 @@ def attach_gif_payload(
     PPM/BMP fixture rule); everything else stays raw utf-8 — disjoint
     from the PPM (≡ 0) and BMP (≡ 1) fixture ids, so all three image
     corpora coexist on one documents table."""
-    id_name, text_name = id_col, text_col
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i, t in zip(pdf[id_name], pdf[text_name]):
-                data = str(t).encode("utf-8")
-                p = synth_gif(data, 4 + int(i) % 8) if int(i) % 3 == 2 else None
-                payloads.append(p if p is not None else data)
-            out = pdf.copy()
-            out["payload"] = payloads
-            yield out
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("payload", T.BinaryType())]
-    )
-    return df.mapInPandas(op, schema)
+    return _attach_payload(df, {2: synth_gif}, text_col, id_col)
 
 
 def gif_pixel_stats(
@@ -1568,40 +1547,7 @@ def gif_pixel_stats(
     so the contract oracle recomputes every value from the fixture text
     bytes — a wrong code-width bump, palette index or strip offset is a
     hash mismatch, not a fuzzy diff. Non-GIF payloads are dropped."""
-    id_name = id_col
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, ws, hs, sums, peaks = [], [], [], [], []
-            for i, b in zip(pdf[id_name], pdf[payload_col]):
-                try:
-                    rgb = _gif_logical_pixels(bytes(b))
-                except NotImplementedError:
-                    continue
-                h, w, _ = rgb.shape
-                flat = rgb.reshape(h * w, 3).astype("int64")
-                ids.append(i)
-                ws.append(w)
-                hs.append(h)
-                sums.append([int(x) for x in flat.sum(axis=0)])
-                peaks.append([int(x) for x in flat.max(axis=0)])
-            if not ids:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "width": ws,
-                    "height": hs,
-                    "sum_rgb": sums,
-                    "peak_rgb": peaks,
-                }
-            )
-
-    id_type = dict(df.dtypes)[id_col]
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        op,
-        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
-    )
+    return _pixel_stats(df, _gif_logical_pixels, id_col, payload_col)
 
 
 def attach_multiformat_payload(
@@ -1615,26 +1561,9 @@ def attach_multiformat_payload(
     same picture arrives through different ingestion paths in different
     containers, and near-dup detection must see through the container.
     Rows whose text is too short stay raw utf-8."""
-    id_name, text_name = id_col, text_col
-    synths = {0: synth_ppm, 1: synth_bmp, 2: synth_gif}
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i, t in zip(pdf[id_name], pdf[text_name]):
-                data = str(t).encode("utf-8")
-                p = synths[int(i) % 3](data, 4 + int(i) % 8)
-                payloads.append(p if p is not None else data)
-            out = pdf.copy()
-            out["payload"] = payloads
-            yield out
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    return _attach_payload(
+        df, {0: synth_ppm, 1: synth_bmp, 2: synth_gif}, text_col, id_col
     )
-    return df.mapInPandas(op, schema)
 
 
 def wav_phash(
@@ -1668,9 +1597,7 @@ def wav_phash(
     no shuffle, no driver."""
     import numpy as np
 
-    if n_bands not in (4, 8, 16):
-        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
-    bpb = 64 // n_bands
+    bpb = _require_bands(n_bands)
     id_name = id_col
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1691,16 +1618,11 @@ def wav_phash(
                 ks = (np.arange(65) * n) // 65
                 a = amp[ks]
                 bits = (a[:64] < a[1:]).astype(np.int64)
-                vals = [
-                    int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
-                    for j in range(n_bands)
-                ]
+                vals, hx = _pack_bands(bits, n_bands, bpb)
                 ids.append(i)
                 for j in range(n_bands):
                     bands[j].append(vals[j])
-                hexes.append(
-                    format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
-                )
+                hexes.append(hx)
             cols = {"doc_id": pd.Series(ids, dtype=object)}
             for j in range(n_bands):
                 cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
@@ -1750,11 +1672,9 @@ def mp4_vhash(
     sampled bytes per selected frame — no shuffle, no driver."""
     import numpy as np
 
-    if n_bands not in (4, 8, 16):
-        raise ValueError(f"n_bands must be one of (4, 8, 16); got {n_bands}")
+    bpb = _require_bands(n_bands)
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
-    bpb = 64 // n_bands
     id_name = id_col
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1770,8 +1690,14 @@ def mp4_vhash(
                 used = 0
                 for fi in range(0, len(samples), every_n):
                     off, size, _t = samples[fi]
+                    if off >= len(data):
+                        # truncated mdat: a sample table can point past
+                        # the bytes that actually arrived — skip the
+                        # frame, don't crash the task (frombuffer raises
+                        # on offset > buffer length)
+                        continue
                     frame = np.frombuffer(
-                        data, np.uint8, min(size, max(len(data) - off, 0)), off
+                        data, np.uint8, min(size, len(data) - off), off
                     )
                     m = len(frame)
                     if m < 1:
@@ -1783,16 +1709,11 @@ def mp4_vhash(
                 if used == 0:
                     continue
                 bits = (2 * votes > used).astype(np.int64)  # strict majority
-                vals = [
-                    int((bits[bpb * j : bpb * (j + 1)] << np.arange(bpb)).sum())
-                    for j in range(n_bands)
-                ]
+                vals, hx = _pack_bands(bits, n_bands, bpb)
                 ids.append(i)
                 for j in range(n_bands):
                     bands[j].append(vals[j])
-                hexes.append(
-                    format(sum(v << (bpb * j) for j, v in enumerate(vals)), "016X")
-                )
+                hexes.append(hx)
             cols = {"doc_id": pd.Series(ids, dtype=object)}
             for j in range(n_bands):
                 cols[f"band{j}"] = pd.array(bands[j], dtype="int32")

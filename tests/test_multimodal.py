@@ -702,6 +702,21 @@ def test_mp4_vhash_matches_python_reference(spark):
         "doc_id long, payload binary",
     )
     assert [r["doc_id"] for r in mp4_vhash(mixed).collect()] == [2]
+
+    # truncated mdat: synth_mp4's layout is ftyp+moov+mdat, so cutting
+    # deep into mdat leaves the sample tables intact while later sample
+    # offsets point PAST the received bytes — those frames must be
+    # skipped, not crash the task (np.frombuffer raises on offset >
+    # buffer length). A payload long enough to have several frames is
+    # cut so the first frame survives partially and the rest vanish.
+    from polars_sim_spark.operators.multimodal import _parse_mp4_samples
+
+    big = synth_mp4(bytes(range(200)), width=320, height=240, duration_ms=100)
+    first_off = _parse_mp4_samples(big)[0][0]  # after ftyp+moov+mdat hdr
+    cut = big[: first_off + 11]
+    trunc = spark.createDataFrame([(9, cut)], "doc_id long, payload binary")
+    out = mp4_vhash(trunc).collect()  # must not raise
+    assert len(out) == 1  # the 11 surviving first-frame bytes still hash
     with pytest.raises(ValueError, match="n_bands"):
         mp4_vhash(df, n_bands=3)
     with pytest.raises(ValueError, match="every_n"):
