@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_images_multiformat",
     "dedup_audio_phash",
     "dedup_video_vhash",
+    "split_documents_cluster_safe",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

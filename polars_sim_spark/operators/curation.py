@@ -76,6 +76,46 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split (round 11): near-dup CLUSTERS
+    are the split unit, not documents. A plain per-document hash split
+    puts two near-duplicates on opposite sides of the train/test
+    boundary ~2·p·(1−p) of the time — test-set contamination that
+    inflates eval scores; assigning every member of a connected
+    component the label of its cluster id (the component minimum)
+    guarantees near-dups never straddle a split.
+
+    ``pairs`` is any (l_id, r_id) near-dup edge set (Jaccard, MinHash
+    LSH, SimHash, phash, embedding — every family in operators/dedup.py
+    emits this shape). The label is a pure md5 function of the cluster
+    id + salt (:func:`hash_split`), so it is stable across runs/engines
+    AND across corpus growth that doesn't touch a cluster: appending
+    documents only moves labels of clusters whose minimum changed.
+
+    Scale: connected components (incident-only iteration, bounded
+    rounds) dominates; the label assignment is a zero-shuffle
+    projection over the CC output and one id-keyed join back to the
+    payload — the same economics as the dedup removal paths.
+    """
+    from polars_sim_spark.operators.dedup import connected_components
+
+    cc = connected_components(
+        df.select(F.col(id_col).alias("id")), pairs
+    )
+    labeled = hash_split(cc, "cluster_id", weights, salt=salt, out_col=out_col)
+    return df.join(
+        labeled.select(F.col("id").alias(id_col), "cluster_id", out_col), id_col
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

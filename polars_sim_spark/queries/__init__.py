@@ -115,6 +115,9 @@ _MANIFEST = [
     # round 11: video near-dup pairs — the fourth modality (majority
     # fold of per-frame envelope hashes over the BMFF sample tables).
     "dedup_video_vhash",
+    # round 11: leakage-safe split — near-dup clusters, not documents,
+    # are the train/val/test unit (eval-contamination guarantee).
+    "split_documents_cluster_safe",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

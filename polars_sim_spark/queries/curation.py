@@ -76,6 +76,57 @@ def split_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_documents_cluster_safe",
+    f"""
+WITH RECURSIVE sh AS ({duck_shingles_cte('documents', 'doc_id', 'text')}),
+n AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS l_id, b.id AS r_id, count(*) AS k
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT inter.l_id, inter.r_id, CAST(k AS DOUBLE) / (na.n + nb.n - k) AS jac
+  FROM inter JOIN n na ON na.id = inter.l_id JOIN n nb ON nb.id = inter.r_id
+),
+pairs AS (SELECT l_id, r_id FROM jac WHERE round(jac, 6) >= 0.5),
+e AS (SELECT l_id AS src, r_id AS dst FROM pairs
+      UNION ALL SELECT r_id AS src, l_id AS dst FROM pairs),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.lab FROM e JOIN reach ON reach.id = e.src
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ({DUCK_HASH.format(c="CAST(cluster_id AS VARCHAR) || 'r11'")}) % 1000 AS b
+      FROM cc)
+""",
+)
+def split_documents_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split (round 11,
+    operators/curation.py:cluster_safe_split): near-dup CLUSTERS
+    (Jaccard ≥ 0.5 pairs → connected components) are the split unit, so
+    two near-duplicate documents can never land on opposite sides of
+    the train/test boundary — the eval-contamination guarantee a plain
+    per-document hash split cannot give. The label is a pure md5
+    function of the cluster minimum + salt; ONE oracle replays shingle
+    Jaccard, the reachability closure, the min-label clustering AND the
+    hash bucketing, so a wrong component or a drifted bucket edge is a
+    hash mismatch."""
+    from polars_sim_spark.operators.curation import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = cache_registry.track(dedup.shingle_postings(docs, "doc_id", "text"))
+    pairs = dedup.jaccard_pairs(postings, min_jaccard=0.5).select("l_id", "r_id")
+    out = cluster_safe_split(docs, "doc_id", pairs, salt="r11")
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@register(
     "curate_corpus_pipeline",
     f"""
 WITH RECURSIVE fdocs AS (

@@ -708,3 +708,49 @@ def test_contamination_fraction_invariants(spark, sf_small):
     # is only PARTIALLY contained
     partial = [r for r in frac if 0 < r["frac_ppm"] < 1_000_000]
     assert partial
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_small):
+    """Round 11: every member of a near-dup cluster gets the SAME split
+    label (the leakage guarantee), labels are the md5 hash_split of the
+    cluster id (determinism pin vs hash_split on the CC output), and a
+    plain per-document split on the same corpus DOES leak — proving the
+    operator is load-bearing, not vacuously equal."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.curation import cluster_safe_split, hash_split
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    postings = dedup.shingle_postings(docs, "doc_id", "text")
+    pairs = dedup.jaccard_pairs(postings, min_jaccard=0.5).select("l_id", "r_id")
+    out = cluster_safe_split(docs, "doc_id", pairs, salt="t")
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == docs.count()
+
+    # per-cluster label uniqueness = the leakage guarantee
+    by_cluster = {}
+    for _id, (cid, sp) in rows.items():
+        by_cluster.setdefault(cid, set()).add(sp)
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert any(cid != i for i, (cid, _) in rows.items())  # real clusters exist
+
+    # label == hash_split of the cluster id (same salt)
+    cc = dedup.connected_components(
+        docs.selectExpr("doc_id as id"), pairs
+    )
+    want = {
+        r["id"]: r["split"]
+        for r in hash_split(cc, "cluster_id", salt="t").collect()
+    }
+    assert {i: sp for i, (_c, sp) in rows.items()} == want
+
+    # a naive per-document split DOES leak on this corpus
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", salt="t").select("doc_id", "split").collect()
+    }
+    leaked = [
+        (l, r)
+        for l, r in ((p["l_id"], p["r_id"]) for p in pairs.collect())
+        if naive[l] != naive[r]
+    ]
+    assert leaked, "corpus has no straddling pairs — test fixture too weak"
