@@ -278,6 +278,10 @@ def main() -> None:
         cache_registry.unpersist_all()
         return round(time.perf_counter() - t0, 3)
 
+    # One DISCARDED trio pass first: the start sample otherwise reads
+    # 2-4x hot (JIT/page-cache state right after prep — measured 1.865
+    # vs 0.42 s mid-run on the same host), which skews even a median.
+    canary_sample()
     canary_samples = [canary_sample()]
     midpoint = len(HEADLINE) // 2
     timings: dict[str, float] = {}
