@@ -205,6 +205,7 @@ HEADLINE = [
     "dedup_audio_phash",
     "dedup_video_vhash",
     "split_documents_cluster_safe",
+    "dedup_video_frames",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

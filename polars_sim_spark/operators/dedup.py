@@ -1929,3 +1929,77 @@ def containment_pairs(
     return verified.withColumn(
         "contain_micro", F.expr("(overlap * 1000000) div src_size")
     )
+
+
+def video_frame_match_pairs(
+    ph: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_dist: int = 3,
+    min_frames: int = 1,
+) -> DataFrame:
+    """(l_id, r_id, n_frames_matched): video near-dup pairs by
+    FRAME-ALIGNED banded Hamming matching over per-frame hashes
+    (operators/multimodal.py:mp4_frame_phash) — the discriminative
+    alternative to the whole-video majority fold on corpora where the
+    fold clusters (BASELINE.md round 11: on homogeneous content the
+    fold's hot buckets contain the true dups, so the bucket cap deletes
+    them; per-frame exact alignment has no such failure mode).
+
+    Candidates are band-bucket collisions keyed by (frame, band,
+    value) — within-frame only, so the per-frame pigeonhole recall
+    guarantee (``max_dist ≤ bands−1``) carries over frame-by-frame; the
+    exact per-frame Hamming verify then counts DISTINCT matching frames
+    per video pair and keeps pairs with ≥ ``min_frames``. Scale: the
+    same single-shuffle candidate join + broadcast verify economics as
+    :func:`phash_near_pairs`, with the frame key sharpening buckets
+    (hot hash values split across frame indexes)."""
+    nb = len(band_cols)
+    if max_dist > nb - 1:
+        raise ValueError(
+            f"max_dist={max_dist} voids the per-frame band recall guarantee "
+            f"for {nb} bands (requires max_dist <= {nb - 1})"
+        )
+    if min_frames < 1:
+        raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    bands_df = ph.select(
+        F.col(id_col).alias("id"),
+        F.col(frame_col).alias("__f"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_key"
+        ),
+    )
+    a = bands_df.select("__f", "band", "band_key", F.col("id").alias("l_id"))
+    b = bands_df.select("__f", "band", "band_key", F.col("id").alias("r_id"))
+    cand = (
+        a.join(b, ["__f", "band", "band_key"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", "__f")
+        .distinct()
+    )
+    lt = ph.select(
+        F.col(id_col).alias("l_id"),
+        F.col(frame_col).alias("__f"),
+        *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],
+    )
+    rt = ph.select(
+        F.col(id_col).alias("r_id"),
+        F.col(frame_col).alias("__f"),
+        *[F.col(c).alias(f"__r{j}") for j, c in enumerate(band_cols)],
+    )
+    ham = None
+    for j in range(nb):
+        t = F.bit_count(F.col(f"__l{j}").bitwiseXOR(F.col(f"__r{j}")))
+        ham = t if ham is None else ham + t
+    matched = (
+        cand.join(lt, ["l_id", "__f"])
+        .join(rt, ["r_id", "__f"])
+        .where(ham.cast("int") <= max_dist)
+    )
+    return (
+        matched.groupBy("l_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= min_frames)
+    )

@@ -118,6 +118,9 @@ _MANIFEST = [
     # round 11: leakage-safe split — near-dup clusters, not documents,
     # are the train/val/test unit (eval-contamination guarantee).
     "split_documents_cluster_safe",
+    # round 11: frame-aligned video matching — the discriminative path
+    # where the majority fold clusters (BASELINE round-11 analysis).
+    "dedup_video_frames",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

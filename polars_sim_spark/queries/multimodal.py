@@ -603,6 +603,78 @@ def dedup_video_vhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_video_frames",
+    """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents WHERE doc_id % 5 = 1 AND octet_length(encode(text)) > 0
+),
+fr AS (
+  SELECT doc_id, hx, u.i AS f,
+         least(64, dlen - u.i * 64) AS flen
+  FROM m, unnest(range((dlen + 63) // 64)) AS u(i)
+  WHERE u.i % 2 = 0
+),
+s AS (
+  SELECT doc_id, f, u.k AS k,
+         CAST(('0x' || substr(hx, CAST((f * 64 + (u.k * flen // 65)) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS b
+  FROM fr, unnest(range(65)) AS u(k)
+),
+fb AS (
+  SELECT x.doc_id, x.f, x.k,
+         CASE WHEN x.b < y.b THEN 1 ELSE 0 END AS bit
+  FROM s x JOIN s y ON x.doc_id = y.doc_id AND x.f = y.f AND y.k = x.k + 1
+  WHERE x.k < 64
+),
+d AS (
+  SELECT x.doc_id l, y.doc_id r, x.f, sum(abs(x.bit - y.bit)) AS h
+  FROM fb x JOIN fb y ON x.k = y.k AND x.f = y.f AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT l AS l_doc, r AS r_doc,
+       CAST(count(*) FILTER (h <= 7) AS BIGINT) AS n_frames_matched
+FROM d GROUP BY 1, 2
+HAVING count(*) FILTER (h <= 7) >= 1
+""",
+)
+def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-ALIGNED video near-dup matching (round 11) — the
+    discriminative companion to the whole-video majority fold: each
+    sampled BMFF frame gets its own 64-bit byte-envelope hash
+    (operators/multimodal.py:mp4_frame_phash) and two videos pair when
+    ≥ 1 frame at the SAME index matches within Hamming ≤ 7
+    (operators/dedup.py:video_frame_match_pairs — band buckets keyed by
+    (frame, band, value), so the pigeonhole recall guarantee holds
+    frame-by-frame). This is the path BASELINE.md's round-11 analysis
+    prescribes for corpora where the majority fold clusters: hot fold
+    values made the bucket cap delete true dups, while frame-aligned
+    exact matching has no such failure mode. The oracle replays frame
+    selection, per-frame hashing and ALL-pairs frame-aligned distances
+    from the text bytes in closed form."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import (
+        attach_media_payload,
+        mp4_frame_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ph = mp4_frame_phash(attach_media_payload(docs), every_n=2, n_bands=8)
+    pairs = dedup.video_frame_match_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=tuple(f"band{j}" for j in range(8)),
+        max_dist=7,
+        min_frames=1,
+    )
+    return pairs.select(
+        F.col("l_id").alias("l_doc"),
+        F.col("r_id").alias("r_doc"),
+        "n_frames_matched",
+    )
+
+
+@register(
     "dedup_audio_phash",
     """
 WITH wav AS (

@@ -721,3 +721,59 @@ def test_mp4_vhash_matches_python_reference(spark):
         mp4_vhash(df, n_bands=3)
     with pytest.raises(ValueError, match="every_n"):
         mp4_vhash(df, every_n=0)
+
+
+def test_video_frame_match_equals_bruteforce(spark):
+    """Round 11: frame-aligned banded matching == brute-force per-frame
+    Hamming filter + frame count, on synth_mp4 fixtures with planted
+    near-identical twins; per-frame pigeonhole bound enforced."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.dedup import video_frame_match_pairs
+    from polars_sim_spark.operators.multimodal import mp4_frame_phash, synth_mp4
+
+    rng = np.random.default_rng(57)
+    rows = []
+    for i in range(14):
+        data = rng.integers(0, 256, int(rng.integers(100, 1500)), dtype=np.uint8)
+        rows.append((2 * i, synth_mp4(data.tobytes(), 320, 240, 100)))
+        twin = data.copy()
+        twin[::97] ^= 1  # low bits: most frame hashes survive
+        rows.append((2 * i + 1, synth_mp4(twin.tobytes(), 320, 240, 100)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ph = mp4_frame_phash(df, every_n=2, n_bands=8)
+    hashes = {}
+    for r in ph.collect():
+        hashes[(r["doc_id"], r["frame_idx"])] = int(r["phash_hex"], 16)
+
+    got = {
+        (r["l_id"], r["r_id"]): r["n_frames_matched"]
+        for r in video_frame_match_pairs(
+            ph,
+            id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(8)),
+            max_dist=7,
+            min_frames=1,
+        ).collect()
+    }
+    brute = {}
+    ids = sorted({i for i, _f in hashes})
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = sum(
+                1
+                for (i, f), h in hashes.items()
+                if i == ids[x]
+                and (ids[y], f) in hashes
+                and bin(h ^ hashes[(ids[y], f)]).count("1") <= 7
+            )
+            if n >= 1:
+                brute[(ids[x], ids[y])] = n
+    assert got == brute
+    assert any((2 * i, 2 * i + 1) in got for i in range(14))  # twins found
+
+    with pytest.raises(ValueError, match="recall guarantee"):
+        video_frame_match_pairs(ph, band_cols=("band0", "band1"), max_dist=2)
+    with pytest.raises(ValueError, match="min_frames"):
+        video_frame_match_pairs(ph, max_dist=3, min_frames=0)
