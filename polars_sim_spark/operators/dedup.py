@@ -1068,7 +1068,11 @@ def phash_near_pairs(
     :func:`lsh_candidate_pairs`) — pair generation touches only band
     bucket collisions, never n²; ``max_bucket_size`` caps pathological
     buckets (e.g. byte-identical boilerplate images) exactly like the
-    text path. Verification is a keyed join back to the |corpus|-row
+    text path. On corpora with a heavy hash mode (tiny/flat images
+    collapsing the point-sampled hash) the cap is FEASIBILITY, not
+    tuning: at ×100 the uncapped mega-bucket self-join did not complete
+    in 50 minutes while cap=1000 ran in 33 s keeping 99.5%+ of
+    discriminative-hash true dups (BASELINE.md round-11 tables). Verification is a keyed join back to the |corpus|-row
     hash table plus JVM-side xor/bit_count — no Python, no shuffle
     beyond the candidate keys."""
     nb = len(band_cols)
