@@ -201,6 +201,7 @@ HEADLINE = [
     "multimodal_bmp_pixel_stats",
     # round 11:
     "multimodal_gif_pixel_stats",
+    "multimodal_png_pixel_stats",
     "dedup_images_multiformat",
     "dedup_audio_phash",
     "dedup_video_vhash",

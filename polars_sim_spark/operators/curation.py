@@ -107,6 +107,17 @@ def cluster_safe_split(
     """
     from polars_sim_spark.operators.dedup import connected_components
 
+    # Fail NOW, not at first ambiguous reference downstream: the join
+    # below adds cluster_id + out_col, and a pre-existing column of
+    # either name would yield duplicate column names (r12 ADVICE —
+    # hash_split's single withColumn overwrites; a join cannot).
+    clash = {"cluster_id", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cluster_safe_split adds columns {sorted({'cluster_id', out_col})}, "
+            f"but df already has {sorted(clash)}; rename or drop them first"
+        )
+
     cc = connected_components(
         df.select(F.col(id_col).alias("id")), pairs
     )

@@ -1049,6 +1049,7 @@ def phash_near_pairs(
     band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
     max_dist: int = 3,
     max_bucket_size: int | None = None,
+    cap_guard: bool = False,
 ) -> DataFrame:
     """(l_id, r_id, hamming): near-duplicate pairs by banded Hamming
     join over banded bit signatures (perceptual image hashes from
@@ -1074,7 +1075,16 @@ def phash_near_pairs(
     in 50 minutes while cap=1000 ran in 33 s keeping 99.5%+ of
     discriminative-hash true dups (BASELINE.md round-11 tables). Verification is a keyed join back to the |corpus|-row
     hash table plus JVM-side xor/bit_count — no Python, no shuffle
-    beyond the candidate keys."""
+    beyond the candidate keys.
+
+    ``cap_guard=True`` (r12, VERDICT r11 #3) runs
+    :func:`diagnose_hot_buckets` before pair generation and emits a
+    ``UserWarning`` when the buckets the cap would drop are dominated
+    by identical full hashes — i.e. genuine replica clusters, the
+    recall-inversion mode BASELINE.md round 11 measured on
+    majority-fold video hashes — so the cap never silently deletes
+    signal. Opt-in because the probe is an extra (bounded) aggregate
+    + ``sample_k``-row collect, making the otherwise-lazy call eager."""
     nb = len(band_cols)
     if max_dist > nb - 1:
         raise ValueError(
@@ -1088,6 +1098,27 @@ def phash_near_pairs(
             "band", "band_key"
         ),
     )
+    if cap_guard and max_bucket_size is not None:
+        import warnings
+
+        diag = diagnose_hot_buckets(
+            ph,
+            id_col=id_col,
+            band_cols=band_cols,
+            max_bucket_size=max_bucket_size,
+        )
+        if diag["cap_deletes_signal"]:
+            warnings.warn(
+                "phash_near_pairs: the hot buckets max_bucket_size="
+                f"{max_bucket_size} will drop are "
+                f"{diag['same_hash_pair_fraction']:.0%} identical-full-hash "
+                f"pairs across {diag['n_hot_buckets']} bucket(s) (max size "
+                f"{diag['max_bucket']}) — genuine replica clusters, so the "
+                "cap deletes true near-dups. Use a sharper bucket key "
+                "(frame-aligned matching for video) or raise the cap.",
+                UserWarning,
+                stacklevel=2,
+            )
     cand = lsh_candidate_pairs(bands_df, max_bucket_size)
     lt = ph.select(
         F.col(id_col).alias("l_id"),
@@ -1108,6 +1139,78 @@ def phash_near_pairs(
         .where(F.col("hamming") <= max_dist)
         .select("l_id", "r_id", "hamming")
     )
+
+
+def diagnose_hot_buckets(
+    ph: DataFrame,
+    *,
+    id_col: str = "id",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    frame_col: str | None = None,
+    max_bucket_size: int,
+    sample_k: int = 20,
+    signal_threshold: float = 0.2,
+) -> dict:
+    """Cheap composition probe for the hot buckets ``max_bucket_size``
+    would drop (round 12, VERDICT r11 #3): WOULD capping delete true
+    near-dup signal, or only band-level degeneracy?
+
+    The discriminator needs no ground truth: within each over-cap
+    bucket, group members by their FULL hash (all bands concatenated)
+    and measure the fraction of within-bucket pairs whose full hashes
+    are identical. A mega-bucket born of band degeneracy (one band
+    collapses — smooth regions, silence — while the other bands still
+    discriminate) has ~all-distinct full hashes → same-hash pair
+    fraction ≈ 0 → capping drops mostly-false candidates, SAFE. A
+    mega-bucket that is a genuine replica cluster (the whole-video
+    majority fold on homogeneous corpora, BASELINE.md round 11's recall
+    inversion) has members sharing full hashes → fraction ≈ 1 → capping
+    deletes true dups, and the caller should route to a sharper key
+    (frame-aligned matching for video) instead of capping.
+
+    Cost: ONE two-level aggregate over the band frame the banded join
+    already builds (per-(bucket, full-hash) counts → per-bucket sums),
+    then a ``sample_k``-row collect of the hottest buckets — bounded,
+    no self-join, runs BEFORE any pair generation. Returns
+    ``{n_hot_buckets, sampled_buckets, max_bucket, hot_member_rows,
+    same_hash_pair_fraction, cap_deletes_signal}`` where the fraction
+    is pair-mass-weighted over the sampled buckets and
+    ``cap_deletes_signal = fraction >= signal_threshold``."""
+    key_cols = ([frame_col] if frame_col else []) + ["band", "band_key"]
+    full = F.concat_ws("|", *[F.col(c).cast("string") for c in band_cols])
+    bands_df = ph.select(
+        *([F.col(frame_col)] if frame_col else []),
+        F.col(id_col).alias("id"),
+        full.alias("__full"),
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias(
+            "band", "band_key"
+        ),
+    )
+    per_full = bands_df.groupBy(*key_cols, "__full").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    per_bucket = per_full.groupBy(*key_cols).agg(
+        F.sum("__m").alias("__n"),
+        F.sum(F.col("__m") * (F.col("__m") - 1) / 2).alias("__same_pairs"),
+    )
+    hot = (
+        per_bucket.where(F.col("__n") > max_bucket_size)
+        .orderBy(F.desc("__n"))
+        .limit(sample_k)
+        .collect()
+    )
+    n_hot = len(hot)  # exact up to sample_k; "sample_k hot buckets" beyond
+    same = sum(float(r["__same_pairs"]) for r in hot)
+    total = sum(r["__n"] * (r["__n"] - 1) / 2 for r in hot)
+    frac = (same / total) if total else 0.0
+    return {
+        "n_hot_buckets": n_hot,
+        "sampled_buckets": min(n_hot, sample_k),
+        "max_bucket": max((r["__n"] for r in hot), default=0),
+        "hot_member_rows": sum(r["__n"] for r in hot),
+        "same_hash_pair_fraction": frac,
+        "cap_deletes_signal": bool(total) and frac >= signal_threshold,
+    }
 
 
 def connected_components(
@@ -1943,6 +2046,7 @@ def video_frame_match_pairs(
     band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
     max_dist: int = 3,
     min_frames: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(l_id, r_id, n_frames_matched): video near-dup pairs by
     FRAME-ALIGNED banded Hamming matching over per-frame hashes
@@ -1959,7 +2063,17 @@ def video_frame_match_pairs(
     per video pair and keeps pairs with ≥ ``min_frames``. Scale: the
     same single-shuffle candidate join + broadcast verify economics as
     :func:`phash_near_pairs`, with the frame key sharpening buckets
-    (hot hash values split across frame indexes)."""
+    (hot hash values split across frame indexes).
+
+    ``max_bucket_size`` (r12, VERDICT r11 #3 / ADVICE): the same
+    hot-bucket cap as every other banded path, applied to the
+    (frame, band, value) buckets BEFORE the self-join. The frame key
+    usually keeps buckets small, but a corpus with a frozen-frame hash
+    mode (long runs of uniform/black frames sharing one per-frame hash)
+    re-creates the mega-bucket quadratic the cap exists for — and at
+    ×100 the cap is feasibility, not tuning (BASELINE.md round 11).
+    Pair :func:`diagnose_hot_buckets` (frame_col=...) with this knob to
+    check whether capping would delete true-replica signal first."""
     nb = len(band_cols)
     if max_dist > nb - 1:
         raise ValueError(
@@ -1975,6 +2089,14 @@ def video_frame_match_pairs(
             "band", "band_key"
         ),
     )
+    if max_bucket_size is not None:
+        sizes = bands_df.groupBy("__f", "band", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        keep = sizes.where(F.col("__n") <= max_bucket_size).select(
+            "__f", "band", "band_key"
+        )
+        bands_df = bands_df.join(keep, ["__f", "band", "band_key"])
     a = bands_df.select("__f", "band", "band_key", F.col("id").alias("l_id"))
     b = bands_df.select("__f", "band", "band_key", F.col("id").alias("r_id"))
     cand = (
@@ -2006,4 +2128,61 @@ def video_frame_match_pairs(
         matched.groupBy("l_id", "r_id")
         .agg(F.count(F.lit(1)).alias("n_frames_matched"))
         .where(F.col("n_frames_matched") >= min_frames)
+    )
+
+
+def video_near_pairs_auto(
+    ph_fold: DataFrame,
+    ph_frames: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_idx",
+    fold_band_cols: tuple[str, ...] = tuple(f"band{j}" for j in range(8)),
+    frame_band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_dist: int = 3,
+    min_frames: int = 1,
+    max_bucket_size: int | None = 1000,
+    signal_threshold: float = 0.2,
+) -> DataFrame:
+    """Video near-dup pairs with the hot-bucket diagnosis AUTO-ROUTE
+    (round 12, VERDICT r11 #3): probe the whole-video majority-fold
+    hashes (``ph_fold``, from multimodal.py:mp4_vhash) with
+    :func:`diagnose_hot_buckets`; if the buckets ``max_bucket_size``
+    would drop are replica clusters (the recall inversion BASELINE.md
+    round 11 measured on homogeneous corpora — capping the fold kept
+    only 4.8% of true dups), route to FRAME-ALIGNED matching over
+    ``ph_frames`` (multimodal.py:mp4_frame_phash), whose (frame, band,
+    value) key splits the mode across frame indexes; otherwise run the
+    cheap capped fold path.
+
+    ``ph_frames`` is a lazy plan — it is only evaluated on the
+    frame-aligned route, so the common (well-spread) corpus pays one
+    bounded probe aggregate plus the fold join and never hashes
+    per-frame. Returns (l_id, r_id, n_frames_matched) on the frame
+    route, (l_id, r_id, hamming) on the fold route — callers that only
+    feed connected components consume both shapes unchanged."""
+    if max_bucket_size is not None:
+        diag = diagnose_hot_buckets(
+            ph_fold,
+            id_col=id_col,
+            band_cols=fold_band_cols,
+            max_bucket_size=max_bucket_size,
+            signal_threshold=signal_threshold,
+        )
+        if diag["cap_deletes_signal"]:
+            return video_frame_match_pairs(
+                ph_frames,
+                id_col=id_col,
+                frame_col=frame_col,
+                band_cols=frame_band_cols,
+                max_dist=max_dist,
+                min_frames=min_frames,
+                max_bucket_size=max_bucket_size,
+            )
+    return phash_near_pairs(
+        ph_fold,
+        id_col=id_col,
+        band_cols=fold_band_cols,
+        max_dist=max_dist,
+        max_bucket_size=max_bucket_size,
     )

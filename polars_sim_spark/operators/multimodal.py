@@ -117,10 +117,12 @@ def _try_real_decode(data: bytes):
 
 def _wav_chunks(data: bytes):
     """RIFF/WAVE chunk walk: (sample_rate, channels, byte_rate,
-    data_offset, data_len) — the shared parse behind the header
-    metadata AND the PCM sample statistics (the span locates the raw
-    samples without copying them). Raises NotImplementedError on
-    non-WAV input."""
+    data_offset, data_len, fmt_tag, bits_per_sample) — the shared parse
+    behind the header metadata AND the PCM sample statistics (the span
+    locates the raw samples without copying them). The fmt tag and bit
+    depth ride along so PCM consumers can REJECT float/8-bit payloads
+    instead of silently misreading them as int16 (round-12 ADVICE).
+    Raises NotImplementedError on non-WAV input."""
     import struct
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -128,18 +130,29 @@ def _wav_chunks(data: bytes):
     i, n = 12, len(data)
     sr = ch = byte_rate = None
     data_off = data_len = None
+    fmt_tag = bits = None
     while i + 8 <= n:
         cid = data[i : i + 4]
         csz = struct.unpack_from("<I", data, i + 4)[0]
         if cid == b"fmt " and i + 8 + 16 <= n:
-            _fmt, ch, sr, byte_rate = struct.unpack_from("<HHII", data, i + 8)
+            fmt_tag, ch, sr, byte_rate, _block, bits = struct.unpack_from(
+                "<HHIIHH", data, i + 8
+            )
         elif cid == b"data":
             data_off, data_len = i + 8, csz
         # chunks are word-aligned: odd sizes carry a pad byte
         i += 8 + csz + (csz & 1)
     if sr is None or data_len is None or not byte_rate:
         raise NotImplementedError("WAVE without parseable fmt/data chunks")
-    return int(sr), int(ch), int(byte_rate), int(data_off), int(data_len)
+    return (
+        int(sr),
+        int(ch),
+        int(byte_rate),
+        int(data_off),
+        int(data_len),
+        int(fmt_tag),
+        int(bits),
+    )
 
 
 def _try_wav_header(data: bytes):
@@ -147,7 +160,7 @@ def _try_wav_header(data: bytes):
     the ``fmt `` and ``data`` chunks — a pure byte walk, the audio
     analog of the image header scans above (duration never requires
     decoding samples). Raises NotImplementedError on non-WAV input."""
-    sr, ch, byte_rate, _off, data_len = _wav_chunks(data)
+    sr, ch, byte_rate, _off, data_len, _fmt, _bits = _wav_chunks(data)
     return sr, ch, int(data_len * 1000 // byte_rate)
 
 
@@ -760,8 +773,14 @@ def wav_pcm_stats(
             for i, b in zip(pdf[id_name], pdf[payload_col]):
                 data = bytes(b)
                 try:
-                    _sr, ch, _br, off, dlen = _wav_chunks(data)
+                    _sr, ch, _br, off, dlen, fmt_tag, bits = _wav_chunks(data)
                 except NotImplementedError:
+                    continue
+                # int16-PCM only: a zero channel count would divide by
+                # zero below, and float (fmt 3) / 8-bit payloads would be
+                # silently mis-read as int16 — drop, per the documented
+                # "non-WAV payloads are dropped" contract (r12 ADVICE).
+                if ch < 1 or fmt_tag != 1 or bits != 16:
                     continue
                 dlen = min(dlen, len(data) - off)  # tolerate truncated files
                 n = dlen // (2 * ch)
@@ -962,12 +981,17 @@ def ppm_phash(
       for proportionally more candidate-join rows — plus the assembled
       16-hex digest for display/storage.
 
-    PPM, BMP and GIF payloads all hash (the hash is defined on LOGICAL
-    pixels, so the container is invisible — cross-format identity is
-    pinned in tests/test_phash.py); anything else is dropped (it cannot
-    be decoded codec-free). Scale: one
-    Arrow ``mapInPandas`` byte parse per row touching 72 sampled bytes
-    per image regardless of image size — no shuffle, no driver."""
+    PPM, BMP, GIF and PNG payloads all hash (the hash is defined on
+    LOGICAL pixels, so the container is invisible — cross-format
+    identity is pinned in tests/test_phash.py); anything else is dropped
+    (it cannot be decoded codec-free). Scale: one
+    Arrow ``mapInPandas`` byte parse per row — no shuffle, no driver.
+    For UNCOMPRESSED containers (PPM/BMP) only 72 sampled bytes are
+    touched regardless of image size; compressed containers (GIF, and
+    PNG since round 12) first pay a full O(pixels) pure-Python inflate
+    of the raster before the 72-byte sampling (r12 ADVICE: the flat
+    per-image cost claim holds per PIXEL COUNT, not per byte, once
+    compressed formats are accepted)."""
     import numpy as np
 
     bpb = _require_bands(n_bands)
@@ -986,17 +1010,21 @@ def ppm_phash(
                         ).reshape(h, w, 3)
                 except NotImplementedError:
                     # cross-format: the hash is defined on LOGICAL pixels,
-                    # so a BMP or GIF with the same image hashes identically
-                    # to its PPM twin (tests/test_phash.py pins this).
-                    try:
-                        px = _bmp_logical_pixels(data)
-                        h, w, _ = px.shape
-                    except NotImplementedError:
+                    # so a BMP, GIF or PNG with the same image hashes
+                    # identically to its PPM twin (tests/test_phash.py
+                    # pins this).
+                    px = None
+                    for decode in (
+                        _bmp_logical_pixels,
+                        _gif_logical_pixels,
+                        _png_logical_pixels,
+                    ):
                         try:
-                            px = _gif_logical_pixels(data)
+                            px = decode(data)
                             h, w, _ = px.shape
+                            break
                         except NotImplementedError:
-                            px = None
+                            continue
                 if px is None:
                     continue
                 ys = (np.arange(8) * h) // 8
@@ -1566,6 +1594,402 @@ def attach_multiformat_payload(
     )
 
 
+# ---------------------------------------------------------------------------
+# PNG: the second codec-free COMPRESSED pixel path (round 12, VERDICT r11
+# #1). Real web corpora are mostly PNG/JPEG; GIF-LZW (round 11) proved
+# compressed decode is feasible without a codec library, and PNG's
+# compression is DEFLATE (RFC 1951) under a zlib wrapper (RFC 1950) — a
+# pure bit-level construction implementable in plain python. The stdlib
+# zlib COMPRESSOR is used only to build fixtures (synth_png) and for the
+# adler32/crc32 CHECKSUMS; every decode byte below is produced by this
+# file's own inflate, so the stdlib round-trip pins the decoder exactly
+# the way synth_gif pins the LZW path. The remaining environment-blocked
+# image format is JPEG alone (Huffman entropy coding + DCT).
+
+#: RFC 1951 §3.2.5 — length codes 257..285: (base length, extra bits).
+_DEFLATE_LEN_BASE = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43, 51,
+    59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+)
+_DEFLATE_LEN_EXTRA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4,
+    4, 5, 5, 5, 5, 0,
+)
+#: RFC 1951 §3.2.5 — distance codes 0..29: (base distance, extra bits).
+_DEFLATE_DIST_BASE = (
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257, 385,
+    513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385,
+    24577,
+)
+_DEFLATE_DIST_EXTRA = (
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10,
+    10, 11, 11, 12, 12, 13, 13,
+)
+#: RFC 1951 §3.2.7 — the order code-length-code lengths are transmitted.
+_DEFLATE_CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+
+def _huffman_table(lengths) -> dict:
+    """Canonical Huffman decode table per RFC 1951 §3.2.2: code lengths →
+    ``{(length, code): symbol}``. Codes of each length are consecutive
+    integers starting where the previous length's codes ended, shifted
+    left — exactly the construction the spec's reference algorithm
+    builds, so any conforming encoder's output decodes."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    next_code, code = [0] * (max_len + 1), 0
+    for b in range(1, max_len + 1):
+        code = (code + bl_count[b - 1]) << 1
+        next_code[b] = code
+    table = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+#: RFC 1951 §3.2.6 — the fixed literal/length and distance code lengths.
+_FIXED_LIT_TABLE = _huffman_table(
+    [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+)
+_FIXED_DIST_TABLE = _huffman_table([5] * 32)
+
+
+def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
+    """Pure-python RFC 1951 DEFLATE decoder — stored, fixed-Huffman and
+    dynamic-Huffman blocks, the full length/distance alphabet including
+    the 16/17/18 code-length run codes. No zlib.decompress anywhere:
+    this IS the decode path (the stdlib compressor only builds fixtures,
+    which round-trip-pins this function bit for bit). Bits are consumed
+    LSB-first within bytes; Huffman codes MSB-first within the code, per
+    the spec's packing rules. Raises NotImplementedError on truncated or
+    malformed streams (the shared drop contract of every codec-free
+    parser in this module)."""
+    pos, n_bits = bit_pos, len(data) * 8
+    out = bytearray()
+
+    def bits(k: int) -> int:
+        nonlocal pos
+        if pos + k > n_bits:
+            raise NotImplementedError("truncated DEFLATE stream")
+        v = 0
+        for i in range(k):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    def sym(table: dict) -> int:
+        nonlocal pos
+        ln = code = 0
+        while True:
+            if pos >= n_bits:
+                raise NotImplementedError("truncated DEFLATE stream")
+            code = (code << 1) | ((data[pos >> 3] >> (pos & 7)) & 1)
+            pos += 1
+            ln += 1
+            s = table.get((ln, code))
+            if s is not None:
+                return s
+            if ln > 15:
+                raise NotImplementedError("invalid DEFLATE Huffman code")
+
+    while True:
+        bfinal, btype = bits(1), bits(2)
+        if btype == 0:  # stored: align to byte, LEN + ones-complement NLEN
+            pos = (pos + 7) & ~7
+            ln, nln = bits(16), bits(16)
+            if ln != (~nln & 0xFFFF):
+                raise NotImplementedError("DEFLATE stored-block LEN mismatch")
+            start = pos >> 3
+            if start + ln > len(data):
+                raise NotImplementedError("truncated DEFLATE stored block")
+            out += data[start : start + ln]
+            pos += 8 * ln
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_t, dist_t = _FIXED_LIT_TABLE, _FIXED_DIST_TABLE
+            else:  # dynamic: decode the code-length code, then both tables
+                hlit, hdist, hclen = bits(5) + 257, bits(5) + 1, bits(4) + 4
+                cl_lens = [0] * 19
+                for i in range(hclen):
+                    cl_lens[_DEFLATE_CLC_ORDER[i]] = bits(3)
+                cl_t = _huffman_table(cl_lens)
+                lens: list = []
+                while len(lens) < hlit + hdist:
+                    s = sym(cl_t)
+                    if s < 16:
+                        lens.append(s)
+                    elif s == 16:
+                        if not lens:
+                            raise NotImplementedError("DEFLATE repeat with no prior length")
+                        lens += [lens[-1]] * (3 + bits(2))
+                    elif s == 17:
+                        lens += [0] * (3 + bits(3))
+                    else:
+                        lens += [0] * (11 + bits(7))
+                if len(lens) != hlit + hdist:
+                    raise NotImplementedError("DEFLATE code-length overrun")
+                lit_t = _huffman_table(lens[:hlit])
+                dist_t = _huffman_table(lens[hlit:])
+            while True:
+                s = sym(lit_t)
+                if s < 256:
+                    out.append(s)
+                elif s == 256:
+                    break
+                elif s <= 285:
+                    li = s - 257
+                    length = _DEFLATE_LEN_BASE[li] + bits(_DEFLATE_LEN_EXTRA[li])
+                    d = sym(dist_t)
+                    if d > 29:
+                        raise NotImplementedError("invalid DEFLATE distance code")
+                    dist = _DEFLATE_DIST_BASE[d] + bits(_DEFLATE_DIST_EXTRA[d])
+                    if dist > len(out):
+                        raise NotImplementedError("DEFLATE distance beyond output")
+                    # overlapping copy semantics (dist < length repeats)
+                    for _ in range(length):
+                        out.append(out[-dist])
+                else:
+                    raise NotImplementedError("invalid DEFLATE literal/length symbol")
+        else:
+            raise NotImplementedError("reserved DEFLATE block type")
+        if bfinal:
+            return bytes(out)
+
+
+def _zlib_inflate(data: bytes) -> bytes:
+    """RFC 1950 zlib wrapper around :func:`_inflate`: CMF/FLG header
+    checks (deflate method, header checksum, no preset dictionary) and
+    the trailing adler32 verify. The checksum itself uses stdlib
+    ``zlib.adler32`` — a 16-bit-sum CHECK value, not decompression; all
+    stream decoding is this module's own."""
+    import struct
+    import zlib as _zlib
+
+    if len(data) < 6:
+        raise NotImplementedError("zlib stream too short")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise NotImplementedError("zlib CM != deflate")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise NotImplementedError("zlib header checksum failed")
+    if flg & 0x20:
+        raise NotImplementedError("zlib preset dictionary unsupported")
+    raw = _inflate(data[2 : len(data) - 4], 0)
+    (want,) = struct.unpack_from(">I", data, len(data) - 4)
+    if _zlib.adler32(raw) & 0xFFFFFFFF != want:
+        raise NotImplementedError("zlib adler32 mismatch")
+    return raw
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (PNG spec §9, filter type 4): the neighbor
+    (left, up, up-left) closest to a + b − c, ties broken left→up→c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG row filter ``ftype`` to raw scanline bytes (encoder
+    side, fixtures only): filt[i] = raw[i] − predictor mod 256."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _png_paeth(a, b, c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt, prior, bpp: int) -> bytearray:
+    """Invert PNG row filter ``ftype`` (decoder side): raw[i] = filt[i] +
+    predictor mod 256, computed left-to-right because Sub/Average/Paeth
+    predict from the already-reconstructed left neighbor."""
+    out = bytearray(len(filt))
+    for i in range(len(filt)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        elif ftype == 4:
+            pred = _png_paeth(a, b, c)
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        out[i] = (filt[i] + pred) & 0xFF
+    return out
+
+
+def synth_png(data: bytes, width: int) -> bytes | None:
+    """Deterministic 8-bit truecolor PNG around ``data`` — the fourth
+    codec-free pixel container (round 12). The LOGICAL image is
+    identical to :func:`synth_ppm`'s (pixel (y, x, ch) =
+    ``data[(y·w + x)·3 + ch]``, truncated to whole rows), stored the way
+    real PNG writers store it: signature + IHDR (bit depth 8, color
+    type 2) + one IDAT holding the zlib/DEFLATE stream of filtered
+    scanlines + IEND, with CRCs. Row y carries filter type ``y % 5`` so
+    every decoder filter path (None/Sub/Up/Average/Paeth) is exercised
+    by EVERY fixture taller than 4 rows. Compression is stdlib
+    ``zlib.compress`` — the spec-conforming COMPRESSOR whose output
+    round-trip-pins this module's own :func:`_inflate`. Returns None
+    when fewer than one full row fits."""
+    import struct
+    import zlib as _zlib
+
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    stride = width * 3
+    scan = bytearray()
+    zero = bytes(stride)
+    for y in range(height):
+        raw = data[y * stride : (y + 1) * stride]
+        prior = data[(y - 1) * stride : y * stride] if y else zero
+        ftype = y % 5
+        scan.append(ftype)
+        scan += _png_filter_row(ftype, raw, prior, 3)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 array of an 8-bit truecolor PNG's LOGICAL
+    image (row 0 = top): chunk walk with CRC verify → IDAT concatenation
+    → this module's own zlib/DEFLATE inflate → per-row unfilter (all
+    five filter types). Grayscale/palette/alpha color types, 16-bit
+    depth and Adam7 interlace raise NotImplementedError (interlace needs
+    the seven-pass reordering a codec provides; the others are narrower
+    fixtures than the truecolor contract needs). Raises
+    NotImplementedError on non-PNG / truncated / corrupt payloads."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, n = 8, len(data)
+    w = h = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 12 <= n:
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > n:
+            raise NotImplementedError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise NotImplementedError("PNG chunk CRC mismatch")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise NotImplementedError("nonstandard PNG compression/filter method")
+            if interlace == 1:
+                raise NotImplementedError(
+                    "Adam7 interlaced PNG needs a codec's reordering pass"
+                )
+            if interlace != 0:
+                raise NotImplementedError("unknown PNG interlace method")
+            if depth != 8 or color != 2:
+                raise NotImplementedError(
+                    "only 8-bit truecolor (color type 2) PNG is decoded codec-free"
+                )
+            if w < 1 or h < 1:
+                raise NotImplementedError("malformed PNG IHDR dimensions")
+        elif ctype == b"IDAT":
+            if w is None:
+                raise NotImplementedError("PNG IDAT before IHDR")
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+    if w is None or not seen_end:
+        raise NotImplementedError("PNG missing IHDR/IEND")
+    raw = _zlib_inflate(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise NotImplementedError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = bytearray(stride)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        filt = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        prior = _png_unfilter_row(ftype, filt, prior, 3)
+        out[y] = np.frombuffer(bytes(prior), dtype=np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def attach_png_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PNG corpus attacher: EVERY document whose text holds at least one
+    full pixel row becomes a real 8-bit truecolor PNG (:func:`synth_png`,
+    width = 4 + id % 8, the shared logical-pixel fixture rule — so each
+    doc's PNG holds exactly the pixels its PPM/BMP/GIF twin would).
+    Unlike the mod-3 single-format attachers this one converts all ids:
+    the PNG contract row covers the whole hashable corpus, and the
+    cross-format phash pin compares it doc-for-doc against the PPM
+    twin."""
+    return _attach_payload(
+        df, {0: synth_png, 1: synth_png, 2: synth_png}, text_col, id_col
+    )
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 8-bit truecolor PNG payloads —
+    the DEFLATE-compressed twin of :func:`ppm_pixel_stats` (same output
+    schema), running the full decode: chunk walk + CRC verify → own
+    zlib/DEFLATE inflate → five-filter row reconstruction. Exact
+    integers only, so the contract oracle recomputes every value from
+    the fixture text bytes — a wrong Huffman table, filter predictor or
+    stride is a hash mismatch, not a fuzzy diff. Non-PNG payloads are
+    dropped."""
+    return _pixel_stats(df, _png_logical_pixels, id_col, payload_col)
+
+
 def wav_phash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1606,8 +2030,13 @@ def wav_phash(
             for i, b in zip(pdf[id_name], pdf[payload_col]):
                 data = bytes(b)
                 try:
-                    _sr, ch, _br, off, dlen = _wav_chunks(data)
+                    _sr, ch, _br, off, dlen, fmt_tag, bits = _wav_chunks(data)
                 except NotImplementedError:
+                    continue
+                # same int16-PCM gate as wav_pcm_stats (r12 ADVICE):
+                # channels=0 would ZeroDivisionError the task; float/8-bit
+                # PCM would hash garbage. Drop instead.
+                if ch < 1 or fmt_tag != 1 or bits != 16:
                     continue
                 dlen = min(dlen, len(data) - off)
                 n = dlen // (2 * ch)

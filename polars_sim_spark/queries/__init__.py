@@ -106,6 +106,9 @@ _MANIFEST = [
     # round 11: GIF pixel decode — the first COMPRESSED codec-free
     # pixel format (pure-python GIF-LZW inflate, VERDICT r10 #5).
     "multimodal_gif_pixel_stats",
+    # round 12: PNG pixel decode — own RFC 1950/1951 DEFLATE inflate +
+    # the five row filters (VERDICT r11 #1).
+    "multimodal_png_pixel_stats",
     # round 11: cross-format (PPM/BMP/GIF) image near-dup pairs — the
     # container-invariant dHash working through three decoders at once.
     "dedup_images_multiformat",

@@ -14,6 +14,7 @@ from polars_sim_spark.functions import text as text_fns
 from polars_sim_spark.functions.text import trigram_tokens
 from polars_sim_spark.operators import dedup
 from polars_sim_spark.sources.tables import load_table
+from polars_sim_spark.fsutil import hadoop_exists as _hx
 from polars_sim_spark.queries._registry import register
 from polars_sim_spark.queries._registry import DUCK_HASH
 from polars_sim_spark.queries.dedup import duck_lsh_cand_ctes, duck_shingles_cte
@@ -615,7 +616,7 @@ def ensure_packed_sequences(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     path = _index_dir(sf_dir, "packing")
-    if not _os.path.exists(_os.path.join(path, "_done", "_SUCCESS")):
+    if not _hx(spark, _os.path.join(path, "_done", "_SUCCESS")):
         docs = _doc_token_counts(spark, sf_dir)
         materialize_packing(
             docs.where(F.col("doc_id") % 4 != 3),
@@ -704,7 +705,7 @@ def ensure_quality_probe(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     path = _index_dir(sf_dir, "quality_lr")
-    if not _os.path.exists(_os.path.join(path, "_meta", "_SUCCESS")):
+    if not _hx(spark, _os.path.join(path, "_meta", "_SUCCESS")):
         materialize_quality_probe(
             _probe_labeled_docs(spark, sf_dir), "doc_id", "text", "y", path
         )
@@ -936,7 +937,7 @@ def ensure_jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     path = _index_dir(sf_dir, "docs_jsonl")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    if not _hx(spark, _os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
         line = F.to_json(F.struct("doc_id", "text", "lang"))
         out = docs.withColumn("l", line).select(
@@ -1025,7 +1026,7 @@ def ensure_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
 
     path = _index_dir(sf_dir, "docs_csv")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    if not _hx(spark, _os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
         line = F.concat_ws(
             ",",

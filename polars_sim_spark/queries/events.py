@@ -701,7 +701,9 @@ def ensure_zorder_events(spark: SparkSession, sf_dir: str) -> str:
     path = _index_dir(sf_dir, "events_zorder")
     import os
 
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    from polars_sim_spark.fsutil import hadoop_exists
+
+    if not hadoop_exists(spark, os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         write_zordered(ev, path, ["user_id", "value"], num_files=16)
     return path
@@ -888,17 +890,17 @@ def ensure_upserted_events_lake(spark: SparkSession, sf_dir: str) -> str:
     A marker file distinguishes 'initial write done' from 'upsert
     applied' so a killed build reruns from scratch."""
     import os
-    import shutil
 
     from polars_sim_spark.queries.vectors import _index_dir
     from polars_sim_spark.sources.sinks import upsert_partitions
 
+    from polars_sim_spark.fsutil import hadoop_delete, hadoop_exists
+
     path = _index_dir(sf_dir, "events_upsert_lake")
     marker = os.path.join(path, "_UPSERT_APPLIED")
-    if os.path.exists(marker):
+    if hadoop_exists(spark, marker):
         return path
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    hadoop_delete(spark, path)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )

@@ -347,10 +347,10 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reset, palette lookup, strip composition — into exact per-channel
     sums and peaks. The oracle predicts every pixel from the TEXT bytes
     in logical order, so a wrong code-width bump, palette index or
-    strip offset is a hash mismatch. This row upgrades the parity claim
-    from "compressed image decode is environment-blocked" to the
-    precise version: JPEG/PNG need entropy coders the container lacks;
-    GIF's LZW does not."""
+    strip offset is a hash mismatch. This row upgraded the parity claim
+    from "compressed image decode is environment-blocked" to the precise
+    version; round 12's PNG row (own DEFLATE inflate) narrows the
+    blocked set to JPEG alone."""
     from polars_sim_spark.operators.multimodal import (
         attach_gif_payload,
         gif_pixel_stats,
@@ -358,6 +358,73 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     stats = gif_pixel_stats(attach_gif_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    """
+WITH png AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (SELECT *, (dlen // 3) // w AS h FROM png WHERE (dlen // 3) // w >= 1),
+px AS (SELECT doc_id, hx, w, h, unnest(range(w * h)) AS k FROM valid),
+sm AS (
+  SELECT p.doc_id, c.c,
+         CAST(('0x' || substr(p.hx, CAST((p.k * 3 + c.c) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+  FROM px p CROSS JOIN (VALUES (0), (1), (2)) AS c(c)
+),
+agg AS (SELECT doc_id, c, sum(v) AS s, max(v) AS pk FROM sm GROUP BY 1, 2)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(max(CASE WHEN a.c = 0 THEN a.s END) AS BIGINT) AS sum_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.s END) AS BIGINT) AS sum_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.s END) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN a.c = 0 THEN a.pk END) AS INT) AS peak_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.pk END) AS INT) AS peak_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.pk END) AS INT) AS peak_b
+FROM valid v JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG pixel decode (round 12, VERDICT r11 #1) — the codec-free
+    pixel path's second COMPRESSED format, and the one real web corpora
+    actually carry: the PNG fixture corpus
+    (operators/multimodal.py:attach_png_payload — real 8-bit truecolor
+    PNGs, zlib/DEFLATE-compressed IDAT, per-row filters cycling through
+    all five types, same LOGICAL pixels as the PPM/BMP/GIF rule, over
+    EVERY document with ≥1 pixel row) is fully decoded by
+    :func:`png_pixel_stats` using this repo's OWN RFC 1950/1951
+    inflate — chunk walk + CRC verify, stored/fixed-Huffman/
+    dynamic-Huffman blocks, the 16/17/18 code-length run codes, and the
+    None/Sub/Up/Average/Paeth filter reconstruction — into exact
+    per-channel sums and peaks. The oracle predicts every pixel from
+    the TEXT bytes in logical order, so a wrong Huffman table, LZ77
+    copy, or filter predictor is a hash mismatch. The fixtures are
+    compressed by stdlib zlib (a conforming DEFLATE encoder), so this
+    row round-trip-pins the hand-written decoder against an independent
+    reference encoder; the environment-blocked image-decode claim
+    narrows to JPEG alone."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_png_payload,
+        png_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_pixel_stats(attach_png_payload(docs))
     return stats.select(
         "doc_id",
         "width",

@@ -454,6 +454,8 @@ def embedding_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataF
 
 import os as _os
 
+from polars_sim_spark.fsutil import hadoop_exists as _hadoop_exists
+
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
@@ -471,7 +473,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     from polars_sim_spark.operators import pq
 
     path = _index_dir(sf_dir, "ivfpq")
-    if not _os.path.exists(_os.path.join(path, "_pq", "_SUCCESS")):
+    if not _hadoop_exists(spark, _os.path.join(path, "_pq", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         pq.materialize_ivfpq_index(
             emb, path, num_centroids=16, m=8, k_codes=16, pq_iters=3
@@ -485,7 +487,7 @@ def ensure_ivf_kmeans_index(spark: SparkSession, sf_dir: str) -> str:
     from polars_sim_spark.operators.similarity import materialize_ivf_index
 
     path = _index_dir(sf_dir, "ivf_k1")
-    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+    if not _hadoop_exists(spark, _os.path.join(path, "_centroids", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         materialize_ivf_index(
             emb, path, num_centroids=16, kmeans_iters=1, assignment="expr"
@@ -499,7 +501,7 @@ def ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     from polars_sim_spark.operators.similarity import materialize_sq8_index
 
     path = _index_dir(sf_dir, "sq8")
-    if not _os.path.exists(_os.path.join(path, "_stats", "_SUCCESS")):
+    if not _hadoop_exists(spark, _os.path.join(path, "_stats", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         materialize_sq8_index(emb, path)
     return path
@@ -1099,7 +1101,7 @@ def ensure_ivf_sqrt_index(spark: SparkSession, sf_dir: str) -> str:
     from polars_sim_spark.operators.similarity import materialize_ivf_index
 
     path = _index_dir(sf_dir, "ivf_sqrt")
-    if not _os.path.exists(_os.path.join(path, "_centroids", "_SUCCESS")):
+    if not _hadoop_exists(spark, _os.path.join(path, "_centroids", "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
         materialize_ivf_index(
@@ -1245,7 +1247,7 @@ def ensure_entity_labels(spark: SparkSession, sf_dir: str) -> str:
     twin READ this store; the in-query rebuild moved to a test
     (tests/test_similarity.py label-store rebuild equivalence)."""
     path = _index_dir(sf_dir, "entity_labels")
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    if not _hadoop_exists(spark, _os.path.join(path, "_SUCCESS")):
         build_historical_entity_labels(spark, sf_dir).write.mode(
             "overwrite"
         ).parquet(path)

@@ -1266,9 +1266,13 @@ def stream_upsert_lake(
             .select(*key_cols, "__s.*")
             .select(*cols)
         )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")) and not any(
+        from polars_sim_spark.fsutil import hadoop_exists, hadoop_list_names
+
+        if not hadoop_exists(
+            batch_df.sparkSession, os.path.join(path, "_SUCCESS")
+        ) and not any(
             d.startswith(f"{partition_col}=")
-            for d in (os.listdir(path) if os.path.exists(path) else [])
+            for d in hadoop_list_names(batch_df.sparkSession, path)
         ):
             collapsed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
             return
@@ -1407,8 +1411,10 @@ def stream_append_packed(pack_path: str, *, id_col: str, token_col: str):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        from polars_sim_spark.fsutil import hadoop_exists
+
         marker = _os.path.join(pack_path, "_stream_meta")
-        if _os.path.exists(_os.path.join(marker, "_SUCCESS")):
+        if hadoop_exists(spark, _os.path.join(marker, "_SUCCESS")):
             last = spark.read.parquet(marker).collect()[0]["last_batch_id"]
             if batch_id <= last:
                 return
@@ -1632,7 +1638,9 @@ def stream_phash_match(
     availableNow output equals the batch two-sided match by
     construction — stateless, no watermark. History stores 16-byte
     hashes, not pixels/samples: a micro-batch costs hashing its own
-    payloads (≤72 sampled bytes per item) plus its band rows against
+    payloads (≤72 sampled bytes per uncompressed item; compressed
+    rasters — GIF/PNG — pay a full O(pixels) inflate first, see
+    ppm_phash) plus its band rows against
     the band join; the media corpus is never rescanned."""
     from polars_sim_spark.operators.dedup import phash_match_pairs
     from polars_sim_spark.operators.multimodal import (

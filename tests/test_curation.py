@@ -754,3 +754,22 @@ def test_cluster_safe_split_no_leakage(spark, sf_small):
         if naive[l] != naive[r]
     ]
     assert leaked, "corpus has no straddling pairs — test fixture too weak"
+
+
+def test_cluster_safe_split_rejects_column_collisions(spark):
+    """Round 12 (ADVICE): pre-existing cluster_id / out_col columns must
+    raise IMMEDIATELY (the join would otherwise create ambiguous
+    duplicate names that only fail at first reference)."""
+    import pytest
+
+    from polars_sim_spark.operators.curation import cluster_safe_split
+
+    pairs = spark.createDataFrame([(1, 2)], "l_id long, r_id long")
+    has_cluster = spark.createDataFrame(
+        [(1, 9), (2, 9)], "doc_id long, cluster_id long"
+    )
+    with pytest.raises(ValueError, match="cluster_id"):
+        cluster_safe_split(has_cluster, "doc_id", pairs)
+    has_split = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, split string")
+    with pytest.raises(ValueError, match="split"):
+        cluster_safe_split(has_split, "doc_id", pairs)

@@ -777,3 +777,117 @@ def test_video_frame_match_equals_bruteforce(spark):
         video_frame_match_pairs(ph, band_cols=("band0", "band1"), max_dist=2)
     with pytest.raises(ValueError, match="min_frames"):
         video_frame_match_pairs(ph, max_dist=3, min_frames=0)
+
+
+def test_wav_pcm_gate_drops_non_int16_payloads(spark):
+    """Round 12 (ADVICE): a WAV whose fmt chunk declares channels=0 must
+    be DROPPED (not ZeroDivisionError the task), and float (fmt 3) /
+    8-bit payloads must be dropped rather than silently mis-read as
+    int16 — in both wav_pcm_stats and wav_phash."""
+    import struct
+
+    from polars_sim_spark.operators.multimodal import (
+        synth_wav,
+        wav_pcm_stats,
+        wav_phash,
+    )
+
+    good = synth_wav(struct.pack("<8h", *range(8)), 8000, 1)
+
+    def patched(fmt_tag=1, channels=1, bits=16):
+        b = bytearray(good)
+        # canonical 44-byte header: fmt fields start at offset 20
+        b[20:24] = struct.pack("<HH", fmt_tag, channels)
+        b[34:36] = struct.pack("<H", bits)
+        return bytes(b)
+
+    rows = [
+        (0, patched(channels=0)),  # would divide by zero
+        (1, patched(fmt_tag=3)),   # IEEE float — not int16
+        (2, patched(bits=8)),      # 8-bit PCM — not int16
+        (3, good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert [r["doc_id"] for r in wav_pcm_stats(df).collect()] == [3]
+    assert [r["doc_id"] for r in wav_phash(df).collect()] == [3]
+
+
+def test_inflate_round_trips_stdlib_zlib_all_levels():
+    """Round 12 (VERDICT r11 #1): the hand-written RFC 1950/1951 inflate
+    must decode stdlib zlib.compress output at EVERY level — level 0
+    emits stored blocks, low levels fixed-Huffman, high levels dynamic-
+    Huffman with LZ77 matches (incl. overlapping copies) — plus reject
+    truncated and corrupted streams via NotImplementedError."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _zlib_inflate
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        b"",
+        b"a",
+        b"abc" * 3000,                     # overlapping-copy repeats
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),  # incompressible
+        bytes(rng.integers(0, 4, 4096, dtype=np.uint8)),    # low-entropy
+    ]
+    for lvl in range(10):
+        for p in payloads:
+            assert _zlib_inflate(zlib.compress(p, lvl)) == p, (lvl, len(p))
+    good = zlib.compress(payloads[2], 6)
+    with pytest.raises(NotImplementedError):
+        _zlib_inflate(good[: len(good) // 2])  # truncated
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF  # adler32 mismatch
+    with pytest.raises(NotImplementedError):
+        _zlib_inflate(bytes(bad))
+
+
+def test_png_pixels_match_ppm_twin_and_reject_unsupported():
+    """Round 12: synth_png -> _png_logical_pixels must reproduce the
+    PPM twin's logical pixels exactly (every row filter type exercised
+    by h > 4 fixtures), and non-PNG / CRC-corrupt / interlaced payloads
+    must raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _png_logical_pixels,
+        _ppm_logical_pixels,
+        synth_png,
+        synth_ppm,
+    )
+
+    rng = np.random.default_rng(99)
+    for i in range(25):
+        w = 4 + i % 8
+        data = bytes(rng.integers(0, 256, int(rng.integers(12, 800)), dtype=np.uint8))
+        png, ppm = synth_png(data, w), synth_ppm(data, w)
+        if png is None:
+            assert ppm is None
+            continue
+        assert (_png_logical_pixels(png) == _ppm_logical_pixels(ppm)).all(), i
+
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        _png_logical_pixels(b"nope")
+    good = synth_png(bytes(i % 251 for i in range(3 * 5 * 30)), 5)
+    corrupt = bytearray(good)
+    corrupt[40] ^= 1  # inside IDAT -> chunk CRC mismatch
+    with pytest.raises(NotImplementedError, match="CRC"):
+        _png_logical_pixels(bytes(corrupt))
+    # interlace flag: rebuild the IHDR chunk with interlace=1 + new CRC
+    ihdr = struct.pack(">IIBBBBB", 5, 30, 8, 2, 0, 0, 1)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    inter = good[:8] + chunk + good[8 + len(chunk):]
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        _png_logical_pixels(inter)

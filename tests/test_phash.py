@@ -275,3 +275,129 @@ def test_multiformat_corpus_hashes_equal_ppm_twin(spark):
     want = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(twin, n_bands=8).collect()}
     assert got == want and len(got) == sum(1 for _, p in ppm_rows if p is not None)
     assert len(got) > 30  # corpus mostly hashable, all three formats hit
+
+
+def test_diagnose_hot_buckets_discriminates_replicas_from_degeneracy(spark):
+    """Round 12 (VERDICT r11 #3): the no-ground-truth hot-bucket
+    composition probe must flag replica-cluster mega-buckets (identical
+    FULL hashes — the majority-fold recall-inversion mode) and must NOT
+    flag band-degeneracy mega-buckets (one band collapses, full hashes
+    stay distinct — the repaired-image-fixture mode where capping is
+    safe). cap_guard=True surfaces the former as a UserWarning."""
+    import warnings
+
+    import pytest
+
+    from polars_sim_spark.operators.dedup import (
+        diagnose_hot_buckets,
+        phash_near_pairs,
+    )
+
+    bc = ("band0", "band1", "band2", "band3")
+    # 30 replicas: every band identical -> hot buckets ARE dup clusters
+    homog = spark.createDataFrame(
+        [(i, 7, 7, 7, 7) for i in range(30)],
+        "id long, band0 int, band1 int, band2 int, band3 int",
+    )
+    d = diagnose_hot_buckets(homog, band_cols=bc, max_bucket_size=10)
+    assert d["n_hot_buckets"] == 4 and d["max_bucket"] == 30
+    assert d["same_hash_pair_fraction"] == 1.0 and d["cap_deletes_signal"]
+
+    # 30 docs sharing ONE degenerate band; other bands discriminate
+    degen = spark.createDataFrame(
+        [(i, 0, 100 + i, 200 + i, 300 + i) for i in range(30)],
+        "id long, band0 int, band1 int, band2 int, band3 int",
+    )
+    d2 = diagnose_hot_buckets(degen, band_cols=bc, max_bucket_size=10)
+    assert d2["n_hot_buckets"] == 1 and d2["max_bucket"] == 30
+    assert d2["same_hash_pair_fraction"] == 0.0 and not d2["cap_deletes_signal"]
+
+    with pytest.warns(UserWarning, match="replica clusters"):
+        phash_near_pairs(
+            homog, band_cols=bc, max_bucket_size=10, cap_guard=True
+        ).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        got = phash_near_pairs(
+            degen, band_cols=bc, max_bucket_size=10, cap_guard=True
+        ).collect()
+    assert got == []  # capping the degenerate bucket drops only false cands
+
+
+def test_video_near_pairs_auto_routes_on_fold_clustering(spark):
+    """Round 12: video_near_pairs_auto must take the frame-aligned path
+    on a homogeneous fold corpus (output carries n_frames_matched) and
+    the cheap capped fold path on a well-spread corpus (output carries
+    hamming); the frame plan must stay LAZY on the fold route."""
+    from polars_sim_spark.operators.dedup import video_near_pairs_auto
+
+    bc = ("band0", "band1", "band2", "band3")
+    sch = "doc_id long, band0 int, band1 int, band2 int, band3 int"
+    fsch = (
+        "doc_id long, frame_idx int, band0 int, band1 int, band2 int, band3 int"
+    )
+    homog_fold = spark.createDataFrame([(i, 7, 7, 7, 7) for i in range(30)], sch)
+    frames = spark.createDataFrame(
+        [(i, f, 1, 2, 3, 4) for i in range(4) for f in range(3)], fsch
+    )
+    out = video_near_pairs_auto(
+        homog_fold, frames, fold_band_cols=bc, max_bucket_size=10
+    )
+    assert "n_frames_matched" in out.columns
+    assert out.count() == 6  # C(4,2) video pairs, all 3 frames aligned
+    assert out.where("n_frames_matched = 3").count() == 6
+
+    spread_fold = spark.createDataFrame(
+        [(i, i, 2 * i, 3 * i, 4 * i) for i in range(30)] + [(100, 0, 0, 0, 0)],
+        sch,
+    )
+    bad_frames = spark.createDataFrame([], fsch)  # would yield no pairs
+    out2 = video_near_pairs_auto(
+        spread_fold, bad_frames, fold_band_cols=bc, max_bucket_size=10
+    )
+    assert "hamming" in out2.columns
+    # doc 0 and doc 100 share all four band values -> hamming 0 pair
+    assert {(r["l_id"], r["r_id"]) for r in out2.collect()} == {(0, 100)}
+
+
+def test_video_frame_match_pairs_bucket_cap(spark):
+    """Round 12 (ADVICE): the frozen-frame mode — many videos sharing
+    one per-frame hash — must be cappable via max_bucket_size, and the
+    cap must only drop the frozen frame's buckets (distinctive frames
+    still match)."""
+    from polars_sim_spark.operators.dedup import video_frame_match_pairs
+
+    fsch = (
+        "doc_id long, frame_idx int, band0 int, band1 int, band2 int, band3 int"
+    )
+    rows = []
+    # frame 0 is frozen (identical across ALL 40 videos); frame 1 is
+    # distinctive and only matches within twin pairs (2k, 2k+1).
+    for i in range(40):
+        rows.append((i, 0, 9, 9, 9, 9))
+        rows.append((i, 1, i // 2, i // 2 + 1, i // 2 + 2, i // 2 + 3))
+    ph = spark.createDataFrame(rows, fsch)
+    uncapped = video_frame_match_pairs(ph, max_dist=3, min_frames=1)
+    assert uncapped.count() == 40 * 39 // 2  # frozen frame links everyone
+    capped = video_frame_match_pairs(
+        ph, max_dist=3, min_frames=1, max_bucket_size=10
+    )
+    got = {(r["l_id"], r["r_id"]): r["n_frames_matched"] for r in capped.collect()}
+    assert got == {(2 * k, 2 * k + 1): 1 for k in range(20)}
+
+
+def test_phash_identical_across_ppm_and_png(spark):
+    """Round 12: PNG payloads must hash IDENTICALLY to their PPM twins —
+    the dHash reads LOGICAL pixels, and the PNG decode path (own
+    DEFLATE inflate + five-filter reconstruction) must be invisible."""
+    from polars_sim_spark.operators.multimodal import synth_png
+
+    images = _rand_images(23, 30)
+    ppm_rows = [(i, synth_ppm(data, w)) for i, w, data in images]
+    png_rows = [(i, synth_png(data, w)) for i, w, data in images]
+    assert all(p is not None for _, p in png_rows)
+    pdf = spark.createDataFrame(ppm_rows, "doc_id long, payload binary")
+    gdf = spark.createDataFrame(png_rows, "doc_id long, payload binary")
+    hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
+    hg = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(gdf, n_bands=8).collect()}
+    assert hp == hg and len(hp) == len(images)
