@@ -164,6 +164,138 @@ def _try_wav_header(data: bytes):
     return sr, ch, int(data_len * 1000 // byte_rate)
 
 
+#: MPEG-1 Layer III bitrate table (kbps) by header bitrate index 1..14
+#: and sample-rate table by index 0..2 — public ISO/IEC 11172-3 values.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+#: MPEG-1 Layer III frames carry 1152 PCM samples each.
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def synth_mp3(data: bytes, bitrate_kbps: int, sample_rate: int, channels: int = 1) -> bytes | None:
+    """Deterministic MPEG-1 Layer III container around ``data``: the
+    bytes are cut into fixed-size frames (frame length = 144000·bitrate
+    / sample_rate, the public Layer III formula, padding bit 0), each
+    prefixed by a real 4-byte frame header (sync + version/layer +
+    bitrate/sample-rate indexes + channel mode); the last frame is
+    zero-padded to full length as real encoders do. Returns None for
+    empty ``data`` (an MP3 with zero frames is not a stream). The
+    header tier only — frame PAYLOADS are opaque (Huffman-coded
+    granules need a real codec), exactly like synth_mp4's mdat."""
+    if not data:
+        return None
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    flen = 144000 * bitrate_kbps // sample_rate
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG-1 + Layer III + no CRC
+            (br_idx << 4) | (sr_idx << 2),  # padding 0, private 0
+            (0b11 if channels == 1 else 0b00) << 6,  # mono / stereo
+        ]
+    )
+    body = flen - 4
+    out = bytearray()
+    for i in range(0, len(data), body):
+        chunk = data[i : i + body]
+        out += hdr + chunk + b"\x00" * (body - len(chunk))
+    return bytes(out)
+
+
+def _try_mp3_header(data: bytes):
+    """MPEG-1 Layer III header parse: (sample_rate, channels,
+    duration_ms) from the frame-header walk — each frame's length comes
+    from ITS OWN header's bitrate/padding bits (VBR-safe), duration =
+    frames · 1152 / sample_rate. Pure byte arithmetic over the public
+    ISO/IEC 11172-3 tables; a truncated trailing frame is ignored, and
+    anything that is not an MPEG-1 Layer III stream raises
+    NotImplementedError."""
+    if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE0) != 0xE0:
+        raise NotImplementedError("not an MPEG audio frame sync")
+    if (data[1] >> 3) & 0x3 != 0x3 or (data[1] >> 1) & 0x3 != 0x1:
+        raise NotImplementedError("only MPEG-1 Layer III is parsed")
+    first_sr = None
+    channels = 1 if (data[3] >> 6) == 0b11 else 2
+    pos, n_frames = 0, 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break  # trailing non-frame bytes (tags etc.) end the walk
+        br_idx, sr_idx = data[pos + 2] >> 4, (data[pos + 2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise NotImplementedError("free-format/invalid MP3 header indexes")
+        sr = _MP3_RATES[sr_idx]
+        first_sr = first_sr or sr
+        flen = 144000 * _MP3_BITRATES[br_idx] // sr + ((data[pos + 2] >> 1) & 1)
+        if pos + flen > len(data):
+            break
+        n_frames += 1
+        pos += flen
+    if not n_frames:
+        raise NotImplementedError("MP3 without one complete frame")
+    return first_sr, channels, int(
+        n_frames * _MP3_SAMPLES_PER_FRAME * 1000 // first_sr
+    )
+
+
+def synth_flac(data: bytes, sample_rate: int, channels: int) -> bytes | None:
+    """Deterministic FLAC container around ``data``: the ``fLaC``
+    marker + a last-metadata STREAMINFO block (the fixed 34-byte layout:
+    block sizes, frame sizes, then the packed 64-bit
+    sample-rate(20)/channels(3)/bits(5)/total-samples(36) field + MD5)
+    with total_samples = len(data), followed by the bytes as opaque
+    frame payload. Returns None for empty ``data``. Header tier only —
+    FLAC subframe decoding (Rice residuals) needs a real codec."""
+    import struct
+
+    if not data:
+        return None
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((16 - 1) << 36)
+        | (len(data) & ((1 << 36) - 1))
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big") * 2
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16
+    )
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo + data
+
+
+def _try_flac_header(data: bytes):
+    """FLAC STREAMINFO parse: (sample_rate, channels, duration_ms) from
+    the fixed 34-byte block located by the metadata-block walk — pure
+    byte arithmetic on the public FLAC format layout. Raises
+    NotImplementedError on non-FLAC input or a stream whose STREAMINFO
+    is missing/truncated/zero-rate."""
+    import struct
+
+    if len(data) < 8 or data[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC stream")
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if length < 34 or len(body) < 34:
+                raise NotImplementedError("truncated FLAC STREAMINFO")
+            (packed,) = struct.unpack_from(">Q", body, 10)
+            sr = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            total = packed & ((1 << 36) - 1)
+            if sr == 0:
+                raise NotImplementedError("FLAC STREAMINFO with zero sample rate")
+            return int(sr), int(ch), int(total * 1000 // sr)
+        if hdr & 0x80:  # last-metadata flag and no STREAMINFO yet
+            break
+        pos += 4 + length
+    raise NotImplementedError("FLAC without a parseable STREAMINFO block")
+
+
 def _walk_mp4_boxes(data: bytes, start: int, end: int):
     """Yield (box_type, payload_start, payload_end) for the ISO-BMFF
     boxes in data[start:end], handling 64-bit largesize and
@@ -553,8 +685,11 @@ def attach_media_payload(
     ids ≡ 0 (mod 5) wrap the text bytes in a real WAV container
     (synth_wav; sample rate / channels derived from the id), ids ≡ 1
     (mod 5) in a real MP4 container (synth_mp4; dims / duration derived
-    from id and byte length), everything else stays raw utf-8 — the
-    fixture corpus for the container-header decode path, built so a
+    from id and byte length), ids ≡ 2 (mod 5) in MPEG-1 Layer III
+    frames (synth_mp3; bitrate/rate/channels from the id — round 12,
+    VERDICT r11 #7), ids ≡ 3 (mod 5) in a FLAC container (synth_flac),
+    everything else (and empty-text MP3/FLAC slots) stays raw utf-8 —
+    the fixture corpus for the container-header decode path, built so a
     closed-form SQL oracle can predict every parsed field."""
     from pyspark.sql import types as T
 
@@ -585,6 +720,21 @@ def attach_media_payload(
                             duration_ms=len(data) * 40,
                         )
                     )
+                elif m == 2:
+                    p = synth_mp3(
+                        data,
+                        bitrate_kbps=(96, 128, 160, 192)[int(i) % 4],
+                        sample_rate=_MP3_RATES[int(i) % 3],
+                        channels=1 + int(i) % 2,
+                    )
+                    payloads.append(p if p is not None else data)
+                elif m == 3:
+                    p = synth_flac(
+                        data,
+                        sample_rate=16000 + (int(i) % 3) * 16000,
+                        channels=1 + int(i) % 2,
+                    )
+                    payloads.append(p if p is not None else data)
                 else:
                     payloads.append(data)
             out = pdf[[f.name for f in fields]].copy()
@@ -599,8 +749,9 @@ def decode_media_meta(
 ) -> DataFrame:
     """Per-payload container metadata across image AND audio/video
     formats: the image header scans of :func:`_try_real_decode` plus
-    the WAV (`_try_wav_header`) and ISO-BMFF (`_try_mp4_header`) box
-    walks — all pure byte parsing in one Arrow-batched pass. Fields not
+    the WAV (`_try_wav_header`), ISO-BMFF (`_try_mp4_header`), MPEG-1
+    Layer III (`_try_mp3_header`) and FLAC (`_try_flac_header`) walks —
+    all pure byte parsing in one Arrow-batched pass. Fields not
     applicable to a format are null (audio has no dims, images no
     duration); unrecognized payloads fall back to the labeled stub dims
     like :func:`decode_image_meta`."""
@@ -616,13 +767,22 @@ def decode_media_meta(
             for b in pdf[payload_col]:
                 data = bytes(b)
                 w = h = sr = ch = dur = None
+                d = None
                 try:
                     w, h, d = _try_real_decode(data)
                 except NotImplementedError:
-                    try:
-                        sr, ch, dur = _try_wav_header(data)
-                        d = "wav"
-                    except NotImplementedError:
+                    for parser, name in (
+                        (_try_wav_header, "wav"),
+                        (_try_mp3_header, "mp3"),
+                        (_try_flac_header, "flac"),
+                    ):
+                        try:
+                            sr, ch, dur = parser(data)
+                            d = name
+                            break
+                        except NotImplementedError:
+                            continue
+                    if d is None:
                         try:
                             w, h, dur = _try_mp4_header(data)
                             d = "mp4"

@@ -42,39 +42,74 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_media_meta",
     """
-SELECT doc_id,
-       CASE WHEN doc_id % 5 = 0 THEN dlen + 44
-            WHEN doc_id % 5 = 1 THEN dlen + 473 + 4 * ((dlen + 63) // 64)
+WITH base AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents
+),
+fmt AS (
+  SELECT doc_id, dlen,
+         CASE WHEN doc_id % 5 = 0 THEN 'wav'
+              WHEN doc_id % 5 = 1 THEN 'mp4'
+              WHEN doc_id % 5 = 2 AND dlen > 0 THEN 'mp3'
+              WHEN doc_id % 5 = 3 AND dlen > 0 THEN 'flac'
+              ELSE 'stub' END AS decoder,
+         -- MP3 fixture params (ISO/IEC 11172-3 tables, id-derived)
+         CASE doc_id % 4 WHEN 0 THEN 96 WHEN 1 THEN 128
+                         WHEN 2 THEN 160 ELSE 192 END AS br,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                         ELSE 32000 END AS mp3_sr,
+         CAST(16000 + (doc_id % 3) * 16000 AS BIGINT) AS flac_sr
+  FROM base
+),
+mp3 AS (
+  SELECT doc_id,
+         (144000 * br) // mp3_sr AS flen,
+         (dlen + (144000 * br) // mp3_sr - 5)
+           // ((144000 * br) // mp3_sr - 4) AS n_frames
+  FROM fmt WHERE decoder = 'mp3'
+)
+SELECT f.doc_id AS doc_id,
+       CASE f.decoder WHEN 'wav' THEN dlen + 44
+            WHEN 'mp4' THEN dlen + 473 + 4 * ((dlen + 63) // 64)
+            WHEN 'mp3' THEN m.n_frames * m.flen
+            WHEN 'flac' THEN dlen + 42
             ELSE dlen END AS n_bytes,
-       CASE WHEN doc_id % 5 = 0 THEN 'wav'
-            WHEN doc_id % 5 = 1 THEN 'mp4'
-            ELSE 'stub' END AS decoder,
-       CASE WHEN doc_id % 5 = 1 THEN CAST(160 + (doc_id % 8) * 16 AS INT)
-            WHEN doc_id % 5 = 0 THEN CAST(-1 AS INT)
-            ELSE CAST(16 + dlen % 97 AS INT) END AS width,
-       CASE WHEN doc_id % 5 = 1 THEN CAST(120 + (doc_id % 6) * 24 AS INT)
-            WHEN doc_id % 5 = 0 THEN CAST(-1 AS INT)
-            ELSE CAST(16 + dlen % 83 AS INT) END AS height,
-       CASE WHEN doc_id % 5 = 0 THEN CAST(8000 + (doc_id % 4) * 4000 AS INT)
+       f.decoder AS decoder,
+       CASE WHEN f.decoder = 'mp4' THEN CAST(160 + (f.doc_id % 8) * 16 AS INT)
+            WHEN f.decoder = 'stub' THEN CAST(16 + dlen % 97 AS INT)
+            ELSE CAST(-1 AS INT) END AS width,
+       CASE WHEN f.decoder = 'mp4' THEN CAST(120 + (f.doc_id % 6) * 24 AS INT)
+            WHEN f.decoder = 'stub' THEN CAST(16 + dlen % 83 AS INT)
+            ELSE CAST(-1 AS INT) END AS height,
+       CASE f.decoder WHEN 'wav' THEN CAST(8000 + (f.doc_id % 4) * 4000 AS INT)
+            WHEN 'mp3' THEN CAST(mp3_sr AS INT)
+            WHEN 'flac' THEN CAST(flac_sr AS INT)
             ELSE CAST(-1 AS INT) END AS sample_rate,
-       CASE WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 2 AS INT)
+       CASE WHEN f.decoder IN ('wav', 'mp3', 'flac')
+              THEN CAST(1 + f.doc_id % 2 AS INT)
             ELSE CAST(-1 AS INT) END AS channels,
-       CASE WHEN doc_id % 5 = 0 THEN
-              (dlen * 1000) // ((8000 + (doc_id % 4) * 4000) * (1 + doc_id % 2) * 2)
-            WHEN doc_id % 5 = 1 THEN dlen * 40
+       CASE f.decoder WHEN 'wav' THEN
+              (dlen * 1000) // ((8000 + (f.doc_id % 4) * 4000) * (1 + f.doc_id % 2) * 2)
+            WHEN 'mp4' THEN dlen * 40
+            WHEN 'mp3' THEN (m.n_frames * 1152 * 1000) // mp3_sr
+            WHEN 'flac' THEN (dlen * 1000) // flac_sr
             ELSE CAST(-1 AS BIGINT) END AS duration_ms
-FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS dlen FROM documents)
+FROM fmt f LEFT JOIN mp3 m ON f.doc_id = m.doc_id
 """,
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Container-header decode across media types (round 7): WAV payloads
-    (ids ≡ 0 mod 5) parse sample rate / channels / duration from the
-    RIFF chunks, MP4 payloads (ids ≡ 1 mod 5) parse dims and duration
-    from the moov/mvhd/tkhd box walk, the rest take the labeled stub —
-    all REAL pure-byte parsing (operators/multimodal.py), no codec. The
-    payloads are deterministic containers around the text bytes, so the
-    oracle predicts every parsed field in closed form: the check proves
-    the parsers exactly invert the container layouts."""
+    """Container-header decode across media types (round 7; MP3 + FLAC
+    added round 12, VERDICT r11 #7): WAV payloads (ids ≡ 0 mod 5) parse
+    sample rate / channels / duration from the RIFF chunks, MP4
+    payloads (≡ 1) parse dims and duration from the moov/mvhd/tkhd box
+    walk, MP3 payloads (≡ 2) walk MPEG-1 Layer III frame headers
+    (bitrate/sample-rate index tables, per-frame lengths, frames × 1152
+    samples), FLAC payloads (≡ 3) unpack the 34-byte STREAMINFO
+    bit-field, the rest take the labeled stub — all REAL pure-byte
+    parsing (operators/multimodal.py), no codec. The payloads are
+    deterministic containers around the text bytes, so the oracle
+    predicts every parsed field in closed form: the check proves the
+    parsers exactly invert the container layouts."""
     from polars_sim_spark.operators.multimodal import (
         attach_media_payload,
         decode_media_meta,

@@ -250,7 +250,10 @@ def test_decode_media_meta_end_to_end(spark):
     }
     assert out[0]["decoder"] == "wav" and out[5]["decoder"] == "wav"
     assert out[1]["decoder"] == "mp4" and out[6]["decoder"] == "mp4"
-    assert all(out[i]["decoder"] == "stub" for i in (2, 3, 4, 7, 8, 9))
+    # round 12: ids ≡ 2 (mod 5) are MP3, ≡ 3 are FLAC; only ≡ 4 is stub
+    assert out[2]["decoder"] == "mp3" and out[7]["decoder"] == "mp3"
+    assert out[3]["decoder"] == "flac" and out[8]["decoder"] == "flac"
+    assert out[4]["decoder"] == "stub" and out[9]["decoder"] == "stub"
     # wav row 5: sr = 8000 + (5 % 4) * 4000 = 12000, ch = 1 + 5 % 2 = 2
     dlen5 = len("hello media world " * 6)
     assert out[5]["sample_rate"] == 12000 and out[5]["channels"] == 2
@@ -263,10 +266,23 @@ def test_decode_media_meta_end_to_end(spark):
     assert out[6]["duration_ms"] == dlen6 * 40
     assert out[6]["n_bytes"] == dlen6 + 473 + 4 * ((dlen6 + 63) // 64)
     assert out[6]["sample_rate"] is None and out[6]["channels"] is None
+    # mp3 row 7: br = 192 (7 % 4 = 3), sr = 48000 (7 % 3 = 1), ch = 2
+    dlen7 = len("hello media world " * 8)
+    flen7 = 144000 * 192 // 48000
+    nf7 = -(-dlen7 // (flen7 - 4))
+    assert out[7]["sample_rate"] == 48000 and out[7]["channels"] == 2
+    assert out[7]["n_bytes"] == nf7 * flen7
+    assert out[7]["duration_ms"] == nf7 * 1152 * 1000 // 48000
+    assert out[7]["width"] is None and out[7]["height"] is None
+    # flac row 8: sr = 16000 + (8 % 3) * 16000 = 48000, ch = 1
+    dlen8 = len("hello media world " * 9)
+    assert out[8]["sample_rate"] == 48000 and out[8]["channels"] == 1
+    assert out[8]["n_bytes"] == dlen8 + 42
+    assert out[8]["duration_ms"] == dlen8 * 1000 // 48000
     # stub rows keep the fake-dims contract and null media fields
-    dlen2 = len("hello media world " * 3)
-    assert out[2]["width"] == 16 + dlen2 % 97 and out[2]["height"] == 16 + dlen2 % 83
-    assert out[2]["duration_ms"] is None
+    dlen4 = len("hello media world " * 5)
+    assert out[4]["width"] == 16 + dlen4 % 97 and out[4]["height"] == 16 + dlen4 % 83
+    assert out[4]["duration_ms"] is None
 
 
 def test_wav_pcm_stats_known_samples(spark):
@@ -891,3 +907,58 @@ def test_png_pixels_match_ppm_twin_and_reject_unsupported():
     inter = good[:8] + chunk + good[8 + len(chunk):]
     with pytest.raises(NotImplementedError, match="Adam7"):
         _png_logical_pixels(inter)
+
+
+def test_mp3_header_parse_inverts_synth():
+    """Round 12 (VERDICT r11 #7): the MPEG-1 Layer III frame-header walk
+    must invert synth_mp3 exactly — sample rate, channel mode, and
+    frame-count-derived duration — and reject non-MP3 / non-MPEG1
+    payloads with NotImplementedError."""
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _try_mp3_header, synth_mp3
+
+    for br in (96, 128, 160, 192):
+        for sr in (44100, 48000, 32000):
+            for ch in (1, 2):
+                data = bytes((i * 7 + br) % 251 for i in range(777))
+                mp3 = synth_mp3(data, br, sr, ch)
+                flen = 144000 * br // sr
+                n_frames = -(-len(data) // (flen - 4))
+                assert len(mp3) == n_frames * flen
+                got_sr, got_ch, got_dur = _try_mp3_header(mp3)
+                assert (got_sr, got_ch) == (sr, ch)
+                assert got_dur == n_frames * 1152 * 1000 // sr
+    assert synth_mp3(b"", 128, 44100) is None
+    with pytest.raises(NotImplementedError):
+        _try_mp3_header(b"not audio at all")
+    # MPEG-2 version bits -> rejected (header tier is MPEG-1 L3 only)
+    mpeg2 = bytearray(synth_mp3(b"x" * 100, 128, 44100))
+    mpeg2[1] = 0xF3  # version bits 10 = MPEG-2
+    with pytest.raises(NotImplementedError):
+        _try_mp3_header(bytes(mpeg2))
+    # truncated trailing frame is ignored, not fatal
+    whole = synth_mp3(b"y" * 2000, 128, 44100)
+    flen = 144000 * 128 // 44100
+    sr, ch, dur = _try_mp3_header(whole[: flen + 10])
+    assert dur == 1152 * 1000 // 44100
+
+
+def test_flac_header_parse_inverts_synth():
+    """Round 12 (VERDICT r11 #7): the STREAMINFO bit-field unpack must
+    invert synth_flac exactly and reject non-FLAC payloads."""
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _try_flac_header, synth_flac
+
+    for sr in (16000, 32000, 48000):
+        for ch in (1, 2):
+            data = bytes(i % 199 for i in range(1234))
+            flac = synth_flac(data, sr, ch)
+            assert len(flac) == len(data) + 42
+            assert _try_flac_header(flac) == (sr, ch, len(data) * 1000 // sr)
+    assert synth_flac(b"", 16000, 1) is None
+    with pytest.raises(NotImplementedError):
+        _try_flac_header(b"fLaX wrong marker")
+    with pytest.raises(NotImplementedError):
+        _try_flac_header(b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10)
