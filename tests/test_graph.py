@@ -297,3 +297,39 @@ def test_cooccurrence_min_support(spark):
         ).collect()
     }
     assert got == {("x", "y")}  # (x,z) co-occurs once -> filtered
+
+
+def test_k_core_incident_only_equals_recompute(spark):
+    """Round 12 (VERDICT r11 #5): the incident-only degree maintenance
+    must produce the IDENTICAL fixpoint as the full per-round degree
+    recompute, across k values on a random graph with a real peel
+    cascade (chains hanging off a dense core)."""
+    import random
+
+    from polars_sim_spark.operators.graph import k_core
+
+    rng = random.Random(12)
+    pairs = set()
+    # dense core: 30 nodes, p=0.35
+    for a in range(30):
+        for b in range(a + 1, 30):
+            if rng.random() < 0.35:
+                pairs.add((a, b))
+    # chains hanging off the core: force multi-round cascades
+    nxt = 100
+    for start in range(0, 30, 3):
+        prev = start
+        for _ in range(6):
+            pairs.add((min(prev, nxt), max(prev, nxt)))
+            prev, nxt = nxt, nxt + 1
+    df = _edges_df(spark, sorted(pairs))
+    for k in (2, 3, 4, 6):
+        fast = {
+            (r.node, r.core_deg)
+            for r in k_core(df, k, incident_only=True).collect()
+        }
+        slow = {
+            (r.node, r.core_deg)
+            for r in k_core(df, k, incident_only=False).collect()
+        }
+        assert fast == slow, k
