@@ -1210,14 +1210,14 @@ def ppm_phash(
 
 
 def _attach_payload(
-    df: DataFrame, synths: dict, text_col: str, id_col: str
+    df: DataFrame, synths: dict, text_col: str, id_col: str, modulus: int = 3
 ) -> DataFrame:
-    """Shared image-fixture attacher: for ids whose ``id % 3`` has an
-    entry in ``synths``, wrap the utf-8 text bytes in that container
-    (width = 4 + id % 8); rows whose text is too short for one pixel
-    row (synth returns None) and non-matching ids stay raw utf-8.
-    Deterministic, so closed-form SQL oracles predict every pixel byte
-    from the text column."""
+    """Shared image-fixture attacher: for ids whose ``id % modulus``
+    has an entry in ``synths``, wrap the utf-8 text bytes in that
+    container (width = 4 + id % 8); rows whose text is too short for
+    one pixel row (synth returns None) and non-matching ids stay raw
+    utf-8. Deterministic, so closed-form SQL oracles predict every
+    pixel byte from the text column."""
     id_name, text_name = id_col, text_col
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1225,7 +1225,7 @@ def _attach_payload(
             payloads = []
             for i, t in zip(pdf[id_name], pdf[text_name]):
                 data = ("" if t is None else str(t)).encode("utf-8")
-                synth = synths.get(int(i) % 3)
+                synth = synths.get(int(i) % modulus)
                 p = synth(data, 4 + int(i) % 8) if synth else None
                 payloads.append(p if p is not None else data)
             out = pdf.copy()
@@ -1741,16 +1741,25 @@ def gif_pixel_stats(
 def attach_multiformat_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """The mixed-format image corpus (round 11): EVERY document whose
-    text holds at least one full pixel row becomes a real image file —
-    ids ≡ 0 (mod 3) as binary PPM, ≡ 1 as 24-bit BMP, ≡ 2 as GIF89a
-    (width = 4 + id % 8, identical logical-pixel rule across formats).
-    This is the corpus shape a real multimodal pipeline dedups: the
-    same picture arrives through different ingestion paths in different
-    containers, and near-dup detection must see through the container.
+    """The mixed-format image corpus (round 11; PNG added round 12):
+    EVERY document whose text holds at least one full pixel row becomes
+    a real image file — ids ≡ 0 (mod 4) as binary PPM, ≡ 1 as 24-bit
+    BMP, ≡ 2 as GIF89a, ≡ 3 as 8-bit truecolor PNG (width = 4 + id % 8,
+    identical logical-pixel rule across all four formats). This is the
+    corpus shape a real multimodal pipeline dedups: the same picture
+    arrives through different ingestion paths in different containers,
+    and near-dup detection must see through the container — including
+    through two different compression schemes (GIF-LZW and
+    zlib/DEFLATE), both inflated by this module's own decoders. The
+    container reassignment is invisible to the contract oracle (hashes
+    are functions of LOGICAL pixels = text bytes + the width rule).
     Rows whose text is too short stay raw utf-8."""
     return _attach_payload(
-        df, {0: synth_ppm, 1: synth_bmp, 2: synth_gif}, text_col, id_col
+        df,
+        {0: synth_ppm, 1: synth_bmp, 2: synth_gif, 3: synth_png},
+        text_col,
+        id_col,
+        modulus=4,
     )
 
 

@@ -876,26 +876,27 @@ bits AS (
 )
 SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
        CAST(sum(abs(a.bit - b.bit)) AS INT) AS hamming,
-       CASE WHEN a.doc_id % 3 = b.doc_id % 3 THEN 0 ELSE 1 END AS cross_format
+       CASE WHEN a.doc_id % 4 = b.doc_id % 4 THEN 0 ELSE 1 END AS cross_format
 FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING CAST(sum(abs(a.bit - b.bit)) AS INT) <= 7
 """,
 )
 def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-format image near-dup detection (round 11) — the corpus
-    shape a real multimodal pipeline faces: the same logical-pixel rule
-    arrives as raw PPM (ids ≡ 0 mod 3), 24-bit BMP (≡ 1) and
-    LZW-compressed GIF (≡ 2) through one table
+    """Cross-format image near-dup detection (round 11; PNG added
+    round 12) — the corpus shape a real multimodal pipeline faces: the
+    same logical-pixel rule arrives as raw PPM (ids ≡ 0 mod 4), 24-bit
+    BMP (≡ 1), LZW-compressed GIF (≡ 2) and DEFLATE-compressed PNG
+    (≡ 3) through one table
     (operators/multimodal.py:attach_multiformat_payload), and the dHash
     (defined on LOGICAL pixels, so container-invariant by construction)
     surfaces near-dup pairs ACROSS containers via the same banded
     Hamming join. ``cross_format`` marks pairs whose two sides live in
     different containers — the pairs only a format-blind hash can find.
     The oracle recomputes every distance from the text bytes all-pairs
-    with no format column at all: hash-equality proves the three
-    decoders (raw read, DIB inversion, LZW inflate) land on identical
-    grids."""
+    with no format column at all: hash-equality proves the FOUR
+    decoders (raw read, DIB inversion, LZW inflate, DEFLATE inflate +
+    row unfilter) land on identical grids."""
     from polars_sim_spark.operators import dedup
     from polars_sim_spark.operators.multimodal import (
         attach_multiformat_payload,
@@ -914,7 +915,7 @@ def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_id").alias("l_doc"),
         F.col("r_id").alias("r_doc"),
         "hamming",
-        (F.col("l_id") % 3 != F.col("r_id") % 3).cast("int").alias("cross_format"),
+        (F.col("l_id") % 4 != F.col("r_id") % 4).cast("int").alias("cross_format"),
     )
 
 

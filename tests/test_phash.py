@@ -247,8 +247,9 @@ def test_phash_cross_format_ppm_equals_gif(spark):
 
 
 def test_multiformat_corpus_hashes_equal_ppm_twin(spark):
-    """Round 11: dHashes over the MIXED-container corpus (PPM/BMP/GIF by
-    id mod 3, attach_multiformat_payload) must be IDENTICAL per doc to a
+    """Round 11 (PNG added r12): dHashes over the MIXED-container corpus
+    (PPM/BMP/GIF/PNG by id mod 4, attach_multiformat_payload) must be
+    IDENTICAL per doc to a
     twin corpus storing every image as raw PPM — the container must be
     invisible to the hash, which makes the near-dup pair set identical
     by construction (pairs are a function of the hashes)."""

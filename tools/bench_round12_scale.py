@@ -64,7 +64,7 @@ TWIN_MOD = 17
 
 def attach_random_media(docs, modality: str):
     """Replica-keyed pseudo-random payloads with planted twins: doc
-    base = doc_id - 1 when doc_id % 17 == 1 (else itself); bytes are a
+    base = doc_id - 5 when (doc_id//5) % 17 == 1 (else itself); bytes are a
     per-base PCG stream, twins get every 97th byte's low bit flipped —
     high-entropy content whose ONLY near-dup structure is the planted
     twin rate of ~1/17, so pair counts have a known linear target."""
@@ -74,7 +74,9 @@ def attach_random_media(docs, modality: str):
             payloads = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                base = i - 1 if i % TWIN_MOD == 1 else i
+                # twin stride 5 keeps both twin members inside the
+                # 1-in-5 fixture slices the audio/video legs use
+                base = i - 5 if (i // 5) % TWIN_MOD == 1 else i
                 rng = np.random.default_rng(base % (1 << 63))
                 n = 800 + (base % 13) * 137
                 data = rng.integers(0, 256, n, dtype=np.uint8)
@@ -99,7 +101,7 @@ def pair_stats(pr):
         ),
         F.sum(
             (
-                F.greatest("l_id", "r_id") - F.least("l_id", "r_id") == 1
+                F.greatest("l_id", "r_id") - F.least("l_id", "r_id") == 5
             ).cast("long")
         ).alias("twins"),
     ).collect()[0]
@@ -164,7 +166,11 @@ def leg_audio(spark, corpora):
     for nb, md, max_label in ((16, 15, "10x"), (4, 3, "100x")):
         bands = tuple(f"band{j}" for j in range(nb))
         for label, src in corpora:
-            docs = spark.read.parquet(f"{src}/documents.parquet")
+            # the r11 rows hashed the 1-in-5 WAV fixture slice (1k/10k
+            # rows) — keep the same population for comparable slopes
+            docs = spark.read.parquet(f"{src}/documents.parquet").where(
+                F.col("doc_id") % 5 == 0
+            )
             t0 = time.perf_counter()
             ph = wav_phash(
                 attach_random_media(docs, "audio"), n_bands=nb
@@ -192,7 +198,10 @@ def leg_audio(spark, corpora):
 def leg_video(spark, corpora):
     fold_bands = tuple(f"band{j}" for j in range(8))
     for label, src in corpora:
-        docs = spark.read.parquet(f"{src}/documents.parquet")
+        # match the r11 rows' 1-in-5 MP4 fixture slice
+        docs = spark.read.parquet(f"{src}/documents.parquet").where(
+            F.col("doc_id") % 5 == 1
+        )
         media = attach_random_media(docs, "video").localCheckpoint(eager=True)
         # fold path
         t0 = time.perf_counter()
@@ -229,7 +238,7 @@ def leg_video(spark, corpora):
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 (
-                    F.greatest("l_id", "r_id") - F.least("l_id", "r_id") == 1
+                    F.greatest("l_id", "r_id") - F.least("l_id", "r_id") == 5
                 ).cast("long")
             ).alias("twins"),
         ).collect()[0]
