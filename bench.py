@@ -202,6 +202,7 @@ HEADLINE = [
     # round 11:
     "multimodal_gif_pixel_stats",
     "multimodal_png_pixel_stats",
+    "multimodal_png_resize",
     "dedup_images_multiformat",
     "dedup_audio_phash",
     "dedup_video_vhash",

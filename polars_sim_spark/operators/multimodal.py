@@ -1020,15 +1020,18 @@ def ppm_resize(
     factor: int = 2,
 ) -> DataFrame:
     """REAL image resizing with no codec (supersedes the byte-cycling
-    stand-in :func:`resize_image` for PPM payloads): downsample each
-    binary-PPM payload by an integer ``factor`` using exact block-mean
-    pooling — output pixel (Y,X,ch) is the truncating integer mean of
-    its ``factor×factor`` source block, edge rows/cols beyond the last
-    full block dropped. Sums of ≤ factor²·255 stay in exact integers,
-    so every output byte is engine-reproducible and the contract row's
-    DuckDB oracle recomputes the full resized bitmap from the fixture
-    text bytes. Non-PPM payloads and images smaller than one block are
-    dropped.
+    stand-in :func:`resize_image`): downsample each image payload by an
+    integer ``factor`` using exact block-mean pooling — output pixel
+    (Y,X,ch) is the truncating integer mean of its ``factor×factor``
+    source block, edge rows/cols beyond the last full block dropped.
+    Since round 12 the decode goes through the shared container chain
+    (:func:`_any_logical_pixels`), so PPM, BMP, GIF and PNG payloads
+    all resize — the pooling is defined on LOGICAL pixels, identical
+    across containers. Sums of ≤ factor²·255 stay in exact integers,
+    so every output byte is engine-reproducible and the contract rows'
+    DuckDB oracles recompute the full resized bitmap from the fixture
+    text bytes. Undecodable payloads and images smaller than one block
+    are dropped.
 
     Output: (id, src_w, src_h, out_w, out_h, resized) where ``resized``
     is the raw interleaved RGB uint8 bitmap (out_h·out_w·3 bytes) — the
@@ -1050,16 +1053,14 @@ def ppm_resize(
             for i, b in zip(pdf[id_name], pdf[payload_col]):
                 data = bytes(b)
                 try:
-                    w, h, off = _parse_ppm(data)
+                    px = _any_logical_pixels(data)
                 except NotImplementedError:
                     continue
-                if len(data) - off < w * h * 3:
-                    continue
+                h, w, _ = px.shape
                 ow, oh = w // f, h // f
                 if ow < 1 or oh < 1:
                     continue
-                px = np.frombuffer(data, dtype=np.uint8, offset=off, count=w * h * 3)
-                img = px.reshape(h, w, 3)[: oh * f, : ow * f]
+                img = px[: oh * f, : ow * f]
                 pooled = (
                     img.reshape(oh, f, ow, f, 3).astype(np.int64).sum(axis=(1, 3))
                     // (f * f)
@@ -1161,31 +1162,16 @@ def ppm_phash(
             ids, bands, hexes = [], [[] for _ in range(n_bands)], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(b)
-                px = None
+                # cross-format: the hash is defined on LOGICAL pixels,
+                # so a BMP, GIF or PNG with the same image hashes
+                # identically to its PPM twin (tests/test_phash.py pins
+                # this) — one shared decode chain for all containers.
                 try:
-                    w, h, off = _parse_ppm(data)
-                    if w >= 1 and h >= 1 and len(data) - off >= w * h * 3:
-                        px = np.frombuffer(
-                            data, dtype=np.uint8, offset=off, count=w * h * 3
-                        ).reshape(h, w, 3)
+                    px = _any_logical_pixels(data)
                 except NotImplementedError:
-                    # cross-format: the hash is defined on LOGICAL pixels,
-                    # so a BMP, GIF or PNG with the same image hashes
-                    # identically to its PPM twin (tests/test_phash.py
-                    # pins this).
-                    px = None
-                    for decode in (
-                        _bmp_logical_pixels,
-                        _gif_logical_pixels,
-                        _png_logical_pixels,
-                    ):
-                        try:
-                            px = decode(data)
-                            h, w, _ = px.shape
-                            break
-                        except NotImplementedError:
-                            continue
-                if px is None:
+                    continue
+                h, w, _ = px.shape
+                if w < 1 or h < 1:
                     continue
                 ys = (np.arange(8) * h) // 8
                 xs = (np.arange(9) * w) // 9
@@ -1344,6 +1330,26 @@ def _ppm_logical_pixels(data: bytes):
     return np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * 3).reshape(
         h, w, 3
     )
+
+
+def _any_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 logical pixels of ANY codec-free container
+    this module decodes (PPM, BMP, GIF, PNG — tried in that order);
+    raises NotImplementedError when none parses. The shared decode
+    chain behind the container-invariant operators (ppm_phash,
+    ppm_resize): the hash/pool is defined on LOGICAL pixels, so the
+    container must be invisible."""
+    for decode in (
+        _ppm_logical_pixels,
+        _bmp_logical_pixels,
+        _gif_logical_pixels,
+        _png_logical_pixels,
+    ):
+        try:
+            return decode(data)
+        except NotImplementedError:
+            continue
+    raise NotImplementedError("no codec-free container recognized")
 
 
 def _pixel_stats(df: DataFrame, decode, id_col: str, payload_col: str) -> DataFrame:

@@ -109,6 +109,7 @@ _MANIFEST = [
     # round 12: PNG pixel decode — own RFC 1950/1951 DEFLATE inflate +
     # the five row filters (VERDICT r11 #1).
     "multimodal_png_pixel_stats",
+    "multimodal_png_resize",
     # round 11: cross-format (PPM/BMP/GIF) image near-dup pairs — the
     # container-invariant dHash working through three decoders at once.
     "dedup_images_multiformat",

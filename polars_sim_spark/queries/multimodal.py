@@ -575,6 +575,58 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_resize",
+    """
+WITH im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w,
+         CAST((octet_length(encode(text)) // 3) // (4 + doc_id % 8) AS BIGINT) AS h
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, hx, w, h, w // 2 AS ow, h // 2 AS oh
+  FROM im WHERE h >= 2
+),
+px AS (
+  SELECT doc_id, hx, w, ow, oh, u.i AS k,
+         u.i // (ow*3) AS yy, (u.i % (ow*3)) // 3 AS xx, u.i % 3 AS ch
+  FROM dims, unnest(range(ow*oh*3)) AS u(i)
+),
+v AS (
+  SELECT doc_id, ow, oh, k,
+         ( CAST(('0x' || substr(hx, CAST(((2*yy)*w + 2*xx)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy)*w + 2*xx+1)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy+1)*w + 2*xx)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         + CAST(('0x' || substr(hx, CAST(((2*yy+1)*w + 2*xx+1)*6 + ch*2 + 1 AS BIGINT), 2)) AS BIGINT)
+         ) // 4 AS b
+  FROM px
+)
+SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       string_agg(lpad(hex(b), 2, '0'), '' ORDER BY k) AS resized_hex
+FROM v GROUP BY doc_id, ow, oh
+""",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean resize over COMPRESSED input (round 12): the PNG
+    fixture corpus (every document, attach_png_payload) is downsampled
+    2× by the same exact pooling as multimodal_ppm_resize — but each
+    payload first runs the full decode chain (chunk walk → own DEFLATE
+    inflate → five-filter row reconstruction) before pooling. The
+    oracle is the PPM row's oracle over the full corpus (pooling is
+    defined on LOGICAL pixels, so the container must be invisible): a
+    wrong Huffman code, LZ77 copy or filter predictor perturbs decoded
+    bytes and fails the hash on the pooled OUTPUT — end-to-end proof
+    the inflate feeds real downstream tensor work, not just stats."""
+    from polars_sim_spark.operators.multimodal import attach_png_payload, ppm_resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ppm_resize(attach_png_payload(docs), factor=2)
+    return out.select(
+        "doc_id", "out_w", "out_h", F.hex("resized").alias("resized_hex")
+    )
+
+
+@register(
     "dedup_images_phash",
     """
 WITH im AS (
