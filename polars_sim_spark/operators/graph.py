@@ -256,12 +256,20 @@ def pagerank(
     return ranks.withColumnRenamed("n", "node")
 
 
+#: Edge-count threshold where incident-only k-core degree maintenance
+#: starts winning over the full per-round recompute (round-12 A/B,
+#: BASELINE.md: recompute wins at 1.2M edges, incident at 119.6M; the
+#: crossover is between — set an order of magnitude above the measured
+#: small-scale loss so the default never pessimizes a bench-sized graph).
+_KCORE_INCIDENT_MIN_EDGES = 10_000_000
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     *,
     max_iter: int = 50,
-    incident_only: bool = True,
+    incident_only: bool | None = None,
 ) -> DataFrame:
     """(node, core_deg): the k-core — the maximal subgraph where every
     node keeps degree >= k — by iterative peeling: drop all nodes below
@@ -290,10 +298,21 @@ def k_core(
     set), so the fixpoint — unique, order-independent — is unchanged;
     equivalence to the recompute path and to a plain Python peeling
     reference is pinned in tests/test_graph.py.
+
+    Default ``None`` = adaptive: the round-12 A/B (BASELINE.md) showed
+    the incident path's extra per-round jobs (decrement agg + degree
+    checkpoint) COST at small scale (8.7 vs 3.2 s on the 1.2M-edge sf0.1
+    graph, where a full degree agg is one cheap shuffle) and pay at
+    100TB shapes, so the switch keys on the checkpointed edge count
+    (≥ ``_KCORE_INCIDENT_MIN_EDGES``). Pass True/False to pin a path.
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
     cur = edges.select("a", "b").localCheckpoint()
+    if incident_only is None:
+        # count on the just-checkpointed frame — one cheap metadata-ish
+        # job, amortized against 6+ peel rounds either way
+        incident_only = cur.count() >= _KCORE_INCIDENT_MIN_EDGES
     if not incident_only:
         for _ in range(int(max_iter)):
             deg = _degrees(cur)
