@@ -2135,6 +2135,457 @@ def _png_logical_pixels(data: bytes):
     return out.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# JPEG: the LAST image format (round 12) — baseline sequential DCT,
+# grayscale, decoded codec-free. The entropy layer (canonical JPEG
+# Huffman per ISO/IEC 10918 Annex C, zigzag, DC prediction, 0xFF byte
+# stuffing) is LOSSLESS and spec-exact; the DCT/IDCT use a DOCUMENTED
+# fixed-point profile (11-bit scaled cosine table, round-half-away-from-
+# zero at the two division points) — the spec itself leaves IDCT
+# precision implementation-defined (every decoder's low bits differ),
+# so the contract pinned here is: byte-exact inversion of this module's
+# own spec-valid encoder, with the full lossy pipeline (DCT → quantize →
+# dequantize → IDCT → clamp) replayed integer-for-integer by the SQL
+# oracle. Foreign baseline files parse structurally (markers, DQT/DHT
+# as declared, any multiple-of-8 dims); progressive/multi-component
+# streams raise NotImplementedError.
+
+#: ISO/IEC 10918 Annex K.1 luminance quantization table (row-major).
+_JPEG_QUANT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+#: Annex K.3 luminance DC Huffman spec (BITS, HUFFVAL).
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+#: Annex K.3 luminance AC Huffman spec.
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91 a1 "
+        "08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a 25 26 "
+        "27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53 54 55 56 "
+        "57 58 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79 7a 83 84 85 "
+        "86 87 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa "
+        "b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 "
+        "d7 d8 d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8 f9 "
+        "fa"
+    ).split()
+)
+
+
+def _zigzag_coords():
+    """The 64 (row, col) coordinates in JPEG zigzag order (ISO/IEC
+    10918 Figure 5): anti-diagonals, direction alternating."""
+    out = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 == 1 else reversed(list(rows))):
+            out.append((r, s - r))
+    return out
+
+
+_JPEG_ZIGZAG = tuple(_zigzag_coords())
+
+
+def _jpeg_dct_table():
+    """8×8 fixed-point DCT basis T[u][x] = round(α(u)·cos((2x+1)uπ/16)
+    · 2^11), α(0)=1/√2 — the documented integer profile shared by the
+    encoder, the decoder and the SQL oracle (F_scaled = ΣΣ s·T·T, true
+    coefficient = F_scaled / 2^24 after the 2D 1/4 factor)."""
+    import math
+
+    t = []
+    for u in range(8):
+        a = (1 / math.sqrt(2)) if u == 0 else 1.0
+        t.append(
+            tuple(
+                int(round(a * math.cos((2 * x + 1) * u * math.pi / 16) * 2048))
+                for x in range(8)
+            )
+        )
+    return tuple(t)
+
+
+_JPEG_DCT_T = _jpeg_dct_table()
+
+
+def _rha(v: int, d: int) -> int:
+    """round(v / d) half away from zero, d > 0 — expressed through
+    NON-NEGATIVE floor division only, because DuckDB's ``//`` truncates
+    while Python's floors (they agree on non-negatives); the SQL oracle
+    uses the mirrored CASE-on-sign formula."""
+    if v >= 0:
+        return (2 * v + d) // (2 * d)
+    return -((2 * (-v) + d) // (2 * d))
+
+
+def _jpeg_huffman(bits, vals):
+    """Canonical JPEG Huffman code assignment (Annex C): symbols take
+    consecutive codes in HUFFVAL order within each length. Returns
+    (encode: {sym: (code, len)}, decode: {(len, code): sym})."""
+    enc, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, {(ln, c): s for s, (c, ln) in enc.items()}
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with the mandatory 0x00 stuffing after any
+    emitted 0xFF byte; 1-fill padding at close (Annex B/F)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.nbits = 0
+
+    def close(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _jpeg_block_pipeline(block, quant):
+    """The fixed-point lossy pipeline for one 8×8 int block (values
+    0..255): returns (quantized zigzag coefficients, reconstructed
+    pixels) — the SINGLE definition the encoder, the decoder tests and
+    the SQL oracle all mirror."""
+    import numpy as np
+
+    T = np.array(_JPEG_DCT_T, dtype=np.int64)
+    s = block.astype(np.int64) - 128
+    F = T @ s @ T.T  # F_scaled[v][u_col]? rows index v (vertical freq)
+    q = np.array(quant, dtype=np.int64).reshape(8, 8)
+    qc = np.empty((8, 8), dtype=np.int64)
+    for v in range(8):
+        for u in range(8):
+            qc[v, u] = _rha(int(F[v, u]), int(q[v, u]) << 24)
+    R = qc * q
+    G = T.T @ R @ T
+    pix = np.empty((8, 8), dtype=np.int64)
+    for y in range(8):
+        for x in range(8):
+            pix[y, x] = min(255, max(0, _rha(int(G[y, x]), 1 << 24) + 128))
+    zz = [int(qc[r, c]) for r, c in _JPEG_ZIGZAG]
+    return zz, pix.astype(np.uint8)
+
+
+def synth_jpeg(data: bytes) -> bytes | None:
+    """Deterministic baseline grayscale JPEG around ``data``: pixels are
+    the raw bytes as an 8-wide, (8·⌊len/64⌋)-tall image (whole 8×8
+    blocks only; None if no full block fits), run through the
+    fixed-point pipeline above and entropy-coded with the Annex K
+    luminance tables — SOI/DQT(zigzag)/SOF0/DHT×2/SOS/EOI, 0xFF
+    stuffing, DC prediction across blocks. A spec-valid baseline JFIF
+    stream any conformant decoder parses."""
+    import struct
+
+    import numpy as np
+
+    nb = len(data) // 64
+    if nb < 1:
+        return None
+    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+
+    def put_val(v: int) -> tuple[int, int]:
+        s = abs(v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    for b in range(nb):
+        block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
+        zz, _pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+        s, bits_v = put_val(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, ln = dc_enc[s]
+        w.put(code, ln)
+        if s:
+            w.put(bits_v, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            s, bits_v = put_val(zz[k])
+            code, ln = ac_enc[(run << 4) | s]
+            w.put(code, ln)
+            w.put(bits_v, s)
+            run = 0
+        if run:
+            code, ln = ac_enc[0x00]  # EOB
+            w.put(code, ln)
+    scan = w.close()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    height, width = nb * 8, 8
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing; raises NotImplementedError on truncation or an
+    unexpected marker inside the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("truncated JPEG scan")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise NotImplementedError("truncated JPEG scan")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise NotImplementedError("marker inside JPEG scan")
+            self.acc, self.nbits = byte, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(reader, table) -> int:
+    code = ln = 0
+    while True:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+        if ln > 16:
+            raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_gray_pixels(data: bytes):
+    """(h, w) uint8 grayscale pixels of a BASELINE sequential,
+    single-component, non-subsampled JPEG: marker walk (DQT de-zigzag,
+    DHT canonical build, SOF0 dims) → Huffman entropy decode with DC
+    prediction → dequantize → fixed-point IDCT → clamp. Progressive
+    (SOF2), multi-component, restart-interval or non-8-bit streams
+    raise NotImplementedError; partial edge blocks are decoded whole
+    and cropped (our fixtures are whole-block by construction)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG")
+    pos = 2
+    quant = {}
+    dc_tables, ac_tables = {}, {}
+    dims = None
+    scan_pos = None
+    comp_q = dc_id = ac_id = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                vals = body[i + 1 : i + 65]
+                tbl = [0] * 64
+                for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    tbl[r * 8 + c] = vals[k]
+                quant[tq] = tuple(tbl)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                _, dec = _jpeg_huffman(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = dec
+                i += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            h, w = struct.unpack_from(">HH", body, 1)
+            if body[5] != 1:
+                raise NotImplementedError("multi-component JPEG (color) needs chroma logic")
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            comp_q = body[8]
+            dims = (int(h), int(w))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG is decoded")
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise NotImplementedError("multi-component JPEG scan")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if dims is None or scan_pos is None or comp_q not in quant:
+        raise NotImplementedError("JPEG missing SOF0/SOS/DQT")
+    if dc_id not in dc_tables or ac_id not in ac_tables:
+        raise NotImplementedError("JPEG missing Huffman tables")
+    h, w = dims
+    if h < 1 or w < 1:
+        raise NotImplementedError("malformed JPEG dimensions")
+    q = np.array(quant[comp_q], dtype=np.int64).reshape(8, 8)
+    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+    T = np.array(_JPEG_DCT_T, dtype=np.int64)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _JpegBitReader(data, scan_pos)
+    prev_dc = 0
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            s = _jpeg_huff_decode(reader, dc_t)
+            diff = extend(reader.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _jpeg_huff_decode(reader, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if run != 15:
+                        raise NotImplementedError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise NotImplementedError("JPEG AC coefficient overrun")
+                zz[k] = extend(reader.bits(s), s)
+                k += 1
+            qc = np.zeros((8, 8), dtype=np.int64)
+            for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
+                qc[r, c] = zz[idx]
+            G = T.T @ (qc * q) @ T
+            pix = np.empty((8, 8), dtype=np.int64)
+            for y in range(8):
+                for x in range(8):
+                    pix[y, x] = min(255, max(0, _rha(int(G[y, x]), 1 << 24) + 128))
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return out[:h, :w]
+
+
+def attach_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """JPEG corpus attacher: EVERY document whose text holds ≥ 64 bytes
+    (one full 8×8 block) becomes a real baseline grayscale JPEG
+    (:func:`synth_jpeg` — pixels are the text bytes, 8 wide); shorter
+    rows stay raw utf-8. Unlike the lossless containers the LOGICAL
+    pixels here are the text bytes pushed through the documented lossy
+    fixed-point pipeline, which the contract oracle replays."""
+    return _attach_payload(
+        df, {0: lambda d, w: synth_jpeg(d)}, text_col, id_col, modulus=1
+    )
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload DECODED-pixel statistics for baseline grayscale
+    JPEGs: width, height, exact integer sum and peak of the
+    reconstructed (post-quantization) pixels — the lossy twin of the
+    ppm/bmp/gif/png stats family, proving the full entropy-decode →
+    dequantize → IDCT chain. Non-JPEG payloads are dropped. Output:
+    (id, width, height, sum_gray long, peak_gray int)."""
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    px = _jpeg_gray_pixels(bytes(b))
+                except NotImplementedError:
+                    continue
+                h, w = px.shape
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(px.astype("int64").sum()))
+                peaks.append(int(px.max()))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_gray": sums,
+                    "peak_gray": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"doc_id {id_type}, width int, height int, sum_gray long, peak_gray int"
+    )
+
+
 def attach_png_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -110,6 +110,7 @@ _MANIFEST = [
     # the five row filters (VERDICT r11 #1).
     "multimodal_png_pixel_stats",
     "multimodal_png_resize",
+    "multimodal_jpeg_pixel_stats",
     # round 11: cross-format (PPM/BMP/GIF) image near-dup pairs — the
     # container-invariant dHash working through three decoders at once.
     "dedup_images_multiformat",

@@ -473,6 +473,101 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_jpeg_sql() -> str:
+    """Oracle for the baseline-JPEG decode row: replays the ENTIRE
+    documented fixed-point lossy pipeline in SQL — pixels from text
+    bytes → 8×8 blocks → F = T·s·Tᵀ (the 11-bit integer DCT basis,
+    shared VALUES table) → quantize (round-half-away-from-zero via
+    non-negative floor division, the DuckDB-``//``-safe formula) →
+    dequantize → IDCT (Tᵀ·R·T) → clamp → per-doc sum/peak. The entropy
+    layer needs no replay (it is lossless); a wrong Huffman read,
+    zigzag slot, DC prediction or stuffing skip in the Spark decoder
+    perturbs coefficients and fails the hash."""
+    from polars_sim_spark.operators.multimodal import _JPEG_DCT_T, _JPEG_QUANT
+
+    t_vals = ", ".join(
+        f"({u}, {x}, {_JPEG_DCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    q_vals = ", ".join(
+        f"({r}, {c}, {_JPEG_QUANT[r * 8 + c]}, "
+        f"CAST({_JPEG_QUANT[r * 8 + c] * (1 << 24)} AS BIGINT))"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {t_vals}),
+q(r, c, qv, qd) AS (VALUES {q_vals}),
+im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 64 AS nb
+  FROM documents WHERE octet_length(encode(text)) >= 64
+),
+px AS (
+  SELECT doc_id, u.i // 64 AS b, (u.i % 64) // 8 AS y, u.i % 8 AS x,
+         CAST(('0x' || substr(hx, CAST(u.i * 2 + 1 AS BIGINT), 2)) AS BIGINT) - 128 AS s
+  FROM im, unnest(range(nb * 64)) AS u(i)
+),
+s1 AS (
+  SELECT px.doc_id, px.b, t.u AS v, px.x, SUM(CAST(t.tv AS BIGINT) * px.s) AS a
+  FROM px JOIN t ON t.x = px.y GROUP BY 1, 2, 3, 4
+),
+f AS (
+  SELECT s1.doc_id, s1.b, s1.v, t.u, SUM(s1.a * t.tv) AS fsc
+  FROM s1 JOIN t ON t.x = s1.x GROUP BY 1, 2, 3, 4
+),
+qc AS (
+  SELECT f.doc_id, f.b, f.v, f.u,
+         (CASE WHEN fsc >= 0 THEN (2 * fsc + qd) // (2 * qd)
+               ELSE -((2 * (-fsc) + qd) // (2 * qd)) END) * qv AS r
+  FROM f JOIN q ON q.r = f.v AND q.c = f.u
+),
+g1 AS (
+  SELECT qc.doc_id, qc.b, t.x AS y, qc.u, SUM(CAST(t.tv AS BIGINT) * qc.r) AS a
+  FROM qc JOIN t ON t.u = qc.v GROUP BY 1, 2, 3, 4
+),
+g AS (
+  SELECT g1.doc_id, g1.b, g1.y, t.x, SUM(g1.a * t.tv) AS gsc
+  FROM g1 JOIN t ON t.u = g1.u GROUP BY 1, 2, 3, 4
+),
+pix AS (
+  SELECT doc_id,
+         LEAST(255, GREATEST(0,
+           (CASE WHEN gsc >= 0 THEN (2 * gsc + 16777216) // 33554432
+                 ELSE -((2 * (-gsc) + 16777216) // 33554432) END) + 128)) AS p
+  FROM g
+)
+SELECT im.doc_id AS doc_id, CAST(8 AS INT) AS width,
+       CAST(im.nb * 8 AS INT) AS height,
+       CAST(sum(p) AS BIGINT) AS sum_gray, CAST(max(p) AS INT) AS peak_gray
+FROM im JOIN pix USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("multimodal_jpeg_pixel_stats", _duck_jpeg_sql())
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG pixel decode (round 12) — the LAST image format, and the
+    first LOSSY one: the JPEG fixture corpus
+    (operators/multimodal.py:attach_jpeg_payload — real baseline
+    sequential grayscale JFIF streams: Annex-K quant + Huffman tables,
+    zigzag, DC prediction, 0xFF byte stuffing) is decoded by
+    :func:`jpeg_pixel_stats` — marker walk, canonical Huffman entropy
+    decode, dequantize, fixed-point IDCT, clamp — into exact
+    reconstructed-pixel sums and peaks. Because quantization is lossy,
+    the oracle cannot read pixels off the text; it replays the
+    documented fixed-point pipeline (the spec leaves IDCT precision
+    implementation-defined, so the pinned contract is THIS profile,
+    byte-exact) coefficient for coefficient in SQL. With this row the
+    codec-free image matrix is complete: PPM, BMP, GIF, PNG, JPEG."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        jpeg_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(attach_jpeg_payload(docs))
+
+
 @register(
     "multimodal_mp4_frames",
     """

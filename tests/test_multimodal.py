@@ -962,3 +962,80 @@ def test_flac_header_parse_inverts_synth():
         _try_flac_header(b"fLaX wrong marker")
     with pytest.raises(NotImplementedError):
         _try_flac_header(b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10)
+
+
+def test_jpeg_roundtrip_matches_fixedpoint_pipeline():
+    """Round 12: baseline-JPEG decode must invert this module's encoder
+    EXACTLY per the documented fixed-point profile — the entropy layer
+    (canonical Huffman, zigzag, DC prediction, 0xFF stuffing) is
+    lossless, so decoded pixels must equal the pure per-block
+    DCT→quantize→dequantize→IDCT reference bypassing entropy coding."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _JPEG_QUANT,
+        _JPEG_ZIGZAG,
+        _jpeg_block_pipeline,
+        _jpeg_gray_pixels,
+        synth_jpeg,
+    )
+
+    assert _JPEG_ZIGZAG[:6] == ((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2))
+    assert len(set(_JPEG_ZIGZAG)) == 64
+    rng = np.random.default_rng(3)
+    stuffed = False
+    for trial in range(20):
+        n = int(rng.integers(64, 2000))
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        jp = synth_jpeg(data)
+        stuffed = stuffed or b"\xff\x00" in jp
+        got = _jpeg_gray_pixels(jp)
+        nb = n // 64
+        assert got.shape == (nb * 8, 8)
+        for b in range(nb):
+            block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
+            _zz, pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+            assert (got[b * 8 : (b + 1) * 8, :] == pix).all(), (trial, b)
+    assert stuffed  # at least one fixture exercised 0xFF00 byte stuffing
+    # constant mid-gray block: every coefficient quantizes to 0
+    assert (_jpeg_gray_pixels(synth_jpeg(bytes([128] * 128))) == 128).all()
+    assert synth_jpeg(b"x" * 63) is None  # no full block
+    with pytest.raises(NotImplementedError):
+        _jpeg_gray_pixels(b"not a jpeg")
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _jpeg_gray_pixels(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x00")  # SOF2
+
+
+def test_jpeg_pixel_stats_spark_path(spark):
+    """The Arrow jpeg_pixel_stats operator: decoded sums/peaks match the
+    per-block reference, non-JPEG payloads drop."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _JPEG_QUANT,
+        _jpeg_block_pipeline,
+        jpeg_pixel_stats,
+        synth_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for i in range(8):
+        data = rng.integers(0, 256, int(rng.integers(64, 900)), dtype=np.uint8).tobytes()
+        rows.append((i, synth_jpeg(data)))
+        nb = len(data) // 64
+        tot, peak = 0, 0
+        for b in range(nb):
+            block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
+            _zz, pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+            tot += int(pix.astype("int64").sum())
+            peak = max(peak, int(pix.max()))
+        want[i] = (8, nb * 8, tot, peak)
+    rows.append((99, b"not a jpeg"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["sum_gray"], r["peak_gray"])
+        for r in jpeg_pixel_stats(df).collect()
+    }
+    assert got == want
