@@ -2227,6 +2227,17 @@ def _rha(v: int, d: int) -> int:
     return -((2 * (-v) + d) // (2 * d))
 
 
+def _rha_arr(v, d):
+    """Vectorized :func:`_rha` for int64 arrays (``d`` scalar or
+    broadcastable array of positive int64) — same non-negative-only
+    floor divisions, element for element."""
+    import numpy as np
+
+    a = np.abs(v)
+    r = (2 * a + d) // (2 * d)
+    return np.where(v >= 0, r, -r)
+
+
 def _jpeg_huffman(bits, vals):
     """Canonical JPEG Huffman code assignment (Annex C): symbols take
     consecutive codes in HUFFVAL order within each length. Returns
@@ -2275,18 +2286,12 @@ def _jpeg_block_pipeline(block, quant):
 
     T = np.array(_JPEG_DCT_T, dtype=np.int64)
     s = block.astype(np.int64) - 128
-    F = T @ s @ T.T  # F_scaled[v][u_col]? rows index v (vertical freq)
+    F = T @ s @ T.T  # rows index v (vertical freq), cols u
     q = np.array(quant, dtype=np.int64).reshape(8, 8)
-    qc = np.empty((8, 8), dtype=np.int64)
-    for v in range(8):
-        for u in range(8):
-            qc[v, u] = _rha(int(F[v, u]), int(q[v, u]) << 24)
+    qc = _rha_arr(F, q << 24)
     R = qc * q
     G = T.T @ R @ T
-    pix = np.empty((8, 8), dtype=np.int64)
-    for y in range(8):
-        for x in range(8):
-            pix[y, x] = min(255, max(0, _rha(int(G[y, x]), 1 << 24) + 128))
+    pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
     zz = [int(qc[r, c]) for r, c in _JPEG_ZIGZAG]
     return zz, pix.astype(np.uint8)
 
@@ -2521,10 +2526,7 @@ def _jpeg_gray_pixels(data: bytes):
             for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
                 qc[r, c] = zz[idx]
             G = T.T @ (qc * q) @ T
-            pix = np.empty((8, 8), dtype=np.int64)
-            for y in range(8):
-                for x in range(8):
-                    pix[y, x] = min(255, max(0, _rha(int(G[y, x]), 1 << 24) + 128))
+            pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
     return out[:h, :w]
 
