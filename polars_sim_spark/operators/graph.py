@@ -329,6 +329,18 @@ def k_core(
             )
         raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
 
+    # The edge frame stays FIXED (checkpointed once): an edge (a, b)
+    # decrements the alive endpoint exactly in the round its other
+    # endpoint drops — a node is in `low` at most once (it leaves the
+    # degree frame), and endpoints that dropped EARLIER cannot be in
+    # `low` now, so filtering on just-dropped marks alone is exact with
+    # no cumulative dropped-set bookkeeping. Per round: one scan of the
+    # resident edge set with two broadcast-sized joins + a peel-
+    # activity-sized agg + a |V|-row degree update — no per-round |E|
+    # checkpoint and no per-round |E| shuffle (the first incident
+    # implementation still re-checkpointed the shrinking edge set each
+    # round and measured SLOWER than the recompute at ×100 — 325 vs
+    # 291 s; this shape removes that cost).
     deg = _degrees(cur).localCheckpoint()
     for _ in range(int(max_iter)):
         low = deg.where(F.col("deg") < k).select("n").localCheckpoint()
@@ -339,8 +351,10 @@ def k_core(
         ).join(
             low.select(F.col("n").alias("b"), F.lit(1).alias("__db")), "b", "left"
         )
-        # decrements accrue only to SURVIVING endpoints of removed edges
-        # (an edge with both ends dropped decrements nobody who remains)
+        # decrements accrue only to the NOT-just-dropped endpoint of an
+        # edge whose other endpoint just dropped (both-dropped edges
+        # decrement nobody who remains; previously-dead endpoints are
+        # not in the degree frame, so their rows join away below)
         dec = (
             marked.where(F.col("__da").isNotNull() & F.col("__db").isNull())
             .select(F.col("b").alias("n"))
@@ -359,11 +373,6 @@ def k_core(
                 "n",
                 (F.col("deg") - F.coalesce(F.col("__dec"), F.lit(0))).alias("deg"),
             )
-            .localCheckpoint()
-        )
-        cur = (
-            marked.where(F.col("__da").isNull() & F.col("__db").isNull())
-            .select("a", "b")
             .localCheckpoint()
         )
     raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
