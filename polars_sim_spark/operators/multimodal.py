@@ -2434,8 +2434,14 @@ def _jpeg_gray_pixels(data: bytes):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (legal padding between markers)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
+            pos += 2
+            continue
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:
