@@ -271,6 +271,7 @@ def main() -> None:
     q.ensure_quality_probe(spark, sf_dir)
     q.ensure_packed_sequences(spark, sf_dir)
     q.ensure_jsonl_fixture(spark, sf_dir)
+    q.ensure_bpe_fit(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
     def canary_sample() -> float:
