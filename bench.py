@@ -204,6 +204,7 @@ HEADLINE = [
     "multimodal_png_pixel_stats",
     "multimodal_png_resize",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg_color_stats",
     "dedup_images_multiformat",
     "dedup_audio_phash",
     "dedup_video_vhash",

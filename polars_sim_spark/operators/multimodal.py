@@ -2296,6 +2296,66 @@ def _jpeg_block_pipeline(block, quant):
     return zz, pix.astype(np.uint8)
 
 
+def _jpeg_encode_block(w, zz, prev_dc: int, dc_enc, ac_enc) -> int:
+    """Entropy-encode one zigzag coefficient block (DC difference
+    category + bits, AC run/size with ZRL/EOB) into bit writer ``w``;
+    returns the new DC predictor."""
+
+    def put_val(v: int) -> tuple[int, int]:
+        s = abs(v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    s, bits_v = put_val(zz[0] - prev_dc)
+    code, ln = dc_enc[s]
+    w.put(code, ln)
+    if s:
+        w.put(bits_v, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s, bits_v = put_val(zz[k])
+        code, ln = ac_enc[(run << 4) | s]
+        w.put(code, ln)
+        w.put(bits_v, s)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
+def _jpeg_segments(height: int, width: int, n_comp: int) -> tuple[bytes, bytes]:
+    """(header segments, SOS segment) for an ``n_comp``-component (1 =
+    grayscale, 3 = YCbCr 4:4:4) baseline stream — every component uses
+    quant table 0 and Huffman tables 0 (legal: SOF/SOS reference
+    tables by id; sharing the luminance tables across chroma keeps the
+    fixture single-tabled while the decoder still honors whatever ids
+    a foreign file declares)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
+    comp_spec = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", height, width) + bytes([n_comp]) + comp_spec,
+    )
+    dht = seg(
+        0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    scan_spec = b"".join(bytes([i + 1, 0x00]) for i in range(n_comp))
+    sos = seg(0xDA, bytes([n_comp]) + scan_spec + b"\x00\x3f\x00")
+    return dqt + sof + dht, sos
+
+
 def synth_jpeg(data: bytes) -> bytes | None:
     """Deterministic baseline grayscale JPEG around ``data``: pixels are
     the raw bytes as an 8-wide, (8·⌊len/64⌋)-tall image (whole 8×8
@@ -2304,8 +2364,6 @@ def synth_jpeg(data: bytes) -> bytes | None:
     luminance tables — SOI/DQT(zigzag)/SOF0/DHT×2/SOS/EOI, 0xFF
     stuffing, DC prediction across blocks. A spec-valid baseline JFIF
     stream any conformant decoder parses."""
-    import struct
-
     import numpy as np
 
     nb = len(data) // 64
@@ -2315,51 +2373,74 @@ def synth_jpeg(data: bytes) -> bytes | None:
     ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     prev_dc = 0
-
-    def put_val(v: int) -> tuple[int, int]:
-        s = abs(v).bit_length()
-        return s, (v if v >= 0 else v + (1 << s) - 1)
-
     for b in range(nb):
         block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
         zz, _pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
-        s, bits_v = put_val(zz[0] - prev_dc)
-        prev_dc = zz[0]
-        code, ln = dc_enc[s]
-        w.put(code, ln)
-        if s:
-            w.put(bits_v, s)
-        run = 0
-        for k in range(1, 64):
-            if zz[k] == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[0xF0]  # ZRL
-                w.put(code, ln)
-                run -= 16
-            s, bits_v = put_val(zz[k])
-            code, ln = ac_enc[(run << 4) | s]
-            w.put(code, ln)
-            w.put(bits_v, s)
-            run = 0
-        if run:
-            code, ln = ac_enc[0x00]  # EOB
-            w.put(code, ln)
-    scan = w.close()
+        prev_dc = _jpeg_encode_block(w, zz, prev_dc, dc_enc, ac_enc)
+    head, sos = _jpeg_segments(nb * 8, 8, 1)
+    return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    height, width = nb * 8, 8
-    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
-    sof = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01" + b"\x01\x11\x00")
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
-    ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
-    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+#: Exact-integer JFIF color transform profile (the public six-decimal
+#: coefficients scaled to micro-units; round-half-away-from-zero at the
+#: single division point, clamp to [0, 255]) — shared by the encoder,
+#: the decoder and the SQL oracle.
+_YCC_SCALE = 1_000_000
+
+
+def _rgb_to_ycc(r, g, b):
+    """RGB → (Y, Cb, Cr) int64 arrays per the fixed-point profile."""
+    import numpy as np
+
+    y = _rha_arr(299_000 * r + 587_000 * g + 114_000 * b, _YCC_SCALE)
+    cb = 128 + _rha_arr(-168_736 * r - 331_264 * g + 500_000 * b, _YCC_SCALE)
+    cr = 128 + _rha_arr(500_000 * r - 418_688 * g - 81_312 * b, _YCC_SCALE)
+    return (
+        np.clip(y, 0, 255),
+        np.clip(cb, 0, 255),
+        np.clip(cr, 0, 255),
+    )
+
+
+def _ycc_to_rgb(y, cb, cr):
+    """(Y, Cb, Cr) → RGB uint8 arrays per the fixed-point profile."""
+    import numpy as np
+
+    r = y + _rha_arr(1_402_000 * (cr - 128), _YCC_SCALE)
+    g = y - _rha_arr(344_136 * (cb - 128) + 714_136 * (cr - 128), _YCC_SCALE)
+    b = y + _rha_arr(1_772_000 * (cb - 128), _YCC_SCALE)
+    return tuple(np.clip(v, 0, 255).astype(np.uint8) for v in (r, g, b))
+
+
+def synth_jpeg_color(data: bytes) -> bytes | None:
+    """Deterministic baseline COLOR JPEG (YCbCr 4:4:4, round 12): the
+    bytes are interleaved RGB pixels of an 8-wide image truncated to
+    whole 8×8 blocks (192 bytes per block; None if no full block fits),
+    transformed by the exact-integer JFIF color profile, each component
+    run through the shared fixed-point pipeline and entropy-coded in
+    interleaved MCUs (Y, Cb, Cr per MCU; per-component DC predictors) —
+    the structure every real color JPEG uses, minus subsampling."""
+    import numpy as np
+
+    nb = len(data) // 192
+    if nb < 1:
+        return None
+    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for b in range(nb):
+        px = np.frombuffer(data, np.uint8, 192, b * 192).reshape(8, 8, 3)
+        comps = _rgb_to_ycc(
+            px[:, :, 0].astype(np.int64),
+            px[:, :, 1].astype(np.int64),
+            px[:, :, 2].astype(np.int64),
+        )
+        for ci, comp in enumerate(comps):
+            zz, _pix = _jpeg_block_pipeline(comp, _JPEG_QUANT)
+            prev[ci] = _jpeg_encode_block(w, zz, prev[ci], dc_enc, ac_enc)
+    head, sos = _jpeg_segments(nb * 8, 8, 3)
+    return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -2410,14 +2491,16 @@ def _jpeg_huff_decode(reader, table) -> int:
             raise NotImplementedError("invalid JPEG Huffman code")
 
 
-def _jpeg_gray_pixels(data: bytes):
-    """(h, w) uint8 grayscale pixels of a BASELINE sequential,
-    single-component, non-subsampled JPEG: marker walk (DQT de-zigzag,
-    DHT canonical build, SOF0 dims) → Huffman entropy decode with DC
-    prediction → dequantize → fixed-point IDCT → clamp. Progressive
-    (SOF2), multi-component, restart-interval or non-8-bit streams
-    raise NotImplementedError; partial edge blocks are decoded whole
-    and cropped (our fixtures are whole-block by construction)."""
+def _jpeg_decode(data: bytes):
+    """(h, w, [component planes]) of a BASELINE sequential,
+    non-subsampled JPEG with 1 (grayscale) or 3 (YCbCr 4:4:4)
+    components: marker walk (DQT de-zigzag, DHT canonical build, SOF0
+    dims + per-component table ids) → interleaved-MCU Huffman entropy
+    decode with per-component DC prediction → dequantize → fixed-point
+    IDCT → clamp. Progressive (SOF2), subsampled, restart-interval or
+    non-8-bit streams raise NotImplementedError; partial edge blocks
+    are decoded whole and cropped (our fixtures are whole-block by
+    construction)."""
     import struct
 
     import numpy as np
@@ -2429,7 +2512,8 @@ def _jpeg_gray_pixels(data: bytes):
     dc_tables, ac_tables = {}, {}
     dims = None
     scan_pos = None
-    comp_q = dc_id = ac_id = None
+    comp_specs: list | None = None  # SOF order: [(comp_id, quant_id)]
+    scan_tables: list | None = None  # SOF order: [(dc_id, ac_id)]
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
@@ -2470,71 +2554,118 @@ def _jpeg_gray_pixels(data: bytes):
             if body[0] != 8:
                 raise NotImplementedError("non-8-bit JPEG precision")
             h, w = struct.unpack_from(">HH", body, 1)
-            if body[5] != 1:
-                raise NotImplementedError("multi-component JPEG (color) needs chroma logic")
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            comp_q = body[8]
+            n_comp = body[5]
+            if n_comp not in (1, 3):
+                raise NotImplementedError(f"{n_comp}-component JPEG unsupported")
+            comp_specs = []
+            for i in range(n_comp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG needs chroma upsampling")
+                comp_specs.append((cid, tq))
             dims = (int(h), int(w))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG is decoded")
         elif marker == 0xDD:
             raise NotImplementedError("JPEG restart intervals unsupported")
         elif marker == 0xDA:
-            if body[0] != 1:
-                raise NotImplementedError("multi-component JPEG scan")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            if comp_specs is None:
+                raise NotImplementedError("JPEG SOS before SOF0")
+            if body[0] != len(comp_specs):
+                raise NotImplementedError("JPEG scan/frame component mismatch")
+            by_id = {}
+            for i in range(body[0]):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                by_id[cid] = (tabs >> 4, tabs & 0xF)
+            try:
+                scan_tables = [by_id[cid] for cid, _ in comp_specs]
+            except KeyError:
+                raise NotImplementedError("JPEG scan references unknown component")
             scan_pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if dims is None or scan_pos is None or comp_q not in quant:
+    if dims is None or scan_pos is None or comp_specs is None:
         raise NotImplementedError("JPEG missing SOF0/SOS/DQT")
-    if dc_id not in dc_tables or ac_id not in ac_tables:
-        raise NotImplementedError("JPEG missing Huffman tables")
     h, w = dims
     if h < 1 or w < 1:
         raise NotImplementedError("malformed JPEG dimensions")
-    q = np.array(quant[comp_q], dtype=np.int64).reshape(8, 8)
-    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+    comps = []
+    for (cid, tq), (dci, aci) in zip(comp_specs, scan_tables):
+        if tq not in quant:
+            raise NotImplementedError("JPEG missing quant table")
+        if dci not in dc_tables or aci not in ac_tables:
+            raise NotImplementedError("JPEG missing Huffman tables")
+        comps.append(
+            (
+                np.array(quant[tq], dtype=np.int64).reshape(8, 8),
+                dc_tables[dci],
+                ac_tables[aci],
+            )
+        )
     T = np.array(_JPEG_DCT_T, dtype=np.int64)
     bh, bw = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
     reader = _JpegBitReader(data, scan_pos)
-    prev_dc = 0
+    prev_dc = [0] * len(comps)
 
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            s = _jpeg_huff_decode(reader, dc_t)
-            diff = extend(reader.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _jpeg_huff_decode(reader, ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                run, s = sym >> 4, sym & 0xF
-                if s == 0:
-                    if run != 15:
-                        raise NotImplementedError("invalid JPEG AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise NotImplementedError("JPEG AC coefficient overrun")
-                zz[k] = extend(reader.bits(s), s)
-                k += 1
-            qc = np.zeros((8, 8), dtype=np.int64)
-            for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
-                qc[r, c] = zz[idx]
-            G = T.T @ (qc * q) @ T
-            pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    return out[:h, :w]
+            for ci, (q, dc_t, ac_t) in enumerate(comps):
+                zz = [0] * 64
+                s = _jpeg_huff_decode(reader, dc_t)
+                diff = extend(reader.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _jpeg_huff_decode(reader, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if run != 15:
+                            raise NotImplementedError("invalid JPEG AC symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC coefficient overrun")
+                    zz[k] = extend(reader.bits(s), s)
+                    k += 1
+                qc = np.zeros((8, 8), dtype=np.int64)
+                for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
+                    qc[r, c] = zz[idx]
+                G = T.T @ (qc * q) @ T
+                pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    return h, w, [p[:h, :w] for p in planes]
+
+
+def _jpeg_gray_pixels(data: bytes):
+    """(h, w) uint8 grayscale pixels of a single-component baseline
+    JPEG (see :func:`_jpeg_decode`); 3-component streams raise here —
+    use :func:`_jpeg_rgb_pixels` for color."""
+    h, w, planes = _jpeg_decode(data)
+    if len(planes) != 1:
+        raise NotImplementedError("color JPEG: use the RGB decode path")
+    return planes[0]
+
+
+def _jpeg_rgb_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 pixels of a 3-component (YCbCr 4:4:4)
+    baseline JPEG: :func:`_jpeg_decode` planes through the exact-integer
+    inverse color transform. Grayscale streams raise (their stats row
+    is the gray path)."""
+    import numpy as np
+
+    h, w, planes = _jpeg_decode(data)
+    if len(planes) != 3:
+        raise NotImplementedError("not a 3-component JPEG")
+    r, g, b = _ycc_to_rgb(*(p.astype(np.int64) for p in planes))
+    return np.stack([r, g, b], axis=2)
 
 
 def attach_jpeg_payload(
@@ -2591,6 +2722,64 @@ def jpeg_pixel_stats(
     id_type = dict(df.dtypes)[id_col]
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         op, f"doc_id {id_type}, width int, height int, sum_gray long, peak_gray int"
+    )
+
+
+def attach_jpeg_color_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """COLOR-JPEG corpus attacher: EVERY document whose text holds ≥ 192
+    bytes (one full 8×8 RGB block) becomes a real baseline YCbCr 4:4:4
+    JPEG (:func:`synth_jpeg_color` — the text bytes are interleaved RGB
+    pixels, 8 wide); shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df, {0: lambda d, w: synth_jpeg_color(d)}, text_col, id_col, modulus=1
+    )
+
+
+def jpeg_color_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-payload DECODED-RGB statistics for baseline COLOR JPEGs:
+    width, height, exact per-channel sums and peaks of the reconstructed
+    pixels after the full chain — interleaved-MCU entropy decode ×3,
+    dequantize, fixed-point IDCT, exact-integer YCbCr→RGB. Non-color
+    payloads (incl. grayscale JPEGs) are dropped. Output: (id, width,
+    height, sum_rgb array<long>, peak_rgb array<int>) — the pixel-stats
+    family schema, so the oracle wrapper matches the other formats."""
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    px = _jpeg_rgb_pixels(bytes(b))
+                except NotImplementedError:
+                    continue
+                h, w, _ = px.shape
+                flat = px.reshape(h * w, 3).astype("int64")
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in flat.sum(axis=0)])
+                peaks.append([int(x) for x in flat.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgb": sums,
+                    "peak_rgb": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, sum_rgb array<long>, peak_rgb array<int>",
     )
 
 

@@ -111,6 +111,7 @@ _MANIFEST = [
     "multimodal_png_pixel_stats",
     "multimodal_png_resize",
     "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg_color_stats",
     # round 11: cross-format (PPM/BMP/GIF) image near-dup pairs — the
     # container-invariant dHash working through three decoders at once.
     "dedup_images_multiformat",

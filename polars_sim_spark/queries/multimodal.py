@@ -568,6 +568,144 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pixel_stats(attach_jpeg_payload(docs))
 
 
+def _duck_jpeg_color_sql() -> str:
+    """Oracle for the COLOR-JPEG decode row: the grayscale oracle's
+    coefficient replay extended to three components under one ``ci``
+    key, bracketed by the exact-integer JFIF color transforms (the
+    public six-decimal coefficients in micro-units, the same
+    sign-safe round-half-away-from-zero formula at every division
+    point, clamps where the Python profile clamps)."""
+    from polars_sim_spark.operators.multimodal import _JPEG_DCT_T, _JPEG_QUANT
+
+    def rha(v: str, d: str = "1000000") -> str:
+        return (
+            f"(CASE WHEN ({v}) >= 0 THEN (2 * ({v}) + {d}) // (2 * {d}) "
+            f"ELSE -((2 * (-({v})) + {d}) // (2 * {d})) END)"
+        )
+
+    t_vals = ", ".join(
+        f"({u}, {x}, {_JPEG_DCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    q_vals = ", ".join(
+        f"({r}, {c}, {_JPEG_QUANT[r * 8 + c]}, "
+        f"CAST({_JPEG_QUANT[r * 8 + c] * (1 << 24)} AS BIGINT))"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {t_vals}),
+q(r, c, qv, qd) AS (VALUES {q_vals}),
+im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 192 AS nb
+  FROM documents WHERE octet_length(encode(text)) >= 192
+),
+rgb AS (
+  SELECT doc_id, u.i // 64 AS b, (u.i % 64) // 8 AS y, u.i % 8 AS x,
+         CAST(('0x' || substr(hx, CAST(u.i * 6 + 1 AS BIGINT), 2)) AS BIGINT) AS r,
+         CAST(('0x' || substr(hx, CAST(u.i * 6 + 3 AS BIGINT), 2)) AS BIGINT) AS g,
+         CAST(('0x' || substr(hx, CAST(u.i * 6 + 5 AS BIGINT), 2)) AS BIGINT) AS bl
+  FROM im, unnest(range(nb * 64)) AS u(i)
+),
+ycc AS (
+  SELECT doc_id, b, y, x,
+    LEAST(255, GREATEST(0, {rha('299000*r + 587000*g + 114000*bl')})) AS c0,
+    LEAST(255, GREATEST(0, 128 + {rha('-168736*r - 331264*g + 500000*bl')})) AS c1,
+    LEAST(255, GREATEST(0, 128 + {rha('500000*r - 418688*g - 81312*bl')})) AS c2
+  FROM rgb
+),
+px AS (
+  SELECT doc_id, b, y, x, c.ci,
+         (CASE c.ci WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END) - 128 AS s
+  FROM ycc CROSS JOIN (VALUES (0), (1), (2)) AS c(ci)
+),
+s1 AS (
+  SELECT px.doc_id, px.b, px.ci, t.u AS v, px.x,
+         SUM(CAST(t.tv AS BIGINT) * px.s) AS a
+  FROM px JOIN t ON t.x = px.y GROUP BY 1, 2, 3, 4, 5
+),
+f AS (
+  SELECT s1.doc_id, s1.b, s1.ci, s1.v, t.u, SUM(s1.a * t.tv) AS fsc
+  FROM s1 JOIN t ON t.x = s1.x GROUP BY 1, 2, 3, 4, 5
+),
+qc AS (
+  SELECT f.doc_id, f.b, f.ci, f.v, f.u, {rha('fsc', 'qd')} * qv AS rr
+  FROM f JOIN q ON q.r = f.v AND q.c = f.u
+),
+g1 AS (
+  SELECT qc.doc_id, qc.b, qc.ci, t.x AS y, qc.u,
+         SUM(CAST(t.tv AS BIGINT) * qc.rr) AS a
+  FROM qc JOIN t ON t.u = qc.v GROUP BY 1, 2, 3, 4, 5
+),
+g AS (
+  SELECT g1.doc_id, g1.b, g1.ci, g1.y, t.x, SUM(g1.a * t.tv) AS gsc
+  FROM g1 JOIN t ON t.u = g1.u GROUP BY 1, 2, 3, 4, 5
+),
+pix_ycc AS (
+  SELECT doc_id, b, ci, y, x,
+         LEAST(255, GREATEST(0, {rha('gsc', '16777216')} + 128)) AS p
+  FROM g
+),
+piv AS (
+  SELECT doc_id, b, y, x,
+         MAX(CASE WHEN ci = 0 THEN p END) AS yv,
+         MAX(CASE WHEN ci = 1 THEN p END) AS cbv,
+         MAX(CASE WHEN ci = 2 THEN p END) AS crv
+  FROM pix_ycc GROUP BY 1, 2, 3, 4
+),
+out_rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, yv + {rha('1402000*(crv-128)')})) AS r,
+    LEAST(255, GREATEST(0, yv - {rha('344136*(cbv-128) + 714136*(crv-128)')})) AS g,
+    LEAST(255, GREATEST(0, yv + {rha('1772000*(cbv-128)')})) AS bl
+  FROM piv
+)
+SELECT im.doc_id AS doc_id, CAST(8 AS INT) AS width,
+       CAST(im.nb * 8 AS INT) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(bl) AS BIGINT) AS sum_b,
+       CAST(max(r) AS INT) AS peak_r, CAST(max(g) AS INT) AS peak_g,
+       CAST(max(bl) AS INT) AS peak_b
+FROM im JOIN out_rgb USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("multimodal_jpeg_color_stats", _duck_jpeg_color_sql())
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR JPEG decode (round 12) — the structure real web images
+    carry: the YCbCr 4:4:4 fixture corpus
+    (operators/multimodal.py:attach_jpeg_color_payload — interleaved
+    MCUs, per-component DC predictors, exact-integer JFIF color
+    transform) decoded by :func:`jpeg_color_pixel_stats` into exact
+    per-channel sums and peaks of the reconstructed RGB. The oracle
+    replays the ENTIRE chain — RGB→YCbCr (micro-unit coefficients),
+    three fixed-point DCT/quantize/dequantize/IDCT pipelines under one
+    component key, YCbCr→RGB, every clamp — so a wrong MCU interleave,
+    per-component predictor, or color coefficient is a hash mismatch.
+    Together with the grayscale row this completes baseline JPEG:
+    entropy coding, quantization, and color are all decoded and
+    oracle-replayed codec-free."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_color_payload,
+        jpeg_color_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_color_pixel_stats(attach_jpeg_color_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
 @register(
     "multimodal_mp4_frames",
     """

@@ -1039,3 +1039,63 @@ def test_jpeg_pixel_stats_spark_path(spark):
         for r in jpeg_pixel_stats(df).collect()
     }
     assert got == want
+
+
+def test_jpeg_color_roundtrip_and_spark_stats(spark):
+    """Round 12: COLOR JPEG (YCbCr 4:4:4) — decoded RGB must equal the
+    per-block reference (color transform -> 3x fixed-point pipeline ->
+    inverse transform), interleaved-MCU order and per-component DC
+    predictors included; gray and color payloads must route to their
+    own stats operators only."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _JPEG_QUANT,
+        _jpeg_block_pipeline,
+        _jpeg_gray_pixels,
+        _jpeg_rgb_pixels,
+        _rgb_to_ycc,
+        _ycc_to_rgb,
+        jpeg_color_pixel_stats,
+        synth_jpeg,
+        synth_jpeg_color,
+    )
+
+    rng = np.random.default_rng(21)
+    rows, want = [], {}
+    for i in range(6):
+        n = int(rng.integers(192, 2500))
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        jp = synth_jpeg_color(data)
+        got = _jpeg_rgb_pixels(jp)
+        nb = n // 192
+        assert got.shape == (nb * 8, 8, 3)
+        tot, peak = np.zeros(3, dtype=np.int64), np.zeros(3, dtype=np.int64)
+        for b in range(nb):
+            px = np.frombuffer(data, np.uint8, 192, b * 192).reshape(8, 8, 3)
+            comps = _rgb_to_ycc(
+                px[:, :, 0].astype(np.int64),
+                px[:, :, 1].astype(np.int64),
+                px[:, :, 2].astype(np.int64),
+            )
+            recon = [
+                _jpeg_block_pipeline(c, _JPEG_QUANT)[1].astype(np.int64)
+                for c in comps
+            ]
+            ref = np.stack(_ycc_to_rgb(*recon), axis=2)
+            assert (got[b * 8 : (b + 1) * 8] == ref).all(), (i, b)
+            tot += ref.reshape(64, 3).astype(np.int64).sum(axis=0)
+            peak = np.maximum(peak, ref.reshape(64, 3).max(axis=0))
+        rows.append((i, jp))
+        want[i] = (8, nb * 8, [int(x) for x in tot], [int(x) for x in peak])
+    rows.append((90, synth_jpeg(bytes(range(128)))))  # gray: dropped here
+    rows.append((91, b"not a jpeg"))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got_stats = {
+        r["doc_id"]: (r["width"], r["height"], list(r["sum_rgb"]), list(r["peak_rgb"]))
+        for r in jpeg_color_pixel_stats(df).collect()
+    }
+    assert got_stats == want
+    with pytest.raises(NotImplementedError):
+        _jpeg_gray_pixels(synth_jpeg_color(bytes(300)))
