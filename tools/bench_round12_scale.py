@@ -251,6 +251,32 @@ def leg_video(spark, corpora):
         cache_registry.unpersist_all()
 
 
+def leg_jpeg(spark, corpora):
+    # decode-wall scale posture for the round-12 lossy path: gray and
+    # color JPEG pixel stats over the decorrelated corpora — pure-python
+    # Huffman entropy decode + fixed-point IDCT per block, one Arrow pass
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_color_payload,
+        attach_jpeg_payload,
+        jpeg_color_pixel_stats,
+        jpeg_pixel_stats,
+    )
+
+    for label, src in corpora:
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        t0 = time.perf_counter()
+        n = jpeg_pixel_stats(attach_jpeg_payload(docs)).count()
+        t_gray = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        nc = jpeg_color_pixel_stats(attach_jpeg_color_payload(docs)).count()
+        print(
+            f"jpeg {label}: gray_decoded={n} gray_wall={t_gray:.1f}s "
+            f"color_decoded={nc} color_wall={time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        cache_registry.unpersist_all()
+
+
 def leg_diag(spark, corpora):
     bands = tuple(f"band{j}" for j in range(8))
     for label, src in corpora:
@@ -287,6 +313,10 @@ def main() -> None:
         leg_audio(spark, c100)
     if "video" in legs:
         leg_video(spark, c10)
+    if "video100" in legs:
+        leg_video(spark, [("100x", X100)] if os.path.exists(X100) else [])
+    if "jpeg" in legs:
+        leg_jpeg(spark, c100)
     if "diag" in legs:
         leg_diag(spark, c100)
     spark.stop()
