@@ -1099,3 +1099,54 @@ def test_jpeg_color_roundtrip_and_spark_stats(spark):
     assert got_stats == want
     with pytest.raises(NotImplementedError):
         _jpeg_gray_pixels(synth_jpeg_color(bytes(300)))
+
+
+def test_inflate_property_random_payloads():
+    """Hypothesis sweep (round 12): the hand-written DEFLATE decoder
+    must invert stdlib zlib.compress for arbitrary byte payloads at
+    arbitrary levels — repeats, runs, empty tails, and the block-type
+    mix the compressor chooses are all adversarially shrunk."""
+    import zlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import _zlib_inflate
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        payload=st.binary(max_size=3000),
+        level=st.integers(min_value=0, max_value=9),
+    )
+    def check(payload: bytes, level: int) -> None:
+        assert _zlib_inflate(zlib.compress(payload, level)) == payload
+
+    check()
+
+
+def test_jpeg_entropy_property_random_blocks():
+    """Hypothesis sweep (round 12): the JPEG entropy layer (Huffman +
+    DC prediction + ZRL/EOB + stuffing) must losslessly round-trip the
+    quantized coefficients for arbitrary pixel blocks — decode equals
+    the per-block fixed-point reference on adversarially shrunk
+    payloads."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _JPEG_QUANT,
+        _jpeg_block_pipeline,
+        _jpeg_gray_pixels,
+        synth_jpeg,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.binary(min_size=64, max_size=640))
+    def check(data: bytes) -> None:
+        got = _jpeg_gray_pixels(synth_jpeg(data))
+        nb = len(data) // 64
+        for b in range(nb):
+            block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
+            _zz, pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+            assert (got[b * 8 : (b + 1) * 8, :] == pix).all()
+
+    check()
