@@ -210,6 +210,9 @@ HEADLINE = [
     "dedup_video_vhash",
     "split_documents_cluster_safe",
     "dedup_video_frames",
+    # round 13:
+    "tpch_q11_important_stock",
+    "tpch_q16_part_supplier_counts",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -100,6 +100,11 @@ def _green_round_counts() -> dict[str, int]:
 
 _MANIFEST = [
     # Preference (tie-break) order only — see _apply_driver_order.
+    # round 13: the last two TPC-H decorrelation shapes (VERDICT r12
+    # #4) — q11 group-agg + global-scalar HAVING, q16 NOT IN +
+    # COUNT DISTINCT — closing the relational suite at 22/22.
+    "tpch_q11_important_stock",
+    "tpch_q16_part_supplier_counts",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

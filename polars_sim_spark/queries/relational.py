@@ -1315,3 +1315,140 @@ def tpch_q20_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> Dat
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+WITH v AS (
+  SELECT l.l_partkey,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                  AS DECIMAL(28,6))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_7', 'NATION_13')
+  GROUP BY 1
+)
+SELECT v.l_partkey AS p_partkey,
+       CAST(round(v.val, 2) AS DOUBLE) AS value
+FROM v
+WHERE CAST(v.val AS DECIMAL(28,6)) * 1000 > (SELECT sum(val) FROM v)
+ORDER BY value DESC, p_partkey
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: group-aggregate + global-scalar HAVING subquery —
+    parts whose stocked value for a nation group exceeds a fraction of
+    the GROUP TOTAL (testdata has no partsupp, so per-part value is the
+    discounted line revenue shipped by the nations' suppliers; the
+    decorrelation is exactly q11's: one aggregate reused as both the
+    per-key measure and, re-aggregated, the global threshold).
+
+    Scale plan: nation filter broadcasts into supplier, the surviving
+    supplier keys broadcast-semi-filter lineitem BELOW the one wide
+    shuffle (groupBy l_partkey); the global total re-aggregates the
+    small per-part frame and arrives as a 1-row broadcast crossJoin
+    (the q15 idiom, `relational.py` q15 precedent) — no driver collect.
+    The HAVING compare stays in exact decimals: per-row revenue rounds
+    to 6 dp (identical doubles in both engines) and sums as
+    DECIMAL(28,6); `val·1000 > total` multiplies the exact decimal by
+    an integer instead of the total by 0.001, so no engine ever forms
+    an inexact product. Cites /root/reference semantics: none
+    (north-star relational surface beyond the reference's join_sim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_7", "NATION_13")
+    )
+    grp_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(28,6)")
+    v = (
+        li.join(F.broadcast(grp_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("val"))
+    )
+    total = v.agg(F.sum("val").alias("__total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .where(F.col("val").cast("decimal(28,6)") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+excluded AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: NOT IN + COUNT DISTINCT supplier — how many
+    distinct non-excluded suppliers offer each (brand, type, size)
+    combination outside a brand/type blocklist (testdata has no
+    partsupp, so the offer relation is the DISTINCT (l_partkey,
+    l_suppkey) pairs observed in lineitem; no s_comment either, so the
+    'Customer Complaints' supplier blocklist becomes the suppliers in
+    arrears, s_acctbal < 0 — the decorrelation is exactly q16's:
+    NOT IN over a key subquery → anti join, COUNT(DISTINCT) over the
+    surviving semi-joined offers).
+
+    Scale plan: part's brand/type/size filters broadcast into the
+    offer pairs (filtering ~84% of parts before any shuffle); the
+    excluded-supplier set is a tiny broadcast LEFT ANTI join (exact
+    NOT IN equivalence holds because s_suppkey is non-null by
+    construction — with nullable keys NOT IN would need the three-
+    valued guard); the DISTINCT pair projection and the final
+    count-distinct aggregate are the two shuffles, both over the
+    pruned pair set. Cites /root/reference semantics: none (north-star
+    relational surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "MEDIUM")
+            & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part_f), pairs.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
