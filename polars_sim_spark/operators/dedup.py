@@ -1049,7 +1049,7 @@ def phash_near_pairs(
     band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
     max_dist: int = 3,
     max_bucket_size: int | None = None,
-    cap_guard: bool = False,
+    cap_guard: bool | None = None,
 ) -> DataFrame:
     """(l_id, r_id, hamming): near-duplicate pairs by banded Hamming
     join over banded bit signatures (perceptual image hashes from
@@ -1077,14 +1077,19 @@ def phash_near_pairs(
     hash table plus JVM-side xor/bit_count — no Python, no shuffle
     beyond the candidate keys.
 
-    ``cap_guard=True`` (r12, VERDICT r11 #3) runs
+    ``cap_guard`` (r12, VERDICT r11 #3) runs
     :func:`diagnose_hot_buckets` before pair generation and emits a
     ``UserWarning`` when the buckets the cap would drop are dominated
     by identical full hashes — i.e. genuine replica clusters, the
     recall-inversion mode BASELINE.md round 11 measured on
     majority-fold video hashes — so the cap never silently deletes
-    signal. Opt-in because the probe is an extra (bounded) aggregate
-    + ``sample_k``-row collect, making the otherwise-lazy call eager."""
+    signal. Default (``None``): ON whenever ``max_bucket_size`` is set
+    (VERDICT r12 #7 — the probe measured 0.7–2.4 s at 1×–×100 with a
+    correct verdict at every scale, cheap insurance against silent
+    recall inversion) and OFF otherwise (an uncapped join drops
+    nothing, so there is nothing to guard). Pass ``False`` to keep a
+    capped call fully lazy. The probe makes the otherwise-lazy call
+    eager (one bounded two-level aggregate reduced to a driver row)."""
     nb = len(band_cols)
     if max_dist > nb - 1:
         raise ValueError(
@@ -1098,6 +1103,8 @@ def phash_near_pairs(
             "band", "band_key"
         ),
     )
+    if cap_guard is None:
+        cap_guard = max_bucket_size is not None
     if cap_guard and max_bucket_size is not None:
         import warnings
 
@@ -1170,11 +1177,16 @@ def diagnose_hot_buckets(
 
     Cost: ONE two-level aggregate over the band frame the banded join
     already builds (per-(bucket, full-hash) counts → per-bucket sums),
-    then a ``sample_k``-row collect of the hottest buckets — bounded,
-    no self-join, runs BEFORE any pair generation. Returns
-    ``{n_hot_buckets, sampled_buckets, max_bucket, hot_member_rows,
-    same_hash_pair_fraction, cap_deletes_signal}`` where the fraction
-    is pair-mass-weighted over the sampled buckets and
+    reduced to a single driver row — bounded, no self-join, no top-k
+    sampling, runs BEFORE any pair generation. The round-12 version
+    collected the ``sample_k`` hottest buckets and reported THEIR
+    count/pair-mass, which understated corpora with more than
+    ``sample_k`` hot buckets (ADVICE r12); all five statistics now
+    reduce exactly over EVERY over-cap bucket for the same job count
+    (``sample_k`` is retained for signature compatibility and ignored).
+    Returns ``{n_hot_buckets, sampled_buckets, max_bucket,
+    hot_member_rows, same_hash_pair_fraction, cap_deletes_signal}``
+    where the fraction is pair-mass-weighted over all hot buckets and
     ``cap_deletes_signal = fraction >= signal_threshold``."""
     key_cols = ([frame_col] if frame_col else []) + ["band", "band_key"]
     full = F.concat_ws("|", *[F.col(c).cast("string") for c in band_cols])
@@ -1193,21 +1205,26 @@ def diagnose_hot_buckets(
         F.sum("__m").alias("__n"),
         F.sum(F.col("__m") * (F.col("__m") - 1) / 2).alias("__same_pairs"),
     )
-    hot = (
+    stats = (
         per_bucket.where(F.col("__n") > max_bucket_size)
-        .orderBy(F.desc("__n"))
-        .limit(sample_k)
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("__hot"),
+            F.sum("__same_pairs").alias("__same"),
+            F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("__total"),
+            F.max("__n").alias("__max"),
+            F.sum("__n").alias("__rows"),
+        )
+        .collect()[0]
     )
-    n_hot = len(hot)  # exact up to sample_k; "sample_k hot buckets" beyond
-    same = sum(float(r["__same_pairs"]) for r in hot)
-    total = sum(r["__n"] * (r["__n"] - 1) / 2 for r in hot)
+    n_hot = int(stats["__hot"] or 0)
+    same = float(stats["__same"] or 0.0)
+    total = float(stats["__total"] or 0.0)
     frac = (same / total) if total else 0.0
     return {
         "n_hot_buckets": n_hot,
-        "sampled_buckets": min(n_hot, sample_k),
-        "max_bucket": max((r["__n"] for r in hot), default=0),
-        "hot_member_rows": sum(r["__n"] for r in hot),
+        "sampled_buckets": n_hot,  # exact over all hot buckets since r13
+        "max_bucket": int(stats["__max"] or 0),
+        "hot_member_rows": int(stats["__rows"] or 0),
         "same_hash_pair_fraction": frac,
         "cap_deletes_signal": bool(total) and frac >= signal_threshold,
     }
@@ -2158,9 +2175,19 @@ def video_near_pairs_auto(
     ``ph_frames`` is a lazy plan — it is only evaluated on the
     frame-aligned route, so the common (well-spread) corpus pays one
     bounded probe aggregate plus the fold join and never hashes
-    per-frame. Returns (l_id, r_id, n_frames_matched) on the frame
-    route, (l_id, r_id, hamming) on the fold route — callers that only
-    feed connected components consume both shapes unchanged."""
+    per-frame.
+
+    The output schema is ROUTE-INDEPENDENT (ADVICE r12 — the route is
+    chosen from corpus data at runtime, so a route-dependent shape
+    would make the same caller code work on one corpus and fail on
+    another): always (l_id, r_id, route, n_frames_matched, hamming),
+    where ``route`` is the literal 'frames' or 'fold' and the column
+    the other route produces is null. Callers that only feed connected
+    components read (l_id, r_id) unchanged. When the probe forces the
+    frame route a ``UserWarning`` carrying the probe statistics is
+    emitted, so the routing decision is visible in job logs
+    (VERDICT r12 #7)."""
+    routed_frames = False
     if max_bucket_size is not None:
         diag = diagnose_hot_buckets(
             ph_fold,
@@ -2169,20 +2196,50 @@ def video_near_pairs_auto(
             max_bucket_size=max_bucket_size,
             signal_threshold=signal_threshold,
         )
-        if diag["cap_deletes_signal"]:
-            return video_frame_match_pairs(
-                ph_frames,
-                id_col=id_col,
-                frame_col=frame_col,
-                band_cols=frame_band_cols,
-                max_dist=max_dist,
-                min_frames=min_frames,
-                max_bucket_size=max_bucket_size,
+        routed_frames = diag["cap_deletes_signal"]
+        if routed_frames:
+            import warnings
+
+            warnings.warn(
+                "video_near_pairs_auto: fold hot buckets are "
+                f"{diag['same_hash_pair_fraction']:.0%} identical-full-hash "
+                f"pairs across {diag['n_hot_buckets']} bucket(s) (max size "
+                f"{diag['max_bucket']}) — routing to frame-aligned "
+                "matching so the cap does not delete replica signal.",
+                UserWarning,
+                stacklevel=2,
             )
-    return phash_near_pairs(
+    if routed_frames:
+        out = video_frame_match_pairs(
+            ph_frames,
+            id_col=id_col,
+            frame_col=frame_col,
+            band_cols=frame_band_cols,
+            max_dist=max_dist,
+            min_frames=min_frames,
+            max_bucket_size=max_bucket_size,
+        )
+        return out.select(
+            "l_id",
+            "r_id",
+            F.lit("frames").alias("route"),
+            F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+            F.lit(None).cast("int").alias("hamming"),
+        )
+    out = phash_near_pairs(
         ph_fold,
         id_col=id_col,
         band_cols=fold_band_cols,
         max_dist=max_dist,
         max_bucket_size=max_bucket_size,
+        # The auto-route probe above already adjudicated these buckets
+        # as SAFE — a second cap_guard probe would be a duplicate job.
+        cap_guard=False,
+    )
+    return out.select(
+        "l_id",
+        "r_id",
+        F.lit("fold").alias("route"),
+        F.lit(None).cast("long").alias("n_frames_matched"),
+        F.col("hamming").cast("int").alias("hamming"),
     )

@@ -221,6 +221,15 @@ def _try_mp3_header(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
             break  # trailing non-frame bytes (tags etc.) end the walk
+        # Re-check version/layer on EVERY frame, not just the first: a
+        # stream that switches to MPEG-2 / Layer-II mid-walk would have
+        # its frame lengths (and so duration) computed from MPEG-1
+        # Layer-III tables — silently wrong metadata instead of the
+        # module's drop contract (ADVICE r12).
+        if (data[pos + 1] >> 3) & 0x3 != 0x3 or (data[pos + 1] >> 1) & 0x3 != 0x1:
+            raise NotImplementedError(
+                "MPEG version/layer switch mid-stream (only MPEG-1 Layer III)"
+            )
         br_idx, sr_idx = data[pos + 2] >> 4, (data[pos + 2] >> 2) & 0x3
         if br_idx in (0, 15) or sr_idx == 3:
             raise NotImplementedError("free-format/invalid MP3 header indexes")
@@ -1815,6 +1824,15 @@ def _huffman_table(lengths) -> dict:
     for ln in lengths:
         if ln:
             bl_count[ln] += 1
+    # Kraft inequality: an over-subscribed code-length set would wrap
+    # ``next_code`` into neighbouring lengths' code space and decode to
+    # deterministic garbage instead of failing (ADVICE r12). Incomplete
+    # (under-subscribed) sets stay legal — JPEG tables usually are, and
+    # RFC 1951 permits the single-distance-code case.
+    if sum(bl_count[b] << (max_len - b) for b in range(1, max_len + 1)) > (
+        1 << max_len
+    ):
+        raise NotImplementedError("over-subscribed Huffman code-length set")
     next_code, code = [0] * (max_len + 1), 0
     for b in range(1, max_len + 1):
         code = (code + bl_count[b - 1]) << 1
@@ -2241,13 +2259,25 @@ def _rha_arr(v, d):
 def _jpeg_huffman(bits, vals):
     """Canonical JPEG Huffman code assignment (Annex C): symbols take
     consecutive codes in HUFFVAL order within each length. Returns
-    (encode: {sym: (code, len)}, decode: {(len, code): sym})."""
+    (encode: {sym: (code, len)}, decode: {(len, code): sym}).
+
+    Validates the DHT per Annex C before use: JPEG has no payload
+    checksum (unlike PNG's CRC/adler32), so an over-subscribed or
+    duplicate-symbol table must be DROPPED via NotImplementedError —
+    dict-key overwrites would otherwise entropy-decode a malformed
+    foreign baseline file to deterministic garbage stats (ADVICE r12)."""
+    if sum(bits) != len(vals):
+        raise NotImplementedError("JPEG DHT BITS/HUFFVAL length mismatch")
+    if len(set(vals)) != len(vals):
+        raise NotImplementedError("JPEG DHT duplicate symbol")
     enc, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             enc[vals[k]] = (code, ln)
             code += 1
             k += 1
+        if code > (1 << ln):
+            raise NotImplementedError("over-subscribed JPEG Huffman table")
         code <<= 1
     return enc, {(ln, c): s for s, (c, ln) in enc.items()}
 

@@ -942,6 +942,49 @@ def test_mp3_header_parse_inverts_synth():
     flen = 144000 * 128 // 44100
     sr, ch, dur = _try_mp3_header(whole[: flen + 10])
     assert dur == 1152 * 1000 // 44100
+    # r13 (ADVICE r12): a version/layer switch MID-stream must raise,
+    # not have later frames' lengths read from MPEG-1 L3 tables.
+    switch = bytearray(synth_mp3(b"z" * 2000, 128, 44100))
+    assert len(switch) >= 2 * flen
+    switch[flen + 1] = 0xF3  # second frame: version bits 10 = MPEG-2
+    with pytest.raises(NotImplementedError, match="mid-stream"):
+        _try_mp3_header(bytes(switch))
+    switch[flen + 1] = 0xFD  # second frame: layer bits 10 = Layer II
+    with pytest.raises(NotImplementedError, match="mid-stream"):
+        _try_mp3_header(bytes(switch))
+
+
+def test_huffman_builders_reject_malformed_tables():
+    """Round 13 (ADVICE r12): neither entropy layer may decode a
+    malformed code-length set to deterministic garbage — JPEG has no
+    payload checksum, so table validation IS the drop gate."""
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _huffman_table,
+        _jpeg_huffman,
+    )
+
+    # DEFLATE side: complete and incomplete sets build; over-subscribed
+    # raises (three 1-bit codes cannot exist).
+    assert _huffman_table([1, 1]) == {(1, 0): 0, (1, 1): 1}
+    assert len(_huffman_table([2, 2, 2])) == 3  # incomplete: legal
+    with pytest.raises(NotImplementedError, match="over-subscribed"):
+        _huffman_table([1, 1, 1])
+    with pytest.raises(NotImplementedError, match="over-subscribed"):
+        _huffman_table([1, 2, 2, 2])
+
+    # JPEG side: Annex K tables are incomplete by design and must
+    # build; over-subscription, BITS/HUFFVAL mismatch and duplicate
+    # symbols must all drop.
+    enc, dec = _jpeg_huffman([0, 2, 0] + [0] * 13, [3, 7])
+    assert enc == {3: (0, 2), 7: (1, 2)} and dec == {(2, 0): 3, (2, 1): 7}
+    with pytest.raises(NotImplementedError, match="over-subscribed"):
+        _jpeg_huffman([3] + [0] * 15, [1, 2, 3])  # three 1-bit codes
+    with pytest.raises(NotImplementedError, match="mismatch"):
+        _jpeg_huffman([0, 2, 0] + [0] * 13, [3])
+    with pytest.raises(NotImplementedError, match="duplicate"):
+        _jpeg_huffman([0, 2, 0] + [0] * 13, [3, 3])
 
 
 def test_flac_header_parse_inverts_synth():

@@ -317,12 +317,43 @@ def test_diagnose_hot_buckets_discriminates_replicas_from_degeneracy(spark):
         phash_near_pairs(
             homog, band_cols=bc, max_bucket_size=10, cap_guard=True
         ).collect()
+    # r13 (VERDICT r12 #7): cap_guard defaults ON whenever a cap is set —
+    # the same warn path must fire with no explicit cap_guard argument.
+    with pytest.warns(UserWarning, match="replica clusters"):
+        phash_near_pairs(homog, band_cols=bc, max_bucket_size=10).collect()
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # any warning -> failure
         got = phash_near_pairs(
             degen, band_cols=bc, max_bucket_size=10, cap_guard=True
         ).collect()
     assert got == []  # capping the degenerate bucket drops only false cands
+    with warnings.catch_warnings():
+        # …and an UNCAPPED call must stay guard-free (nothing to guard)
+        # even under the new default.
+        warnings.simplefilter("error")
+        phash_near_pairs(homog, band_cols=bc, max_dist=3).collect()
+
+
+def test_diagnose_hot_buckets_counts_are_exact_beyond_sample_k(spark):
+    """Round 13 (ADVICE r12): n_hot_buckets / hot_member_rows / the
+    pair-mass fraction must be EXACT corpus totals even when more than
+    sample_k(=20) buckets are hot — the r12 top-k sample understated
+    them."""
+    from polars_sim_spark.operators.dedup import diagnose_hot_buckets
+
+    bc = ("band0", "band1")
+    # 30 replica groups of 6 members each -> 60 hot (band, value)
+    # buckets (2 bands x 30 groups), all over cap=5.
+    rows = [
+        (g * 6 + j, 1000 + g, 2000 + g) for g in range(30) for j in range(6)
+    ]
+    ph = spark.createDataFrame(rows, "id long, band0 int, band1 int")
+    d = diagnose_hot_buckets(ph, band_cols=bc, max_bucket_size=5)
+    assert d["n_hot_buckets"] == 60  # r12 sample would have said 20
+    assert d["sampled_buckets"] == 60
+    assert d["hot_member_rows"] == 360
+    assert d["max_bucket"] == 6
+    assert d["same_hash_pair_fraction"] == 1.0 and d["cap_deletes_signal"]
 
 
 def test_video_near_pairs_auto_routes_on_fold_clustering(spark):
@@ -341,12 +372,18 @@ def test_video_near_pairs_auto_routes_on_fold_clustering(spark):
     frames = spark.createDataFrame(
         [(i, f, 1, 2, 3, 4) for i in range(4) for f in range(3)], fsch
     )
-    out = video_near_pairs_auto(
-        homog_fold, frames, fold_band_cols=bc, max_bucket_size=10
-    )
-    assert "n_frames_matched" in out.columns
+    import pytest
+
+    with pytest.warns(UserWarning, match="frame-aligned"):
+        out = video_near_pairs_auto(
+            homog_fold, frames, fold_band_cols=bc, max_bucket_size=10
+        )
+    # r13 (ADVICE r12): the schema is ROUTE-INDEPENDENT — both measure
+    # columns always present plus a route discriminator.
+    assert out.columns == ["l_id", "r_id", "route", "n_frames_matched", "hamming"]
     assert out.count() == 6  # C(4,2) video pairs, all 3 frames aligned
-    assert out.where("n_frames_matched = 3").count() == 6
+    assert out.where("n_frames_matched = 3 AND route = 'frames'").count() == 6
+    assert out.where("hamming IS NOT NULL").count() == 0
 
     spread_fold = spark.createDataFrame(
         [(i, i, 2 * i, 3 * i, 4 * i) for i in range(30)] + [(100, 0, 0, 0, 0)],
@@ -356,9 +393,13 @@ def test_video_near_pairs_auto_routes_on_fold_clustering(spark):
     out2 = video_near_pairs_auto(
         spread_fold, bad_frames, fold_band_cols=bc, max_bucket_size=10
     )
-    assert "hamming" in out2.columns
+    assert out2.columns == out.columns  # same shape on the other route
     # doc 0 and doc 100 share all four band values -> hamming 0 pair
-    assert {(r["l_id"], r["r_id"]) for r in out2.collect()} == {(0, 100)}
+    rows2 = out2.collect()
+    assert {(r["l_id"], r["r_id"]) for r in rows2} == {(0, 100)}
+    assert all(
+        r["route"] == "fold" and r["n_frames_matched"] is None for r in rows2
+    )
 
 
 def test_video_frame_match_pairs_bucket_cap(spark):
