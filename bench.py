@@ -213,6 +213,7 @@ HEADLINE = [
     # round 13:
     "tpch_q11_important_stock",
     "tpch_q16_part_supplier_counts",
+    "multimodal_jpeg420_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

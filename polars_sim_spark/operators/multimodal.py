@@ -2360,20 +2360,25 @@ def _jpeg_encode_block(w, zz, prev_dc: int, dc_enc, ac_enc) -> int:
     return zz[0]
 
 
-def _jpeg_segments(height: int, width: int, n_comp: int) -> tuple[bytes, bytes]:
+def _jpeg_segments(
+    height: int, width: int, n_comp: int, sampling: tuple[int, ...] | None = None
+) -> tuple[bytes, bytes]:
     """(header segments, SOS segment) for an ``n_comp``-component (1 =
-    grayscale, 3 = YCbCr 4:4:4) baseline stream — every component uses
+    grayscale, 3 = YCbCr) baseline stream — every component uses
     quant table 0 and Huffman tables 0 (legal: SOF/SOS reference
     tables by id; sharing the luminance tables across chroma keeps the
     fixture single-tabled while the decoder still honors whatever ids
-    a foreign file declares)."""
+    a foreign file declares). ``sampling`` gives each component's
+    packed (h<<4)|v byte; default 0x11 everywhere (4:4:4), the 4:2:0
+    fixture passes (0x22, 0x11, 0x11)."""
     import struct
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
+    samp = sampling or (0x11,) * n_comp
     dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
-    comp_spec = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    comp_spec = b"".join(bytes([i + 1, samp[i], 0]) for i in range(n_comp))
     sof = seg(
         0xC0,
         b"\x08" + struct.pack(">HH", height, width) + bytes([n_comp]) + comp_spec,
@@ -2473,6 +2478,54 @@ def synth_jpeg_color(data: bytes) -> bytes | None:
     return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
 
+def synth_jpeg_420(data: bytes) -> bytes | None:
+    """Deterministic baseline 4:2:0 COLOR JPEG (round 13, VERDICT r12
+    #1 — the sampling geometry virtually every camera/web JPEG uses):
+    the bytes are interleaved RGB pixels of a 16-wide image truncated
+    to whole 16×16 MCUs (768 bytes per MCU; None if no full MCU fits).
+    Per MCU the luma carries four 8×8 blocks (2×2, raster order) at
+    full resolution while Cb/Cr carry ONE 8×8 block each, decimated by
+    TOP-LEFT sampling (chroma sample (cy, cx) = the transformed value
+    at pixel (2cy, 2cx) — the spec leaves the downsampling filter
+    implementation-defined, so the pinned exact-integer profile is
+    plain decimation, which the nearest-neighbor upsample in
+    :func:`_jpeg_decode` inverts exactly on flat 2×2 groups and the
+    SQL oracle replays). Entropy layer, tables and the fixed-point
+    block pipeline are shared with :func:`synth_jpeg_color`."""
+    import numpy as np
+
+    nm = len(data) // 768
+    if nm < 1:
+        return None
+    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    px = np.frombuffer(data, np.uint8, nm * 768).reshape(nm * 16, 16, 3)
+    y, cb, cr = _rgb_to_ycc(
+        px[:, :, 0].astype(np.int64),
+        px[:, :, 1].astype(np.int64),
+        px[:, :, 2].astype(np.int64),
+    )
+    cb_s, cr_s = cb[0::2, 0::2], cr[0::2, 0::2]  # top-left decimation
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for m in range(nm):
+        for byi in range(2):
+            for bxi in range(2):
+                block = y[
+                    m * 16 + byi * 8 : m * 16 + byi * 8 + 8,
+                    bxi * 8 : bxi * 8 + 8,
+                ]
+                zz, _pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+                prev[0] = _jpeg_encode_block(w, zz, prev[0], dc_enc, ac_enc)
+        for ci, plane in ((1, cb_s), (2, cr_s)):
+            zz, _pix = _jpeg_block_pipeline(
+                plane[m * 8 : (m + 1) * 8, :], _JPEG_QUANT
+            )
+            prev[ci] = _jpeg_encode_block(w, zz, prev[ci], dc_enc, ac_enc)
+    head, sos = _jpeg_segments(nm * 16, 16, 3, sampling=(0x22, 0x11, 0x11))
+    return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     de-stuffing; raises NotImplementedError on truncation or an
@@ -2522,15 +2575,25 @@ def _jpeg_huff_decode(reader, table) -> int:
 
 
 def _jpeg_decode(data: bytes):
-    """(h, w, [component planes]) of a BASELINE sequential,
-    non-subsampled JPEG with 1 (grayscale) or 3 (YCbCr 4:4:4)
-    components: marker walk (DQT de-zigzag, DHT canonical build, SOF0
-    dims + per-component table ids) → interleaved-MCU Huffman entropy
-    decode with per-component DC prediction → dequantize → fixed-point
-    IDCT → clamp. Progressive (SOF2), subsampled, restart-interval or
-    non-8-bit streams raise NotImplementedError; partial edge blocks
-    are decoded whole and cropped (our fixtures are whole-block by
-    construction)."""
+    """(h, w, [component planes, all at h×w]) of a BASELINE sequential
+    JPEG with 1 (grayscale) or 3 (YCbCr) components, 4:4:4 OR
+    chroma-subsampled (4:2:0 / 4:2:2 / 4:4:0 — any per-component
+    sampling factors in {1, 2}, round 13, VERDICT r12 #1): marker walk
+    (DQT de-zigzag, DHT canonical build, SOF0 dims + per-component
+    sampling factors and table ids) → interleaved-MCU Huffman entropy
+    decode (each MCU carries v_i×h_i blocks per component in raster
+    order, per ISO/IEC 10918 A.2.3) with per-component DC prediction →
+    dequantize → fixed-point IDCT → clamp → NEAREST-NEIGHBOR chroma
+    upsample in exact integers (each subsampled value replicates over
+    its (vmax/v_i)×(hmax/h_i) pixel group — the spec leaves the
+    upsampling filter implementation-defined, so the pinned profile is
+    pure replication, replayed by the SQL oracle). Progressive (SOF2),
+    restart-interval, sampling factors > 2 or non-8-bit streams raise
+    NotImplementedError; partial edge blocks are decoded whole and
+    cropped (our fixtures are whole-MCU by construction). A
+    single-component scan is non-interleaved per the spec, so its
+    declared sampling factors are ignored (data units raster over the
+    8×8 block grid)."""
     import struct
 
     import numpy as np
@@ -2590,9 +2653,14 @@ def _jpeg_decode(data: bytes):
             comp_specs = []
             for i in range(n_comp):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG needs chroma upsampling")
-                comp_specs.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if n_comp == 1:
+                    hi = vi = 1  # single-component scans are non-interleaved
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2 unsupported"
+                    )
+                comp_specs.append((cid, tq, hi, vi))
             dims = (int(h), int(w))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG is decoded")
@@ -2608,7 +2676,7 @@ def _jpeg_decode(data: bytes):
                 cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 by_id[cid] = (tabs >> 4, tabs & 0xF)
             try:
-                scan_tables = [by_id[cid] for cid, _ in comp_specs]
+                scan_tables = [by_id[cid] for cid, *_ in comp_specs]
             except KeyError:
                 raise NotImplementedError("JPEG scan references unknown component")
             scan_pos = pos + 2 + ln
@@ -2620,7 +2688,7 @@ def _jpeg_decode(data: bytes):
     if h < 1 or w < 1:
         raise NotImplementedError("malformed JPEG dimensions")
     comps = []
-    for (cid, tq), (dci, aci) in zip(comp_specs, scan_tables):
+    for (cid, tq, hi, vi), (dci, aci) in zip(comp_specs, scan_tables):
         if tq not in quant:
             raise NotImplementedError("JPEG missing quant table")
         if dci not in dc_tables or aci not in ac_tables:
@@ -2630,48 +2698,72 @@ def _jpeg_decode(data: bytes):
                 np.array(quant[tq], dtype=np.int64).reshape(8, 8),
                 dc_tables[dci],
                 ac_tables[aci],
+                hi,
+                vi,
             )
         )
     T = np.array(_JPEG_DCT_T, dtype=np.int64)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in comps]
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    # MCU grid (A.2.3): ceil over the 8·hmax × 8·vmax pixel tiles; each
+    # component's plane holds its own v_i×h_i blocks per MCU.
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+        for (_, _, _, hi, vi) in comps
+    ]
     reader = _JpegBitReader(data, scan_pos)
     prev_dc = [0] * len(comps)
 
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (q, dc_t, ac_t) in enumerate(comps):
-                zz = [0] * 64
-                s = _jpeg_huff_decode(reader, dc_t)
-                diff = extend(reader.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _jpeg_huff_decode(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, s = sym >> 4, sym & 0xF
-                    if s == 0:
-                        if run != 15:
-                            raise NotImplementedError("invalid JPEG AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise NotImplementedError("JPEG AC coefficient overrun")
-                    zz[k] = extend(reader.bits(s), s)
-                    k += 1
-                qc = np.zeros((8, 8), dtype=np.int64)
-                for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
-                    qc[r, c] = zz[idx]
-                G = T.T @ (qc * q) @ T
-                pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
-    return h, w, [p[:h, :w] for p in planes]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (q, dc_t, ac_t, hi, vi) in enumerate(comps):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = [0] * 64
+                        s = _jpeg_huff_decode(reader, dc_t)
+                        diff = extend(reader.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if run != 15:
+                                    raise NotImplementedError(
+                                        "invalid JPEG AC symbol"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC coefficient overrun"
+                                )
+                            zz[k] = extend(reader.bits(s), s)
+                            k += 1
+                        qc = np.zeros((8, 8), dtype=np.int64)
+                        for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
+                            qc[r, c] = zz[idx]
+                        G = T.T @ (qc * q) @ T
+                        pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix
+    out = []
+    for (q, dc_t, ac_t, hi, vi), plane in zip(comps, planes):
+        if hi != hmax or vi != vmax:
+            # exact nearest-neighbor replication over the sampling group
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(plane[:h, :w])
+    return h, w, out
 
 
 def _jpeg_gray_pixels(data: bytes):
@@ -2765,6 +2857,27 @@ def attach_jpeg_color_payload(
     return _attach_payload(
         df, {0: lambda d, w: synth_jpeg_color(d)}, text_col, id_col, modulus=1
     )
+
+
+def attach_jpeg420_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """4:2:0 JPEG corpus attacher: EVERY non-empty document becomes a
+    real baseline chroma-subsampled JPEG (:func:`synth_jpeg_420`, 16
+    wide). A 16×16 MCU needs 768 RGB bytes and the documents corpus
+    tops out around 550, so the pixel source is the text bytes CYCLED
+    to whole MCUs — ``max(1, dlen // 768)`` MCUs, pixel byte
+    ``j = text[j % dlen]`` — a closed form the SQL oracle replays
+    (docs long enough for a full MCU are verbatim-prefixed, everything
+    else wraps). Empty rows stay raw utf-8."""
+
+    def synth(d: bytes, w: int):
+        if not d:
+            return None
+        need = max(1, len(d) // 768) * 768
+        return synth_jpeg_420((d * ((need + len(d) - 1) // len(d)))[:need])
+
+    return _attach_payload(df, {0: synth}, text_col, id_col, modulus=1)
 
 
 def jpeg_color_pixel_stats(

@@ -105,6 +105,9 @@ _MANIFEST = [
     # COUNT DISTINCT — closing the relational suite at 22/22.
     "tpch_q11_important_stock",
     "tpch_q16_part_supplier_counts",
+    # round 13: 4:2:0 chroma-subsampled JPEG decode (VERDICT r12 #1) —
+    # per-component sampling factors in the MCU walk + exact NN upsample.
+    "multimodal_jpeg420_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",
