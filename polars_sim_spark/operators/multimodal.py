@@ -1845,11 +1845,39 @@ def _huffman_table(lengths) -> dict:
     return table
 
 
+#: 9-bit bit-reversal table (bit i ↔ bit 8−i) for the LUT builders.
+_REV9 = tuple(int(f"{i:09b}"[::-1], 2) for i in range(512))
+
+
+def _lut9(table: dict) -> list:
+    """512-entry one-shot lookup for a DEFLATE ``{(len, code): sym}``
+    table (round 13, VERDICT r12 #3 — the per-bit dict walk was the
+    decode wall): index = the next 9 stream bits LSB-first (DEFLATE
+    packs the code's MSB as the FIRST received bit, so each code's
+    bits are reversed into the index and replicated across all suffix
+    bits); entry = (sym, code_len) for codes ≤ 9 bits, None where the
+    prefix belongs to a longer code (the caller falls back to the
+    bit-by-bit dict walk — rare: long codes are the infrequent
+    symbols by Huffman construction). Build cost is exactly 512
+    entry-writes, so dynamic blocks rebuild it cheaply."""
+    root: list = [None] * 512
+    for (ln, code), s in table.items():
+        if ln > 9:
+            continue
+        rev = _REV9[code << (9 - ln)]  # == code reversed within ln bits
+        step = 1 << ln
+        cnt = (512 - rev + step - 1) // step
+        root[rev::step] = [(s, ln)] * cnt
+    return root
+
+
 #: RFC 1951 §3.2.6 — the fixed literal/length and distance code lengths.
 _FIXED_LIT_TABLE = _huffman_table(
     [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
 )
 _FIXED_DIST_TABLE = _huffman_table([5] * 32)
+_FIXED_LIT_LUT = _lut9(_FIXED_LIT_TABLE)
+_FIXED_DIST_LUT = _lut9(_FIXED_DIST_TABLE)
 
 
 def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
@@ -1862,27 +1890,70 @@ def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
     the spec's packing rules. Raises NotImplementedError on truncated or
     malformed streams (the shared drop contract of every codec-free
     parser in this module)."""
-    pos, n_bits = bit_pos, len(data) * 8
+    # Accumulator-based bit plumbing (round 13, VERDICT r12 #3): bits
+    # load a byte at a time into an int accumulator (LSB-first, the
+    # spec's packing order) and Huffman symbols resolve through the
+    # 512-entry :func:`_lut9` roots in ONE lookup for codes ≤ 9 bits —
+    # replacing the one-Python-iteration-per-BIT walk that dominated
+    # the decode walls (BASELINE.md round-12 tables). The buffered
+    # bits always end on a byte boundary, so the unconsumed stream
+    # position is bytepos·8 − nbits.
+    n = len(data)
+    bytepos = bit_pos >> 3
+    acc = nbits = 0
+    if bit_pos & 7:
+        if bytepos >= n:
+            raise NotImplementedError("truncated DEFLATE stream")
+        acc = data[bytepos] >> (bit_pos & 7)
+        nbits = 8 - (bit_pos & 7)
+        bytepos += 1
     out = bytearray()
 
+    def fill(k: int) -> bool:
+        nonlocal acc, nbits, bytepos
+        while nbits < k:
+            if bytepos >= n:
+                return False
+            acc |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        return True
+
     def bits(k: int) -> int:
-        nonlocal pos
-        if pos + k > n_bits:
-            raise NotImplementedError("truncated DEFLATE stream")
-        v = 0
-        for i in range(k):
-            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
-            pos += 1
+        nonlocal acc, nbits, bytepos
+        while nbits < k:  # inlined refill (hot path)
+            if bytepos >= n:
+                raise NotImplementedError("truncated DEFLATE stream")
+            acc |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        nbits -= k
         return v
 
-    def sym(table: dict) -> int:
-        nonlocal pos
+    def sym(table: dict, lut: list) -> int:
+        nonlocal acc, nbits, bytepos
+        while nbits < 9 and bytepos < n:  # inlined (partial-ok) refill
+            acc |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        e = lut[acc & 511]
+        # Entry validity: the lut index's bits beyond the code length
+        # are replicated suffixes, so e is correct whenever the CODE
+        # fits the buffered bits (e[1] <= nbits) — zero-padding from a
+        # partial fill can only land on longer/None entries.
+        if e is not None and e[1] <= nbits:
+            acc >>= e[1]
+            nbits -= e[1]
+            return e[0]
         ln = code = 0
         while True:
-            if pos >= n_bits:
+            if not nbits and not fill(1):
                 raise NotImplementedError("truncated DEFLATE stream")
-            code = (code << 1) | ((data[pos >> 3] >> (pos & 7)) & 1)
-            pos += 1
+            code = (code << 1) | (acc & 1)
+            acc >>= 1
+            nbits -= 1
             ln += 1
             s = table.get((ln, code))
             if s is not None:
@@ -1893,27 +1964,32 @@ def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
     while True:
         bfinal, btype = bits(1), bits(2)
         if btype == 0:  # stored: align to byte, LEN + ones-complement NLEN
-            pos = (pos + 7) & ~7
+            k = nbits & 7  # discard to the next byte boundary
+            acc >>= k
+            nbits -= k
             ln, nln = bits(16), bits(16)
             if ln != (~nln & 0xFFFF):
                 raise NotImplementedError("DEFLATE stored-block LEN mismatch")
-            start = pos >> 3
-            if start + ln > len(data):
+            start = bytepos - (nbits >> 3)
+            if start + ln > n:
                 raise NotImplementedError("truncated DEFLATE stored block")
             out += data[start : start + ln]
-            pos += 8 * ln
+            bytepos = start + ln
+            acc = nbits = 0
         elif btype in (1, 2):
             if btype == 1:
                 lit_t, dist_t = _FIXED_LIT_TABLE, _FIXED_DIST_TABLE
+                lit_l, dist_l = _FIXED_LIT_LUT, _FIXED_DIST_LUT
             else:  # dynamic: decode the code-length code, then both tables
                 hlit, hdist, hclen = bits(5) + 257, bits(5) + 1, bits(4) + 4
                 cl_lens = [0] * 19
                 for i in range(hclen):
                     cl_lens[_DEFLATE_CLC_ORDER[i]] = bits(3)
                 cl_t = _huffman_table(cl_lens)
+                cl_l = _lut9(cl_t)
                 lens: list = []
                 while len(lens) < hlit + hdist:
-                    s = sym(cl_t)
+                    s = sym(cl_t, cl_l)
                     if s < 16:
                         lens.append(s)
                     elif s == 16:
@@ -1928,8 +2004,9 @@ def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
                     raise NotImplementedError("DEFLATE code-length overrun")
                 lit_t = _huffman_table(lens[:hlit])
                 dist_t = _huffman_table(lens[hlit:])
+                lit_l, dist_l = _lut9(lit_t), _lut9(dist_t)
             while True:
-                s = sym(lit_t)
+                s = sym(lit_t, lit_l)
                 if s < 256:
                     out.append(s)
                 elif s == 256:
@@ -1937,15 +2014,18 @@ def _inflate(data: bytes, bit_pos: int = 0) -> bytes:
                 elif s <= 285:
                     li = s - 257
                     length = _DEFLATE_LEN_BASE[li] + bits(_DEFLATE_LEN_EXTRA[li])
-                    d = sym(dist_t)
+                    d = sym(dist_t, dist_l)
                     if d > 29:
                         raise NotImplementedError("invalid DEFLATE distance code")
                     dist = _DEFLATE_DIST_BASE[d] + bits(_DEFLATE_DIST_EXTRA[d])
                     if dist > len(out):
                         raise NotImplementedError("DEFLATE distance beyond output")
-                    # overlapping copy semantics (dist < length repeats)
-                    for _ in range(length):
-                        out.append(out[-dist])
+                    if dist >= length:  # disjoint: one slice copy
+                        st = len(out) - dist
+                        out += out[st : st + length]
+                    else:  # overlap repeats the dist-byte window cyclically
+                        chunk = bytes(out[-dist:])
+                        out += (chunk * ((length + dist - 1) // dist))[:length]
                 else:
                     raise NotImplementedError("invalid DEFLATE literal/length symbol")
         else:
@@ -2014,7 +2094,27 @@ def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
 def _png_unfilter_row(ftype: int, filt, prior, bpp: int) -> bytearray:
     """Invert PNG row filter ``ftype`` (decoder side): raw[i] = filt[i] +
     predictor mod 256, computed left-to-right because Sub/Average/Paeth
-    predict from the already-reconstructed left neighbor."""
+    predict from the already-reconstructed left neighbor. None/Up/Sub
+    vectorize (round 13, VERDICT r12 #3): Up is elementwise mod-256
+    addition, Sub is a per-byte-lane running sum; Average and Paeth
+    keep the scalar loop (their predictors mix the reconstructed left
+    neighbor through a nonlinear step)."""
+    import numpy as np
+
+    if ftype == 0:
+        return bytearray(filt)
+    if ftype == 2:
+        f = np.frombuffer(bytes(filt), np.uint8)
+        p = np.frombuffer(bytes(prior), np.uint8)
+        return bytearray((f + p).tobytes())  # uint8 wraps mod 256
+    if ftype == 1 and len(filt) % bpp == 0:
+        lanes = (
+            np.frombuffer(bytes(filt), np.uint8)
+            .astype(np.int64)
+            .reshape(-1, bpp)
+        )
+        raw = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8)
+        return bytearray(raw.tobytes())
     out = bytearray(len(filt))
     for i in range(len(filt)):
         a = out[i - bpp] if i >= bpp else 0
@@ -2282,6 +2382,11 @@ def _jpeg_huffman(bits, vals):
     return enc, {(ln, c): s for s, (c, ln) in enc.items()}
 
 
+#: Annex K encoder tables, built once (every fixture synth reuses them).
+_ANNEXK_DC_ENC = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)[0]
+_ANNEXK_AC_ENC = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)[0]
+
+
 class _JpegBitWriter:
     """MSB-first bit packer with the mandatory 0x00 stuffing after any
     emitted 0xFF byte; 1-fill padding at close (Annex B/F)."""
@@ -2292,14 +2397,18 @@ class _JpegBitWriter:
         self.nbits = 0
 
     def put(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = self.nbits = 0
+        # whole-field accumulate + byte-at-a-time flush (round 13,
+        # VERDICT r12 #3 — the per-bit loop was measurable in the
+        # fixture attachers); identical output, including stuffing.
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
 
     def close(self) -> bytes:
         if self.nbits:
@@ -2326,33 +2435,50 @@ def _jpeg_block_pipeline(block, quant):
     return zz, pix.astype(np.uint8)
 
 
+def _jpeg_forward_zz(blocks, quant) -> list:
+    """Batched forward half of :func:`_jpeg_block_pipeline` (round 13,
+    VERDICT r12 #3): (nb, 8, 8) int blocks → list of nb zigzag
+    coefficient lists via ONE matmul chain — numerically identical to
+    the per-block pipeline (same fixed-point profile), block for
+    block, so every existing round-trip pin still holds."""
+    import numpy as np
+
+    T = np.array(_JPEG_DCT_T, dtype=np.int64)
+    q = np.array(quant, dtype=np.int64).reshape(8, 8)
+    s = np.asarray(blocks, dtype=np.int64) - 128
+    F = np.matmul(T, np.matmul(s, T.T))
+    qc = _rha_arr(F, q << 24)
+    zz_flat = np.array([r * 8 + c for r, c in _JPEG_ZIGZAG], dtype=np.int64)
+    return qc.reshape(-1, 64)[:, zz_flat].tolist()
+
+
 def _jpeg_encode_block(w, zz, prev_dc: int, dc_enc, ac_enc) -> int:
     """Entropy-encode one zigzag coefficient block (DC difference
     category + bits, AC run/size with ZRL/EOB) into bit writer ``w``;
     returns the new DC predictor."""
 
-    def put_val(v: int) -> tuple[int, int]:
-        s = abs(v).bit_length()
-        return s, (v if v >= 0 else v + (1 << s) - 1)
-
-    s, bits_v = put_val(zz[0] - prev_dc)
+    # Huffman code and appended value bits fuse into ONE put() each
+    # (round 13, VERDICT r12 #3 — halves the writer calls; identical
+    # bit stream, MSB-first concatenation is associative).
+    v = zz[0] - prev_dc
+    s = (v if v >= 0 else -v).bit_length()
+    bits_v = v if v >= 0 else v + (1 << s) - 1
     code, ln = dc_enc[s]
-    w.put(code, ln)
-    if s:
-        w.put(bits_v, s)
+    w.put((code << s) | bits_v, ln + s)
     run = 0
     for k in range(1, 64):
-        if zz[k] == 0:
+        v = zz[k]
+        if v == 0:
             run += 1
             continue
         while run > 15:
             code, ln = ac_enc[0xF0]  # ZRL
             w.put(code, ln)
             run -= 16
-        s, bits_v = put_val(zz[k])
+        s = (v if v >= 0 else -v).bit_length()
+        bits_v = v if v >= 0 else v + (1 << s) - 1
         code, ln = ac_enc[(run << 4) | s]
-        w.put(code, ln)
-        w.put(bits_v, s)
+        w.put((code << s) | bits_v, ln + s)
         run = 0
     if run:
         code, ln = ac_enc[0x00]  # EOB
@@ -2404,13 +2530,11 @@ def synth_jpeg(data: bytes) -> bytes | None:
     nb = len(data) // 64
     if nb < 1:
         return None
-    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _ANNEXK_AC_ENC
     w = _JpegBitWriter()
     prev_dc = 0
-    for b in range(nb):
-        block = np.frombuffer(data, np.uint8, 64, b * 64).reshape(8, 8)
-        zz, _pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
+    blocks = np.frombuffer(data, np.uint8, nb * 64).reshape(nb, 8, 8)
+    for zz in _jpeg_forward_zz(blocks, _JPEG_QUANT):
         prev_dc = _jpeg_encode_block(w, zz, prev_dc, dc_enc, ac_enc)
     head, sos = _jpeg_segments(nb * 8, 8, 1)
     return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
@@ -2460,20 +2584,19 @@ def synth_jpeg_color(data: bytes) -> bytes | None:
     nb = len(data) // 192
     if nb < 1:
         return None
-    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _ANNEXK_AC_ENC
     w = _JpegBitWriter()
     prev = [0, 0, 0]
+    px = np.frombuffer(data, np.uint8, nb * 192).reshape(nb, 8, 8, 3)
+    comps = _rgb_to_ycc(
+        px[..., 0].astype(np.int64),
+        px[..., 1].astype(np.int64),
+        px[..., 2].astype(np.int64),
+    )
+    zz_all = [_jpeg_forward_zz(c, _JPEG_QUANT) for c in comps]
     for b in range(nb):
-        px = np.frombuffer(data, np.uint8, 192, b * 192).reshape(8, 8, 3)
-        comps = _rgb_to_ycc(
-            px[:, :, 0].astype(np.int64),
-            px[:, :, 1].astype(np.int64),
-            px[:, :, 2].astype(np.int64),
-        )
-        for ci, comp in enumerate(comps):
-            zz, _pix = _jpeg_block_pipeline(comp, _JPEG_QUANT)
-            prev[ci] = _jpeg_encode_block(w, zz, prev[ci], dc_enc, ac_enc)
+        for ci in range(3):
+            prev[ci] = _jpeg_encode_block(w, zz_all[ci][b], prev[ci], dc_enc, ac_enc)
     head, sos = _jpeg_segments(nb * 8, 8, 3)
     return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
@@ -2497,8 +2620,7 @@ def synth_jpeg_420(data: bytes) -> bytes | None:
     nm = len(data) // 768
     if nm < 1:
         return None
-    dc_enc, _ = _jpeg_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_enc, _ = _jpeg_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _ANNEXK_AC_ENC
     px = np.frombuffer(data, np.uint8, nm * 768).reshape(nm * 16, 16, 3)
     y, cb, cr = _rgb_to_ycc(
         px[:, :, 0].astype(np.int64),
@@ -2508,61 +2630,117 @@ def synth_jpeg_420(data: bytes) -> bytes | None:
     cb_s, cr_s = cb[0::2, 0::2], cr[0::2, 0::2]  # top-left decimation
     w = _JpegBitWriter()
     prev = [0, 0, 0]
+    # luma blocks in MCU raster order (m, byi, bxi) via one reshape
+    y_blocks = (
+        y.reshape(nm, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4).reshape(nm * 4, 8, 8)
+    )
+    zz_y = _jpeg_forward_zz(y_blocks, _JPEG_QUANT)
+    zz_cb = _jpeg_forward_zz(cb_s.reshape(nm, 8, 8), _JPEG_QUANT)
+    zz_cr = _jpeg_forward_zz(cr_s.reshape(nm, 8, 8), _JPEG_QUANT)
     for m in range(nm):
-        for byi in range(2):
-            for bxi in range(2):
-                block = y[
-                    m * 16 + byi * 8 : m * 16 + byi * 8 + 8,
-                    bxi * 8 : bxi * 8 + 8,
-                ]
-                zz, _pix = _jpeg_block_pipeline(block, _JPEG_QUANT)
-                prev[0] = _jpeg_encode_block(w, zz, prev[0], dc_enc, ac_enc)
-        for ci, plane in ((1, cb_s), (2, cr_s)):
-            zz, _pix = _jpeg_block_pipeline(
-                plane[m * 8 : (m + 1) * 8, :], _JPEG_QUANT
-            )
-            prev[ci] = _jpeg_encode_block(w, zz, prev[ci], dc_enc, ac_enc)
+        for j in range(4):
+            prev[0] = _jpeg_encode_block(w, zz_y[m * 4 + j], prev[0], dc_enc, ac_enc)
+        prev[1] = _jpeg_encode_block(w, zz_cb[m], prev[1], dc_enc, ac_enc)
+        prev[2] = _jpeg_encode_block(w, zz_cr[m], prev[2], dc_enc, ac_enc)
     head, sos = _jpeg_segments(nm * 16, 16, 3, sampling=(0x22, 0x11, 0x11))
     return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data with 0xFF00
-    de-stuffing; raises NotImplementedError on truncation or an
-    unexpected marker inside the scan."""
+    """MSB-first bit reader over the entropy-coded segment (round-13
+    accumulator rewrite, VERDICT r12 #3): the scan bytes are
+    DE-STUFFED ONCE up front (0xFF00 → 0xFF; any real marker ends the
+    segment — a truncated entropy stream then surfaces as 'truncated
+    JPEG scan' at the read that runs dry), and bits are served from an
+    int accumulator a byte at a time instead of the old
+    one-Python-iteration-per-bit loop."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+        buf = bytearray()
+        n = len(data)
+        i = pos
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                if i + 1 < n and data[i + 1] == 0x00:
+                    buf.append(0xFF)
+                    i += 2
+                    continue
+                break  # a real marker (EOI, RSTn, …) ends the segment
+            buf.append(b)
+            i += 1
+        self.buf = bytes(buf)
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise NotImplementedError("truncated JPEG scan")
-            byte = self.data[self.pos]
+    def _fill(self, k: int) -> bool:
+        buf, n = self.buf, len(self.buf)
+        while self.nbits < k:
+            if self.pos >= n:
+                return False
+            self.acc = (self.acc << 8) | buf[self.pos]
             self.pos += 1
-            if byte == 0xFF:
-                if self.pos >= len(self.data):
-                    raise NotImplementedError("truncated JPEG scan")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    raise NotImplementedError("marker inside JPEG scan")
-            self.acc, self.nbits = byte, 8
+            self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if not self._fill(1):
+            raise NotImplementedError("truncated JPEG scan")
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        v = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return v
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        if not self._fill(n):
+            raise NotImplementedError("truncated JPEG scan")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _jpeg_huff_decode(reader, table) -> int:
+def _jpeg_lut9(dec: dict) -> list:
+    """512-entry one-shot lookup for a JPEG ``{(len, code): sym}``
+    table (round 13, VERDICT r12 #3): index = the next 9 scan bits
+    MSB-first (JPEG's own bit order, so no reversal — each code's bits
+    are left-aligned and replicated across suffix bits); entry =
+    (sym, code_len) for codes ≤ 9 bits, None for longer-code prefixes
+    (bit-by-bit dict fallback, rare by Huffman construction)."""
+    root: list = [None] * 512
+    for (ln, code), s in dec.items():
+        if ln > 9:
+            continue
+        base = code << (9 - ln)
+        cnt = 1 << (9 - ln)
+        root[base : base + cnt] = [(s, ln)] * cnt
+    return root
+
+
+#: Bounded memo of parsed DHT segments → (decode dict, 9-bit LUT):
+#: corpora overwhelmingly reuse a handful of tables (our fixtures all
+#: ship Annex K), so each worker pays the canonical build once.
+_DHT_CACHE: dict = {}
+
+
+def _jpeg_huff_decode(reader, table, lut=None) -> int:
+    if lut is not None:
+        reader._fill(9)  # partial fill near segment end is fine
+        nb = reader.nbits
+        idx = (
+            (reader.acc >> (nb - 9)) if nb >= 9 else (reader.acc << (9 - nb))
+        ) & 511
+        e = lut[idx]
+        # Suffix bits beyond the code length are replicated in the lut,
+        # so the entry is valid whenever the CODE fits the buffered
+        # bits; zero-padding can only land on longer/None entries.
+        if e is not None and e[1] <= nb:
+            reader.nbits -= e[1]
+            reader.acc &= (1 << reader.nbits) - 1
+            return e[0]
     code = ln = 0
     while True:
         code = (code << 1) | reader.bit()
@@ -2640,8 +2818,14 @@ def _jpeg_decode(data: bytes):
                 bits = tuple(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + n])
-                _, dec = _jpeg_huffman(bits, vals)
-                (dc_tables if tc == 0 else ac_tables)[th] = dec
+                key = bytes(body[i + 1 : i + 17 + n])
+                cached = _DHT_CACHE.get(key)
+                if cached is None:
+                    _, dec = _jpeg_huffman(bits, vals)
+                    if len(_DHT_CACHE) >= 64:  # bounded memo
+                        _DHT_CACHE.clear()
+                    cached = _DHT_CACHE[key] = (dec, _jpeg_lut9(dec))
+                (dc_tables if tc == 0 else ac_tables)[th] = cached
                 i += 17 + n
         elif marker == 0xC0:
             if body[0] != 8:
@@ -2696,42 +2880,143 @@ def _jpeg_decode(data: bytes):
         comps.append(
             (
                 np.array(quant[tq], dtype=np.int64).reshape(8, 8),
-                dc_tables[dci],
-                ac_tables[aci],
+                dc_tables[dci][0],
+                ac_tables[aci][0],
+                dc_tables[dci][1],
+                ac_tables[aci][1],
                 hi,
                 vi,
             )
         )
     T = np.array(_JPEG_DCT_T, dtype=np.int64)
-    hmax = max(c[3] for c in comps)
-    vmax = max(c[4] for c in comps)
+    hmax = max(c[5] for c in comps)
+    vmax = max(c[6] for c in comps)
     # MCU grid (A.2.3): ceil over the 8·hmax × 8·vmax pixel tiles; each
     # component's plane holds its own v_i×h_i blocks per MCU.
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
-        for (_, _, _, hi, vi) in comps
-    ]
-    reader = _JpegBitReader(data, scan_pos)
+    zz_flat = np.array([r * 8 + c for r, c in _JPEG_ZIGZAG], dtype=np.int64)
+    # Entropy loop over LOCALS (round 13, VERDICT r12 #3): the scan is
+    # destuffed once by the reader, then bits are served from closure
+    # locals (int accumulator + the 512-entry LUTs) — per-attribute
+    # access and per-bit method calls were the measured wall.
+    buf = _JpegBitReader(data, scan_pos).buf
+    nbuf = len(buf)
+    acc = nbits = bpos = 0
     prev_dc = [0] * len(comps)
 
-    def extend(v: int, s: int) -> int:
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    def hsym(table: dict, lut: list) -> int:
+        nonlocal acc, nbits, bpos
+        while nbits < 9 and bpos < nbuf:
+            acc = (acc << 8) | buf[bpos]
+            bpos += 1
+            nbits += 8
+        idx = ((acc >> (nbits - 9)) if nbits >= 9 else (acc << (9 - nbits))) & 511
+        e = lut[idx]
+        if e is not None and e[1] <= nbits:
+            nbits -= e[1]
+            acc &= (1 << nbits) - 1
+            return e[0]
+        code = ln = 0
+        while True:
+            if not nbits:
+                if bpos >= nbuf:
+                    raise NotImplementedError("truncated JPEG scan")
+                acc = buf[bpos]
+                bpos += 1
+                nbits = 8
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            acc &= (1 << nbits) - 1
+            ln += 1
+            s = table.get((ln, code))
+            if s is not None:
+                return s
+            if ln > 16:
+                raise NotImplementedError("invalid JPEG Huffman code")
 
+    def rbits(k: int) -> int:
+        nonlocal acc, nbits, bpos
+        while nbits < k:
+            if bpos >= nbuf:
+                raise NotImplementedError("truncated JPEG scan")
+            acc = (acc << 8) | buf[bpos]
+            bpos += 1
+            nbits += 8
+        nbits -= k
+        v = (acc >> nbits) & ((1 << k) - 1)
+        acc &= (1 << nbits) - 1
+        return v
+
+    # Pass 1: entropy-decode EVERY block's zigzag coefficients (serial
+    # by construction — DC prediction and the bit stream are stateful).
+    coef: list[list[list[int]]] = [[] for _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (q, dc_t, ac_t, hi, vi) in enumerate(comps):
+            for ci, (q, dc_t, ac_t, dc_l, ac_l, hi, vi) in enumerate(comps):
                 for byi in range(vi):
                     for bxi in range(hi):
+                        # LUT fast paths are INLINED here (round 13,
+                        # VERDICT r12 #3): at ~0.5 µs per call the
+                        # closure call itself was the residual wall;
+                        # misses (codes > 9 bits / segment end) fall
+                        # back to hsym/rbits, which re-run the refill
+                        # idempotently.
                         zz = [0] * 64
-                        s = _jpeg_huff_decode(reader, dc_t)
-                        diff = extend(reader.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
+                        while nbits < 9 and bpos < nbuf:
+                            acc = (acc << 8) | buf[bpos]
+                            bpos += 1
+                            nbits += 8
+                        e = dc_l[
+                            (
+                                (acc >> (nbits - 9))
+                                if nbits >= 9
+                                else (acc << (9 - nbits))
+                            )
+                            & 511
+                        ]
+                        if e is not None and e[1] <= nbits:
+                            s = e[0]
+                            nbits -= e[1]
+                            acc &= (1 << nbits) - 1
+                        else:
+                            s = hsym(dc_t, dc_l)
+                        if s:
+                            while nbits < s:
+                                if bpos >= nbuf:
+                                    raise NotImplementedError(
+                                        "truncated JPEG scan"
+                                    )
+                                acc = (acc << 8) | buf[bpos]
+                                bpos += 1
+                                nbits += 8
+                            nbits -= s
+                            v = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            prev_dc[ci] += (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
                         zz[0] = prev_dc[ci]
                         k = 1
                         while k < 64:
-                            sym = _jpeg_huff_decode(reader, ac_t)
+                            while nbits < 9 and bpos < nbuf:
+                                acc = (acc << 8) | buf[bpos]
+                                bpos += 1
+                                nbits += 8
+                            e = ac_l[
+                                (
+                                    (acc >> (nbits - 9))
+                                    if nbits >= 9
+                                    else (acc << (9 - nbits))
+                                )
+                                & 511
+                            ]
+                            if e is not None and e[1] <= nbits:
+                                sym = e[0]
+                                nbits -= e[1]
+                                acc &= (1 << nbits) - 1
+                            else:
+                                sym = hsym(ac_t, ac_l)
                             if sym == 0x00:  # EOB
                                 break
                             run, s = sym >> 4, sym & 0xF
@@ -2747,18 +3032,42 @@ def _jpeg_decode(data: bytes):
                                 raise NotImplementedError(
                                     "JPEG AC coefficient overrun"
                                 )
-                            zz[k] = extend(reader.bits(s), s)
+                            while nbits < s:
+                                if bpos >= nbuf:
+                                    raise NotImplementedError(
+                                        "truncated JPEG scan"
+                                    )
+                                acc = (acc << 8) | buf[bpos]
+                                bpos += 1
+                                nbits += 8
+                            nbits -= s
+                            v = (acc >> nbits) & ((1 << s) - 1)
+                            acc &= (1 << nbits) - 1
+                            zz[k] = (
+                                v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                            )
                             k += 1
-                        qc = np.zeros((8, 8), dtype=np.int64)
-                        for idx, (r, c) in enumerate(_JPEG_ZIGZAG):
-                            qc[r, c] = zz[idx]
-                        G = T.T @ (qc * q) @ T
-                        pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255)
-                        py = (my * vi + byi) * 8
-                        px = (mx * hi + bxi) * 8
-                        planes[ci][py : py + 8, px : px + 8] = pix
+                        coef[ci].append(zz)
+    # Pass 2: dequantize + IDCT + clamp for ALL of a component's blocks
+    # in ONE batched matmul chain (round 13, VERDICT r12 #3 — 8×8
+    # matmuls one block at a time were numpy-call-overhead-bound), then
+    # scatter the (mcuy, mcux, vi, hi, 8, 8) block stack into the plane
+    # by a transpose/reshape instead of per-block slice stores.
     out = []
-    for (q, dc_t, ac_t, hi, vi), plane in zip(comps, planes):
+    for ci, (q, dc_t, ac_t, dc_l, ac_l, hi, vi) in enumerate(comps):
+        zz_arr = np.asarray(coef[ci], dtype=np.int64)  # (nb, 64) in zigzag
+        qc = np.zeros_like(zz_arr)
+        qc[:, zz_flat] = zz_arr
+        qc = qc.reshape(-1, 8, 8)
+        G = np.matmul(T.T, np.matmul(qc * q, T))
+        pix = np.clip(
+            _rha_arr(G, np.int64(1) << 24) + 128, 0, 255
+        ).astype(np.uint8)
+        plane = (
+            pix.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
+        )
         if hi != hmax or vi != vmax:
             # exact nearest-neighbor replication over the sampling group
             plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
