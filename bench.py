@@ -214,6 +214,8 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_part_supplier_counts",
     "multimodal_jpeg420_stats",
+    "multimodal_flac_pcm_stats",
+    "dedup_audio_multiformat",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

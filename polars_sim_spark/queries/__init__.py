@@ -108,6 +108,10 @@ _MANIFEST = [
     # round 13: 4:2:0 chroma-subsampled JPEG decode (VERDICT r12 #1) —
     # per-component sampling factors in the MCU walk + exact NN upsample.
     "multimodal_jpeg420_stats",
+    # round 13: FLAC PCM decode (VERDICT r12 #6) — Rice subframes,
+    # fixed predictors, CRC gates; audio's compressed container.
+    "multimodal_flac_pcm_stats",
+    "dedup_audio_multiformat",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",
