@@ -216,6 +216,7 @@ HEADLINE = [
     "multimodal_jpeg420_stats",
     "multimodal_flac_pcm_stats",
     "dedup_audio_multiformat",
+    "multimodal_jpeg_restart_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -3000,6 +3000,60 @@ def synth_jpeg_color(data: bytes) -> bytes | None:
     return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
 
 
+def synth_jpeg_restart(data: bytes, interval: int = 4) -> bytes | None:
+    """Deterministic baseline grayscale JPEG WITH RESTART INTERVALS
+    (round 13 — the resilience structure every camera JPEG ships): same
+    logical pixels and lossy pipeline as :func:`synth_jpeg`, but a DRI
+    segment declares ``interval`` MCUs between restarts and the entropy
+    stream is split by RSTn markers (1-fill byte padding before each,
+    marker index cycling 0..7, DC predictor reset per segment per
+    ISO/IEC 10918 F.2.1.3.1). Restart markers change only the ENTROPY
+    layer — reconstructed pixels are identical to the restart-free
+    stream, which is why the contract row reuses the plain grayscale
+    oracle verbatim."""
+    import struct
+
+    import numpy as np
+
+    nb = len(data) // 64
+    if nb < 1:
+        return None
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _ANNEXK_AC_ENC
+    blocks = np.frombuffer(data, np.uint8, nb * 64).reshape(nb, 8, 8)
+    zzs = _jpeg_forward_zz(blocks, _JPEG_QUANT)
+    scan = bytearray()
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for b, zz in enumerate(zzs):
+        if b and b % interval == 0:
+            scan += w.close()
+            scan += bytes([0xFF, 0xD0 + ((b // interval - 1) % 8)])
+            w = _JpegBitWriter()
+            prev_dc = 0
+        prev_dc = _jpeg_encode_block(w, zz, prev_dc, dc_enc, ac_enc)
+    scan += w.close()
+    head, sos = _jpeg_segments(nb * 8, 8, 1)
+    dri = bytes([0xFF, 0xDD]) + struct.pack(">HH", 4, interval)
+    return b"\xff\xd8" + head + dri + sos + bytes(scan) + b"\xff\xd9"
+
+
+def attach_jpeg_restart_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Restart-interval JPEG corpus attacher: EVERY document whose text
+    holds ≥ 64 bytes becomes a baseline grayscale JPEG with DRI =
+    2 + id % 8 MCUs (:func:`synth_jpeg_restart`) — the interval varies
+    per document so marker-cycle wraparound (> 8 restarts) is exercised
+    by any text over ~2 KB; shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: lambda d, w: synth_jpeg_restart(d, 2 + (w - 4))},
+        text_col,
+        id_col,
+        modulus=1,
+    )
+
+
 def synth_jpeg_420(data: bytes) -> bytes | None:
     """Deterministic baseline 4:2:0 COLOR JPEG (round 13, VERDICT r12
     #1 — the sampling geometry virtually every camera/web JPEG uses):
@@ -3056,6 +3110,7 @@ class _JpegBitReader:
 
     def __init__(self, data: bytes, pos: int):
         buf = bytearray()
+        restarts: list = []  # (offset in destuffed buf, RSTn index 0..7)
         n = len(data)
         i = pos
         while i < n:
@@ -3065,10 +3120,17 @@ class _JpegBitReader:
                     buf.append(0xFF)
                     i += 2
                     continue
-                break  # a real marker (EOI, RSTn, …) ends the segment
+                if i + 1 < n and 0xD0 <= data[i + 1] <= 0xD7:
+                    # RSTn splits the entropy segment (round 13): record
+                    # the boundary, drop the marker bytes, keep walking.
+                    restarts.append((len(buf), data[i + 1] - 0xD0))
+                    i += 2
+                    continue
+                break  # a real marker (EOI, …) ends the segment
             buf.append(b)
             i += 1
         self.buf = bytes(buf)
+        self.restarts = restarts
         self.pos = 0
         self.acc = 0
         self.nbits = 0
@@ -3164,8 +3226,11 @@ def _jpeg_decode(data: bytes):
     upsample in exact integers (each subsampled value replicates over
     its (vmax/v_i)×(hmax/h_i) pixel group — the spec leaves the
     upsampling filter implementation-defined, so the pinned profile is
-    pure replication, replayed by the SQL oracle). Progressive (SOF2),
-    restart-interval, sampling factors > 2 or non-8-bit streams raise
+    pure replication, replayed by the SQL oracle). Restart intervals
+    (DRI + RSTn, round 13) are honored: the reader records each RSTn
+    boundary while destuffing, and the walk re-aligns, verifies the
+    marker cycle, and resets every DC predictor there. Progressive
+    (SOF2), sampling factors > 2 or non-8-bit streams raise
     NotImplementedError; partial edge blocks are decoded whole and
     cropped (our fixtures are whole-MCU by construction). A
     single-component scan is non-interleaved per the spec, so its
@@ -3182,6 +3247,7 @@ def _jpeg_decode(data: bytes):
     dc_tables, ac_tables = {}, {}
     dims = None
     scan_pos = None
+    restart_interval = 0  # MCUs between RSTn markers; 0 = none (DRI)
     comp_specs: list | None = None  # SOF order: [(comp_id, quant_id)]
     scan_tables: list | None = None  # SOF order: [(dc_id, ac_id)]
     while pos + 4 <= len(data):
@@ -3248,7 +3314,7 @@ def _jpeg_decode(data: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG is decoded")
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if comp_specs is None:
                 raise NotImplementedError("JPEG SOS before SOF0")
@@ -3299,7 +3365,9 @@ def _jpeg_decode(data: bytes):
     # destuffed once by the reader, then bits are served from closure
     # locals (int accumulator + the 512-entry LUTs) — per-attribute
     # access and per-bit method calls were the measured wall.
-    buf = _JpegBitReader(data, scan_pos).buf
+    rdr = _JpegBitReader(data, scan_pos)
+    buf = rdr.buf
+    restarts = rdr.restarts
     nbuf = len(buf)
     acc = nbits = bpos = 0
     prev_dc = [0] * len(comps)
@@ -3350,8 +3418,33 @@ def _jpeg_decode(data: bytes):
     # Pass 1: entropy-decode EVERY block's zigzag coefficients (serial
     # by construction — DC prediction and the bit stream are stateful).
     coef: list[list[list[int]]] = [[] for _ in comps]
+    mcu_idx = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # RSTn boundary (F.2.1.3.1): the encoder 1-fill-pads to
+                # a byte edge and emits the marker (destuffed out by the
+                # reader, its buf offset recorded). Verify we are within
+                # the padding window of the recorded boundary, restart
+                # the bit stream there, and reset every DC predictor.
+                if rst_idx >= len(restarts):
+                    raise NotImplementedError("JPEG missing RSTn marker")
+                boundary, m = restarts[rst_idx]
+                if m != rst_idx % 8:
+                    raise NotImplementedError("JPEG RSTn sequence broken")
+                # logical bit position = bytes loaded minus buffered
+                # bits; the 1-fill padding is < 8 bits, and the
+                # accumulator may have over-read past the boundary
+                # (discarded below) — but the DECODED position must sit
+                # inside the padding window or the stream is corrupt.
+                consumed = bpos * 8 - nbits
+                if not (0 <= boundary * 8 - consumed < 8):
+                    raise NotImplementedError("JPEG restart misaligned")
+                bpos, acc, nbits = boundary, 0, 0
+                rst_idx += 1
+                prev_dc = [0] * len(comps)
+            mcu_idx += 1
             for ci, (q, dc_t, ac_t, dc_l, ac_l, hi, vi) in enumerate(comps):
                 for byi in range(vi):
                     for bxi in range(hi):

@@ -112,6 +112,9 @@ _MANIFEST = [
     # fixed predictors, CRC gates; audio's compressed container.
     "multimodal_flac_pcm_stats",
     "dedup_audio_multiformat",
+    # round 13: restart-interval JPEG (DRI/RSTn) — entropy-layer-only
+    # change, so the row reuses the plain grayscale oracle verbatim.
+    "multimodal_jpeg_restart_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

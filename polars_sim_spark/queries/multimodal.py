@@ -618,6 +618,28 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pixel_stats(attach_jpeg_payload(docs))
 
 
+@register("multimodal_jpeg_restart_stats", _duck_jpeg_sql())
+def multimodal_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval JPEG decode (round 13): the fixture corpus
+    (operators/multimodal.py:attach_jpeg_restart_payload — baseline
+    grayscale streams with a DRI of 2 + id % 8 MCUs, RSTn markers
+    splitting the entropy stream, per-segment DC predictor resets) is
+    decoded by :func:`jpeg_pixel_stats` through the restart-aware MCU
+    walk. Restart markers change only the entropy layer — the
+    reconstructed pixels are byte-identical to the restart-free stream
+    — so this row reuses the plain grayscale oracle VERBATIM
+    (`_duck_jpeg_sql`): a mishandled boundary, unreset predictor, or
+    broken marker-cycle check perturbs every post-restart coefficient
+    and fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_restart_payload,
+        jpeg_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(attach_jpeg_restart_payload(docs))
+
+
 def _duck_jpeg_color_sql() -> str:
     """Oracle for the COLOR-JPEG decode row: the grayscale oracle's
     coefficient replay extended to three components under one ``ci``

@@ -987,6 +987,41 @@ def test_huffman_builders_reject_malformed_tables():
         _jpeg_huffman([0, 2, 0] + [0] * 13, [3, 3])
 
 
+def test_jpeg_restart_intervals_decode_identically():
+    """Round 13: DRI/RSTn streams must reconstruct the exact pixels of
+    the restart-free stream (the markers change only the entropy
+    layer), across intervals, through marker-cycle wraparound, and the
+    broken-sequence / missing-marker cases must drop."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+        synth_jpeg,
+        synth_jpeg_restart,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (64, 640, 3000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        plain = _jpeg_gray_pixels(synth_jpeg(data))
+        for ri in (1, 2, 7):
+            got = _jpeg_gray_pixels(synth_jpeg_restart(data, ri))
+            assert (got == plain).all(), (n, ri)
+    big = rng.integers(0, 256, 64 * 40, dtype=np.uint8).tobytes()
+    wrapped = _jpeg_gray_pixels(synth_jpeg_restart(big, 2))  # 20 restarts
+    assert (wrapped == _jpeg_gray_pixels(synth_jpeg(big))).all()
+    j = bytearray(synth_jpeg_restart(big, 2))
+    idx = j.find(b"\xff\xd0")
+    j[idx + 1] = 0xD5  # out-of-cycle marker index
+    with pytest.raises(NotImplementedError, match="RSTn sequence"):
+        _jpeg_gray_pixels(bytes(j))
+    del j[idx : idx + 2]  # marker missing entirely
+    with pytest.raises(NotImplementedError):
+        _jpeg_gray_pixels(bytes(j))
+    assert synth_jpeg_restart(bytes(63)) is None
+
+
 def test_flac_pcm_roundtrip_all_subframe_types(spark):
     """Round 13 (VERDICT r12 #6): the hand-written FLAC decoder must
     losslessly invert synth_flac_pcm across constant / verbatim /
