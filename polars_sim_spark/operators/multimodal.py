@@ -348,7 +348,15 @@ def _flac_utf8(n: int) -> bytes:
 #: FLAC fixed-predictor coefficients by order (RFC 9639 §9.2.3):
 #: s[i] = residual[i] + Σ coeff·s[i−j].
 _FLAC_FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
-_FLAC_PCM_BLOCK = 256
+_FLAC_PCM_BLOCK = 128
+#: The fixture's LPC profile (round 13): order-2 predictor
+#: (5·s[i−1] − 2·s[i−2]) >> 2 at coefficient precision 5 — arbitrary
+#: but spec-valid (LPC is lossless for ANY coefficients; only
+#: compression quality depends on them), so it round-trip-pins the
+#: decoder's coefficient/shift/warmup plumbing.
+_FLAC_LPC_COEFFS = (5, -2)
+_FLAC_LPC_SHIFT = 2
+_FLAC_LPC_PRECISION = 5
 
 
 class _MsbBitWriter:
@@ -382,10 +390,11 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
     """Deterministic REAL-frame FLAC around ``data`` (round 13, VERDICT
     r12 #6 — the PCM tier the round-12 header-tier ``synth_flac``
     deferred): the bytes are mono 16-bit LE samples, Rice-coded into
-    spec-layout frames of ``_FLAC_PCM_BLOCK`` samples. Frame i uses
-    subframe type VERBATIM (i ≡ 0 mod 4) or FIXED order i mod 4 —
-    every codec-free-decodable subframe family is exercised by any
-    payload ≥ 4 frames — with CONSTANT whenever the block is flat, a
+    spec-layout frames of ``_FLAC_PCM_BLOCK`` samples. Frame i cycles
+    subframe type VERBATIM / LPC (order 2, the fixture profile —
+    what real encoders emit almost exclusively) / FIXED orders 1–3 —
+    every decodable subframe family is exercised by any payload ≥ 5
+    frames — with CONSTANT whenever the block is flat, a
     single Rice partition (order 0) at the per-block optimal parameter,
     UTF-8 frame numbers, and both CRCs (header CRC-8 0x07, frame
     CRC-16 0x8005). Encoding is LOSSLESS, so the contract oracle reads
@@ -421,19 +430,8 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
         hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8_flac(bytes(hdr)))
         w = _MsbBitWriter()
-        order = (fi // _FLAC_PCM_BLOCK) % 4
-        if np.all(blk == blk[0]):
-            w.put(0x00 << 1, 8)  # CONSTANT
-            w.put(int(blk[0]) & 0xFFFF, 16)
-        elif order == 0 or bs <= 4:
-            w.put(0x01 << 1, 8)  # VERBATIM
-            for v in blk:
-                w.put(int(v) & 0xFFFF, 16)
-        else:
-            w.put((0x08 | order) << 1, 8)  # FIXED, order 1..3
-            for v in blk[:order]:
-                w.put(int(v) & 0xFFFF, 16)
-            res = np.diff(blk, n=order)
+
+        def rice(res) -> None:
             u = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
             k = min(
                 range(15),
@@ -446,6 +444,36 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
                 w.put(1, (uv >> k) + 1)  # unary quotient: q zeros then 1
                 if k:
                     w.put(uv & ((1 << k) - 1), k)
+
+        kind = (fi // _FLAC_PCM_BLOCK) % 5  # 0 verbatim, 1 lpc, 2-4 fixed
+        if np.all(blk == blk[0]):
+            w.put(0x00 << 1, 8)  # CONSTANT
+            w.put(int(blk[0]) & 0xFFFF, 16)
+        elif kind == 0 or bs <= 4:
+            w.put(0x01 << 1, 8)  # VERBATIM
+            for v in blk:
+                w.put(int(v) & 0xFFFF, 16)
+        elif kind == 1:
+            # LPC order 2 at the fixture profile (real encoders emit
+            # LPC almost exclusively; lossless for any coefficients)
+            lpc_order = len(_FLAC_LPC_COEFFS)
+            w.put((0x20 | (lpc_order - 1)) << 1, 8)
+            for v in blk[:lpc_order]:
+                w.put(int(v) & 0xFFFF, 16)
+            w.put(_FLAC_LPC_PRECISION - 1, 4)
+            w.put(_FLAC_LPC_SHIFT, 5)
+            for c in _FLAC_LPC_COEFFS:
+                w.put(c & ((1 << _FLAC_LPC_PRECISION) - 1), _FLAC_LPC_PRECISION)
+            pred = (
+                _FLAC_LPC_COEFFS[0] * blk[1:-1] + _FLAC_LPC_COEFFS[1] * blk[:-2]
+            ) >> _FLAC_LPC_SHIFT
+            rice(blk[2:] - pred)
+        else:
+            order = kind - 1  # FIXED, order 1..3
+            w.put((0x08 | order) << 1, 8)
+            for v in blk[:order]:
+                w.put(int(v) & 0xFFFF, 16)
+            rice(np.diff(blk, n=order))
         frame = bytes(hdr) + w.close()
         out += frame + struct.pack(">H", _crc16_flac(frame))
     return bytes(out)
@@ -453,15 +481,18 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
 
 def _flac_pcm_samples(data: bytes):
     """(sample_rate, int16 numpy samples) of a mono 16-bit FLAC stream
-    whose subframes are CONSTANT / VERBATIM / FIXED (order ≤ 4) — the
-    codec-free-decodable tier (round 13, VERDICT r12 #6): metadata walk
-    → per-frame header parse with CRC-8 verify → subframe bit decode
-    (generic Rice partitions incl. the 5-bit escape) → fixed-predictor
-    reconstruction → CRC-16 verify. LPC subframes, wasted bits,
-    non-mono/non-16-bit streams, and any checksum mismatch raise
-    NotImplementedError (the module's drop contract — a FLAC stream
-    carries real checksums, so unlike JPEG a corrupt payload is always
-    detected)."""
+    whose subframes are CONSTANT / VERBATIM / FIXED (order ≤ 4) / LPC
+    (any order 1–32 — round-13 addendum: the subframe type real
+    encoders emit almost exclusively; coefficients, precision and
+    quantization shift come from the stream, and reconstruction is the
+    spec's exact-integer predict-sum-then-arithmetic-right-shift, so
+    no "codec" is needed): metadata walk → per-frame header parse with
+    CRC-8 verify → subframe bit decode (generic Rice partitions incl.
+    the 5-bit escape) → predictor reconstruction → CRC-16 verify.
+    Wasted bits, negative LPC shifts (reserved), non-mono/non-16-bit
+    streams, and any checksum mismatch raise NotImplementedError (the
+    module's drop contract — a FLAC stream carries real checksums, so
+    unlike JPEG a corrupt payload is always detected)."""
     import struct
 
     import numpy as np
@@ -560,24 +591,14 @@ def _flac_pcm_samples(data: bytes):
                 acc &= (1 << nbits) - 1
                 q += 1
 
-        sf_hdr = rbits(8)
-        if sf_hdr & 0x81:
-            raise NotImplementedError("FLAC wasted-bits/reserved subframe bits")
-        sf_type = (sf_hdr >> 1) & 0x3F
-        if sf_type == 0x00:  # CONSTANT
-            v = rbits(16)
-            blk = [v - 65536 if v >= 32768 else v] * bs
-        elif sf_type == 0x01:  # VERBATIM
-            blk = []
-            for _ in range(bs):
+        def warmup(count: int) -> list:
+            out16 = []
+            for _ in range(count):
                 v = rbits(16)
-                blk.append(v - 65536 if v >= 32768 else v)
-        elif 0x08 <= sf_type <= 0x0C:  # FIXED order 0..4
-            order = sf_type - 0x08
-            blk = []
-            for _ in range(order):
-                v = rbits(16)
-                blk.append(v - 65536 if v >= 32768 else v)
+                out16.append(v - 65536 if v >= 32768 else v)
+            return out16
+
+        def read_residual(order: int) -> list:
             method = rbits(2)
             if method > 1:
                 raise NotImplementedError("reserved FLAC residual method")
@@ -598,12 +619,48 @@ def _flac_pcm_samples(data: bytes):
                     for _ in range(cnt):
                         u = (unary() << param) | (rbits(param) if param else 0)
                         res.append((u >> 1) ^ -(u & 1))
+            return res
+
+        sf_hdr = rbits(8)
+        if sf_hdr & 0x81:
+            raise NotImplementedError("FLAC wasted-bits/reserved subframe bits")
+        sf_type = (sf_hdr >> 1) & 0x3F
+        if sf_type == 0x00:  # CONSTANT
+            v = rbits(16)
+            blk = [v - 65536 if v >= 32768 else v] * bs
+        elif sf_type == 0x01:  # VERBATIM
+            blk = warmup(bs)
+        elif 0x08 <= sf_type <= 0x0C:  # FIXED order 0..4
+            order = sf_type - 0x08
+            blk = warmup(order)
             coeffs = _FLAC_FIXED_COEFFS[order]
-            for r in res:
-                v = r + sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
-                blk.append(v)
-        elif 0x20 <= sf_type:
-            raise NotImplementedError("FLAC LPC subframes need a codec-grade decoder")
+            for r in read_residual(order):
+                blk.append(
+                    r + sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
+                )
+        elif 0x20 <= sf_type <= 0x3F:  # LPC, any order 1..32 (round 13)
+            order = (sf_type & 0x1F) + 1
+            blk = warmup(order)
+            prec = rbits(4) + 1
+            if prec == 16:  # 0b1111 is the spec's invalid sentinel
+                raise NotImplementedError("invalid FLAC LPC precision")
+            shift = rbits(5)
+            if shift >= 16:  # negative (2's complement) shifts: reserved
+                raise NotImplementedError("negative FLAC LPC shift reserved")
+            coeffs = []
+            for _ in range(order):
+                c = rbits(prec)
+                coeffs.append(c - (1 << prec) if c >= (1 << (prec - 1)) else c)
+            for r in read_residual(order):
+                # arithmetic right shift of the (possibly negative)
+                # prediction sum — Python's >> floors, per the spec
+                blk.append(
+                    r
+                    + (
+                        sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
+                        >> shift
+                    )
+                )
         else:
             raise NotImplementedError("reserved FLAC subframe type")
         pos = bpos  # bit reader consumed whole bytes; padding was zeros

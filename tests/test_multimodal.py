@@ -1025,9 +1025,10 @@ def test_jpeg_restart_intervals_decode_identically():
 def test_flac_pcm_roundtrip_all_subframe_types(spark):
     """Round 13 (VERDICT r12 #6): the hand-written FLAC decoder must
     losslessly invert synth_flac_pcm across constant / verbatim /
-    fixed-order subframes, multi-frame streams, and partial last
-    blocks; CRC corruption and LPC subframes must drop; the envelope
-    hash must be container-invariant (WAV twin == FLAC twin)."""
+    LPC / fixed-order subframes, multi-frame streams, and partial last
+    blocks; CRC corruption and reserved subframe types must drop; the
+    envelope hash must be container-invariant (WAV twin == FLAC
+    twin)."""
     import numpy as np
     import pytest
 
@@ -1053,23 +1054,20 @@ def test_flac_pcm_roundtrip_all_subframe_types(spark):
         flac = synth_flac_pcm(want.tobytes())
         sr, got = _flac_pcm_samples(flac)
         assert sr == 16000 and (got == want).all(), name
-    # multi-frame stream exercises verbatim + all fixed orders
-    long = rng.integers(-2000, 2000, _FLAC_PCM_BLOCK * 4 + 37, dtype=np.int16)
+    # multi-frame stream exercises verbatim + LPC + all fixed orders
+    long = rng.integers(-2000, 2000, _FLAC_PCM_BLOCK * 5 + 37, dtype=np.int16)
     sr, got = _flac_pcm_samples(synth_flac_pcm(long.tobytes()))
     assert (got == long).all()
+    # frame index 1 of any non-flat multi-frame stream is an LPC
+    # subframe by the fixture cycle, so the round trip above fails if
+    # the decoder's coefficient/shift/warmup plumbing regresses
+    stream = synth_flac_pcm(long.tobytes())
     assert synth_flac_pcm(b"x") is None
     # CRC gates: flip one payload bit -> frame CRC-16 mismatch drops
-    broken = bytearray(synth_flac_pcm(long.tobytes()))
+    broken = bytearray(stream)
     broken[-20] ^= 0x10
     with pytest.raises(NotImplementedError, match="CRC"):
         _flac_pcm_samples(bytes(broken))
-    # LPC subframe type (0b1xxxxx header) is gated, not garbled
-    one = bytearray(synth_flac_pcm(cases["ramp"].tobytes()))
-    sub0 = 4 + 4 + 34 + 2 + 1 + 1 + 1 + 2 + 1  # first subframe header byte
-    assert one[sub0] in (0x02, (0x08 | 0) << 1, 0x00, 0x12, 0x14, 0x16)
-    one[sub0] = 0x40  # LPC order 0 pattern (type 0b100000)
-    with pytest.raises(NotImplementedError, match="LPC|CRC"):
-        _flac_pcm_samples(bytes(one))
     # container invariance: same samples -> same envelope hash
     pcm = cases["smooth"].tobytes()
     df = spark.createDataFrame(
