@@ -217,6 +217,7 @@ HEADLINE = [
     "multimodal_flac_pcm_stats",
     "dedup_audio_multiformat",
     "multimodal_jpeg_restart_stats",
+    "multimodal_jpeg_progressive_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

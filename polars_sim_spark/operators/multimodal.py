@@ -3111,6 +3111,228 @@ def attach_jpeg_restart_payload(
     )
 
 
+#: Progressive AC Huffman spec for the fixture: the Annex-K baseline
+#: table has no EOBn>0 symbols (baseline never emits them), so the
+#: progressive scans carry their own spec-valid table — all 176
+#: possible (run<<4)|size symbols for size ≤ 10 at a flat 8-bit code
+#: length (176/256 satisfies Kraft; includes every EOBn and ZRL).
+_JPEG_PROG_AC_BITS = tuple(176 if i == 7 else 0 for i in range(16))
+_JPEG_PROG_AC_VALS = tuple((r << 4) | s for r in range(16) for s in range(11))
+_PROG_AC_ENC = _jpeg_huffman(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)[0]
+
+
+def _jpeg_prog_segments(height: int, width: int) -> bytes:
+    """SOI + DQT + SOF2 + DHT header segments for the grayscale
+    progressive fixture (same tables and geometry as the baseline
+    fixture; only the frame marker differs)."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
+    sof = seg(
+        0xC2,
+        b"\x08" + struct.pack(">HH", height, width) + bytes([1]) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def _jpeg_prog_sos(ss: int, se: int, ah: int, al: int) -> bytes:
+    """One grayscale SOS header with the given spectral band and
+    successive-approximation parameters."""
+    import struct
+
+    payload = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    return bytes([0xFF, 0xDA]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+class _ProgAcWriter:
+    """AC-scan entropy writer for the progressive fixture: owns the
+    EOBRUN accumulator and (on refinement scans) the buffered
+    correction bits, per ISO/IEC 10918 G.1.2.2-3."""
+
+    def __init__(self, w, ac_enc):
+        self.w = w
+        self.ac = ac_enc
+        self.eobrun = 0
+        self.pending: list = []  # correction bits owed at the next flush
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            eobn = self.eobrun.bit_length() - 1
+            code, ln = self.ac[eobn << 4]
+            self.w.put(code, ln)
+            if eobn:
+                self.w.put(self.eobrun - (1 << eobn), eobn)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.put(b, 1)
+        self.pending = []
+
+
+def synth_jpeg_progressive(data: bytes) -> bytes | None:
+    """Deterministic PROGRESSIVE grayscale JPEG (SOF2, round 13): same
+    logical pixels, quantized coefficients and tables as
+    :func:`synth_jpeg`, delivered in five scans — DC first (Al=1), DC
+    refinement (raw bits), AC band 1–5 first (Al=1, real EOB runs
+    accumulate across blocks), AC band 1–5 refinement (the G.1.2.3
+    correction-bit protocol), AC band 6–63 final — i.e. spectral
+    selection AND successive approximation, the scan structure real
+    progressive encoders emit. Successive approximation is lossless
+    once every scan lands, so the reconstructed pixels are
+    byte-identical to the baseline stream and the contract row reuses
+    the plain grayscale oracle verbatim. Point transforms follow the
+    spec: arithmetic shift for DC, magnitude shift (sign preserved)
+    for AC."""
+    import numpy as np
+
+    nb = len(data) // 64
+    if nb < 1:
+        return None
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _PROG_AC_ENC
+    blocks = np.frombuffer(data, np.uint8, nb * 64).reshape(nb, 8, 8)
+    zzs = _jpeg_forward_zz(blocks, _JPEG_QUANT)
+    out = bytearray(_jpeg_prog_segments(nb * 8, 8))
+
+    def put_mag(w, v: int) -> tuple[int, int]:
+        s = (v if v >= 0 else -v).bit_length()
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    # scan 1: DC first, Al=1 (DC point transform = arithmetic shift)
+    out += _jpeg_prog_sos(0, 0, 0, 1)
+    w = _JpegBitWriter()
+    prev = 0
+    for zz in zzs:
+        v = zz[0] >> 1
+        s, bits_v = put_mag(w, v - prev)
+        code, ln = dc_enc[s]
+        w.put((code << s) | bits_v, ln + s)
+        prev = v
+    out += w.close()
+    # scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    out += _jpeg_prog_sos(0, 0, 1, 0)
+    w = _JpegBitWriter()
+    for zz in zzs:
+        w.put(zz[0] & 1, 1)
+    out += w.close()
+    # scans 3+5: AC firsts; scan 4: AC refinement of band 1..5
+    for ss, se, ah, al in ((1, 5, 0, 1), (1, 5, 1, 0), (6, 63, 0, 0)):
+        out += _jpeg_prog_sos(ss, se, ah, al)
+        w = _JpegBitWriter()
+        aw = _ProgAcWriter(w, ac_enc)
+        for zz in zzs:
+            if ah == 0:
+                _jpeg_prog_ac_first(aw, zz, ss, se, al)
+            else:
+                _jpeg_prog_ac_refine(aw, zz, ss, se, al)
+        aw.flush_eobrun()
+        out += w.close()
+    return bytes(out) + b"\xff\xd9"
+
+
+def _jpeg_prog_ac_first(aw: _ProgAcWriter, zz, ss: int, se: int, al: int) -> None:
+    """Encode one block of an AC FIRST scan (G.1.2.2): run/size over
+    the magnitude-shifted band with cross-block EOB runs."""
+    w, ac_enc = aw.w, aw.ac
+    r = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = zz[k]
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        if not wrote and aw.eobrun:
+            aw.flush_eobrun()
+        wrote = True
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            w.put(code, ln)
+            r -= 16
+        s = mag.bit_length()
+        bits_v = mag if v >= 0 else (-mag) + (1 << s) - 1
+        code, ln = ac_enc[(r << 4) | s]
+        w.put((code << s) | bits_v, ln + s)
+        r = 0
+    if r:  # rest of band zero -> extend the EOB run
+        aw.eobrun += 1
+        if aw.eobrun == 0x7FFF:
+            aw.flush_eobrun()
+    elif not wrote:
+        aw.eobrun += 1
+        if aw.eobrun == 0x7FFF:
+            aw.flush_eobrun()
+
+
+def _jpeg_prog_ac_refine(aw: _ProgAcWriter, zz, ss: int, se: int, al: int) -> None:
+    """Encode one block of an AC REFINEMENT scan (G.1.2.3): newly
+    nonzero coefficients carry a run/1 symbol + sign bit; history
+    coefficients append correction bits; trailing zero-history runs
+    fold into the EOB run with their correction bits buffered."""
+    w, ac_enc = aw.w, aw.ac
+    mags = [((zz[k] if zz[k] >= 0 else -zz[k]) >> al) for k in range(ss, se + 1)]
+    eob = 0  # 1-based index past the last NEWLY-nonzero coefficient
+    for j, m in enumerate(mags):
+        if m == 1:
+            eob = j + 1
+    r = 0
+    corr: list = []  # correction bits since the last emitted symbol
+    for j, m in enumerate(mags):
+        if m == 0:
+            r += 1
+            continue
+        # a zero-history run past 15 must flush as ZRLs BEFORE any
+        # nonzero coefficient (history included) while new coefficients
+        # remain — the decoder's advance loop consumes exactly 16
+        # zero-history slots per ZRL, reading interleaved correction
+        # bits positionally, so deferring the ZRL past a history
+        # coefficient would desync the bit stream.
+        while r > 15 and j < eob:
+            aw.flush_eobrun()
+            code, ln = ac_enc[0xF0]
+            w.put(code, ln)
+            r -= 16
+            for b in corr:
+                w.put(b, 1)
+            corr = []
+        if m > 1:  # history coefficient: owes a correction bit
+            corr.append(m & 1)
+            continue
+        # newly nonzero (shifted magnitude exactly 1)
+        aw.flush_eobrun()
+        code, ln = ac_enc[(r << 4) | 1]
+        w.put(code, ln)
+        w.put(1 if zz[ss + j] > 0 else 0, 1)
+        for b in corr:
+            w.put(b, 1)
+        corr = []
+        r = 0
+    if r or corr:
+        aw.eobrun += 1
+        aw.pending.extend(corr)
+        if aw.eobrun == 0x7FFF:
+            aw.flush_eobrun()
+
+
+def attach_jpeg_progressive_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Progressive-JPEG corpus attacher: EVERY document whose text
+    holds ≥ 64 bytes becomes a five-scan SOF2 stream
+    (:func:`synth_jpeg_progressive`); shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: lambda d, w: synth_jpeg_progressive(d)},
+        text_col,
+        id_col,
+        modulus=1,
+    )
+
+
 def synth_jpeg_420(data: bytes) -> bytes | None:
     """Deterministic baseline 4:2:0 COLOR JPEG (round 13, VERDICT r12
     #1 — the sampling geometry virtually every camera/web JPEG uses):
@@ -3188,6 +3410,7 @@ class _JpegBitReader:
             i += 1
         self.buf = bytes(buf)
         self.restarts = restarts
+        self.end = i  # raw-data index of the terminating marker (or EOF)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
@@ -3270,6 +3493,234 @@ def _jpeg_huff_decode(reader, table, lut=None) -> int:
             raise NotImplementedError("invalid JPEG Huffman code")
 
 
+def _jpeg_decode_progressive(h, w, comp_specs, quant, scans):
+    """Progressive (SOF2) coefficient assembly + reconstruction
+    (round 13): each scan deposits its spectral band / approximation
+    bits into per-component coefficient grids — DC first scans are
+    interleaved MCU walks, DC refinements raw bits, AC scans
+    non-interleaved per component with the G.2 EOB-run and
+    correction-bit protocols — then the assembled coefficients run the
+    same batched dequantize → fixed-point IDCT → clamp → NN-upsample
+    pipeline as baseline. Successive approximation is lossless once
+    all scans land, so a complete progressive stream reconstructs the
+    exact baseline pixels (the contract row's oracle relies on it)."""
+    import numpy as np
+
+    hmax = max(c[2] for c in comp_specs)
+    vmax = max(c[3] for c in comp_specs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geo = []  # per comp: (padded bw, padded bh, actual bw, actual bh)
+    coefs = []
+    for cid, tq, hi, vi in comp_specs:
+        pbw, pbh = mcux * hi, mcuy * vi
+        cw = ((w * hi + hmax - 1) // hmax + 7) // 8
+        chh = ((h * vi + vmax - 1) // vmax + 7) // 8
+        geo.append((pbw, pbh, cw, chh))
+        coefs.append([[0] * 64 for _ in range(pbw * pbh)])
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for scomp, ss, se, ah, al, rdr in scans:
+        buf = rdr.buf
+        nbuf = len(buf)
+        acc = nbits = bpos = 0
+
+        def rbits(k: int) -> int:
+            nonlocal acc, nbits, bpos
+            while nbits < k:
+                if bpos >= nbuf:
+                    raise NotImplementedError("truncated JPEG scan")
+                acc = (acc << 8) | buf[bpos]
+                bpos += 1
+                nbits += 8
+            nbits -= k
+            v = (acc >> nbits) & ((1 << k) - 1)
+            acc &= (1 << nbits) - 1
+            return v
+
+        def hsym(pair) -> int:
+            nonlocal acc, nbits, bpos
+            if pair is None:
+                raise NotImplementedError("JPEG missing Huffman tables")
+            table, lut = pair
+            while nbits < 9 and bpos < nbuf:
+                acc = (acc << 8) | buf[bpos]
+                bpos += 1
+                nbits += 8
+            idx = (
+                (acc >> (nbits - 9)) if nbits >= 9 else (acc << (9 - nbits))
+            ) & 511
+            e = lut[idx]
+            if e is not None and e[1] <= nbits:
+                nbits -= e[1]
+                acc &= (1 << nbits) - 1
+                return e[0]
+            code = ln = 0
+            while True:
+                if not nbits:
+                    if bpos >= nbuf:
+                        raise NotImplementedError("truncated JPEG scan")
+                    acc = buf[bpos]
+                    bpos += 1
+                    nbits = 8
+                nbits -= 1
+                code = (code << 1) | ((acc >> nbits) & 1)
+                acc &= (1 << nbits) - 1
+                ln += 1
+                s = table.get((ln, code))
+                if s is not None:
+                    return s
+                if ln > 16:
+                    raise NotImplementedError("invalid JPEG Huffman code")
+
+        if ss == 0:  # DC scan (first or refinement)
+            if se != 0:
+                raise NotImplementedError("JPEG DC scan with Se != 0")
+            preds = {ci: 0 for ci, *_ in scomp}
+            if len(scomp) == 1:
+                ci, dc_pair, _ac = scomp[0]
+                pbw, pbh, cw, chh = geo[ci]
+                blocks = [
+                    (ci, dc_pair, by * pbw + bx)
+                    for by in range(chh)
+                    for bx in range(cw)
+                ]
+            else:  # interleaved MCU order over the scan components
+                blocks = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci, dc_pair, _ac in scomp:
+                            hi, vi = comp_specs[ci][2], comp_specs[ci][3]
+                            pbw = geo[ci][0]
+                            for byi in range(vi):
+                                for bxi in range(hi):
+                                    blocks.append(
+                                        (
+                                            ci,
+                                            dc_pair,
+                                            (my * vi + byi) * pbw
+                                            + mx * hi
+                                            + bxi,
+                                        )
+                                    )
+            for ci, dc_pair, idx in blocks:
+                blk = coefs[ci][idx]
+                if ah == 0:
+                    s = hsym(dc_pair)
+                    diff = extend(rbits(s), s) if s else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:  # refinement: one raw bit per block
+                    blk[0] |= rbits(1) << al
+        else:  # AC scan: single component, non-interleaved (G.2)
+            if len(scomp) != 1:
+                raise NotImplementedError("interleaved JPEG AC scan is illegal")
+            ci, _dc, ac_pair = scomp[0]
+            pbw, pbh, cw, chh = geo[ci]
+            comp_coefs = coefs[ci]
+            eobrun = 0
+            p1 = 1 << al
+            for by in range(chh):
+                for bx in range(cw):
+                    blk = comp_coefs[by * pbw + bx]
+                    if ah == 0:  # first scan for this band
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = hsym(ac_pair)
+                            r, s = sym >> 4, sym & 0xF
+                            if s:
+                                k += r
+                                if k > se:
+                                    raise NotImplementedError(
+                                        "JPEG AC coefficient overrun"
+                                    )
+                                blk[k] = extend(rbits(s), s) << al
+                                k += 1
+                            elif r == 15:
+                                k += 16  # ZRL
+                            else:
+                                eobrun = (1 << r) - 1 + (rbits(r) if r else 0)
+                                break
+                    else:  # refinement scan (G.2.2)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = hsym(ac_pair)
+                                r, s = sym >> 4, sym & 0xF
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) + (
+                                            rbits(r) if r else 0
+                                        )
+                                        break
+                                else:
+                                    if s != 1:
+                                        raise NotImplementedError(
+                                            "invalid JPEG refinement size"
+                                        )
+                                    newval = p1 if rbits(1) else -p1
+                                while k <= se:
+                                    c = blk[k]
+                                    if c != 0:
+                                        if rbits(1) and (c & p1) == 0:
+                                            blk[k] = c + (p1 if c >= 0 else -p1)
+                                    else:
+                                        r -= 1
+                                        if r < 0:
+                                            break
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise NotImplementedError(
+                                            "JPEG refinement overrun"
+                                        )
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                c = blk[k]
+                                if c != 0 and rbits(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else -p1)
+                                k += 1
+                            eobrun -= 1
+
+    # reconstruction: same batched math as the baseline pass 2, with a
+    # straight row-major block scatter (the coefficient grids are
+    # already in padded block-grid order, no MCU interleave to undo)
+    T = np.array(_JPEG_DCT_T, dtype=np.int64)
+    zz_flat = np.array([r * 8 + c for r, c in _JPEG_ZIGZAG], dtype=np.int64)
+    out = []
+    for (cid, tq, hi, vi), (pbw, pbh, cw, chh), cc in zip(comp_specs, geo, coefs):
+        if tq not in quant:
+            raise NotImplementedError("JPEG missing quant table")
+        q = np.array(quant[tq], dtype=np.int64).reshape(8, 8)
+        arr = np.asarray(cc, dtype=np.int64)  # (nb, 64) in ZIGZAG order
+        qc = np.zeros_like(arr)
+        qc[:, zz_flat] = arr
+        qc = qc.reshape(-1, 8, 8)
+        G = np.matmul(T.T, np.matmul(qc * q, T))
+        pix = np.clip(_rha_arr(G, np.int64(1) << 24) + 128, 0, 255).astype(
+            np.uint8
+        )
+        plane = (
+            pix.reshape(pbh, pbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(pbh * 8, pbw * 8)
+        )
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        out.append(plane[:h, :w])
+    return h, w, out
+
+
 def _jpeg_decode(data: bytes):
     """(h, w, [component planes, all at h×w]) of a BASELINE sequential
     JPEG with 1 (grayscale) or 3 (YCbCr) components, 4:4:4 OR
@@ -3305,6 +3756,8 @@ def _jpeg_decode(data: bytes):
     dims = None
     scan_pos = None
     restart_interval = 0  # MCUs between RSTn markers; 0 = none (DRI)
+    progressive = False
+    scans: list = []  # progressive: (scomp, ss, se, ah, al, reader)
     comp_specs: list | None = None  # SOF order: [(comp_id, quant_id)]
     scan_tables: list | None = None  # SOF order: [(dc_id, ac_id)]
     while pos + 4 <= len(data):
@@ -3349,7 +3802,8 @@ def _jpeg_decode(data: bytes):
                     cached = _DHT_CACHE[key] = (dec, _jpeg_lut9(dec))
                 (dc_tables if tc == 0 else ac_tables)[th] = cached
                 i += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError("non-8-bit JPEG precision")
             h, w = struct.unpack_from(">HH", body, 1)
@@ -3368,13 +3822,43 @@ def _jpeg_decode(data: bytes):
                     )
                 comp_specs.append((cid, tq, hi, vi))
             dims = (int(h), int(w))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG is decoded")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG are decoded"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             if comp_specs is None:
                 raise NotImplementedError("JPEG SOS before SOF0")
+            if progressive:
+                ns = body[0]
+                cid_index = {cid: j for j, (cid, *_) in enumerate(comp_specs)}
+                scomp = []
+                for i in range(ns):
+                    cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                    if cid not in cid_index:
+                        raise NotImplementedError(
+                            "JPEG scan references unknown component"
+                        )
+                    ci = cid_index[cid]
+                    scomp.append(
+                        (
+                            ci,
+                            dc_tables.get(tabs >> 4),
+                            ac_tables.get(tabs & 0xF),
+                        )
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                rdr = _JpegBitReader(data, pos + 2 + ln)
+                if rdr.restarts:
+                    raise NotImplementedError(
+                        "progressive JPEG with restart intervals unsupported"
+                    )
+                scans.append((scomp, ss, se, ahal >> 4, ahal & 0xF, rdr))
+                pos = rdr.end
+                continue
             if body[0] != len(comp_specs):
                 raise NotImplementedError("JPEG scan/frame component mismatch")
             by_id = {}
@@ -3388,11 +3872,15 @@ def _jpeg_decode(data: bytes):
             scan_pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if dims is None or scan_pos is None or comp_specs is None:
+    if dims is None or comp_specs is None or (
+        scan_pos is None if not progressive else not scans
+    ):
         raise NotImplementedError("JPEG missing SOF0/SOS/DQT")
     h, w = dims
     if h < 1 or w < 1:
         raise NotImplementedError("malformed JPEG dimensions")
+    if progressive:
+        return _jpeg_decode_progressive(h, w, comp_specs, quant, scans)
     comps = []
     for (cid, tq, hi, vi), (dci, aci) in zip(comp_specs, scan_tables):
         if tq not in quant:

