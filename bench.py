@@ -218,6 +218,7 @@ HEADLINE = [
     "dedup_audio_multiformat",
     "multimodal_jpeg_restart_stats",
     "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg420_progressive_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

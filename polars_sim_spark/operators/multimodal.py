@@ -3121,19 +3121,27 @@ _JPEG_PROG_AC_VALS = tuple((r << 4) | s for r in range(16) for s in range(11))
 _PROG_AC_ENC = _jpeg_huffman(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)[0]
 
 
-def _jpeg_prog_segments(height: int, width: int) -> bytes:
-    """SOI + DQT + SOF2 + DHT header segments for the grayscale
-    progressive fixture (same tables and geometry as the baseline
-    fixture; only the frame marker differs)."""
+def _jpeg_prog_segments(
+    height: int, width: int, sampling: tuple[int, ...] = (0x11,)
+) -> bytes:
+    """SOI + DQT + SOF2 + DHT header segments for the progressive
+    fixtures (same tables and geometry as the baseline fixtures; only
+    the frame marker differs). ``sampling`` gives each component's
+    packed (h<<4)|v byte — (0x11,) for grayscale, (0x22, 0x11, 0x11)
+    for the 4:2:0 color fixture."""
     import struct
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT[r * 8 + c] for r, c in _JPEG_ZIGZAG))
+    comp_spec = b"".join(bytes([i + 1, s, 0]) for i, s in enumerate(sampling))
     sof = seg(
         0xC2,
-        b"\x08" + struct.pack(">HH", height, width) + bytes([1]) + bytes([1, 0x11, 0]),
+        b"\x08"
+        + struct.pack(">HH", height, width)
+        + bytes([len(sampling)])
+        + comp_spec,
     )
     dht = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
         0xC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
@@ -3141,12 +3149,18 @@ def _jpeg_prog_segments(height: int, width: int) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht
 
 
-def _jpeg_prog_sos(ss: int, se: int, ah: int, al: int) -> bytes:
-    """One grayscale SOS header with the given spectral band and
+def _jpeg_prog_sos(
+    ss: int, se: int, ah: int, al: int, comp_ids: tuple[int, ...] = (1,)
+) -> bytes:
+    """One SOS header for the given components, spectral band and
     successive-approximation parameters."""
     import struct
 
-    payload = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    payload = (
+        bytes([len(comp_ids)])
+        + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+        + bytes([ss, se, (ah << 4) | al])
+    )
     return bytes([0xFF, 0xDA]) + struct.pack(">H", len(payload) + 2) + payload
 
 
@@ -3231,6 +3245,86 @@ def synth_jpeg_progressive(data: bytes) -> bytes | None:
                 _jpeg_prog_ac_refine(aw, zz, ss, se, al)
         aw.flush_eobrun()
         out += w.close()
+    return bytes(out) + b"\xff\xd9"
+
+
+def synth_jpeg_420_progressive(data: bytes) -> bytes | None:
+    """PROGRESSIVE 4:2:0 color JPEG (round 13): the quantized
+    coefficients of :func:`synth_jpeg_420` delivered progressively —
+    one interleaved DC-first scan (Al=1) over all three components in
+    MCU order (four luma + two chroma data units per MCU), a DC
+    refinement scan, then per-component AC band scans (1–5 first at
+    Al=1, 1–5 refinement, 6–63) in the component's non-interleaved
+    raster order. Exercises the decoder's general multi-component
+    progressive path: interleaved DC walks under subsampling and AC
+    grids sized from COMPONENT dimensions. Lossless once complete, so
+    pixels are byte-identical to :func:`synth_jpeg_420`'s and the
+    contract row reuses the 4:2:0 oracle verbatim."""
+    import numpy as np
+
+    nm = len(data) // 768
+    if nm < 1:
+        return None
+    px = np.frombuffer(data, np.uint8, nm * 768).reshape(nm * 16, 16, 3)
+    y, cb, cr = _rgb_to_ycc(
+        px[:, :, 0].astype(np.int64),
+        px[:, :, 1].astype(np.int64),
+        px[:, :, 2].astype(np.int64),
+    )
+    cb_s, cr_s = cb[0::2, 0::2], cr[0::2, 0::2]
+    y_blocks = (
+        y.reshape(nm, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4).reshape(nm * 4, 8, 8)
+    )
+    # NOTE: for this fixture geometry (grid width == h_i) the MCU
+    # collection order of the luma blocks coincides with the
+    # non-interleaved raster order the AC scans need.
+    zz_all = [
+        _jpeg_forward_zz(y_blocks, _JPEG_QUANT),
+        _jpeg_forward_zz(cb_s.reshape(nm, 8, 8), _JPEG_QUANT),
+        _jpeg_forward_zz(cr_s.reshape(nm, 8, 8), _JPEG_QUANT),
+    ]
+    dc_enc = _ANNEXK_DC_ENC
+    out = bytearray(_jpeg_prog_segments(nm * 16, 16, (0x22, 0x11, 0x11)))
+
+    def dc_diff(w, v: int, prev: int) -> int:
+        d = v - prev
+        s = (d if d >= 0 else -d).bit_length()
+        bits_v = d if d >= 0 else d + (1 << s) - 1
+        code, ln = dc_enc[s]
+        w.put((code << s) | bits_v, ln + s)
+        return v
+
+    # scan 1: interleaved DC first (Al=1); scan 2: DC refinement bits
+    out += _jpeg_prog_sos(0, 0, 0, 1, (1, 2, 3))
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for m in range(nm):
+        for j in range(4):
+            prev[0] = dc_diff(w, zz_all[0][m * 4 + j][0] >> 1, prev[0])
+        prev[1] = dc_diff(w, zz_all[1][m][0] >> 1, prev[1])
+        prev[2] = dc_diff(w, zz_all[2][m][0] >> 1, prev[2])
+    out += w.close()
+    out += _jpeg_prog_sos(0, 0, 1, 0, (1, 2, 3))
+    w = _JpegBitWriter()
+    for m in range(nm):
+        for j in range(4):
+            w.put(zz_all[0][m * 4 + j][0] & 1, 1)
+        w.put(zz_all[1][m][0] & 1, 1)
+        w.put(zz_all[2][m][0] & 1, 1)
+    out += w.close()
+    # per-component AC band scans, non-interleaved
+    for comp_id, zzs in ((1, zz_all[0]), (2, zz_all[1]), (3, zz_all[2])):
+        for ss, se, ah, al in ((1, 5, 0, 1), (1, 5, 1, 0), (6, 63, 0, 0)):
+            out += _jpeg_prog_sos(ss, se, ah, al, (comp_id,))
+            w = _JpegBitWriter()
+            aw = _ProgAcWriter(w, _PROG_AC_ENC)
+            for zz in zzs:
+                if ah == 0:
+                    _jpeg_prog_ac_first(aw, zz, ss, se, al)
+                else:
+                    _jpeg_prog_ac_refine(aw, zz, ss, se, al)
+            aw.flush_eobrun()
+            out += w.close()
     return bytes(out) + b"\xff\xd9"
 
 
@@ -4222,6 +4316,24 @@ def attach_jpeg420_payload(
             return None
         need = max(1, len(d) // 768) * 768
         return synth_jpeg_420((d * ((need + len(d) - 1) // len(d)))[:need])
+
+    return _attach_payload(df, {0: synth}, text_col, id_col, modulus=1)
+
+
+def attach_jpeg420_progressive_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Progressive 4:2:0 corpus attacher: same cycling rule as
+    :func:`attach_jpeg420_payload` (pixel byte j = text[j % dlen],
+    whole 16×16 MCUs), delivered as SOF2 multi-scan streams."""
+
+    def synth(d: bytes, w: int):
+        if not d:
+            return None
+        need = max(1, len(d) // 768) * 768
+        return synth_jpeg_420_progressive(
+            (d * ((need + len(d) - 1) // len(d)))[:need]
+        )
 
     return _attach_payload(df, {0: synth}, text_col, id_col, modulus=1)
 

@@ -119,6 +119,7 @@ _MANIFEST = [
     # successive approximation, EOB runs, correction bits); lossless
     # once complete, so the grayscale oracle is reused verbatim.
     "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg420_progressive_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

@@ -958,6 +958,40 @@ def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_jpeg420_progressive_stats", _duck_jpeg_420_sql())
+def multimodal_jpeg420_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE 4:2:0 color JPEG decode (round 13 — the two
+    dominant real-corpus JPEG structures composed): the fixture corpus
+    (operators/multimodal.py:attach_jpeg420_progressive_payload — SOF2
+    streams whose interleaved DC scans walk four luma + two decimated
+    chroma data units per MCU and whose AC band scans raster each
+    component's own grid) decoded through the general multi-component
+    progressive path. Lossless once all scans land, so pixels are
+    byte-identical to the sequential 4:2:0 stream and this row reuses
+    the 4:2:0 oracle VERBATIM — a wrong interleave order, chroma grid
+    size, or per-component predictor reset fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg420_progressive_payload,
+        jpeg_color_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_color_pixel_stats(attach_jpeg420_progressive_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
 @register(
     "multimodal_mp4_frames",
     """

@@ -1057,6 +1057,21 @@ def test_jpeg_progressive_decodes_to_baseline_pixels():
     whole = synth_jpeg_progressive(cases["random"])
     with pytest.raises(NotImplementedError):
         _jpeg_gray_pixels(whole[: len(whole) - 40])
+    # progressive 4:2:0: interleaved DC under subsampling + AC scans
+    # over per-component grids reconstruct the sequential 4:2:0 pixels
+    from polars_sim_spark.operators.multimodal import (
+        _jpeg_rgb_pixels,
+        synth_jpeg_420,
+        synth_jpeg_420_progressive,
+    )
+
+    for n in (768, 3100):
+        cdata = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert (
+            _jpeg_rgb_pixels(synth_jpeg_420_progressive(cdata))
+            == _jpeg_rgb_pixels(synth_jpeg_420(cdata))
+        ).all(), n
+    assert synth_jpeg_420_progressive(bytes(767)) is None
 
 
 def test_flac_pcm_roundtrip_all_subframe_types(spark):
