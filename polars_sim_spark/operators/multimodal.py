@@ -305,25 +305,41 @@ def _try_flac_header(data: bytes):
     raise NotImplementedError("FLAC without a parseable STREAMINFO block")
 
 
+def _crc_table(poly: int, width: int) -> tuple:
+    """256-entry table for an MSB-first CRC of the given width."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    out = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        out.append(crc)
+    return tuple(out)
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8_flac(data: bytes) -> int:
     """CRC-8 over ``data`` with polynomial x⁸+x²+x+1 (0x07), init 0,
-    MSB-first — the FLAC frame-header checksum."""
+    MSB-first — the FLAC frame-header checksum (table-driven, one
+    lookup per byte: the per-bit loop was ~40% of the FLAC wall)."""
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16_flac(data: bytes) -> int:
     """CRC-16 over ``data`` with polynomial x¹⁶+x¹⁵+x²+1 (0x8005),
-    init 0, MSB-first — the FLAC whole-frame checksum."""
+    init 0, MSB-first — the FLAC whole-frame checksum (table-driven)."""
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ b]
     return crc
 
 
