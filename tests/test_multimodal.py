@@ -1408,6 +1408,60 @@ def test_inflate_property_random_payloads():
     check()
 
 
+def test_flac_pcm_property_random_samples():
+    """Hypothesis sweep (round 13): the FLAC decoder must losslessly
+    invert synth_flac_pcm for arbitrary int16 sample streams —
+    adversarially shrunk lengths hit every subframe kind in the
+    fixture cycle (verbatim / LPC / fixed), partial last blocks, and
+    the constant fast path."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _flac_pcm_samples,
+        synth_flac_pcm,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=700,
+        )
+    )
+    def check(samples: list) -> None:
+        want = np.asarray(samples, dtype=np.int16)
+        sr, got = _flac_pcm_samples(synth_flac_pcm(want.tobytes()))
+        assert sr == 16000 and (got == want).all()
+
+    check()
+
+
+def test_jpeg_progressive_property_random_pixels():
+    """Hypothesis sweep (round 13): progressive reconstruction must
+    equal baseline reconstruction for arbitrary pixel payloads — the
+    EOB-run accounting and correction-bit protocol have no partial
+    failure mode that a fixed seed could mask."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(payload=st.binary(min_size=64, max_size=1600))
+    def check(payload: bytes) -> None:
+        assert (
+            _jpeg_gray_pixels(synth_jpeg_progressive(payload))
+            == _jpeg_gray_pixels(synth_jpeg(payload))
+        ).all()
+
+    check()
+
+
 def test_jpeg_entropy_property_random_blocks():
     """Hypothesis sweep (round 12): the JPEG entropy layer (Huffman +
     DC prediction + ZRL/EOB + stuffing) must losslessly round-trip the
