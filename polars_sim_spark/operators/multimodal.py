@@ -495,27 +495,134 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
     return bytes(out)
 
 
+def synth_flac_stereo(data: bytes, sample_rate: int = 16000) -> bytes | None:
+    """Deterministic REAL-frame STEREO FLAC (round 13): the bytes are
+    interleaved stereo int16 LE samples (L, R, L, R, …), Rice-coded
+    into frames whose channel assignment CYCLES through all four
+    stereo modes — independent, left/side, right/side, mid/side (the
+    decorrelations real encoders pick per frame) — with the side
+    channel at its spec-mandated 17 bits and mid = (L+R)>>1 restoring
+    its dropped low bit from the side's parity on decode. Subframes
+    alternate VERBATIM / FIXED order 2 per channel (CONSTANT when
+    flat). Lossless, so the contract oracle reads L/R straight off the
+    even/odd samples of the text bytes. Returns None when no stereo
+    frame fits."""
+    import struct
+
+    import numpy as np
+
+    n = len(data) // 4
+    if n < 1:
+        return None
+    pcm = np.frombuffer(data, dtype="<i2", count=n * 2).astype(np.int64)
+    left, right = pcm[0::2], pcm[1::2]
+    packed = (
+        (sample_rate << 44) | (1 << 41) | ((16 - 1) << 36) | (n & ((1 << 36) - 1))
+    )
+    streaminfo = (
+        struct.pack(">HH", _FLAC_PCM_BLOCK, _FLAC_PCM_BLOCK)
+        + (0).to_bytes(3, "big") * 2
+        + struct.pack(">Q", packed)
+        + b"\x00" * 16
+    )
+    out = bytearray(b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo)
+
+    def rice(w, res) -> None:
+        u = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+        k = min(
+            range(15),
+            key=lambda kk: int(np.sum(u >> kk)) + len(u) * (kk + 1),
+        )
+        w.put(0, 2)
+        w.put(0, 4)
+        w.put(k, 4)
+        for uv in u.tolist():
+            w.put(1, (uv >> k) + 1)
+            if k:
+                w.put(uv & ((1 << k) - 1), k)
+
+    def write_subframe(w, blk, depth: int, kind: int) -> None:
+        mask = (1 << depth) - 1
+        if np.all(blk == blk[0]):
+            w.put(0x00 << 1, 8)  # CONSTANT
+            w.put(int(blk[0]) & mask, depth)
+            return
+        if kind == 0 or len(blk) <= 4:
+            w.put(0x01 << 1, 8)  # VERBATIM
+            for v in blk:
+                w.put(int(v) & mask, depth)
+            return
+        w.put((0x08 | kind) << 1, 8)  # FIXED order `kind`
+        for v in blk[: kind]:
+            w.put(int(v) & mask, depth)
+        rice(w, np.diff(blk, n=kind))
+
+    for idx, fi in enumerate(range(0, n, _FLAC_PCM_BLOCK)):
+        lf = left[fi : fi + _FLAC_PCM_BLOCK]
+        rf = right[fi : fi + _FLAC_PCM_BLOCK]
+        bs = len(lf)
+        mode = idx % 4
+        ch_code = (0x1, 0x8, 0x9, 0xA)[mode]
+        if mode == 0:
+            chans = ((lf, 16), (rf, 16))
+        elif mode == 1:  # left/side
+            chans = ((lf, 16), (lf - rf, 17))
+        elif mode == 2:  # right/side
+            chans = ((lf - rf, 17), (rf, 16))
+        else:  # mid/side
+            chans = (((lf + rf) >> 1, 16), (lf - rf, 17))
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append((0x07 << 4) | 0x00)
+        hdr.append((ch_code << 4) | (0x04 << 1))
+        hdr += _flac_utf8(idx)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8_flac(bytes(hdr)))
+        w = _MsbBitWriter()
+        for j, (blk, depth) in enumerate(chans):
+            write_subframe(w, blk, depth, (idx + j) % 3)
+        frame = bytes(hdr) + w.close()
+        out += frame + struct.pack(">H", _crc16_flac(frame))
+    return bytes(out)
+
+
 def _flac_pcm_samples(data: bytes):
-    """(sample_rate, int16 numpy samples) of a mono 16-bit FLAC stream
-    whose subframes are CONSTANT / VERBATIM / FIXED (order ≤ 4) / LPC
-    (any order 1–32 — round-13 addendum: the subframe type real
-    encoders emit almost exclusively; coefficients, precision and
-    quantization shift come from the stream, and reconstruction is the
-    spec's exact-integer predict-sum-then-arithmetic-right-shift, so
-    no "codec" is needed): metadata walk → per-frame header parse with
-    CRC-8 verify → subframe bit decode (generic Rice partitions incl.
-    the 5-bit escape) → predictor reconstruction → CRC-16 verify.
-    Wasted bits, negative LPC shifts (reserved), non-mono/non-16-bit
-    streams, and any checksum mismatch raise NotImplementedError (the
-    module's drop contract — a FLAC stream carries real checksums, so
-    unlike JPEG a corrupt payload is always detected)."""
+    """(sample_rate, 1-D int16 samples) of a MONO decodable FLAC stream
+    — thin wrapper over :func:`_flac_decode` kept for the mono
+    consumers (``flac_pcm_stats``, the ``wav_phash`` routing); stereo
+    streams raise here and are served by the stereo stats path."""
+    sr, ch, arr = _flac_decode(data)
+    if ch != 1:
+        raise NotImplementedError("mono path: stereo FLAC uses _flac_decode")
+    return sr, arr[:, 0]
+
+
+def _flac_decode(data: bytes):
+    """(sample_rate, channels, (n, channels) int16 samples) of a 16-bit
+    FLAC stream, mono or STEREO (round-13 addendum — real encoders ship
+    stereo almost exclusively): per-frame channel assignments cover the
+    two independent channels and all three decorrelated modes —
+    left/side, right/side, mid/side, the side (difference) channel
+    carrying its spec-mandated 17th bit — with the exact integer
+    inverse transforms (mid reconstructs via (mid<<1 | side&1) before
+    the shift). Subframes are CONSTANT / VERBATIM / FIXED (order ≤ 4) /
+    LPC (any order 1–32): coefficients, precision and quantization
+    shift come from the stream and reconstruction is the spec's
+    exact-integer predict-sum-then-arithmetic-right-shift, so no
+    "codec" is needed. Metadata walk → per-frame header parse with
+    CRC-8 verify → per-channel subframe bit decode (generic Rice
+    partitions incl. the 5-bit escape) → predictor reconstruction →
+    stereo inverse transform → CRC-16 verify. Wasted bits, negative LPC
+    shifts (reserved), >2-channel/non-16-bit streams, and any checksum
+    mismatch raise NotImplementedError (the module's drop contract — a
+    FLAC stream carries real checksums, so unlike JPEG a corrupt
+    payload is always detected)."""
     import struct
 
     import numpy as np
 
     sr, ch, _dur = _try_flac_header(data)
-    if ch != 1:
-        raise NotImplementedError("only mono FLAC PCM is decoded")
+    if ch not in (1, 2):
+        raise NotImplementedError("only mono/stereo FLAC PCM is decoded")
     # locate STREAMINFO again for bits + total and the frames offset
     pos = 4
     total = None
@@ -532,9 +639,10 @@ def _flac_pcm_samples(data: bytes):
             break
     if total is None:
         raise NotImplementedError("FLAC without a parseable STREAMINFO block")
-    out: list = []
+    out: list = []  # (channels,) sample tuples, frame by frame
+    n_out = 0
     n = len(data)
-    while pos + 2 <= n and len(out) < total:
+    while pos + 2 <= n and n_out < total:
         frame_start = pos
         if data[pos] != 0xFF or (data[pos + 1] & 0xFE) != 0xF8:
             raise NotImplementedError("FLAC frame sync lost")
@@ -542,8 +650,22 @@ def _flac_pcm_samples(data: bytes):
         sr_code = data[pos + 2] & 0xF
         ch_code = data[pos + 3] >> 4
         ss_code = (data[pos + 3] >> 1) & 0x7
-        if ch_code != 0:
-            raise NotImplementedError("only mono FLAC PCM is decoded")
+        # channel assignment → per-channel bit depths + inverse mode
+        # (the side/difference channel carries one extra bit, §9.1.3)
+        if ch_code == 0x0 and ch == 1:
+            depths, mode = (16,), "mono"
+        elif ch_code == 0x1 and ch == 2:
+            depths, mode = (16, 16), "indep"
+        elif ch_code == 0x8 and ch == 2:
+            depths, mode = (16, 17), "left-side"
+        elif ch_code == 0x9 and ch == 2:
+            depths, mode = (17, 16), "right-side"
+        elif ch_code == 0xA and ch == 2:
+            depths, mode = (16, 17), "mid-side"
+        else:
+            raise NotImplementedError(
+                "FLAC channel assignment unsupported or inconsistent"
+            )
         if ss_code != 0x04:
             raise NotImplementedError("only 16-bit FLAC PCM is decoded")
         if sr_code not in (0,):  # rate comes from STREAMINFO
@@ -607,13 +729,6 @@ def _flac_pcm_samples(data: bytes):
                 acc &= (1 << nbits) - 1
                 q += 1
 
-        def warmup(count: int) -> list:
-            out16 = []
-            for _ in range(count):
-                v = rbits(16)
-                out16.append(v - 65536 if v >= 32768 else v)
-            return out16
-
         def read_residual(order: int) -> list:
             method = rbits(2)
             if method > 1:
@@ -637,57 +752,91 @@ def _flac_pcm_samples(data: bytes):
                         res.append((u >> 1) ^ -(u & 1))
             return res
 
-        sf_hdr = rbits(8)
-        if sf_hdr & 0x81:
-            raise NotImplementedError("FLAC wasted-bits/reserved subframe bits")
-        sf_type = (sf_hdr >> 1) & 0x3F
-        if sf_type == 0x00:  # CONSTANT
-            v = rbits(16)
-            blk = [v - 65536 if v >= 32768 else v] * bs
-        elif sf_type == 0x01:  # VERBATIM
-            blk = warmup(bs)
-        elif 0x08 <= sf_type <= 0x0C:  # FIXED order 0..4
-            order = sf_type - 0x08
-            blk = warmup(order)
-            coeffs = _FLAC_FIXED_COEFFS[order]
-            for r in read_residual(order):
-                blk.append(
-                    r + sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
+        def subframe(depth: int) -> list:
+            half, full = 1 << (depth - 1), 1 << depth
+
+            def sample() -> int:
+                v = rbits(depth)
+                return v - full if v >= half else v
+
+            sf_hdr = rbits(8)
+            if sf_hdr & 0x81:
+                raise NotImplementedError(
+                    "FLAC wasted-bits/reserved subframe bits"
                 )
-        elif 0x20 <= sf_type <= 0x3F:  # LPC, any order 1..32 (round 13)
-            order = (sf_type & 0x1F) + 1
-            blk = warmup(order)
-            prec = rbits(4) + 1
-            if prec == 16:  # 0b1111 is the spec's invalid sentinel
-                raise NotImplementedError("invalid FLAC LPC precision")
-            shift = rbits(5)
-            if shift >= 16:  # negative (2's complement) shifts: reserved
-                raise NotImplementedError("negative FLAC LPC shift reserved")
-            coeffs = []
-            for _ in range(order):
-                c = rbits(prec)
-                coeffs.append(c - (1 << prec) if c >= (1 << (prec - 1)) else c)
-            for r in read_residual(order):
-                # arithmetic right shift of the (possibly negative)
-                # prediction sum — Python's >> floors, per the spec
-                blk.append(
-                    r
-                    + (
-                        sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
-                        >> shift
+            sf_type = (sf_hdr >> 1) & 0x3F
+            if sf_type == 0x00:  # CONSTANT
+                return [sample()] * bs
+            if sf_type == 0x01:  # VERBATIM
+                return [sample() for _ in range(bs)]
+            if 0x08 <= sf_type <= 0x0C:  # FIXED order 0..4
+                order = sf_type - 0x08
+                blk = [sample() for _ in range(order)]
+                coeffs = _FLAC_FIXED_COEFFS[order]
+                for r in read_residual(order):
+                    blk.append(
+                        r
+                        + sum(c * blk[-j] for j, c in enumerate(coeffs, start=1))
                     )
-                )
-        else:
+                return blk
+            if 0x20 <= sf_type <= 0x3F:  # LPC, any order 1..32 (round 13)
+                order = (sf_type & 0x1F) + 1
+                blk = [sample() for _ in range(order)]
+                prec = rbits(4) + 1
+                if prec == 16:  # 0b1111 is the spec's invalid sentinel
+                    raise NotImplementedError("invalid FLAC LPC precision")
+                shift = rbits(5)
+                if shift >= 16:  # negative (2's complement): reserved
+                    raise NotImplementedError(
+                        "negative FLAC LPC shift reserved"
+                    )
+                coeffs = []
+                for _ in range(order):
+                    c = rbits(prec)
+                    coeffs.append(
+                        c - (1 << prec) if c >= (1 << (prec - 1)) else c
+                    )
+                for r in read_residual(order):
+                    # arithmetic right shift of the (possibly negative)
+                    # prediction sum — Python's >> floors, per the spec
+                    blk.append(
+                        r
+                        + (
+                            sum(
+                                c * blk[-j]
+                                for j, c in enumerate(coeffs, start=1)
+                            )
+                            >> shift
+                        )
+                    )
+                return blk
             raise NotImplementedError("reserved FLAC subframe type")
+
+        chans = [subframe(d) for d in depths]
+        if mode == "left-side":
+            left, side = chans
+            chans = [left, [lv - sv for lv, sv in zip(left, side)]]
+        elif mode == "right-side":
+            side, right = chans
+            chans = [[sv + rv for sv, rv in zip(side, right)], right]
+        elif mode == "mid-side":
+            mid, side = chans
+            # mid carried (L+R)>>1: restore its dropped low bit from the
+            # side's parity, then split exactly (§9.1.3)
+            chans = [
+                [(((m << 1) | (sv & 1)) + sv) >> 1 for m, sv in zip(mid, side)],
+                [(((m << 1) | (sv & 1)) - sv) >> 1 for m, sv in zip(mid, side)],
+            ]
         pos = bpos  # bit reader consumed whole bytes; padding was zeros
         crc = struct.unpack_from(">H", data, pos)[0]
         if _crc16_flac(data[frame_start:pos]) != crc:
             raise NotImplementedError("FLAC frame CRC-16 mismatch")
         pos += 2
-        out.extend(blk)
-    if len(out) < total:
+        out.extend(zip(*chans))
+        n_out += bs
+    if n_out < total:
         raise NotImplementedError("FLAC stream ended before total_samples")
-    return sr, np.asarray(out[:total], dtype=np.int64).astype(np.int16)
+    return sr, ch, np.asarray(out[:total], dtype=np.int64).astype(np.int16)
 
 
 def _walk_mp4_boxes(data: bytes, start: int, end: int):
@@ -1370,6 +1519,74 @@ def attach_flac_pcm_payload(
     stay raw utf-8."""
     return _attach_payload(
         df, {0: lambda d, w: synth_flac_pcm(d)}, text_col, id_col, modulus=1
+    )
+
+
+def attach_flac_stereo_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stereo-FLAC corpus attacher (round 13): EVERY document whose
+    text holds at least one stereo frame (4 bytes) becomes a real
+    stereo FLAC stream (:func:`synth_flac_stereo` — the text bytes are
+    interleaved L/R int16 samples, frames cycling all four channel
+    assignments); shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df, {0: lambda d, w: synth_flac_stereo(d)}, text_col, id_col, modulus=1
+    )
+
+
+def flac_stereo_pcm_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel PCM statistics for STEREO FLAC payloads — the
+    decorrelated-stereo twin of :func:`wav_pcm_stats` (round 13): the
+    full decode chain including the left/side, right/side and mid/side
+    inverse transforms reduced to exact per-channel
+    sum-of-absolute-amplitude and peak. Lossless, so the contract
+    oracle reads L/R straight off the even/odd int16 samples of the
+    fixture text — a wrong side-channel bit depth, parity restore, or
+    swapped decorrelation is a hash mismatch. Non-stereo-FLAC payloads
+    are dropped. Output: (id, n_frames long, sum_abs_ch1 long,
+    sum_abs_ch2 long, peak_abs_ch1 int, peak_abs_ch2 int)."""
+    import numpy as np
+
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, s1, s2, p1, p2 = [], [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    _sr, ch, pcm = _flac_decode(bytes(b))
+                except NotImplementedError:
+                    continue
+                if ch != 2 or len(pcm) < 1:
+                    continue
+                amp = np.abs(pcm.astype(np.int64))
+                ids.append(i)
+                nfs.append(len(pcm))
+                s1.append(int(amp[:, 0].sum()))
+                s2.append(int(amp[:, 1].sum()))
+                p1.append(int(amp[:, 0].max()))
+                p2.append(int(amp[:, 1].max()))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "sum_abs_ch1": s1,
+                    "sum_abs_ch2": s2,
+                    "peak_abs_ch1": p1,
+                    "peak_abs_ch2": p2,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, n_frames long, sum_abs_ch1 long, "
+        "sum_abs_ch2 long, peak_abs_ch1 int, peak_abs_ch2 int",
     )
 
 

@@ -120,6 +120,9 @@ _MANIFEST = [
     # once complete, so the grayscale oracle is reused verbatim.
     "multimodal_jpeg_progressive_stats",
     "multimodal_jpeg420_progressive_stats",
+    # round 13: stereo FLAC — all four channel assignments incl. the
+    # decorrelated modes with the 17-bit side channel.
+    "multimodal_flac_stereo_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

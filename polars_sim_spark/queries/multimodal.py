@@ -277,6 +277,61 @@ def multimodal_flac_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_flac_stereo_stats",
+    """
+WITH flac AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents WHERE octet_length(encode(text)) >= 4
+),
+frames AS (
+  SELECT doc_id, hx, dlen // 4 AS n, unnest(range(dlen // 4)) AS k FROM flac
+),
+sm AS (
+  SELECT f.doc_id, f.n, c.c,
+         CAST(('0x' || substr(f.hx, CAST((f.k * 2 + c.c) * 4 + 1 AS BIGINT), 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(f.hx, CAST((f.k * 2 + c.c) * 4 + 3 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM frames f CROSS JOIN (VALUES (0), (1)) AS c(c)
+),
+agg AS (
+  SELECT doc_id, n, c,
+         sum(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS sum_abs,
+         max(CASE WHEN v >= 32768 THEN 65536 - v ELSE v END) AS peak_abs
+  FROM sm GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(max(CASE WHEN c = 0 THEN sum_abs END) AS BIGINT) AS sum_abs_ch1,
+       CAST(max(CASE WHEN c = 1 THEN sum_abs END) AS BIGINT) AS sum_abs_ch2,
+       CAST(max(CASE WHEN c = 0 THEN peak_abs END) AS INT) AS peak_abs_ch1,
+       CAST(max(CASE WHEN c = 1 THEN peak_abs END) AS INT) AS peak_abs_ch2
+FROM agg
+GROUP BY doc_id, n
+""",
+)
+def multimodal_flac_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO FLAC decode (round 13 — the channel layout real audio
+    actually ships): the fixture corpus
+    (operators/multimodal.py:attach_flac_stereo_payload — real stereo
+    frames whose channel assignment cycles independent / left-side /
+    right-side / mid-side, the side channel at its 17th bit) decoded by
+    :func:`flac_stereo_pcm_stats` through the generalized
+    :func:`_flac_decode` — per-channel subframes, exact integer
+    inverse decorrelations (mid restores its dropped low bit from the
+    side's parity), both CRC gates — into exact per-channel amplitude
+    statistics. Lossless, so the oracle reads L/R straight off the
+    even/odd samples of the text bytes; every frame of every doc ≥ 4
+    stereo frames exercises all four assignments."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_flac_stereo_payload,
+        flac_stereo_pcm_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_stereo_pcm_stats(attach_flac_stereo_payload(docs))
+
+
+@register(
     "multimodal_ppm_pixel_stats",
     """
 WITH ppm AS (
