@@ -1180,6 +1180,117 @@ def test_flac_stereo_decorrelation_roundtrip(spark):
     assert row["peak_abs_ch2"] == int(amp[:, 1].max())
 
 
+def test_flac_multi_partition_and_escaped_residuals_decode():
+    """Round 13: the decoder's GENERIC residual machinery — partition
+    order > 0 (per-partition Rice parameters) and the 5-bit Rice2
+    method with the escaped-raw-residual case — decodes correctly even
+    though the repo's own fixtures only emit order-0 4-bit partitions.
+    The stream here is hand-assembled with the module's writer/CRC
+    primitives, so this is a spec-layout pin, not a round trip of the
+    fixture encoder."""
+    import struct
+
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _MsbBitWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _flac_decode,
+        _flac_utf8,
+    )
+
+    rng = np.random.default_rng(29)
+    bs = 64
+    samples = rng.integers(-3000, 3000, bs, dtype=np.int64)
+    order = 1
+    res = np.diff(samples, n=order)  # 63 residuals
+
+    def build(method: int, porder: int, escape_first: bool) -> bytes:
+        packed = (16000 << 44) | (0 << 41) | ((16 - 1) << 36) | bs
+        streaminfo = (
+            struct.pack(">HH", bs, bs)
+            + (0).to_bytes(3, "big") * 2
+            + struct.pack(">Q", packed)
+            + b"\x00" * 16
+        )
+        hdr = bytearray(b"\xff\xf8")
+        hdr.append((0x07 << 4) | 0x00)
+        hdr.append((0x00 << 4) | (0x04 << 1))
+        hdr += _flac_utf8(0)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8_flac(bytes(hdr)))
+        w = _MsbBitWriter()
+        w.put((0x08 | order) << 1, 8)  # FIXED order 1
+        w.put(int(samples[0]) & 0xFFFF, 16)
+        pbits = 4 if method == 0 else 5
+        w.put(method, 2)
+        w.put(porder, 4)
+        # partition j holds (bs >> porder) residuals, minus the warmup
+        # in partition 0
+        idx = 0
+        for part in range(1 << porder):
+            cnt = (bs >> porder) - (order if part == 0 else 0)
+            chunk = res[idx : idx + cnt]
+            idx += cnt
+            if escape_first and part == 0:
+                w.put((1 << pbits) - 1, pbits)  # escape sentinel
+                w.put(14, 5)  # 14-bit raw two's-complement residuals
+                for v in chunk.tolist():
+                    w.put(v & 0x3FFF, 14)
+                continue
+            u = np.where(chunk >= 0, 2 * chunk, -2 * chunk - 1)
+            k = min(
+                range(15),
+                key=lambda kk: int(np.sum(u >> kk)) + len(u) * (kk + 1),
+            )
+            w.put(k, pbits)
+            for uv in u.tolist():
+                w.put(1, (int(uv) >> k) + 1)
+                if k:
+                    w.put(int(uv) & ((1 << k) - 1), k)
+        frame = bytes(hdr) + w.close()
+        return (
+            b"fLaC"
+            + bytes([0x80, 0, 0, 34])
+            + streaminfo
+            + frame
+            + struct.pack(">H", _crc16_flac(frame))
+        )
+
+    for method, porder, esc in (
+        (0, 1, False),  # two 4-bit Rice partitions
+        (0, 2, False),  # four partitions
+        (1, 1, False),  # 5-bit Rice2 parameters
+        (0, 1, True),  # escaped raw residuals in partition 0
+        (1, 2, True),
+    ):
+        sr, ch, got = _flac_decode(build(method, porder, esc))
+        assert (got[:, 0] == samples).all(), (method, porder, esc)
+
+
+def test_stream_phash_audio_gate_accepts_flac(spark):
+    """Round 13: the streaming audio ingest gate hashes FLAC payloads
+    through the same container-invariant envelope as WAV — a known WAV
+    clip registered in the reference set must match the SAME audio
+    arriving as a FLAC stream."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        synth_flac_pcm,
+        synth_wav,
+        wav_phash,
+    )
+
+    pcm = (2500 * np.sin(np.arange(900) / 18)).astype(np.int16).tobytes()
+    df = spark.createDataFrame(
+        [(0, bytearray(synth_wav(pcm, 16000, 1))), (1, bytearray(synth_flac_pcm(pcm)))],
+        "doc_id long, payload binary",
+    )
+    hashes = {r["doc_id"]: tuple(r[f"band{j}"] for j in range(4)) for r in wav_phash(df).collect()}
+    assert hashes[0] == hashes[1]  # gate keys on bands: identical -> match
+
+
 def test_flac_header_parse_inverts_synth():
     """Round 12 (VERDICT r11 #7): the STREAMINFO bit-field unpack must
     invert synth_flac exactly and reject non-FLAC payloads."""
