@@ -220,6 +220,7 @@ HEADLINE = [
     "multimodal_jpeg_progressive_stats",
     "multimodal_jpeg420_progressive_stats",
     "multimodal_flac_stereo_stats",
+    "multimodal_jpeg422_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

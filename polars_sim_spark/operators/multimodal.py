@@ -3481,6 +3481,64 @@ def synth_jpeg_progressive(data: bytes) -> bytes | None:
     return bytes(out) + b"\xff\xd9"
 
 
+def synth_jpeg_422(data: bytes) -> bytes | None:
+    """Deterministic baseline 4:2:2 COLOR JPEG (round 13 — the
+    horizontal-only chroma decimation video-derived stills carry): the
+    bytes are interleaved RGB pixels of a 16-wide image truncated to
+    whole 16×8 MCUs (384 bytes per MCU; None if no full MCU fits). Per
+    MCU the luma carries TWO 8×8 blocks side by side (h=2, v=1) at
+    full resolution while Cb/Cr carry one block each, decimated by
+    TOP-LEFT sampling along x only (chroma sample (cy, cx) = the
+    transformed value at pixel (cy, 2cx)); the decoder's
+    nearest-neighbor upsample replicates horizontally only. Entropy
+    layer, tables and the fixed-point pipeline are shared with the
+    other color fixtures."""
+    import numpy as np
+
+    nm = len(data) // 384
+    if nm < 1:
+        return None
+    dc_enc, ac_enc = _ANNEXK_DC_ENC, _ANNEXK_AC_ENC
+    px = np.frombuffer(data, np.uint8, nm * 384).reshape(nm * 8, 16, 3)
+    y, cb, cr = _rgb_to_ycc(
+        px[:, :, 0].astype(np.int64),
+        px[:, :, 1].astype(np.int64),
+        px[:, :, 2].astype(np.int64),
+    )
+    cb_s, cr_s = cb[:, 0::2], cr[:, 0::2]  # x-only top-left decimation
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    # luma blocks in MCU raster order (m, bxi) via one reshape
+    y_blocks = (
+        y.reshape(nm, 8, 2, 8).transpose(0, 2, 1, 3).reshape(nm * 2, 8, 8)
+    )
+    zz_y = _jpeg_forward_zz(y_blocks, _JPEG_QUANT)
+    zz_cb = _jpeg_forward_zz(cb_s.reshape(nm, 8, 8), _JPEG_QUANT)
+    zz_cr = _jpeg_forward_zz(cr_s.reshape(nm, 8, 8), _JPEG_QUANT)
+    for m in range(nm):
+        for j in range(2):
+            prev[0] = _jpeg_encode_block(w, zz_y[m * 2 + j], prev[0], dc_enc, ac_enc)
+        prev[1] = _jpeg_encode_block(w, zz_cb[m], prev[1], dc_enc, ac_enc)
+        prev[2] = _jpeg_encode_block(w, zz_cr[m], prev[2], dc_enc, ac_enc)
+    head, sos = _jpeg_segments(nm * 8, 16, 3, sampling=(0x21, 0x11, 0x11))
+    return b"\xff\xd8" + head + sos + w.close() + b"\xff\xd9"
+
+
+def attach_jpeg422_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """4:2:2 JPEG corpus attacher: same cycling rule as the 4:2:0 one
+    (pixel byte j = text[j % dlen]) over whole 16×8 MCUs (384 bytes)."""
+
+    def synth(d: bytes, w: int):
+        if not d:
+            return None
+        need = max(1, len(d) // 384) * 384
+        return synth_jpeg_422((d * ((need + len(d) - 1) // len(d)))[:need])
+
+    return _attach_payload(df, {0: synth}, text_col, id_col, modulus=1)
+
+
 def synth_jpeg_420_progressive(data: bytes) -> bytes | None:
     """PROGRESSIVE 4:2:0 color JPEG (round 13): the quantized
     coefficients of :func:`synth_jpeg_420` delivered progressively —

@@ -123,6 +123,9 @@ _MANIFEST = [
     # round 13: stereo FLAC — all four channel assignments incl. the
     # decorrelated modes with the 17-bit side channel.
     "multimodal_flac_stereo_stats",
+    # round 13: 4:2:2 sampling (x-only decimation) — completes the
+    # subsampling geometry matrix.
+    "multimodal_jpeg422_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

@@ -1013,6 +1013,154 @@ def multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_jpeg_422_sql() -> str:
+    """Oracle for the 4:2:2 row: the 4:2:0 oracle's per-component
+    replay with the horizontal-only geometry — 16×8 MCUs, two luma
+    blocks per MCU ((y//8)·2 + x//8), chroma decimated along x only
+    (x%2=0 → block y//8, coords (y%8, x//2)) and replicated
+    horizontally on reconstruction. Pixel source: text bytes cycled to
+    whole 384-byte MCUs (byte j = text[j % dlen])."""
+    from polars_sim_spark.operators.multimodal import _JPEG_DCT_T, _JPEG_QUANT
+
+    def rha(v: str, d: str = "1000000") -> str:
+        return (
+            f"(CASE WHEN ({v}) >= 0 THEN (2 * ({v}) + {d}) // (2 * {d}) "
+            f"ELSE -((2 * (-({v})) + {d}) // (2 * {d})) END)"
+        )
+
+    t_vals = ", ".join(
+        f"({u}, {x}, {_JPEG_DCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    q_vals = ", ".join(
+        f"({r}, {c}, {_JPEG_QUANT[r * 8 + c]}, "
+        f"CAST({_JPEG_QUANT[r * 8 + c] * (1 << 24)} AS BIGINT))"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {t_vals}),
+q(r, c, qv, qd) AS (VALUES {q_vals}),
+im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         greatest(1, octet_length(encode(text)) // 384) AS nm
+  FROM documents WHERE octet_length(encode(text)) >= 1
+),
+rgb AS (
+  SELECT doc_id, u.i // 16 AS y, u.i % 16 AS x,
+         CAST(('0x' || substr(hx, CAST(((3 * u.i + 0) % dlen) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS r,
+         CAST(('0x' || substr(hx, CAST(((3 * u.i + 1) % dlen) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS g,
+         CAST(('0x' || substr(hx, CAST(((3 * u.i + 2) % dlen) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS bl
+  FROM im, unnest(range(nm * 128)) AS u(i)
+),
+ycc AS (
+  SELECT doc_id, y, x,
+    LEAST(255, GREATEST(0, {rha('299000*r + 587000*g + 114000*bl')})) AS c0,
+    LEAST(255, GREATEST(0, 128 + {rha('-168736*r - 331264*g + 500000*bl')})) AS c1,
+    LEAST(255, GREATEST(0, 128 + {rha('500000*r - 418688*g - 81312*bl')})) AS c2
+  FROM rgb
+),
+px AS (
+  SELECT doc_id, 0 AS ci,
+         (y // 8) * 2 + (x // 8) AS b,
+         y % 8 AS y, x % 8 AS x, c0 - 128 AS s
+  FROM ycc
+  UNION ALL
+  SELECT doc_id, 1 AS ci, y // 8 AS b,
+         y % 8 AS y, x // 2 AS x, c1 - 128 AS s
+  FROM ycc WHERE x % 2 = 0
+  UNION ALL
+  SELECT doc_id, 2 AS ci, y // 8 AS b,
+         y % 8 AS y, x // 2 AS x, c2 - 128 AS s
+  FROM ycc WHERE x % 2 = 0
+),
+s1 AS (
+  SELECT px.doc_id, px.b, px.ci, t.u AS v, px.x,
+         SUM(CAST(t.tv AS BIGINT) * px.s) AS a
+  FROM px JOIN t ON t.x = px.y GROUP BY 1, 2, 3, 4, 5
+),
+f AS (
+  SELECT s1.doc_id, s1.b, s1.ci, s1.v, t.u, SUM(s1.a * t.tv) AS fsc
+  FROM s1 JOIN t ON t.x = s1.x GROUP BY 1, 2, 3, 4, 5
+),
+qc AS (
+  SELECT f.doc_id, f.b, f.ci, f.v, f.u, {rha('fsc', 'qd')} * qv AS rr
+  FROM f JOIN q ON q.r = f.v AND q.c = f.u
+),
+g1 AS (
+  SELECT qc.doc_id, qc.b, qc.ci, t.x AS y, qc.u,
+         SUM(CAST(t.tv AS BIGINT) * qc.rr) AS a
+  FROM qc JOIN t ON t.u = qc.v GROUP BY 1, 2, 3, 4, 5
+),
+g AS (
+  SELECT g1.doc_id, g1.b, g1.ci, g1.y, t.x, SUM(g1.a * t.tv) AS gsc
+  FROM g1 JOIN t ON t.u = g1.u GROUP BY 1, 2, 3, 4, 5
+),
+pix_ycc AS (
+  SELECT doc_id, ci, b, y, x,
+         LEAST(255, GREATEST(0, {rha('gsc', '16777216')} + 128)) AS p
+  FROM g
+),
+piv AS (
+  SELECT sp.doc_id, sp.y, sp.x, yp.p AS yv, cbp.p AS cbv, crp.p AS crv
+  FROM (SELECT doc_id, y, x FROM rgb) sp
+  JOIN pix_ycc yp ON yp.doc_id = sp.doc_id AND yp.ci = 0
+    AND yp.b = (sp.y // 8) * 2 + (sp.x // 8)
+    AND yp.y = sp.y % 8 AND yp.x = sp.x % 8
+  JOIN pix_ycc cbp ON cbp.doc_id = sp.doc_id AND cbp.ci = 1
+    AND cbp.b = sp.y // 8 AND cbp.y = sp.y % 8 AND cbp.x = sp.x // 2
+  JOIN pix_ycc crp ON crp.doc_id = sp.doc_id AND crp.ci = 2
+    AND crp.b = sp.y // 8 AND crp.y = sp.y % 8 AND crp.x = sp.x // 2
+),
+out_rgb AS (
+  SELECT doc_id,
+    LEAST(255, GREATEST(0, yv + {rha('1402000*(crv-128)')})) AS r,
+    LEAST(255, GREATEST(0, yv - {rha('344136*(cbv-128) + 714136*(crv-128)')})) AS g,
+    LEAST(255, GREATEST(0, yv + {rha('1772000*(cbv-128)')})) AS bl
+  FROM piv
+)
+SELECT im.doc_id AS doc_id, CAST(16 AS INT) AS width,
+       CAST(im.nm * 8 AS INT) AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(bl) AS BIGINT) AS sum_b,
+       CAST(max(r) AS INT) AS peak_r, CAST(max(g) AS INT) AS peak_g,
+       CAST(max(bl) AS INT) AS peak_b
+FROM im JOIN out_rgb USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("multimodal_jpeg422_stats", _duck_jpeg_422_sql())
+def multimodal_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 chroma-subsampled JPEG decode (round 13 — the
+    horizontal-only decimation video-derived stills carry, completing
+    the sampling-geometry matrix: 4:4:4, 4:2:0, 4:2:2): the fixture
+    corpus (operators/multimodal.py:attach_jpeg422_payload — two luma
+    blocks per 16×8 MCU, chroma decimated along x only) decoded
+    through the same generalized MCU walk, with the upsample
+    replicating horizontally only. The oracle replays the geometry in
+    closed form — a transposed decimation axis or a wrong per-MCU
+    block count is a hash mismatch."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg422_payload,
+        jpeg_color_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_color_pixel_stats(attach_jpeg422_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
 @register("multimodal_jpeg420_progressive_stats", _duck_jpeg_420_sql())
 def multimodal_jpeg420_progressive_stats(
     spark: SparkSession, sf_dir: str

@@ -1531,6 +1531,43 @@ def test_jpeg_420_roundtrip_and_spark_stats(spark):
         for r in jpeg_color_pixel_stats(df).collect()
     }
     assert got_stats == want
+    # 4:2:2 (x-only decimation): decoded RGB equals the per-block
+    # replay with a HORIZONTAL-only replication
+    from polars_sim_spark.operators.multimodal import synth_jpeg_422
+
+    data422 = rng.integers(0, 256, 800, dtype=np.uint8).tobytes()
+    jp422 = synth_jpeg_422(data422)
+    got422 = _jpeg_rgb_pixels(jp422)
+    nm = len(data422) // 384
+    px = np.frombuffer(data422, np.uint8, nm * 384).reshape(nm * 8, 16, 3)
+    y, cb, cr = _rgb_to_ycc(
+        px[:, :, 0].astype(np.int64),
+        px[:, :, 1].astype(np.int64),
+        px[:, :, 2].astype(np.int64),
+    )
+
+    def recon422(plane, bh, bw):
+        out = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                out[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                    _jpeg_block_pipeline(
+                        plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8],
+                        _JPEG_QUANT,
+                    )[1]
+                )
+        return out
+
+    ref422 = np.stack(
+        _ycc_to_rgb(
+            recon422(y, nm, 2),
+            np.repeat(recon422(cb[:, 0::2], nm, 1), 2, axis=1),
+            np.repeat(recon422(cr[:, 0::2], nm, 1), 2, axis=1),
+        ),
+        axis=2,
+    )
+    assert got422.shape == (nm * 8, 16, 3) and (got422 == ref422).all()
+    assert synth_jpeg_422(bytes(383)) is None
     # sampling factors beyond 2 stay gated
     bad = bytearray(synth_jpeg_420(bytes(range(256)) * 3))
     sof = bad.find(b"\xff\xc0")
