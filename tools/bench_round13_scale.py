@@ -44,10 +44,28 @@ def leg_flac(spark, corpora) -> None:
         )
 
 
+def leg_stereo(spark, corpora) -> None:
+    from polars_sim_spark.operators.multimodal import (
+        attach_flac_stereo_payload,
+        flac_stereo_pcm_stats,
+    )
+
+    for label, path in corpora:
+        docs = _docs(spark, path)
+        t0 = time.perf_counter()
+        n = flac_stereo_pcm_stats(attach_flac_stereo_payload(docs)).count()
+        print(
+            f"flac_stereo {label}: decoded={n} "
+            f"wall={time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
+
 def leg_jpeg(spark, corpora) -> None:
     from polars_sim_spark.operators.multimodal import (
         attach_jpeg420_payload,
         attach_jpeg420_progressive_payload,
+        attach_jpeg422_payload,
         attach_jpeg_progressive_payload,
         attach_jpeg_restart_payload,
         jpeg_color_pixel_stats,
@@ -56,6 +74,7 @@ def leg_jpeg(spark, corpora) -> None:
 
     legs = [
         ("jpeg420", attach_jpeg420_payload, jpeg_color_pixel_stats),
+        ("jpeg422", attach_jpeg422_payload, jpeg_color_pixel_stats),
         ("jpeg_restart", attach_jpeg_restart_payload, jpeg_pixel_stats),
         ("jpeg_prog", attach_jpeg_progressive_payload, jpeg_pixel_stats),
         (
@@ -77,7 +96,11 @@ def leg_jpeg(spark, corpora) -> None:
 
 
 def main() -> None:
-    legs = sys.argv[1].split(",") if len(sys.argv) > 1 else ["flac", "jpeg"]
+    legs = (
+        sys.argv[1].split(",")
+        if len(sys.argv) > 1
+        else ["flac", "stereo", "jpeg"]
+    )
     spark = get_spark("r13-scale", shuffle_partitions=128)
     corpora = [("1x", SRC)]
     if os.path.exists(X10):
@@ -86,6 +109,8 @@ def main() -> None:
         corpora.append(("100x", X100))
     if "flac" in legs:
         leg_flac(spark, corpora)
+    if "stereo" in legs:
+        leg_stereo(spark, corpora)
     if "jpeg" in legs:
         leg_jpeg(spark, corpora)
     spark.stop()
