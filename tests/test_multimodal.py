@@ -1629,6 +1629,39 @@ def test_flac_pcm_property_random_samples():
     check()
 
 
+def test_flac_stereo_property_random_samples():
+    """Hypothesis sweep (round 13): stereo FLAC must losslessly invert
+    synth_flac_stereo for arbitrary interleaved int16 streams —
+    shrunk lengths cover every channel assignment in the fixture
+    cycle, the 17-bit side-channel extremes, and partial last
+    frames."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _flac_decode,
+        synth_flac_stereo,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        frames=st.lists(
+            st.tuples(
+                st.integers(min_value=-32768, max_value=32767),
+                st.integers(min_value=-32768, max_value=32767),
+            ),
+            min_size=1,
+            max_size=600,
+        )
+    )
+    def check(frames: list) -> None:
+        want = np.asarray(frames, dtype=np.int16)
+        sr, ch, got = _flac_decode(synth_flac_stereo(want.tobytes()))
+        assert (sr, ch) == (16000, 2) and (got == want).all()
+
+    check()
+
+
 def test_jpeg_progressive_property_random_pixels():
     """Hypothesis sweep (round 13): progressive reconstruction must
     equal baseline reconstruction for arbitrary pixel payloads — the
