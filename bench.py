@@ -221,6 +221,7 @@ HEADLINE = [
     "multimodal_jpeg420_progressive_stats",
     "multimodal_flac_stereo_stats",
     "multimodal_jpeg422_stats",
+    "multimodal_png_rgba_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -2873,13 +2873,27 @@ def synth_png(data: bytes, width: int) -> bytes | None:
 
 def _png_logical_pixels(data: bytes):
     """(h, w, 3) RGB uint8 array of an 8-bit truecolor PNG's LOGICAL
-    image (row 0 = top): chunk walk with CRC verify → IDAT concatenation
-    → this module's own zlib/DEFLATE inflate → per-row unfilter (all
-    five filter types). Grayscale/palette/alpha color types, 16-bit
-    depth and Adam7 interlace raise NotImplementedError (interlace needs
-    the seven-pass reordering a codec provides; the others are narrower
-    fixtures than the truecolor contract needs). Raises
-    NotImplementedError on non-PNG / truncated / corrupt payloads."""
+    image — the color-type-2 contract the PPM-twin rows pin; other
+    color types raise here and are served by :func:`_png_decode`."""
+    h, w, color, arr = _png_decode(data)
+    if color != 2:
+        raise NotImplementedError(
+            "truecolor path: this PNG's color type decodes via _png_decode"
+        )
+    return arr
+
+
+def _png_decode(data: bytes):
+    """(h, w, color_type, (h, w, channels) uint8 array) of an 8-bit
+    PNG of any non-palette color type — grayscale (0), truecolor (2),
+    grayscale+alpha (4), truecolor+alpha (6; round-13 addendum — RGBA
+    is what real web PNGs overwhelmingly are): chunk walk with CRC
+    verify → IDAT concatenation → this module's own zlib/DEFLATE
+    inflate → per-row unfilter (all five filter types, bpp = channel
+    count). Palette (3), 16-bit depth and Adam7 interlace raise
+    NotImplementedError (interlace needs the seven-pass reordering a
+    codec provides). Raises NotImplementedError on non-PNG / truncated
+    / corrupt payloads."""
     import struct
     import zlib as _zlib
 
@@ -2913,9 +2927,9 @@ def _png_logical_pixels(data: bytes):
                 )
             if interlace != 0:
                 raise NotImplementedError("unknown PNG interlace method")
-            if depth != 8 or color != 2:
+            if depth != 8 or color not in (0, 2, 4, 6):
                 raise NotImplementedError(
-                    "only 8-bit truecolor (color type 2) PNG is decoded codec-free"
+                    "only 8-bit non-palette PNG color types are decoded codec-free"
                 )
             if w < 1 or h < 1:
                 raise NotImplementedError("malformed PNG IHDR dimensions")
@@ -2929,7 +2943,8 @@ def _png_logical_pixels(data: bytes):
     if w is None or not seen_end:
         raise NotImplementedError("PNG missing IHDR/IEND")
     raw = _zlib_inflate(bytes(idat))
-    stride = w * 3
+    ch_n = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch_n
     if len(raw) != h * (1 + stride):
         raise NotImplementedError("PNG scanline payload size mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -2937,9 +2952,9 @@ def _png_logical_pixels(data: bytes):
     for y in range(h):
         ftype = raw[y * (1 + stride)]
         filt = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        prior = _png_unfilter_row(ftype, filt, prior, 3)
+        prior = _png_unfilter_row(ftype, filt, prior, ch_n)
         out[y] = np.frombuffer(bytes(prior), dtype=np.uint8)
-    return out.reshape(h, w, 3)
+    return h, w, color, out.reshape(h, w, ch_n)
 
 
 # ---------------------------------------------------------------------------
@@ -4688,6 +4703,112 @@ def attach_png_payload(
     twin."""
     return _attach_payload(
         df, {0: synth_png, 1: synth_png, 2: synth_png}, text_col, id_col
+    )
+
+
+def synth_png_rgba(data: bytes, width: int) -> bytes | None:
+    """Deterministic 8-bit RGBA PNG (color type 6, round 13 — the
+    color type real web PNGs overwhelmingly carry): pixel (y, x,
+    ch∈RGBA) = ``data[(y·w + x)·4 + ch]``, truncated to whole rows,
+    stored like :func:`synth_png` (zlib IDAT, row filter y % 5, CRCs)
+    with bpp 4 driving the Sub/Average/Paeth predictors. Returns None
+    when fewer than one full row fits."""
+    import struct
+    import zlib as _zlib
+
+    height = (len(data) // 4) // width
+    if height < 1:
+        return None
+    stride = width * 4
+    scan = bytearray()
+    zero = bytes(stride)
+    for y in range(height):
+        raw = data[y * stride : (y + 1) * stride]
+        prior = data[(y - 1) * stride : y * stride] if y else zero
+        ftype = y % 5
+        scan.append(ftype)
+        scan += _png_filter_row(ftype, raw, prior, 4)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_rgba_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """RGBA-PNG corpus attacher: EVERY document whose text holds at
+    least one full RGBA pixel row becomes a real color-type-6 PNG
+    (:func:`synth_png_rgba`, width = 4 + id % 8 — the shared
+    logical-pixel width rule over 4-byte pixels); shorter rows stay
+    raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: synth_png_rgba, 1: synth_png_rgba, 2: synth_png_rgba},
+        text_col,
+        id_col,
+    )
+
+
+def png_rgba_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 8-bit RGBA PNG payloads
+    (round 13): the full decode — chunk walk + CRC verify → own
+    DEFLATE inflate → five-filter row reconstruction at bpp 4 — with
+    the ALPHA channel a first-class output. Non-RGBA payloads (incl.
+    plain truecolor PNGs) are dropped. Output: (id, width, height,
+    sum_rgba array<long>, peak_rgba array<int>), arrays indexed
+    R,G,B,A."""
+    import numpy as np
+
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    h, w, color, px = _png_decode(bytes(b))
+                except NotImplementedError:
+                    continue
+                if color != 6:
+                    continue
+                flat = px.reshape(h * w, 4).astype("int64")
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in flat.sum(axis=0)])
+                peaks.append([int(x) for x in flat.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgba": sums,
+                    "peak_rgba": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, "
+        "sum_rgba array<long>, peak_rgba array<int>",
     )
 
 

@@ -126,6 +126,9 @@ _MANIFEST = [
     # round 13: 4:2:2 sampling (x-only decimation) — completes the
     # subsampling geometry matrix.
     "multimodal_jpeg422_stats",
+    # round 13: RGBA PNG (color type 6) — the alpha channel first-class,
+    # bpp-4 filter predictors pinned against the closed-form oracle.
+    "multimodal_png_rgba_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

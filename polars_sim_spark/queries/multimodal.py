@@ -578,6 +578,69 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_rgba_stats",
+    """
+WITH png AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (SELECT *, (dlen // 4) // w AS h FROM png WHERE (dlen // 4) // w >= 1),
+px AS (SELECT doc_id, hx, w, h, unnest(range(w * h)) AS k FROM valid),
+sm AS (
+  SELECT p.doc_id, c.c,
+         CAST(('0x' || substr(p.hx, CAST((p.k * 4 + c.c) * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM px p CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(c)
+),
+agg AS (SELECT doc_id, c, sum(v) AS s, max(v) AS pk FROM sm GROUP BY 1, 2)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(max(CASE WHEN a.c = 0 THEN a.s END) AS BIGINT) AS sum_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.s END) AS BIGINT) AS sum_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.s END) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN a.c = 3 THEN a.s END) AS BIGINT) AS sum_a,
+       CAST(max(CASE WHEN a.c = 0 THEN a.pk END) AS INT) AS peak_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.pk END) AS INT) AS peak_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.pk END) AS INT) AS peak_b,
+       CAST(max(CASE WHEN a.c = 3 THEN a.pk END) AS INT) AS peak_a
+FROM valid v JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_png_rgba_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGBA PNG decode (color type 6, round 13 — the color type real
+    web PNGs overwhelmingly carry): the fixture corpus
+    (operators/multimodal.py:attach_png_rgba_payload — real 8-bit RGBA
+    PNGs, 4-byte pixels driving the Sub/Average/Paeth predictors at
+    bpp 4, filters cycling all five types) fully decoded by
+    :func:`png_rgba_stats` with the ALPHA channel a first-class
+    output. The oracle predicts every channel byte from the text in
+    closed form — a wrong bpp in a filter predictor (the classic RGBA
+    decoder bug: reusing bpp 3 shifts every prediction one byte) is a
+    hash mismatch on every Sub/Average/Paeth row."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_png_rgba_payload,
+        png_rgba_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_rgba_stats(attach_png_rgba_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgba", 1).alias("sum_r"),
+        F.element_at("sum_rgba", 2).alias("sum_g"),
+        F.element_at("sum_rgba", 3).alias("sum_b"),
+        F.element_at("sum_rgba", 4).alias("sum_a"),
+        F.element_at("peak_rgba", 1).alias("peak_r"),
+        F.element_at("peak_rgba", 2).alias("peak_g"),
+        F.element_at("peak_rgba", 3).alias("peak_b"),
+        F.element_at("peak_rgba", 4).alias("peak_a"),
+    )
+
+
 def _duck_jpeg_sql() -> str:
     """Oracle for the baseline-JPEG decode row: replays the ENTIRE
     documented fixed-point lossy pipeline in SQL — pixels from text

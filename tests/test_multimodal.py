@@ -987,6 +987,79 @@ def test_huffman_builders_reject_malformed_tables():
         _jpeg_huffman([0, 2, 0] + [0] * 13, [3, 3])
 
 
+def test_png_nonpalette_color_types_decode(spark):
+    """Round 13: the generalized PNG decoder handles every non-palette
+    8-bit color type — grayscale (0), truecolor (2, the original
+    contract), gray+alpha (4), RGBA (6) — with the filter predictors
+    at the color type's own bpp; palette stays gated."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _png_decode,
+        _png_filter_row,
+        _png_logical_pixels,
+        png_rgba_stats,
+        synth_png,
+        synth_png_rgba,
+    )
+
+    def build(color: int, ch: int, w: int, rows: int, data: bytes) -> bytes:
+        stride = w * ch
+        scan = bytearray()
+        zero = bytes(stride)
+        for y in range(rows):
+            raw = data[y * stride : (y + 1) * stride]
+            prior = data[(y - 1) * stride : y * stride] if y else zero
+            scan.append(y % 5)
+            scan += _png_filter_row(y % 5, raw, prior, ch)
+
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, rows, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(12)
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        w, rows = 6, 9
+        data = rng.integers(0, 256, w * rows * ch, dtype=np.uint8).tobytes()
+        h_, w_, got_color, px = _png_decode(build(color, ch, w, rows, data))
+        want = np.frombuffer(data, np.uint8).reshape(rows, w, ch)
+        assert (h_, w_, got_color) == (rows, w, color)
+        assert (px == want).all(), color
+    # palette stays gated
+    with pytest.raises(NotImplementedError, match="non-palette"):
+        _png_decode(build(3, 1, 6, 9, bytes(54)))
+    # the truecolor wrapper refuses RGBA (its rows pin (h, w, 3))
+    rgba = synth_png_rgba(bytes(range(240)), 5)
+    with pytest.raises(NotImplementedError, match="color type"):
+        _png_logical_pixels(rgba)
+    # stats operator: RGBA only, alpha first-class, RGB PNGs dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(rgba)), (2, bytearray(synth_png(bytes(range(240)), 5)))],
+        "doc_id long, payload binary",
+    )
+    rows_out = {r["doc_id"]: r for r in png_rgba_stats(df).collect()}
+    assert list(rows_out) == [1]
+    want = np.frombuffer(bytes(range(240)), np.uint8).reshape(-1, 4).astype(np.int64)
+    assert list(rows_out[1]["sum_rgba"]) == [int(x) for x in want.sum(axis=0)]
+    assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in want.max(axis=0)]
+
+
 def test_jpeg_restart_intervals_decode_identically():
     """Round 13: DRI/RSTn streams must reconstruct the exact pixels of
     the restart-free stream (the markers change only the entropy
