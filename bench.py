@@ -222,6 +222,7 @@ HEADLINE = [
     "multimodal_flac_stereo_stats",
     "multimodal_jpeg422_stats",
     "multimodal_png_rgba_stats",
+    "multimodal_png_palette_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -91,3 +91,24 @@ def hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, hsrc = _fs_and_path(spark, src)
     hdst = _fs_and_path(spark, dst)[1]
     return bool(fs.rename(hsrc, hdst))
+
+
+def hadoop_rename_strict(spark: SparkSession, src: str, dst: str) -> None:
+    """:func:`hadoop_rename` that raises instead of returning ``False``.
+
+    Hadoop's ``FileSystem.rename`` reports failure as a boolean rather
+    than an exception (unlike ``os.rename``), and its semantics when
+    ``dst`` already exists differ from POSIX — some implementations
+    move ``src`` *inside* an existing ``dst`` directory. Staged-swap
+    compaction must never proceed past a failed or ambiguous rename
+    (a later delete would destroy the only surviving copy), so this
+    wrapper pre-checks that ``dst`` does not exist and raises
+    ``RuntimeError`` on any reported failure."""
+    fs, hsrc = _fs_and_path(spark, src)
+    hdst = _fs_and_path(spark, dst)[1]
+    if fs.exists(hdst):
+        raise RuntimeError(
+            f"rename destination already exists: {src!r} -> {dst!r}"
+        )
+    if not fs.rename(hsrc, hdst):
+        raise RuntimeError(f"filesystem rename failed: {src!r} -> {dst!r}")

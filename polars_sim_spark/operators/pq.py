@@ -954,14 +954,19 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
     store silently can't see the cells Spark wrote. See
     :func:`polars_sim_spark.fsutil.hadoop_rename` for the object-store
     atomicity caveat (copy+delete emulation widens the crash windows;
-    the recovery invariant is unchanged)."""
+    the recovery invariant is unchanged). Every rename goes through
+    :func:`polars_sim_spark.fsutil.hadoop_rename_strict` (round 14,
+    ADVICE r13): Hadoop's ``rename`` reports failure as ``False``
+    rather than raising, and ignoring it would let the trailing deletes
+    destroy the only surviving copy of a cell — the strict wrapper
+    raises before any delete can run."""
     from polars_sim_spark.fsutil import (
         hadoop_delete,
         hadoop_exists,
         hadoop_is_dir,
         hadoop_list_names,
         hadoop_mkdirs,
-        hadoop_rename,
+        hadoop_rename_strict,
     )
 
     root = path.rstrip("/")
@@ -980,9 +985,9 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
                 if hadoop_is_dir(spark, staged) and hadoop_exists(
                     spark, f"{staged}/_SUCCESS"
                 ):
-                    hadoop_rename(spark, staged, cell_dir)
+                    hadoop_rename_strict(spark, staged, cell_dir)
                 else:
-                    hadoop_rename(spark, f"{old_root}/{d}", cell_dir)
+                    hadoop_rename_strict(spark, f"{old_root}/{d}", cell_dir)
     hadoop_delete(spark, tmp_root)
     hadoop_delete(spark, old_root)
     todo = []
@@ -1007,8 +1012,8 @@ def compact_ivfpq_cells(spark, path: str, *, min_files_per_cell: int = 2) -> dic
         files_after += sum(
             1 for f in hadoop_list_names(spark, tmp) if f.endswith(".parquet")
         )
-        hadoop_rename(spark, cell_dir, old)  # aside (cell "missing" → recoverable)
-        hadoop_rename(spark, tmp, cell_dir)  # complete new list in place
+        hadoop_rename_strict(spark, cell_dir, old)  # aside (recoverable)
+        hadoop_rename_strict(spark, tmp, cell_dir)  # new list in place
         hadoop_delete(spark, old)
     hadoop_delete(spark, tmp_root)
     hadoop_delete(spark, old_root)

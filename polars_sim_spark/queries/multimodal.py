@@ -579,6 +579,85 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_palette_stats",
+    """
+WITH png AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (
+  SELECT *, dlen // w AS h, 2 * (w % 4) + 1 AS m
+  FROM png WHERE dlen // w >= 1
+),
+px AS (SELECT doc_id, hx, w, h, m, unnest(range(w * h)) AS k FROM valid),
+iv AS (
+  SELECT doc_id, w, h, m,
+         CAST(('0x' || substr(hx, CAST(k * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM px
+),
+ch AS (
+  SELECT doc_id,
+         (m * v + h) % 256 AS r,
+         (3 * m * v + 2 * h + 1) % 256 AS g,
+         (5 * m * v + 3 * h + 2) % 256 AS b,
+         CASE WHEN (w + h) % 3 = 0 AND v < 128
+              THEN (7 * v + 1) % 256 ELSE 255 END AS a
+  FROM iv
+),
+agg AS (
+  SELECT doc_id,
+         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, sum(a) AS sa,
+         max(r) AS pr, max(g) AS pg, max(b) AS pb, max(a) AS pa
+  FROM ch GROUP BY 1
+)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(a.sr AS BIGINT) AS sum_r, CAST(a.sg AS BIGINT) AS sum_g,
+       CAST(a.sb AS BIGINT) AS sum_b, CAST(a.sa AS BIGINT) AS sum_a,
+       CAST(a.pr AS INT) AS peak_r, CAST(a.pg AS INT) AS peak_g,
+       CAST(a.pb AS INT) AS peak_b, CAST(a.pa AS INT) AS peak_a
+FROM valid v JOIN agg a USING (doc_id)
+""",
+)
+def multimodal_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-indexed PNG decode (color type 3, round 14 — VERDICT
+    r13 "what's missing" #1, the most common web-PNG class: icons,
+    screenshots, pngquant output): the fixture corpus
+    (operators/multimodal.py:attach_png_palette_payload — real
+    color-type-3 PNGs, one index byte per pixel driving the five row
+    filters at bpp 1, a 256-entry PLTE that VARIES per image via the
+    closed-form (m·i + h) rule, and a 128-entry tRNS alpha table on
+    every (w+h) ≡ 0 (mod 3) image) fully decoded by
+    :func:`png_palette_stats` — inflate → unfilter → PLTE lookup →
+    tRNS alpha with the spec's opaque-beyond-the-table rule. The
+    oracle predicts every channel byte from the text alone (the
+    palette is a function of the index and geometry), so a decoder
+    that misreads PLTE rows, swaps index order, or defaults alpha
+    wrong on the short tRNS table is a hash mismatch."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_png_palette_payload,
+        png_palette_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_palette_stats(attach_png_palette_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgba", 1).alias("sum_r"),
+        F.element_at("sum_rgba", 2).alias("sum_g"),
+        F.element_at("sum_rgba", 3).alias("sum_b"),
+        F.element_at("sum_rgba", 4).alias("sum_a"),
+        F.element_at("peak_rgba", 1).alias("peak_r"),
+        F.element_at("peak_rgba", 2).alias("peak_g"),
+        F.element_at("peak_rgba", 3).alias("peak_b"),
+        F.element_at("peak_rgba", 4).alias("peak_a"),
+    )
+
+
+@register(
     "multimodal_png_rgba_stats",
     """
 WITH png AS (

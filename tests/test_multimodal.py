@@ -1041,8 +1041,9 @@ def test_png_nonpalette_color_types_decode(spark):
         want = np.frombuffer(data, np.uint8).reshape(rows, w, ch)
         assert (h_, w_, got_color) == (rows, w, color)
         assert (px == want).all(), color
-    # palette stays gated
-    with pytest.raises(NotImplementedError, match="non-palette"):
+    # palette without its mandatory PLTE must drop, not crash (round
+    # 14: color type 3 itself now decodes — see the palette tests)
+    with pytest.raises(NotImplementedError, match="missing PLTE"):
         _png_decode(build(3, 1, 6, 9, bytes(54)))
     # the truecolor wrapper refuses RGBA (its rows pin (h, w, 3))
     rgba = synth_png_rgba(bytes(range(240)), 5)
@@ -1058,6 +1059,102 @@ def test_png_nonpalette_color_types_decode(spark):
     want = np.frombuffer(bytes(range(240)), np.uint8).reshape(-1, 4).astype(np.int64)
     assert list(rows_out[1]["sum_rgba"]) == [int(x) for x in want.sum(axis=0)]
     assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in want.max(axis=0)]
+
+
+def test_png_palette_decode_and_stats(spark):
+    """Round 14: palette-indexed PNG (color type 3) — PLTE lookup,
+    optional tRNS alpha (opaque beyond the short table), all five row
+    filters at bpp 1 — decodes to the closed-form per-image palette
+    rule, and the malformed-palette cases drop per the contract."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _png_decode,
+        png_palette_stats,
+        synth_png,
+        synth_png_palette,
+    )
+
+    rng = np.random.default_rng(77)
+    saw_trns = saw_opaque = False
+    for trial in range(24):
+        w = 4 + trial % 8
+        h = int(rng.integers(1, 16))
+        idx = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+        png = synth_png_palette(idx.tobytes(), w)
+        h_, w_, color, px = _png_decode(png)
+        assert (h_, w_, color) == (h, w, 3)
+        m = 2 * (w % 4) + 1
+        ii = idx.astype(np.int64).reshape(h, w)
+        assert (px[:, :, 0] == (m * ii + h) % 256).all()
+        assert (px[:, :, 1] == (3 * m * ii + 2 * h + 1) % 256).all()
+        assert (px[:, :, 2] == (5 * m * ii + 3 * h + 2) % 256).all()
+        if (w + h) % 3 == 0:
+            saw_trns = True
+            want_a = np.where(ii < 128, (7 * ii + 1) % 256, 255)
+        else:
+            saw_opaque = True
+            want_a = np.full_like(ii, 255)
+        assert (px[:, :, 3] == want_a).all()
+    assert saw_trns and saw_opaque
+
+    def rechunk(png: bytes, drop: bytes = b"", add: list = ()) -> bytes:
+        """Rewrite the fixture's chunk stream (drop a type / inject
+        before IDAT) with fresh CRCs."""
+        out = bytearray(png[:8])
+        pos = len(out)
+        while pos + 12 <= len(png):
+            (clen,) = struct.unpack_from(">I", png, pos)
+            ctype = png[pos + 4 : pos + 8]
+            body = png[pos + 8 : pos + 8 + clen]
+            pos += 12 + clen
+            if ctype == drop:
+                continue
+            if ctype == b"IDAT":
+                for t, b in add:
+                    out += (
+                        struct.pack(">I", len(b))
+                        + t
+                        + b
+                        + struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+                    )
+                add = ()
+            out += (
+                struct.pack(">I", clen)
+                + ctype
+                + body
+                + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+        return bytes(out)
+
+    base = synth_png_palette(bytes(range(200)) + bytes(40), 6)
+    with pytest.raises(NotImplementedError, match="missing PLTE"):
+        _png_decode(rechunk(base, drop=b"PLTE"))
+    with pytest.raises(NotImplementedError, match="PLTE length"):
+        _png_decode(rechunk(rechunk(base, drop=b"PLTE"), add=[(b"PLTE", bytes(4))]))
+    with pytest.raises(NotImplementedError, match="tRNS longer"):
+        _png_decode(rechunk(rechunk(base, drop=b"PLTE"), add=[(b"PLTE", bytes(6)), (b"tRNS", bytes(5))]))
+    # short PLTE + an index past it must drop (indices reach 255 here)
+    with pytest.raises(NotImplementedError, match="index out of range"):
+        _png_decode(rechunk(rechunk(base, drop=b"PLTE"), add=[(b"PLTE", bytes(6))]))
+
+    # stats operator: palette only; truecolor PNGs dropped
+    pal = synth_png_palette(bytes(range(120)), 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(pal)), (2, bytearray(synth_png(bytes(range(240)), 5)))],
+        "doc_id long, payload binary",
+    )
+    rows_out = {r["doc_id"]: r for r in png_palette_stats(df).collect()}
+    assert list(rows_out) == [1]
+    h_, w_, _c, px = _png_decode(pal)
+    flat = px.reshape(-1, 4).astype(np.int64)
+    assert rows_out[1]["width"] == w_ and rows_out[1]["height"] == h_
+    assert list(rows_out[1]["sum_rgba"]) == [int(x) for x in flat.sum(axis=0)]
+    assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in flat.max(axis=0)]
 
 
 def test_jpeg_restart_intervals_decode_identically():

@@ -246,6 +246,42 @@ def test_phash_cross_format_ppm_equals_gif(spark):
     assert hp == hg and len(hp) == len(images)
 
 
+def test_phash_cross_format_ppm_equals_palette_png(spark):
+    """Round 14: the same LOGICAL image stored as raw PPM and as a
+    palette-indexed PNG (color type 3 — indices + the per-image PLTE
+    rule) must hash to the identical 64 bits: the PPM twin stores the
+    PLTE-EXPANDED RGB bytes, so a wrong palette row, index byte or
+    filter reconstruction at bpp 1 moves a sampled gray value and
+    breaks the identity."""
+    from polars_sim_spark.operators.multimodal import synth_png_palette
+
+    rng = np.random.default_rng(41)
+    ppm_rows, png_rows = [], []
+    for i in range(25):
+        w = 4 + i % 8
+        h = int(rng.integers(1, 20))
+        idx = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+        png = synth_png_palette(idx.tobytes(), w)
+        assert png is not None
+        m = 2 * (w % 4) + 1
+        ii = idx.astype(np.int64)
+        rgb = np.stack(
+            [
+                (m * ii + h) % 256,
+                (3 * m * ii + 2 * h + 1) % 256,
+                (5 * m * ii + 3 * h + 2) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        ppm_rows.append((i, synth_ppm(rgb.tobytes(), w)))
+        png_rows.append((i, png))
+    pdf = spark.createDataFrame(ppm_rows, "doc_id long, payload binary")
+    gdf = spark.createDataFrame(png_rows, "doc_id long, payload binary")
+    hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
+    hg = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(gdf, n_bands=8).collect()}
+    assert hp == hg and len(hp) == 25
+
+
 def test_multiformat_corpus_hashes_equal_ppm_twin(spark):
     """Round 11 (PNG added r12): dHashes over the MIXED-container corpus
     (PPM/BMP/GIF/PNG by id mod 4, attach_multiformat_payload) must be

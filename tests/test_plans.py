@@ -189,6 +189,33 @@ def test_q17_thresholds_are_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_q16_broadcast_filters_below_first_exchange(spark, sf_small):
+    """q16's widest shuffle must carry only broadcast-filtered pairs
+    (VERDICT r13 #1): both the part brand/type/size filter and the
+    excluded-supplier anti join are BroadcastHashJoins that appear
+    BELOW the first Exchange in the plan — no shuffled join, and no
+    pair-level distinct shuffle above an unfiltered scan."""
+    df = q.tpch_q16_part_supplier_counts(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # Walk the operator TREE (the block before the per-node detail
+    # sections): every BroadcastHashJoin line must sit deeper (later
+    # line = closer to the scans) than every shuffle Exchange line,
+    # i.e. the joins happen before the first shuffle.
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    assert sum("BroadcastHashJoin" in ln for ln in tree) == 2
+    bhj = [i for i, ln in enumerate(tree) if "BroadcastHashJoin" in ln]
+    exch = [
+        i
+        for i, ln in enumerate(tree)
+        if "- Exchange (" in ln  # shuffle; BroadcastExchange won't match
+    ]
+    assert exch and bhj
+    assert min(bhj) > max(exch), (
+        "a shuffle runs below the broadcast filters:\n" + plan
+    )
+
+
 def test_unpivot_is_zero_exchange(spark, sf_small):
     """UNPIVOT is a per-row expansion — the wide→long reshape must not
     plan any exchange."""
