@@ -223,6 +223,7 @@ HEADLINE = [
     "multimodal_jpeg422_stats",
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
+    "multimodal_png_adam7_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

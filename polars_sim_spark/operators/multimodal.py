@@ -2295,7 +2295,7 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
     return out[:n_pixels]
 
 
-def synth_gif(data: bytes, width: int) -> bytes | None:
+def synth_gif(data: bytes, width: int, *, interlace: bool = False) -> bytes | None:
     """Deterministic GIF89a around ``data`` — the third codec-free pixel
     container, and the first COMPRESSED one. The LOGICAL image is
     identical to :func:`synth_ppm`'s (pixel (y, x, ch) =
@@ -2305,7 +2305,10 @@ def synth_gif(data: bytes, width: int) -> bytes | None:
     distinct colors, every strip is its own image descriptor with a
     local color table (first-occurrence color order) and a GIF-LZW
     compressed index raster, under one logical screen descriptor.
-    Returns None when fewer than one full row fits."""
+    ``interlace=True`` (round 14) stores each strip's rows in the GIF
+    4-pass order with the descriptor's interlace flag set — the same
+    logical pixels, permuted storage. Returns None when fewer than one
+    full row fits."""
     import struct
 
     height = (len(data) // 3) // width
@@ -2337,9 +2340,26 @@ def synth_gif(data: bytes, width: int) -> bytes | None:
             palette += bytes(c)
         palette += b"\x00" * (3 * ((1 << bits) - n))
         strip_h = y - y0
-        out += struct.pack("<BHHHHB", 0x2C, 0, y0, width, strip_h, 0x80 | (bits - 1))
+        out += struct.pack(
+            "<BHHHHB",
+            0x2C,
+            0,
+            y0,
+            width,
+            strip_h,
+            0x80 | (0x40 if interlace else 0) | (bits - 1),
+        )
         out += palette
-        idx = [colors[c] for yy in range(y0, y) for c in rows[yy]]
+        row_order = (
+            [
+                r
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                for r in range(start, strip_h, step)
+            ]
+            if interlace
+            else range(strip_h)
+        )
+        idx = [colors[c] for j in row_order for c in rows[y0 + j]]
         mcs = bits  # ≥ 2 per spec, and 2**mcs ≥ table size
         out.append(mcs)
         stream = _lzw_encode(idx, mcs)
@@ -2355,10 +2375,10 @@ def synth_gif(data: bytes, width: int) -> bytes | None:
 def _gif_logical_pixels(data: bytes):
     """(h, w, 3) RGB uint8 array of a GIF's LOGICAL image (row 0 = top),
     composing every image descriptor's LZW-decoded raster through its
-    color table onto the canvas at its (left, top) offset. Extension
-    blocks are skipped; interlaced images and sub-images that overflow
-    the canvas raise NotImplementedError (they need a real codec's
-    reordering pass / error recovery)."""
+    color table onto the canvas at its (left, top) offset. Interlaced
+    sub-images (round 14) de-permute through the GIF 4-pass row order.
+    Extension blocks are skipped; sub-images that overflow the canvas
+    raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -2401,8 +2421,6 @@ def _gif_logical_pixels(data: bytes):
             raise NotImplementedError("truncated GIF image descriptor")
         left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF needs a reordering codec pass")
         if left + iw > w or top + ih > h or iw < 1 or ih < 1:
             raise NotImplementedError("GIF sub-image overflows the canvas")
         if ipacked & 0x80:
@@ -2435,7 +2453,22 @@ def _gif_logical_pixels(data: bytes):
         arr = np.asarray(idx, dtype=np.int64)
         if arr.max(initial=0) >= len(table):
             raise NotImplementedError("GIF pixel index beyond color table")
-        canvas[top : top + ih, left : left + iw] = table[arr].reshape(ih, iw, 3)
+        pix = table[arr].reshape(ih, iw, 3)
+        if ipacked & 0x40:
+            # interlaced sub-image (round 14): rows are STORED in the
+            # GIF 4-pass order (8k, 8k+4, 4k+2, 2k+1) — scatter stored
+            # row j back to logical row order[j], a pure permutation.
+            order = np.asarray(
+                [
+                    r
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for r in range(start, ih, step)
+                ]
+            )
+            dest = np.empty_like(pix)
+            dest[order] = pix
+            pix = dest
+        canvas[top : top + ih, left : left + iw] = pix
         covered[top : top + ih, left : left + iw] = True
     if not covered.all():
         raise NotImplementedError("GIF sub-images do not cover the canvas")
@@ -2896,6 +2929,75 @@ def synth_png(data: bytes, width: int) -> bytes | None:
     )
 
 
+def synth_png_adam7(data: bytes, width: int) -> bytes | None:
+    """Deterministic Adam7-INTERLACED 8-bit truecolor PNG (round 14 —
+    the progressive-rendering layout real thumbnailers emit): the
+    LOGICAL image is :func:`synth_png`'s exactly (pixel (y, x, ch) =
+    ``data[(y·w + x)·3 + ch]``, truncated to whole rows), but stored
+    as the spec's seven strided sub-images, each pass filtered
+    independently with the filter type cycling ``row_counter % 5``
+    across the whole stream so every filter path runs inside the pass
+    structure. Returns None when fewer than one full row fits."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    px = np.frombuffer(
+        data[: height * width * 3], dtype=np.uint8
+    ).reshape(height, width, 3)
+    scan = bytearray()
+    row_counter = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub = px[y0::dy, x0::dx].reshape(ph, pw * 3)
+        prior = bytes(pw * 3)
+        for j in range(ph):
+            raw = sub[j].tobytes()
+            ftype = row_counter % 5
+            row_counter += 1
+            scan.append(ftype)
+            scan += _png_filter_row(ftype, raw, prior, 3)
+            prior = raw
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_adam7_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adam7-PNG corpus attacher: EVERY document whose text holds at
+    least one full pixel row becomes a real interlaced truecolor PNG
+    (:func:`synth_png_adam7`, width = 4 + id % 8 — the shared
+    logical-pixel rule); shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: synth_png_adam7, 1: synth_png_adam7, 2: synth_png_adam7},
+        text_col,
+        id_col,
+    )
+
+
 def _png_logical_pixels(data: bytes):
     """(h, w, 3) RGB uint8 array of an 8-bit truecolor OR
     palette-indexed PNG's LOGICAL image — the contract the PPM-twin
@@ -2913,6 +3015,19 @@ def _png_logical_pixels(data: bytes):
     )
 
 
+#: Adam7 pass geometry (x-origin, y-origin, x-stride, y-stride) in
+#: stored order — PNG spec §8.2.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def _png_decode(data: bytes):
     """(h, w, color_type, (h, w, channels) uint8 array) of an 8-bit
     PNG of any color type — grayscale (0), truecolor (2),
@@ -2926,10 +3041,11 @@ def _png_decode(data: bytes):
     tRNS alpha table (entries beyond it are opaque, per the spec) —
     and returns an (h, w, 4) RGBA array; an index past the palette,
     a missing/oversized/non-multiple-of-3 PLTE, or a tRNS longer than
-    the palette all raise. 16-bit depth and Adam7 interlace raise
-    NotImplementedError (interlace needs the seven-pass reordering
-    pass). Raises NotImplementedError on non-PNG / truncated / corrupt
-    payloads."""
+    the palette all raise. Adam7 INTERLACED streams decode too (round
+    14): the seven stored sub-images unfilter independently and
+    scatter back through the pass grid — a pure index permutation over
+    the same chain. 16-bit depth raises NotImplementedError. Raises
+    NotImplementedError on non-PNG / truncated / corrupt payloads."""
     import struct
     import zlib as _zlib
 
@@ -2958,11 +3074,7 @@ def _png_decode(data: bytes):
             )
             if comp != 0 or filt != 0:
                 raise NotImplementedError("nonstandard PNG compression/filter method")
-            if interlace == 1:
-                raise NotImplementedError(
-                    "Adam7 interlaced PNG needs a codec's reordering pass"
-                )
-            if interlace != 0:
+            if interlace not in (0, 1):
                 raise NotImplementedError("unknown PNG interlace method")
             if depth != 8 or color not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
@@ -2988,15 +3100,46 @@ def _png_decode(data: bytes):
     raw = _zlib_inflate(bytes(idat))
     ch_n = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     stride = w * ch_n
-    if len(raw) != h * (1 + stride):
-        raise NotImplementedError("PNG scanline payload size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prior = bytearray(stride)
-    for y in range(h):
-        ftype = raw[y * (1 + stride)]
-        filt = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        prior = _png_unfilter_row(ftype, filt, prior, ch_n)
-        out[y] = np.frombuffer(bytes(prior), dtype=np.uint8)
+    if interlace == 1:
+        # Adam7 (round 14): seven stored sub-images, each a strided
+        # subgrid of the logical image, each filtered INDEPENDENTLY
+        # (prior row = previous row of the same pass; empty passes are
+        # absent entirely, per the spec) — a pure index permutation
+        # over the same unfilter chain.
+        full = np.empty((h, w, ch_n), dtype=np.uint8)
+        pos_r = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * ch_n
+            prior = bytearray(pstride)
+            for j in range(ph):
+                if pos_r + 1 + pstride > len(raw):
+                    raise NotImplementedError(
+                        "PNG scanline payload size mismatch"
+                    )
+                ftype = raw[pos_r]
+                filt = raw[pos_r + 1 : pos_r + 1 + pstride]
+                pos_r += 1 + pstride
+                prior = _png_unfilter_row(ftype, filt, prior, ch_n)
+                full[y0 + j * dy, x0::dx] = np.frombuffer(
+                    bytes(prior), dtype=np.uint8
+                ).reshape(pw, ch_n)
+        if pos_r != len(raw):
+            raise NotImplementedError("PNG scanline payload size mismatch")
+        out = full.reshape(h, stride)
+    else:
+        if len(raw) != h * (1 + stride):
+            raise NotImplementedError("PNG scanline payload size mismatch")
+        out = np.empty((h, stride), dtype=np.uint8)
+        prior = bytearray(stride)
+        for y in range(h):
+            ftype = raw[y * (1 + stride)]
+            filt = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+            prior = _png_unfilter_row(ftype, filt, prior, ch_n)
+            out[y] = np.frombuffer(bytes(prior), dtype=np.uint8)
     if color == 3:
         if plte is None:
             raise NotImplementedError("palette PNG missing PLTE")

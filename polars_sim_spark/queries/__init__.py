@@ -130,6 +130,7 @@ _MANIFEST = [
     # bpp-4 filter predictors pinned against the closed-form oracle.
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
+    "multimodal_png_adam7_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

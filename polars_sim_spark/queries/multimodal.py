@@ -579,6 +579,66 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_adam7_stats",
+    """
+WITH png AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (SELECT *, (dlen // 3) // w AS h FROM png WHERE (dlen // 3) // w >= 1),
+px AS (SELECT doc_id, hx, w, h, unnest(range(w * h)) AS k FROM valid),
+sm AS (
+  SELECT p.doc_id, c.c,
+         CAST(('0x' || substr(p.hx, CAST((p.k * 3 + c.c) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+  FROM px p CROSS JOIN (VALUES (0), (1), (2)) AS c(c)
+),
+agg AS (SELECT doc_id, c, sum(v) AS s, max(v) AS pk FROM sm GROUP BY 1, 2)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(max(CASE WHEN a.c = 0 THEN a.s END) AS BIGINT) AS sum_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.s END) AS BIGINT) AS sum_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.s END) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN a.c = 0 THEN a.pk END) AS INT) AS peak_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.pk END) AS INT) AS peak_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.pk END) AS INT) AS peak_b
+FROM valid v JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7 INTERLACED PNG decode (round 14, VERDICT r13 #5 — the
+    progressive-rendering layout real thumbnailers emit): the fixture
+    corpus (operators/multimodal.py:attach_png_adam7_payload — real
+    interlace-method-1 truecolor PNGs whose seven strided sub-images
+    are filtered independently, filter types cycling across the whole
+    stream) fully decoded by :func:`png_pixel_stats` through the
+    seven-pass scatter. The LOGICAL image is the shared PPM rule, so
+    the oracle is :func:`multimodal_png_pixel_stats`'s VERBATIM — the
+    interlace must be invisible: a wrong pass origin/stride, a filter
+    prior leaking across passes, or a mis-sized empty pass moves
+    pixels between grid positions and fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_png_adam7_payload,
+        png_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = png_pixel_stats(attach_png_adam7_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
+@register(
     "multimodal_png_palette_stats",
     """
 WITH png AS (

@@ -586,13 +586,15 @@ def test_gif_synth_decode_and_pixel_stats(spark):
         _gif_logical_pixels(b"JUNK")
     with pytest.raises(NotImplementedError):
         _gif_logical_pixels(g[:40])  # truncated mid-structure
-    bad = bytearray(g)
-    # flip the first image descriptor's interlace bit (descriptor starts
-    # at byte 13: 0x2C + 8 bytes then the packed field)
-    assert bad[13] == 0x2C
-    bad[13 + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        _gif_logical_pixels(bytes(bad))
+    # flipping a sequential strip's interlace bit (round 14: interlace
+    # now DECODES) yields a well-formed stream whose rows land
+    # de-permuted — it must not crash, and for a multi-row strip the
+    # pixels move (the permutation is visible)
+    flipped = bytearray(g)
+    assert flipped[13] == 0x2C
+    flipped[13 + 9] |= 0x40
+    got_flip = _gif_logical_pixels(bytes(flipped))
+    assert got_flip.shape == _gif_logical_pixels(g).shape
     assert synth_gif(b"xy", 5) is None
 
     rows = [(1, g), (2, b"not an image"), (3, g[:60])]
@@ -896,7 +898,10 @@ def test_png_pixels_match_ppm_twin_and_reject_unsupported():
     corrupt[40] ^= 1  # inside IDAT -> chunk CRC mismatch
     with pytest.raises(NotImplementedError, match="CRC"):
         _png_logical_pixels(bytes(corrupt))
-    # interlace flag: rebuild the IHDR chunk with interlace=1 + new CRC
+    # interlace flag on a SEQUENTIAL payload (round 14: Adam7 now
+    # decodes): the seven-pass reinterpretation of sequential scanlines
+    # hits a named drop gate (bad filter byte or size mismatch) — the
+    # mislabeled stream drops cleanly either way
     ihdr = struct.pack(">IIBBBBB", 5, 30, 8, 2, 0, 0, 1)
     chunk = (
         struct.pack(">I", len(ihdr))
@@ -905,7 +910,7 @@ def test_png_pixels_match_ppm_twin_and_reject_unsupported():
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
     inter = good[:8] + chunk + good[8 + len(chunk):]
-    with pytest.raises(NotImplementedError, match="Adam7"):
+    with pytest.raises(NotImplementedError):
         _png_logical_pixels(inter)
 
 
@@ -1155,6 +1160,67 @@ def test_png_palette_decode_and_stats(spark):
     assert rows_out[1]["width"] == w_ and rows_out[1]["height"] == h_
     assert list(rows_out[1]["sum_rgba"]) == [int(x) for x in flat.sum(axis=0)]
     assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in flat.max(axis=0)]
+
+
+def test_png_adam7_and_gif_interlace_decode_identically():
+    """Round 14: Adam7 PNG and interlaced GIF are pure storage
+    permutations — the decoded logical pixels must be byte-identical
+    to the sequential containers across widths/heights spanning every
+    pass-geometry edge case (dims smaller than the pass strides leave
+    whole passes empty)."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _gif_logical_pixels,
+        _png_logical_pixels,
+        synth_gif,
+        synth_png,
+        synth_png_adam7,
+    )
+
+    rng = np.random.default_rng(14)
+    for w, h in [(1, 1), (1, 9), (7, 1), (3, 5), (8, 8), (9, 17), (16, 4), (13, 21)]:
+        data = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        want = np.frombuffer(data, np.uint8).reshape(h, w, 3)
+        got_png = _png_logical_pixels(synth_png_adam7(data, w))
+        assert np.array_equal(got_png, want), f"adam7 {w}x{h}"
+        assert np.array_equal(
+            got_png, _png_logical_pixels(synth_png(data, w))
+        )
+        got_gif = _gif_logical_pixels(synth_gif(data, w, interlace=True))
+        assert np.array_equal(got_gif, want), f"gif interlace {w}x{h}"
+
+
+def test_interlaced_containers_phash_equal_sequential(spark):
+    """Round 14: the container-invariant dHash must not see the
+    interlace — Adam7 PNGs and interlaced GIFs hash to the identical
+    64 bits as their sequential twins."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        ppm_phash,
+        synth_gif,
+        synth_png,
+        synth_png_adam7,
+    )
+
+    rng = np.random.default_rng(15)
+    seq_rows, int_rows = [], []
+    for i in range(16):
+        w = 4 + i % 8
+        h = int(rng.integers(1, 20))
+        data = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        if i % 2 == 0:
+            seq_rows.append((i, synth_png(data, w)))
+            int_rows.append((i, synth_png_adam7(data, w)))
+        else:
+            seq_rows.append((i, synth_gif(data, w)))
+            int_rows.append((i, synth_gif(data, w, interlace=True)))
+    sdf = spark.createDataFrame(seq_rows, "doc_id long, payload binary")
+    idf = spark.createDataFrame(int_rows, "doc_id long, payload binary")
+    hs = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(sdf, n_bands=8).collect()}
+    hi = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(idf, n_bands=8).collect()}
+    assert hs == hi and len(hs) == 16
 
 
 def test_jpeg_restart_intervals_decode_identically():
