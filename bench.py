@@ -224,6 +224,8 @@ HEADLINE = [
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
     "multimodal_png_adam7_stats",
+    "multimodal_wav8_stats",
+    "multimodal_flac24_stats",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -402,10 +402,14 @@ class _MsbBitWriter:
         return bytes(self.out)
 
 
-def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
+def synth_flac_pcm(
+    data: bytes, sample_rate: int = 16000, *, bits: int = 16
+) -> bytes | None:
     """Deterministic REAL-frame FLAC around ``data`` (round 13, VERDICT
     r12 #6 — the PCM tier the round-12 header-tier ``synth_flac``
-    deferred): the bytes are mono 16-bit LE samples, Rice-coded into
+    deferred): the bytes are mono signed LE samples at ``bits`` ∈
+    {8, 16, 24} per sample (round 14 added the depth parameter — 24-bit
+    is the archival depth, 8-bit the legacy one), Rice-coded into
     spec-layout frames of ``_FLAC_PCM_BLOCK`` samples. Frame i cycles
     subframe type VERBATIM / LPC (order 2, the fixture profile —
     what real encoders emit almost exclusively) / FIXED orders 1–3 —
@@ -417,17 +421,32 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
     the samples straight off the text bytes; the hand-written
     :func:`_flac_pcm_samples` decoder round-trip-pins every layer.
     Returns None when no sample fits. Header/STREAMINFO layout matches
-    :func:`_try_flac_header` (mono, 16-bit, total = sample count)."""
+    :func:`_try_flac_header` (mono, ``bits``-bit, total = sample
+    count)."""
     import struct
 
     import numpy as np
 
-    n = len(data) // 2
+    if bits not in (8, 16, 24):
+        raise ValueError("bits must be 8, 16 or 24")
+    bw = bits // 8
+    n = len(data) // bw
     if n < 1:
         return None
-    samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype="i1", count=n).astype(np.int64)
+    else:  # 24-bit: 3-byte LE two's complement
+        raw3 = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3)
+        u = (
+            raw3[:, 0].astype(np.int64)
+            | (raw3[:, 1].astype(np.int64) << 8)
+            | (raw3[:, 2].astype(np.int64) << 16)
+        )
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u)
     packed = (
-        (sample_rate << 44) | (0 << 41) | ((16 - 1) << 36) | (n & ((1 << 36) - 1))
+        (sample_rate << 44) | (0 << 41) | ((bits - 1) << 36) | (n & ((1 << 36) - 1))
     )
     streaminfo = (
         struct.pack(">HH", _FLAC_PCM_BLOCK, _FLAC_PCM_BLOCK)
@@ -441,7 +460,7 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
         bs = len(blk)
         hdr = bytearray(b"\xff\xf8")
         hdr.append((0x07 << 4) | 0x00)  # 16-bit blocksize-1 field; SR from STREAMINFO
-        hdr.append((0x00 << 4) | (0x04 << 1))  # mono; 16-bit samples
+        hdr.append((0x00 << 4) | ({8: 0x02, 16: 0x04, 24: 0x06}[bits] << 1))  # mono
         hdr += _flac_utf8(fi // _FLAC_PCM_BLOCK)
         hdr += struct.pack(">H", bs - 1)
         hdr.append(_crc8_flac(bytes(hdr)))
@@ -464,18 +483,18 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
         kind = (fi // _FLAC_PCM_BLOCK) % 5  # 0 verbatim, 1 lpc, 2-4 fixed
         if np.all(blk == blk[0]):
             w.put(0x00 << 1, 8)  # CONSTANT
-            w.put(int(blk[0]) & 0xFFFF, 16)
+            w.put(int(blk[0]) & ((1 << bits) - 1), bits)
         elif kind == 0 or bs <= 4:
             w.put(0x01 << 1, 8)  # VERBATIM
             for v in blk:
-                w.put(int(v) & 0xFFFF, 16)
+                w.put(int(v) & ((1 << bits) - 1), bits)
         elif kind == 1:
             # LPC order 2 at the fixture profile (real encoders emit
             # LPC almost exclusively; lossless for any coefficients)
             lpc_order = len(_FLAC_LPC_COEFFS)
             w.put((0x20 | (lpc_order - 1)) << 1, 8)
             for v in blk[:lpc_order]:
-                w.put(int(v) & 0xFFFF, 16)
+                w.put(int(v) & ((1 << bits) - 1), bits)
             w.put(_FLAC_LPC_PRECISION - 1, 4)
             w.put(_FLAC_LPC_SHIFT, 5)
             for c in _FLAC_LPC_COEFFS:
@@ -488,7 +507,7 @@ def synth_flac_pcm(data: bytes, sample_rate: int = 16000) -> bytes | None:
             order = kind - 1  # FIXED, order 1..3
             w.put((0x08 | order) << 1, 8)
             for v in blk[:order]:
-                w.put(int(v) & 0xFFFF, 16)
+                w.put(int(v) & ((1 << bits) - 1), bits)
             rice(np.diff(blk, n=order))
         frame = bytes(hdr) + w.close()
         out += frame + struct.pack(">H", _crc16_flac(frame))
@@ -586,7 +605,7 @@ def synth_flac_stereo(data: bytes, sample_rate: int = 16000) -> bytes | None:
 
 
 def _flac_pcm_samples(data: bytes):
-    """(sample_rate, 1-D int16 samples) of a MONO decodable FLAC stream
+    """(sample_rate, 1-D int32 samples) of a MONO decodable FLAC stream
     — thin wrapper over :func:`_flac_decode` kept for the mono
     consumers (``flac_pcm_stats``, the ``wav_phash`` routing); stereo
     streams raise here and are served by the stereo stats path."""
@@ -597,8 +616,10 @@ def _flac_pcm_samples(data: bytes):
 
 
 def _flac_decode(data: bytes):
-    """(sample_rate, channels, (n, channels) int16 samples) of a 16-bit
-    FLAC stream, mono or STEREO (round-13 addendum — real encoders ship
+    """(sample_rate, channels, (n, channels) int32 samples) of an
+    8/16/24-bit FLAC stream (round 14 widened the 16-bit gate — 24-bit
+    is the archival/mastering depth real collections carry, 8-bit the
+    legacy one), mono or STEREO (round-13 addendum — real encoders ship
     stereo almost exclusively): per-frame channel assignments cover the
     two independent channels and all three decorrelated modes —
     left/side, right/side, mid/side, the side (difference) channel
@@ -612,7 +633,7 @@ def _flac_decode(data: bytes):
     CRC-8 verify → per-channel subframe bit decode (generic Rice
     partitions incl. the 5-bit escape) → predictor reconstruction →
     stereo inverse transform → CRC-16 verify. Wasted bits, negative LPC
-    shifts (reserved), >2-channel/non-16-bit streams, and any checksum
+    shifts (reserved), >2-channel / non-8/16/24-bit streams, and any checksum
     mismatch raise NotImplementedError (the module's drop contract — a
     FLAC stream carries real checksums, so unlike JPEG a corrupt
     payload is always detected)."""
@@ -631,8 +652,11 @@ def _flac_decode(data: bytes):
         length = int.from_bytes(data[pos + 1 : pos + 4], "big")
         if hdr & 0x7F == 0:
             (packed,) = struct.unpack_from(">Q", data, pos + 4 + 10)
-            if ((packed >> 36) & 0x1F) + 1 != 16:
-                raise NotImplementedError("only 16-bit FLAC PCM is decoded")
+            bps = ((packed >> 36) & 0x1F) + 1
+            if bps not in (8, 16, 24):
+                raise NotImplementedError(
+                    "only 8/16/24-bit FLAC PCM is decoded"
+                )
             total = packed & ((1 << 36) - 1)
         pos += 4 + length
         if hdr & 0x80:
@@ -649,14 +673,14 @@ def _flac_decode(data: bytes):
     # the Spark task) — translate at the loop boundary (ADVICE r13).
     try:
         sr, ch, arr = _flac_decode_frames(
-            data, pos, total, sr, ch, n, out, n_out
+            data, pos, total, sr, ch, n, out, n_out, bps
         )
     except (IndexError, struct.error) as exc:
         raise NotImplementedError(f"truncated FLAC stream: {exc}") from exc
     return sr, ch, arr
 
 
-def _flac_decode_frames(data, pos, total, sr, ch, n, out, n_out):
+def _flac_decode_frames(data, pos, total, sr, ch, n, out, n_out, bps):
     """Frame-walk body of :func:`_flac_decode` (split out so the caller
     can translate raw IndexError/struct.error from truncated streams
     into the module's NotImplementedError drop contract)."""
@@ -675,21 +699,25 @@ def _flac_decode_frames(data, pos, total, sr, ch, n, out, n_out):
         # channel assignment → per-channel bit depths + inverse mode
         # (the side/difference channel carries one extra bit, §9.1.3)
         if ch_code == 0x0 and ch == 1:
-            depths, mode = (16,), "mono"
+            depths, mode = (bps,), "mono"
         elif ch_code == 0x1 and ch == 2:
-            depths, mode = (16, 16), "indep"
+            depths, mode = (bps, bps), "indep"
         elif ch_code == 0x8 and ch == 2:
-            depths, mode = (16, 17), "left-side"
+            depths, mode = (bps, bps + 1), "left-side"
         elif ch_code == 0x9 and ch == 2:
-            depths, mode = (17, 16), "right-side"
+            depths, mode = (bps + 1, bps), "right-side"
         elif ch_code == 0xA and ch == 2:
-            depths, mode = (16, 17), "mid-side"
+            depths, mode = (bps, bps + 1), "mid-side"
         else:
             raise NotImplementedError(
                 "FLAC channel assignment unsupported or inconsistent"
             )
-        if ss_code != 0x04:
-            raise NotImplementedError("only 16-bit FLAC PCM is decoded")
+        # per-frame sample-size code must agree with STREAMINFO
+        # (8 → 0b010, 16 → 0b100, 24 → 0b110)
+        if ss_code != {8: 0x02, 16: 0x04, 24: 0x06}[bps]:
+            raise NotImplementedError(
+                "FLAC frame sample-size code disagrees with STREAMINFO"
+            )
         if sr_code not in (0,):  # rate comes from STREAMINFO
             raise NotImplementedError("FLAC per-frame sample-rate codes unsupported")
         pos += 4
@@ -858,7 +886,10 @@ def _flac_decode_frames(data, pos, total, sr, ch, n, out, n_out):
         n_out += bs
     if n_out < total:
         raise NotImplementedError("FLAC stream ended before total_samples")
-    return sr, ch, np.asarray(out[:total], dtype=np.int64).astype(np.int16)
+    # int32 holds every supported depth (8/16/24 + the side channel's
+    # extra bit) exactly; 16-bit streams carry identical values to the
+    # pre-round-14 int16 return
+    return sr, ch, np.asarray(out[:total], dtype=np.int64).astype(np.int32)
 
 
 def _walk_mp4_boxes(data: bytes, start: int, end: int):
@@ -929,19 +960,26 @@ def _try_mp4_header(data: bytes):
     return width, height, duration_ms
 
 
-def synth_wav(data: bytes, sample_rate: int, channels: int) -> bytes:
-    """Deterministic minimal 16-bit PCM WAV container around ``data`` —
-    the test/contract fixture whose header :func:`_try_wav_header` must
-    invert exactly (44-byte canonical header + data)."""
+def synth_wav(
+    data: bytes, sample_rate: int, channels: int, *, bits: int = 16
+) -> bytes:
+    """Deterministic minimal PCM WAV container around ``data`` — the
+    test/contract fixture whose header :func:`_try_wav_header` must
+    invert exactly (44-byte canonical header + data). ``bits`` ∈
+    {8, 16} (round 14 added 8 — the legacy unsigned-PCM depth; the
+    data bytes ARE the samples there, offset-128 unsigned per the
+    spec)."""
     import struct
 
-    block = channels * 2
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    block = channels * (bits // 8)
     byte_rate = sample_rate * block
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
         + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, 16)
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block, bits)
         + b"data"
         + struct.pack("<I", len(data))
         + data
@@ -1501,17 +1539,30 @@ def wav_pcm_stats(
                     _sr, ch, _br, off, dlen, fmt_tag, bits = _wav_chunks(data)
                 except NotImplementedError:
                     continue
-                # int16-PCM only: a zero channel count would divide by
-                # zero below, and float (fmt 3) / 8-bit payloads would be
-                # silently mis-read as int16 — drop, per the documented
+                # integer PCM at 16 or 8 bit only (round 14 widened the
+                # 16-bit gate): a zero channel count would divide by
+                # zero below, and float (fmt 3) payloads would be
+                # silently mis-read — drop, per the documented
                 # "non-WAV payloads are dropped" contract (r12 ADVICE).
-                if ch < 1 or fmt_tag != 1 or bits != 16:
+                # 8-bit WAV PCM is UNSIGNED with the zero line at 128
+                # (the spec's legacy depth), so amplitude = |v - 128|.
+                if ch < 1 or fmt_tag != 1 or bits not in (8, 16):
                     continue
                 dlen = min(dlen, len(data) - off)  # tolerate truncated files
-                n = dlen // (2 * ch)
+                n = dlen // ((bits // 8) * ch)
                 if n:
-                    pcm = np.frombuffer(data, dtype="<i2", offset=off, count=n * ch)
-                    amp = np.abs(pcm.astype(np.int64)).reshape(n, ch)
+                    if bits == 16:
+                        pcm = np.frombuffer(
+                            data, dtype="<i2", offset=off, count=n * ch
+                        ).astype(np.int64)
+                    else:
+                        pcm = (
+                            np.frombuffer(
+                                data, dtype=np.uint8, offset=off, count=n * ch
+                            ).astype(np.int64)
+                            - 128
+                        )
+                    amp = np.abs(pcm).reshape(n, ch)
                     sums.append([int(x) for x in amp.sum(axis=0)])
                     peaks.append([int(x) for x in amp.max(axis=0)])
                 else:
@@ -1541,6 +1592,42 @@ def attach_flac_pcm_payload(
     stay raw utf-8."""
     return _attach_payload(
         df, {0: lambda d, w: synth_flac_pcm(d)}, text_col, id_col, modulus=1
+    )
+
+
+def attach_flac24_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """24-bit FLAC corpus attacher (round 14, VERDICT r13 #8 — the
+    archival/mastering depth): EVERY document whose text holds at
+    least one 3-byte sample becomes a real-frame FLAC stream
+    (:func:`synth_flac_pcm` at ``bits=24`` — the text bytes ARE the
+    mono 24-bit LE two's-complement samples); shorter rows stay raw
+    utf-8."""
+    return _attach_payload(
+        df,
+        {0: lambda d, w: synth_flac_pcm(d, bits=24)},
+        text_col,
+        id_col,
+        modulus=1,
+    )
+
+
+def attach_wav8_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """8-bit WAV corpus attacher (round 14, VERDICT r13 #8 — the
+    legacy unsigned-PCM depth): EVERY document with ≥1 byte of text
+    becomes an 8-bit PCM WAV whose data bytes ARE the text bytes
+    (unsigned, zero line at 128), channels = 1 + doc_id % 2. The
+    shared attacher passes width = 4 + id % 8, so channels derives as
+    ``1 + width % 2`` ≡ 1 + id % 2 — the rule the oracle replays."""
+    return _attach_payload(
+        df,
+        {0: lambda d, w: synth_wav(d, 16000, 1 + w % 2, bits=8)},
+        text_col,
+        id_col,
+        modulus=1,
     )
 
 

@@ -131,6 +131,8 @@ _MANIFEST = [
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
     "multimodal_png_adam7_stats",
+    "multimodal_wav8_stats",
+    "multimodal_flac24_stats",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",

@@ -227,6 +227,116 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav8_stats",
+    """
+WITH wav AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, ch, hx, unnest(range(dlen // ch)) AS k FROM wav
+),
+sm AS (
+  SELECT f.doc_id, c.c,
+         CAST(('0x' || substr(f.hx, CAST((f.k * f.ch + c.c) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+  FROM frames f CROSS JOIN (VALUES (0), (1)) AS c(c)
+  WHERE c.c < f.ch
+),
+agg AS (
+  SELECT doc_id, c,
+         sum(CASE WHEN v >= 128 THEN v - 128 ELSE 128 - v END) AS sum_abs,
+         max(CASE WHEN v >= 128 THEN v - 128 ELSE 128 - v END) AS peak_abs
+  FROM sm GROUP BY doc_id, c
+)
+SELECT w.doc_id,
+       CAST(w.dlen // w.ch AS BIGINT) AS n_frames,
+       CAST(coalesce(max(CASE WHEN a.c = 0 THEN a.sum_abs END), -1) AS BIGINT) AS sum_abs_ch1,
+       CAST(coalesce(max(CASE WHEN a.c = 1 THEN a.sum_abs END), -1) AS BIGINT) AS sum_abs_ch2,
+       CAST(coalesce(max(CASE WHEN a.c = 0 THEN a.peak_abs END), -1) AS INT) AS peak_abs_ch1,
+       CAST(coalesce(max(CASE WHEN a.c = 1 THEN a.peak_abs END), -1) AS INT) AS peak_abs_ch2
+FROM wav w LEFT JOIN agg a USING (doc_id)
+GROUP BY w.doc_id, w.dlen, w.ch
+""",
+)
+def multimodal_wav8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit WAV PCM decode (round 14, VERDICT r13 #8 — the legacy
+    unsigned depth real archives still carry): the fixture corpus
+    (operators/multimodal.py:attach_wav8_payload — 8-bit PCM whose
+    data bytes ARE the text bytes, channels = 1 + id % 2) decoded by
+    the widened :func:`wav_pcm_stats` with the spec's offset-128
+    unsigned interpretation: amplitude = |v − 128|. A decoder that
+    reads the bytes as SIGNED int8 (the classic 8-bit WAV bug) gets
+    every amplitude wrong on bytes ≥ 128 and fails the hash. Mono docs
+    pin channel-2 columns to -1 (the wav row's sentinel idiom)."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_wav8_payload,
+        wav_pcm_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = wav_pcm_stats(attach_wav8_payload(docs))
+    return stats.select(
+        "doc_id",
+        "n_frames",
+        F.coalesce(F.get("sum_abs", 0), F.lit(-1)).cast("long").alias("sum_abs_ch1"),
+        F.coalesce(F.get("sum_abs", 1), F.lit(-1)).cast("long").alias("sum_abs_ch2"),
+        F.coalesce(F.get("peak_abs", 0), F.lit(-1)).cast("int").alias("peak_abs_ch1"),
+        F.coalesce(F.get("peak_abs", 1), F.lit(-1)).cast("int").alias("peak_abs_ch2"),
+    )
+
+
+@register(
+    "multimodal_flac24_stats",
+    """
+WITH flac AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen
+  FROM documents WHERE octet_length(encode(text)) >= 3
+),
+frames AS (
+  SELECT doc_id, hx, dlen // 3 AS n, unnest(range(dlen // 3)) AS k FROM flac
+),
+sm AS (
+  SELECT doc_id, n,
+         CAST(('0x' || substr(hx, CAST(k * 6 + 1 AS BIGINT), 2)) AS BIGINT)
+         + 256 * CAST(('0x' || substr(hx, CAST(k * 6 + 3 AS BIGINT), 2)) AS BIGINT)
+         + 65536 * CAST(('0x' || substr(hx, CAST(k * 6 + 5 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM frames
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(sum(CASE WHEN v >= 8388608 THEN 16777216 - v ELSE v END) AS BIGINT) AS sum_abs,
+       CAST(max(CASE WHEN v >= 8388608 THEN 16777216 - v ELSE v END) AS INT) AS peak_abs
+FROM sm
+GROUP BY doc_id, n
+""",
+)
+def multimodal_flac24_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit FLAC PCM decode (round 14, VERDICT r13 #8 — the
+    archival/mastering depth): the fixture corpus
+    (operators/multimodal.py:attach_flac24_payload — real-frame FLAC
+    whose mono 24-bit LE two's-complement samples ARE the text bytes,
+    Rice-coded across the same subframe cycle as the 16-bit row)
+    decoded by :func:`flac_pcm_stats` through the depth-widened
+    decoder: STREAMINFO bits, the per-frame sample-size code, warmup
+    sample width and the residual arithmetic all carry 24-bit values.
+    FLAC is lossless, so the oracle reads every 3-byte sample straight
+    off the text — a decoder still assuming 16-bit widths desyncs the
+    bit reader on the first warmup sample and fails the CRC, dropping
+    every row."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_flac24_payload,
+        flac_pcm_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_pcm_stats(attach_flac24_payload(docs))
+
+
+@register(
     "multimodal_flac_pcm_stats",
     """
 WITH flac AS (

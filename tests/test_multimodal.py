@@ -800,8 +800,9 @@ def test_video_frame_match_equals_bruteforce(spark):
 def test_wav_pcm_gate_drops_non_int16_payloads(spark):
     """Round 12 (ADVICE): a WAV whose fmt chunk declares channels=0 must
     be DROPPED (not ZeroDivisionError the task), and float (fmt 3) /
-    8-bit payloads must be dropped rather than silently mis-read as
-    int16 — in both wav_pcm_stats and wav_phash."""
+    unsupported-depth payloads must be dropped rather than silently
+    mis-read. Round 14: wav_pcm_stats now DECODES 8-bit (unsigned,
+    offset 128); wav_phash keeps its 16-bit envelope contract."""
     import struct
 
     from polars_sim_spark.operators.multimodal import (
@@ -821,12 +822,20 @@ def test_wav_pcm_gate_drops_non_int16_payloads(spark):
 
     rows = [
         (0, patched(channels=0)),  # would divide by zero
-        (1, patched(fmt_tag=3)),   # IEEE float — not int16
-        (2, patched(bits=8)),      # 8-bit PCM — not int16
+        (1, patched(fmt_tag=3)),   # IEEE float — not integer PCM
+        (2, patched(bits=8)),      # 8-bit PCM — decodes as of round 14
         (3, good),
+        (4, patched(bits=24)),     # 24-bit WAV stays gated
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    assert [r["doc_id"] for r in wav_pcm_stats(df).collect()] == [3]
+    got = {r["doc_id"]: r for r in wav_pcm_stats(df).collect()}
+    assert sorted(got) == [2, 3]
+    # the 8-bit reinterpretation of the int16 bytes: unsigned |v - 128|
+    raw = bytes(good[44:])
+    want = [abs(b - 128) for b in raw]
+    assert got[2]["n_frames"] == len(raw)
+    assert list(got[2]["sum_abs"]) == [sum(want)]
+    assert list(got[2]["peak_abs"]) == [max(want)]
     assert [r["doc_id"] for r in wav_phash(df).collect()] == [3]
 
 
@@ -1221,6 +1230,70 @@ def test_interlaced_containers_phash_equal_sequential(spark):
     hs = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(sdf, n_bands=8).collect()}
     hi = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(idf, n_bands=8).collect()}
     assert hs == hi and len(hs) == 16
+
+
+def test_flac_and_wav_depth_widening(spark):
+    """Round 14 (VERDICT r13 #8): 24-bit and 8-bit FLAC round-trip
+    losslessly through the depth-widened decoder; 8-bit WAV decodes
+    with the spec's UNSIGNED offset-128 interpretation (the signed-int8
+    misread is the pinned failure mode); 16-bit behavior unchanged."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _flac_pcm_samples,
+        synth_flac_pcm,
+        synth_wav,
+        wav_pcm_stats,
+    )
+
+    rng = np.random.default_rng(24)
+    # 24-bit FLAC: full-range samples through every subframe kind
+    s24 = rng.integers(-(1 << 23), 1 << 23, 700).astype(np.int64)
+    raw24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in s24)
+    sr, pcm = _flac_pcm_samples(synth_flac_pcm(raw24, bits=24))
+    assert sr == 16000 and np.array_equal(pcm.astype(np.int64), s24)
+    # 8-bit FLAC (signed, unlike WAV)
+    s8 = rng.integers(-128, 128, 700).astype(np.int64)
+    sr, pcm = _flac_pcm_samples(
+        synth_flac_pcm(bytes(int(v) & 0xFF for v in s8), bits=8)
+    )
+    assert np.array_equal(pcm.astype(np.int64), s8)
+    # 16-bit regression: same bytes, same samples as before the widening
+    s16 = rng.integers(-3000, 3000, 700).astype("<i2")
+    sr, pcm = _flac_pcm_samples(synth_flac_pcm(s16.tobytes()))
+    assert np.array_equal(pcm.astype(np.int64), s16.astype(np.int64))
+    # a 16-bit-labeled STREAMINFO with 24-bit frames must drop (code
+    # disagreement), not mis-decode
+    mixed = bytearray(synth_flac_pcm(raw24, bits=24))
+    # STREAMINFO packed u64 starts at byte 4+4+10=18; bits-1 is bits
+    # 36..40 of the u64 — patch 24->16 there
+    import struct
+
+    (packed,) = struct.unpack_from(">Q", mixed, 18)
+    packed = (packed & ~(0x1F << 36)) | ((16 - 1) << 36)
+    struct.pack_into(">Q", mixed, 18, packed)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _flac_pcm_samples(bytes(mixed))
+
+    # 8-bit WAV: unsigned with the zero line at 128
+    data = bytes(range(256))  # every byte value once
+    wav8 = synth_wav(data, 16000, 1, bits=8)
+    df = spark.createDataFrame([(1, bytearray(wav8))], "doc_id long, payload binary")
+    row = wav_pcm_stats(df).collect()[0]
+    want = np.abs(np.arange(256, dtype=np.int64) - 128)
+    assert row["n_frames"] == 256
+    assert list(row["sum_abs"]) == [int(want.sum())]
+    assert list(row["peak_abs"]) == [int(want.max())]
+    # stereo 8-bit interleave
+    wav8s = synth_wav(data, 16000, 2, bits=8)
+    df = spark.createDataFrame([(1, bytearray(wav8s))], "doc_id long, payload binary")
+    row = wav_pcm_stats(df).collect()[0]
+    w2 = want.reshape(128, 2)
+    assert row["n_frames"] == 128
+    assert list(row["sum_abs"]) == [int(x) for x in w2.sum(axis=0)]
+    assert list(row["peak_abs"]) == [int(x) for x in w2.max(axis=0)]
 
 
 def test_jpeg_restart_intervals_decode_identically():
