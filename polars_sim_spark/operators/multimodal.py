@@ -1699,25 +1699,48 @@ def flac_stereo_pcm_stats(
     )
 
 
-def attach_audioformat_payload(
+#: id offset separating the WAV and FLAC copies in the twin corpus —
+#: far above any testdata doc_id, so the pair (i, i + offset) is
+#: unambiguous.
+AUDIO_TWIN_OFFSET = 1_000_000
+
+
+def attach_audio_twin_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """CROSS-CONTAINER audio corpus (round 13, VERDICT r12 #6 — the
-    audio twin of :func:`attach_multiformat_payload`): ids ≡ 0 (mod 2)
-    wrap the text bytes as mono 16-bit WAV, ids ≡ 1 (mod 2) as
-    real-frame FLAC — the LOGICAL samples (text bytes as int16 LE) are
-    identical either way, so the container-invariant envelope hash in
-    :func:`wav_phash` must pair twins across formats. Texts shorter
-    than one sample stay raw utf-8."""
-    return _attach_payload(
-        df,
-        {
-            0: lambda d, w: synth_wav(d, 16000, 1) if len(d) >= 2 else None,
-            1: lambda d, w: synth_flac_pcm(d),
-        },
-        text_col,
-        id_col,
-        modulus=2,
+    """TWIN cross-container audio corpus (round 14, re-grounding the
+    `dedup_audio_multiformat` row after the ×100 geometry probe):
+    every document with ≥1 int16 sample of text emits TWO payload rows
+    with IDENTICAL logical samples — a mono 16-bit WAV at ``doc_id``
+    and a real-frame FLAC at ``doc_id + AUDIO_TWIN_OFFSET``. The
+    container-invariant envelope hash must therefore pair each doc
+    with its own cross-container twin at Hamming 0; any container bias
+    in either decode path breaks the twin pair and the row's hash.
+    Texts shorter than one sample emit nothing."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = ("" if t is None else str(t)).encode("utf-8")
+                if len(data) < 2:
+                    continue
+                flac = synth_flac_pcm(data)
+                if flac is None:
+                    continue
+                ids.append(int(i))
+                payloads.append(synth_wav(data, 16000, 1))
+                ids.append(int(i) + AUDIO_TWIN_OFFSET)
+                payloads.append(flac)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_name), F.col(text_name)).mapInPandas(
+        op, "doc_id long, payload binary"
     )
 
 

@@ -1956,44 +1956,65 @@ a AS (
          CASE WHEN v >= 32768 THEN 65536 - v ELSE v END AS amp
   FROM s
 ),
-bits AS (
+bits0 AS (
   SELECT x.doc_id, x.k,
          CASE WHEN x.amp < y.amp THEN 1 ELSE 0 END AS bit
   FROM a x JOIN a y ON x.doc_id = y.doc_id AND y.k = x.k + 1
   WHERE x.k < 64
+),
+-- the twin corpus: every doc exists twice — WAV at doc_id, FLAC at
+-- doc_id + 1000000 — with IDENTICAL logical samples, hence identical
+-- envelope bits for both members
+bits AS (
+  SELECT b.doc_id + m.m * 1000000 AS doc_id, b.k, b.bit
+  FROM bits0 b CROSS JOIN (VALUES (0), (1)) AS m(m)
 )
 SELECT x.doc_id AS l_doc, y.doc_id AS r_doc,
        CAST(sum(abs(x.bit - y.bit)) AS INT) AS hamming
 FROM bits x JOIN bits y ON x.k = y.k AND x.doc_id < y.doc_id
 GROUP BY 1, 2
-HAVING CAST(sum(abs(x.bit - y.bit)) AS INT) <= 15
+HAVING CAST(sum(abs(x.bit - y.bit)) AS INT) <= 3
 """,
 )
 def dedup_audio_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-CONTAINER audio near-dup pairs (round 13, VERDICT r12 #6 —
-    the audio twin of :func:`dedup_images_multiformat`): the whole
-    corpus alternates WAV (even ids) and real-frame FLAC (odd ids) with
-    IDENTICAL logical samples (attach_audioformat_payload), and the
-    container-invariant envelope hash (:func:`wav_phash`, now routing
-    FLAC through the full Rice/fixed-predictor decode) must produce
-    pairs that ignore the container boundary — a WAV doc and a FLAC
-    doc with near-identical audio surface exactly like two WAVs. The
-    oracle computes the envelope straight from the text bytes with no
-    container at all, so any container-dependent bias in either decode
-    path is a hash mismatch."""
+    the audio twin of :func:`dedup_images_multiformat`; re-grounded in
+    round 14): every document emits BOTH containers with IDENTICAL
+    logical samples — a mono 16-bit WAV at ``doc_id`` and a real-frame
+    FLAC at ``doc_id + 1000000`` (attach_audio_twin_payload) — so the
+    container-invariant envelope hash (:func:`wav_phash`, routing FLAC
+    through the full Rice/fixed-predictor decode) must pair each doc
+    with its own cross-container twin at Hamming 0. The oracle computes
+    the envelope straight from the text bytes with no container at all
+    and replicates it into both id spaces, so any container-dependent
+    bias in either decode path breaks twin pairs and fails the hash.
+
+    Round 14 (VERDICT r13 "what's wrong" #2): the geometry moved from
+    16×4-bit bands / d≤15 to 4×16-bit bands / d≤3 — the scale config
+    the image/video rows already use. The ×100 probe
+    (tools/bench_round14_audio.py, BASELINE.md round-14 table) showed
+    the wide-recall geometry was NOT merely a small-corpus config: at
+    50k docs the hot-bucket cap already deleted 77% of planted
+    cross-container twins (4-bit band values concentrate the whole
+    corpus into ≤16 buckets per band), and at 500k docs every bucket
+    overflows the cap and recall is ZERO. The 16-bit-band geometry
+    recovered 99.9% of planted twins at both scales with linear walls.
+    At d≤15 the old row's 27 pairs were loose-threshold birthday
+    pairs, not audio structure; the twin corpus makes the row's pair
+    set REAL (one exact twin per doc plus any true near-collisions)."""
     from polars_sim_spark.operators import dedup
     from polars_sim_spark.operators.multimodal import (
-        attach_audioformat_payload,
+        attach_audio_twin_payload,
         wav_phash,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ph = wav_phash(attach_audioformat_payload(docs), n_bands=16)
+    ph = wav_phash(attach_audio_twin_payload(docs), n_bands=4)
     pairs = dedup.phash_near_pairs(
         ph,
         id_col="doc_id",
-        band_cols=tuple(f"band{j}" for j in range(16)),
-        max_dist=15,
+        band_cols=tuple(f"band{j}" for j in range(4)),
+        max_dist=3,
     )
     return pairs.select(
         F.col("l_id").alias("l_doc"), F.col("r_id").alias("r_doc"), "hamming"

@@ -1578,6 +1578,35 @@ def test_flac_multi_partition_and_escaped_residuals_decode():
         assert (got[:, 0] == samples).all(), (method, porder, esc)
 
 
+def test_audio_twin_corpus_pairs_every_doc_across_containers(spark):
+    """Round 14: the twin corpus (WAV at doc_id, FLAC at doc_id + 10^6,
+    identical samples) must yield exactly one Hamming-0 cross-container
+    pair per attachable doc under the 4×16-bit / d≤3 scale geometry —
+    the container-invariance contract stated as a pair set."""
+    from polars_sim_spark.operators import dedup
+    from polars_sim_spark.operators.multimodal import (
+        AUDIO_TWIN_OFFSET,
+        attach_audio_twin_payload,
+        wav_phash,
+    )
+
+    rows = [(i, f"sample text payload number {i} " * (2 + i % 5)) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ph = wav_phash(attach_audio_twin_payload(docs), n_bands=4)
+    pairs = dedup.phash_near_pairs(
+        ph,
+        id_col="doc_id",
+        band_cols=("band0", "band1", "band2", "band3"),
+        max_dist=3,
+    ).collect()
+    twin = {
+        (r["l_id"], r["r_id"])
+        for r in pairs
+        if r["r_id"] - r["l_id"] == AUDIO_TWIN_OFFSET and r["hamming"] == 0
+    }
+    assert len(twin) == 20  # every doc pairs with its own twin exactly
+
+
 def test_stream_phash_audio_gate_accepts_flac(spark):
     """Round 13: the streaming audio ingest gate hashes FLAC payloads
     through the same container-invariant envelope as WAV — a known WAV
