@@ -226,6 +226,8 @@ HEADLINE = [
     "multimodal_png_adam7_stats",
     "multimodal_wav8_stats",
     "multimodal_flac24_stats",
+    "multimodal_mp3_pcm_stats",
+    "dedup_audio_mp3_crossformat",
 ]
 
 # Host-load canary: scan-only queries whose code has been stable since

@@ -133,6 +133,8 @@ _MANIFEST = [
     "multimodal_png_adam7_stats",
     "multimodal_wav8_stats",
     "multimodal_flac24_stats",
+    "multimodal_mp3_pcm_stats",
+    "dedup_audio_mp3_crossformat",
     # round 11: the one-call scale path (⌈√n⌉ centroids, kernel probe)
     # driver-verified end-to-end (VERDICT r10 #1).
     "resolve_entities_scale",
