@@ -1232,6 +1232,45 @@ def test_interlaced_containers_phash_equal_sequential(spark):
     assert hs == hi and len(hs) == 16
 
 
+def test_flac_vector_rice_lane_and_crc_pair_tables(monkeypatch):
+    """Round 14 (VERDICT r13 #7): the large-partition vectorized Rice
+    lane (orbit-doubling over the terminator jump table) must decode
+    real-encoder-sized blocks (4096) bit-identically to the scalar
+    path, including spike-quotient content; the 2-byte CRC-16 split
+    must equal the bitwise polynomial definition."""
+    import numpy as np
+
+    from polars_sim_spark.operators import multimodal as M
+
+    monkeypatch.setattr(M, "_FLAC_PCM_BLOCK", 4096)
+    rng = np.random.default_rng(44)
+    # random content (moderate quotients) and spiky content (k=0,
+    # giant quotients — exercises the window-too-small fallback)
+    flat = np.zeros(20000, dtype=np.int64)
+    flat[::997] = rng.integers(-30000, 30000, len(flat[::997]))
+    for s in (
+        rng.integers(-3000, 3000, 20000).astype(np.int64),
+        flat,
+    ):
+        b = M.synth_flac_pcm(s.astype("<i2").tobytes())
+        _sr, pcm = M._flac_pcm_samples(b)
+        assert np.array_equal(pcm.astype(np.int64), s)
+
+    def crc16_bitwise(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc ^= byte << 8
+            for _ in range(8):
+                crc = (
+                    (crc << 1) ^ 0x8005 if crc & 0x8000 else crc << 1
+                ) & 0xFFFF
+        return crc
+
+    for ln in (0, 1, 2, 7, 64, 255):
+        d = bytes(rng.integers(0, 256, ln, dtype=np.uint8))
+        assert M._crc16_flac(d) == crc16_bitwise(d), ln
+
+
 def test_flac_and_wav_depth_widening(spark):
     """Round 14 (VERDICT r13 #8): 24-bit and 8-bit FLAC round-trip
     losslessly through the depth-widened decoder; 8-bit WAV decodes
