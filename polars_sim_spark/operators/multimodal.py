@@ -3310,16 +3310,29 @@ def attach_multiformat_payload(
     arrives through different ingestion paths in different containers,
     and near-dup detection must see through the container — including
     through two different compression schemes (GIF-LZW and
-    zlib/DEFLATE), both inflated by this module's own decoders. The
-    container reassignment is invisible to the contract oracle (hashes
-    are functions of LOGICAL pixels = text bytes + the width rule).
-    Rows whose text is too short stay raw utf-8."""
+    zlib/DEFLATE), both inflated by this module's own decoders. Round
+    14 folds the INTERLACED storage layouts in on the upper id
+    residues: ids ≡ 6 (mod 8) store their GIF interlaced (4-pass row
+    order) and ids ≡ 7 (mod 8) their PNG as Adam7 — same logical
+    pixels, permuted storage, so the contract oracle (hashes are
+    functions of LOGICAL pixels = text bytes + the width rule) is
+    provably unchanged while the decode surface widens. Rows whose
+    text is too short stay raw utf-8."""
     return _attach_payload(
         df,
-        {0: synth_ppm, 1: synth_bmp, 2: synth_gif, 3: synth_png},
+        {
+            0: synth_ppm,
+            1: synth_bmp,
+            2: synth_gif,
+            3: synth_png,
+            4: synth_ppm,
+            5: synth_bmp,
+            6: lambda d, w: synth_gif(d, w, interlace=True),
+            7: synth_png_adam7,
+        },
         text_col,
         id_col,
-        modulus=4,
+        modulus=8,
     )
 
 
@@ -3803,7 +3816,14 @@ def _png_logical_pixels(data: bytes):
     PLTE-expanded RGB (tRNS alpha, when present, is ignored for the
     logical-pixel hash the way the dHash ignores RGBA alpha); other
     color types raise here and are served by :func:`_png_decode`."""
+    import numpy as np
+
     h, w, color, arr = _png_decode(data)
+    if arr.dtype != np.uint8:
+        raise NotImplementedError(
+            "16-bit PNG has no 8-bit logical-pixel contract; "
+            "served by png16_stats"
+        )
     if color == 2:
         return arr
     if color == 3:
@@ -3874,10 +3894,12 @@ def _png_decode(data: bytes):
                 raise NotImplementedError("nonstandard PNG compression/filter method")
             if interlace not in (0, 1):
                 raise NotImplementedError("unknown PNG interlace method")
-            if depth != 8 or color not in (0, 2, 3, 4, 6):
+            if depth not in (8, 16) or color not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    "only 8-bit PNG color types 0/2/3/4/6 are decoded codec-free"
+                    "only 8/16-bit PNG color types 0/2/3/4/6 are decoded codec-free"
                 )
+            if depth == 16 and color == 3:
+                raise NotImplementedError("16-bit palette PNG is not valid PNG")
             if w < 1 or h < 1:
                 raise NotImplementedError("malformed PNG IHDR dimensions")
         elif ctype == b"PLTE":
@@ -3897,21 +3919,23 @@ def _png_decode(data: bytes):
         raise NotImplementedError("PNG missing IHDR/IEND")
     raw = _zlib_inflate(bytes(idat))
     ch_n = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * ch_n
+    bw = depth // 8  # bytes per sample (16-bit added round 14)
+    bpp = ch_n * bw  # filter predictor distance, per the spec
+    stride = w * bpp
     if interlace == 1:
         # Adam7 (round 14): seven stored sub-images, each a strided
         # subgrid of the logical image, each filtered INDEPENDENTLY
         # (prior row = previous row of the same pass; empty passes are
         # absent entirely, per the spec) — a pure index permutation
         # over the same unfilter chain.
-        full = np.empty((h, w, ch_n), dtype=np.uint8)
+        full = np.empty((h, w, bpp), dtype=np.uint8)
         pos_r = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            pstride = pw * ch_n
+            pstride = pw * bpp
             prior = bytearray(pstride)
             for j in range(ph):
                 if pos_r + 1 + pstride > len(raw):
@@ -3921,10 +3945,10 @@ def _png_decode(data: bytes):
                 ftype = raw[pos_r]
                 filt = raw[pos_r + 1 : pos_r + 1 + pstride]
                 pos_r += 1 + pstride
-                prior = _png_unfilter_row(ftype, filt, prior, ch_n)
+                prior = _png_unfilter_row(ftype, filt, prior, bpp)
                 full[y0 + j * dy, x0::dx] = np.frombuffer(
                     bytes(prior), dtype=np.uint8
-                ).reshape(pw, ch_n)
+                ).reshape(pw, bpp)
         if pos_r != len(raw):
             raise NotImplementedError("PNG scanline payload size mismatch")
         out = full.reshape(h, stride)
@@ -3936,8 +3960,13 @@ def _png_decode(data: bytes):
         for y in range(h):
             ftype = raw[y * (1 + stride)]
             filt = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-            prior = _png_unfilter_row(ftype, filt, prior, ch_n)
+            prior = _png_unfilter_row(ftype, filt, prior, bpp)
             out[y] = np.frombuffer(bytes(prior), dtype=np.uint8)
+    if bw == 2:
+        # 16-bit samples are big-endian byte pairs (round 14); the
+        # filters above ran on raw bytes at bpp = 2·channels, per spec
+        pairs = out.reshape(h, w, ch_n, 2).astype(np.uint16)
+        return h, w, color, (pairs[..., 0] << 8) | pairs[..., 1]
     if color == 3:
         if plte is None:
             raise NotImplementedError("palette PNG missing PLTE")
@@ -5872,6 +5901,113 @@ def png_palette_stats(
         op,
         f"doc_id {id_type}, width int, height int, "
         "sum_rgba array<long>, peak_rgba array<int>",
+    )
+
+
+def synth_png16(data: bytes, width: int) -> bytes | None:
+    """Deterministic 16-BIT truecolor PNG (round 14, closing the last
+    depth gap of "what's missing" #1): sample (y, x, ch) is the
+    big-endian byte PAIR ``data[(y·w + x)·6 + 2·ch : +2]``, stored
+    like :func:`synth_png` (zlib IDAT, row filter y % 5, CRCs) with
+    the filters running at bpp 6 — the spec's byte-level predictor
+    distance for 16-bit RGB, and the classic 16-bit decoder bug (bpp 3
+    predicts from the wrong byte) breaks every Sub/Average/Paeth row.
+    Returns None when fewer than one full row fits."""
+    import struct
+    import zlib as _zlib
+
+    height = (len(data) // 6) // width
+    if height < 1:
+        return None
+    stride = width * 6
+    scan = bytearray()
+    zero = bytes(stride)
+    for y in range(height):
+        raw = data[y * stride : (y + 1) * stride]
+        prior = data[(y - 1) * stride : y * stride] if y else zero
+        ftype = y % 5
+        scan.append(ftype)
+        scan += _png_filter_row(ftype, raw, prior, 6)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png16_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit-PNG corpus attacher: EVERY document whose text holds at
+    least one full 6-byte-pixel row becomes a real 16-bit truecolor
+    PNG (:func:`synth_png16`, width = 4 + id % 8); shorter rows stay
+    raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: synth_png16, 1: synth_png16, 2: synth_png16},
+        text_col,
+        id_col,
+    )
+
+
+def png16_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 16-BIT truecolor PNG payloads
+    (round 14): the full decode — chunk walk + CRC verify → own
+    DEFLATE inflate → five-filter reconstruction at the spec's bpp 6
+    byte distance → big-endian pair assembly — with exact 16-bit
+    integer sums. 8-bit and non-PNG payloads are dropped. Output:
+    (id, width, height, sum_rgb array<long>, peak_rgb array<int>),
+    peaks up to 65535."""
+    import numpy as np
+
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                try:
+                    h, w, color, px = _png_decode(bytes(b))
+                except NotImplementedError:
+                    continue
+                if color != 2 or px.dtype != np.uint16:
+                    continue
+                flat = px.reshape(h * w, 3).astype("int64")
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                sums.append([int(x) for x in flat.sum(axis=0)])
+                peaks.append([int(x) for x in flat.max(axis=0)])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_rgb": sums,
+                    "peak_rgb": peaks,
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op,
+        f"doc_id {id_type}, width int, height int, "
+        "sum_rgb array<long>, peak_rgb array<int>",
     )
 
 

@@ -130,6 +130,7 @@ _MANIFEST = [
     # bpp-4 filter predictors pinned against the closed-form oracle.
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
+    "multimodal_png16_stats",
     "multimodal_png_adam7_stats",
     "multimodal_wav8_stats",
     "multimodal_flac24_stats",

@@ -1075,6 +1075,44 @@ def test_png_nonpalette_color_types_decode(spark):
     assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in want.max(axis=0)]
 
 
+def test_png16_decode_and_stats(spark):
+    """Round 14: 16-bit truecolor PNG — big-endian sample pairs, the
+    spec's bpp-6 filter distance — round-trips exactly; the 8-bit
+    logical-pixel consumers refuse it; the stats operator drops 8-bit
+    payloads."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _png_decode,
+        _png_logical_pixels,
+        png16_stats,
+        synth_png,
+        synth_png16,
+    )
+
+    rng = np.random.default_rng(16)
+    for trial in range(12):
+        w = 4 + trial % 8
+        h = int(rng.integers(1, 14))
+        data = rng.integers(0, 256, w * h * 6, dtype=np.uint8).tobytes()
+        hh, ww, color, px = _png_decode(synth_png16(data, w))
+        assert (hh, ww, color) == (h, w, 2) and px.dtype == np.uint16
+        assert np.array_equal(px, np.frombuffer(data, ">u2").reshape(h, w, 3))
+    p16 = synth_png16(bytes(range(240)), 5)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _png_logical_pixels(p16)
+    df = spark.createDataFrame(
+        [(1, bytearray(p16)), (2, bytearray(synth_png(bytes(range(240)), 5)))],
+        "doc_id long, payload binary",
+    )
+    rows_out = {r["doc_id"]: r for r in png16_stats(df).collect()}
+    assert list(rows_out) == [1]
+    want = np.frombuffer(bytes(range(240)), ">u2").reshape(-1, 3).astype(np.int64)
+    assert list(rows_out[1]["sum_rgb"]) == [int(x) for x in want.sum(axis=0)]
+    assert list(rows_out[1]["peak_rgb"]) == [int(x) for x in want.max(axis=0)]
+
+
 def test_png_palette_decode_and_stats(spark):
     """Round 14: palette-indexed PNG (color type 3) — PLTE lookup,
     optional tRNS alpha (opaque beyond the short table), all five row
