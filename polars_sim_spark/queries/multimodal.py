@@ -1244,6 +1244,118 @@ GROUP BY 1, 2, 3
 """
 
 
+def _duck_jpeg_cmyk_sql() -> str:
+    """Oracle for the CMYK-JPEG row: the grayscale oracle's fixed-point
+    lossy pipeline replayed over FOUR interleaved channels — pixel
+    (k, ch) = text byte at 4·k + ch, each ink through its own DCT →
+    quantize → dequantize → IDCT → clamp chain (the transform-0 CMYK
+    profile has NO color conversion), reduced to per-ink sums/peaks."""
+    from polars_sim_spark.operators.multimodal import _JPEG_DCT_T, _JPEG_QUANT
+
+    t_vals = ", ".join(
+        f"({u}, {x}, {_JPEG_DCT_T[u][x]})" for u in range(8) for x in range(8)
+    )
+    q_vals = ", ".join(
+        f"({r}, {c}, {_JPEG_QUANT[r * 8 + c]}, "
+        f"CAST({_JPEG_QUANT[r * 8 + c] * (1 << 24)} AS BIGINT))"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+WITH t(u, x, tv) AS (VALUES {t_vals}),
+q(r, c, qv, qd) AS (VALUES {q_vals}),
+im AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 256 AS nb
+  FROM documents WHERE octet_length(encode(text)) >= 256
+),
+px AS (
+  SELECT doc_id, ch.ch, u.i // 64 AS b, (u.i % 64) // 8 AS y, u.i % 8 AS x,
+         CAST(('0x' || substr(hx, CAST((u.i * 4 + ch.ch) * 2 + 1 AS BIGINT), 2)) AS BIGINT) - 128 AS s
+  FROM im, unnest(range(nb * 64)) AS u(i)
+       CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(ch)
+),
+s1 AS (
+  SELECT px.doc_id, px.ch, px.b, t.u AS v, px.x, SUM(CAST(t.tv AS BIGINT) * px.s) AS a
+  FROM px JOIN t ON t.x = px.y GROUP BY 1, 2, 3, 4, 5
+),
+f AS (
+  SELECT s1.doc_id, s1.ch, s1.b, s1.v, t.u, SUM(s1.a * t.tv) AS fsc
+  FROM s1 JOIN t ON t.x = s1.x GROUP BY 1, 2, 3, 4, 5
+),
+qc AS (
+  SELECT f.doc_id, f.ch, f.b, f.v, f.u,
+         (CASE WHEN fsc >= 0 THEN (2 * fsc + qd) // (2 * qd)
+               ELSE -((2 * (-fsc) + qd) // (2 * qd)) END) * qv AS r
+  FROM f JOIN q ON q.r = f.v AND q.c = f.u
+),
+g1 AS (
+  SELECT qc.doc_id, qc.ch, qc.b, t.x AS y, qc.u, SUM(CAST(t.tv AS BIGINT) * qc.r) AS a
+  FROM qc JOIN t ON t.u = qc.v GROUP BY 1, 2, 3, 4, 5
+),
+g AS (
+  SELECT g1.doc_id, g1.ch, g1.b, g1.y, t.x, SUM(g1.a * t.tv) AS gsc
+  FROM g1 JOIN t ON t.u = g1.u GROUP BY 1, 2, 3, 4, 5
+),
+pix AS (
+  SELECT doc_id, ch,
+         LEAST(255, GREATEST(0,
+           (CASE WHEN gsc >= 0 THEN (2 * gsc + 16777216) // 33554432
+                 ELSE -((2 * (-gsc) + 16777216) // 33554432) END) + 128)) AS p
+  FROM g
+),
+agg AS (
+  SELECT doc_id, ch, sum(p) AS s, max(p) AS pk FROM pix GROUP BY 1, 2
+)
+SELECT im.doc_id AS doc_id, CAST(8 AS INT) AS width,
+       CAST(im.nb * 8 AS INT) AS height,
+       CAST(max(CASE WHEN a.ch = 0 THEN a.s END) AS BIGINT) AS sum_c,
+       CAST(max(CASE WHEN a.ch = 1 THEN a.s END) AS BIGINT) AS sum_m,
+       CAST(max(CASE WHEN a.ch = 2 THEN a.s END) AS BIGINT) AS sum_y,
+       CAST(max(CASE WHEN a.ch = 3 THEN a.s END) AS BIGINT) AS sum_k,
+       CAST(max(CASE WHEN a.ch = 0 THEN a.pk END) AS INT) AS peak_c,
+       CAST(max(CASE WHEN a.ch = 1 THEN a.pk END) AS INT) AS peak_m,
+       CAST(max(CASE WHEN a.ch = 2 THEN a.pk END) AS INT) AS peak_y,
+       CAST(max(CASE WHEN a.ch = 3 THEN a.pk END) AS INT) AS peak_k
+FROM im JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("multimodal_jpeg_cmyk_stats", _duck_jpeg_cmyk_sql())
+def multimodal_jpeg_cmyk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMYK (4-component) baseline JPEG decode (round 14, VERDICT r13
+    "what's missing" #3 — the print/scan corpus class): the fixture
+    corpus (operators/multimodal.py:attach_jpeg_cmyk_payload — real
+    4-component 4:4:4 JPEGs whose interleaved CMYK pixels ARE the text
+    bytes) fully decoded by :func:`jpeg_cmyk_pixel_stats` through four
+    per-ink entropy/DCT pipelines with NO color transform (the Adobe
+    transform-0 profile; the oracle replays all four fixed-point
+    chains integer-for-integer). A decoder that drops the fourth
+    component, misorders the four per-MCU data units, or crosses the
+    per-component DC predictors fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_jpeg_cmyk_payload,
+        jpeg_cmyk_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = jpeg_cmyk_pixel_stats(attach_jpeg_cmyk_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_cmyk", 1).alias("sum_c"),
+        F.element_at("sum_cmyk", 2).alias("sum_m"),
+        F.element_at("sum_cmyk", 3).alias("sum_y"),
+        F.element_at("sum_cmyk", 4).alias("sum_k"),
+        F.element_at("peak_cmyk", 1).alias("peak_c"),
+        F.element_at("peak_cmyk", 2).alias("peak_m"),
+        F.element_at("peak_cmyk", 3).alias("peak_y"),
+        F.element_at("peak_cmyk", 4).alias("peak_k"),
+    )
+
+
 @register("multimodal_jpeg_pixel_stats", _duck_jpeg_sql())
 def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG pixel decode (round 12) — the LAST image format, and the

@@ -1373,6 +1373,51 @@ def test_flac_and_wav_depth_widening(spark):
     assert list(row["peak_abs"]) == [int(x) for x in w2.max(axis=0)]
 
 
+def test_jpeg_cmyk_decode_matches_pipeline_replay(spark):
+    """Round 14: 4-component (CMYK) baseline JPEG decodes through four
+    independent per-ink pipelines with no color transform — pinned
+    against a direct numpy replay of the documented fixed-point chain,
+    and the stats operator drops 1/3-component payloads."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _JPEG_DCT_T,
+        _JPEG_QUANT,
+        _jpeg_cmyk_pixels,
+        _rha_arr,
+        jpeg_cmyk_pixel_stats,
+        synth_jpeg,
+        synth_jpeg_cmyk,
+        synth_jpeg_color,
+    )
+
+    rng = np.random.default_rng(40)
+    data = bytes(rng.integers(0, 256, 256 * 6 + 100, dtype=np.uint8))
+    px = _jpeg_cmyk_pixels(synth_jpeg_cmyk(data))
+    nb = len(data) // 256
+    src = np.frombuffer(data, np.uint8, nb * 256).reshape(nb, 8, 8, 4)
+    T = np.array(_JPEG_DCT_T, dtype=np.int64)
+    q = np.array(_JPEG_QUANT, dtype=np.int64).reshape(8, 8)
+    for ci in range(4):
+        s = src[..., ci].astype(np.int64) - 128
+        qc = _rha_arr(T @ s @ T.T, q << 24)
+        rec = np.clip(_rha_arr(T.T @ (qc * q) @ T, 1 << 24) + 128, 0, 255)
+        assert np.array_equal(
+            px[..., ci].reshape(nb, 8, 8).astype(np.int64), rec
+        ), ci
+    rows = [
+        (1, bytearray(synth_jpeg_cmyk(data))),
+        (2, bytearray(synth_jpeg(data[:256]))),
+        (3, bytearray(synth_jpeg_color(data[:576]))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in jpeg_cmyk_pixel_stats(df).collect()}
+    assert list(got) == [1]
+    flat = px.reshape(-1, 4).astype(np.int64)
+    assert list(got[1]["sum_cmyk"]) == [int(x) for x in flat.sum(axis=0)]
+    assert list(got[1]["peak_cmyk"]) == [int(x) for x in flat.max(axis=0)]
+
+
 def test_jpeg_restart_intervals_decode_identically():
     """Round 13: DRI/RSTn streams must reconstruct the exact pixels of
     the restart-free stream (the markers change only the entropy
