@@ -1224,6 +1224,19 @@ _MP3_PCM_SHIFT = 34
 _MP3_T1_ENC = {(0, 0): "1", (1, 0): "01", (0, 1): "001", (1, 1): "000"}
 
 
+def _mp3_um():
+    """(16, 32) V→U selection indices: u_m(j) = j for even FIFO lag m,
+    32 + j for odd (the spec's alternating half-vector pick)."""
+    import numpy as np
+
+    m = np.arange(16)[:, None]
+    j = np.arange(32)[None, :]
+    return np.where(m % 2 == 0, j, 32 + j)
+
+
+_MP3_UM = _mp3_um()
+
+
 def synth_mp3_pcm(data: bytes, *, max_granules: int = 4) -> bytes | None:
     """Deterministic MPEG-1 Layer III stream around ``data`` (round
     14): granule g (up to ``max_granules``) carries 36 spectral lines
@@ -1330,7 +1343,9 @@ def _mp3_decode_frames(data: bytes):
     cs = np.asarray(_MP3_CS, dtype=np.int64)
     ca = np.asarray(_MP3_CA, dtype=np.int64)
     overlap = np.zeros((32, 18), dtype=np.int64)
-    vfifo = np.zeros((16, 64), dtype=np.int64)
+    # time-ordered V carry: rows are the previous 15 synthesis steps,
+    # oldest first (the windowed-FIFO einsum indexes V_{k−m} directly)
+    vfifo = np.zeros((15, 64), dtype=np.int64)
     pcm_parts: list = []
     pos, n = 0, len(data)
     while pos + 4 <= n:
@@ -1451,17 +1466,20 @@ def _mp3_decode_frames(data: bytes):
             # frequency inversion: odd time samples of odd subbands
             # (18·g is even, so within-granule parity IS global parity)
             s[1::2, 1::2] = -s[1::2, 1::2]
-            # polyphase synthesis: matrixing + 512-tap windowed FIFO
-            out18 = np.empty((18, 32), dtype=np.int64)
-            for k in range(18):
-                vfifo[1:] = vfifo[:-1]
-                vfifo[0] = nmat @ s[:, k]
-                even = vfifo[0::2, :32]  # V_{2i}[j]
-                odd = vfifo[1::2, 32:]  # V_{2i+1}[32+j]
-                out18[k] = (
-                    dwin.reshape(16, 32)[0::2] * even
-                    + dwin.reshape(16, 32)[1::2] * odd
-                ).sum(axis=0)
+            # polyphase synthesis: matrixing for ALL 18 steps in one
+            # matmul, then the 512-tap windowed FIFO as one gathered
+            # einsum over a (carry 15 + 18)-row time window (round 14
+            # follow-up: the per-step Python FIFO loop was the row's
+            # wall) — PCM[k, j] = Σ_m D[32m+j] · V_{k−m}[u_m(j)],
+            # u_m(j) = j for even m, 32+j for odd (the spec's V→U
+            # selection)
+            v18 = (nmat @ s).T  # (18, 64): V at this granule's steps
+            vwin = np.concatenate([vfifo, v18])  # times −15..17
+            kk = np.arange(18)[:, None, None]
+            mm = np.arange(16)[None, :, None]
+            vg = vwin[kk - mm + 15, _MP3_UM[None, :, :]]  # (18, 16, 32)
+            out18 = (dwin.reshape(16, 32)[None] * vg).sum(axis=1)
+            vfifo = vwin[-15:]
             pcm_parts.append(_rha_arr(out18.reshape(-1), 1 << _MP3_PCM_SHIFT))
     if not pcm_parts:
         raise NotImplementedError("MP3 without one complete frame")
