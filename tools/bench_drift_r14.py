@@ -1,0 +1,106 @@
+"""Round-14 drift adjudication (the r13 protocol, pre-emptive).
+
+Re-times the iterative/multi-job rows whose round-14 official deltas sit
+above the noise band (``graph_part_pagerank_seeded`` +46%,
+``entity_resolve_customers`` +51%, ``graph_part_clustering`` +60%,
+``ann_topk_ivf`` +60%) three times each at sf0.1 on a quiet host,
+bracketed by canary trio samples, and writes
+``/root/repo/BENCH_drift_r14.json``. Does NOT touch BENCH_local.json
+(the committed official record).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from polars_sim_spark import cache as cache_registry
+from polars_sim_spark import queries as q
+from polars_sim_spark.session import get_spark
+
+ROWS = [
+    "graph_part_pagerank_seeded",
+    "entity_resolve_customers",
+    "graph_part_clustering",
+    "ann_topk_ivf",
+]
+CANARY = ["text_fingerprint", "text_token_count", "tpch_q6_forecast_revenue"]
+REPEATS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-drift-r14")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    q.ensure_ivf_sqrt_index(spark, sf_dir)
+
+    def canary_sample() -> float:
+        t0 = time.perf_counter()
+        for name in CANARY:
+            q.QUERIES[name](spark, sf_dir).count()
+        cache_registry.unpersist_all()
+        return round(time.perf_counter() - t0, 3)
+
+    canary_sample()  # discard the hot first pass (bench.py precedent)
+    canaries = [canary_sample()]
+    timings: dict[str, list[float]] = {name: [] for name in ROWS}
+    for rep in range(REPEATS):
+        for name in ROWS:
+            fn = q.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            timings[name].append(round(time.perf_counter() - t0, 3))
+            cache_registry.unpersist_all()
+        canaries.append(canary_sample())
+
+    record = {
+        "metric": "drift_retimes_r14",
+        "sf": 0.1,
+        "repeats": REPEATS,
+        "canary_samples": canaries,
+        "canary_median": sorted(canaries)[len(canaries) // 2],
+        "timings": timings,
+        "medians": {
+            n: sorted(v)[len(v) // 2] for n, v in timings.items()
+        },
+        # Committed official records (git 4ee08af r13 / 88e799d r14):
+        # these four are the largest shared-row deltas in the r14
+        # official (whose 184-row shared total is 15% BELOW r13 raw) —
+        # all iterative/multi-job shapes with the documented
+        # super-proportional jitter amplification.
+        "r14_official": {
+            "graph_part_pagerank_seeded": 10.751,
+            "entity_resolve_customers": 9.801,
+            "graph_part_clustering": 7.669,
+            "ann_topk_ivf": 4.925,
+            "canary": 0.449,
+        },
+        "r13_official": {
+            "graph_part_pagerank_seeded": 7.385,
+            "entity_resolve_customers": 6.511,
+            "graph_part_clustering": 4.788,
+            "ann_topk_ivf": 3.08,
+            "canary": 0.578,
+        },
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_drift_r14.json",
+    )
+    with open(out, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
