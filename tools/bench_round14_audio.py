@@ -188,5 +188,52 @@ def main() -> None:
         cache_registry.unpersist_all()
 
 
+
+
+
+def mp3_twin_leg() -> None:
+    """×10/×100 walls for the MP3 twin corpus (`dedup_audio_mp3_crossformat`'s
+    shape): every doc → profile MP3 at doc_id + WAV of the decoded PCM at
+    doc_id + 10^6, hashed through wav_phash (MP3 routed through the full
+    synthesis chain), paired at the 4×16-bit / d≤3 scale geometry.
+    Run standalone: python tools/bench_round14_audio.py mp3twin"""
+    from polars_sim_spark.operators.multimodal import (
+        attach_audio_mp3_twin_payload,
+    )
+
+    spark = get_spark("bench-r14-mp3twin", shuffle_partitions=64)
+    bands4 = tuple(f"band{j}" for j in range(4))
+    for label, src in corpora(None):
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        t0 = time.perf_counter()
+        ph = wav_phash(
+            attach_audio_mp3_twin_payload(docs), n_bands=4
+        ).localCheckpoint(eager=True)
+        n_hashed = ph.count()
+        t_hash = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pr = dedup.phash_near_pairs(
+            ph, id_col="doc_id", band_cols=bands4, max_dist=3,
+            max_bucket_size=1000, cap_guard=False,
+        )
+        st = pr.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("r_id") - F.col("l_id") == 1_000_000).cast("long")
+            ).alias("twins"),
+        ).collect()[0]
+        n_docs = docs.count()
+        print(
+            f"mp3twin {label}: docs={n_docs} hashed={n_hashed} "
+            f"pairs={st['n']} twin_pairs={st['twins']} "
+            f"hash_wall={t_hash:.1f}s pairs_wall={time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        cache_registry.unpersist_all()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "mp3twin":
+        mp3_twin_leg()
+    else:
+        main()
