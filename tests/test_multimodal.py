@@ -1751,6 +1751,37 @@ def test_stream_phash_audio_gate_accepts_flac(spark):
     assert hashes[0] == hashes[1]  # gate keys on bands: identical -> match
 
 
+def test_stream_phash_audio_gate_accepts_mp3(spark):
+    """Round 14: the same gate accepts MP3 — audio arriving as a
+    profile Layer III stream hashes to the identical envelope bands as
+    a WAV carrying the stream's decoded PCM, so a known clip in the
+    reference set matches its MP3 ingest form."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _mp3_decode,
+        synth_mp3_pcm,
+        synth_wav,
+        wav_phash,
+    )
+
+    rng = np.random.default_rng(5)
+    mp3 = synth_mp3_pcm(bytes(rng.integers(0, 256, 144, dtype=np.uint8)))
+    _sr, pcm = _mp3_decode(mp3)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(synth_wav(pcm.astype("<i2").tobytes(), 32000, 1))),
+            (1, bytearray(mp3)),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r["doc_id"]: tuple(r[f"band{j}"] for j in range(4))
+        for r in wav_phash(df).collect()
+    }
+    assert hashes[0] == hashes[1]
+
+
 def test_flac_header_parse_inverts_synth():
     """Round 12 (VERDICT r11 #7): the STREAMINFO bit-field unpack must
     invert synth_flac exactly and reject non-FLAC payloads."""
