@@ -6271,13 +6271,17 @@ def wav_phash(
                         amp = np.abs(pcm.astype(np.int64).reshape(n, ch)[:, 0])
                 except NotImplementedError:
                     # CONTAINER-INVARIANT routing (round 13, VERDICT r12
-                    # #6; MP3 added round 14): mono FLAC — and, as of
-                    # round 14, profile MP3 — decodes to logical
+                    # #6; MP3 + stereo FLAC added round 14): FLAC — mono
+                    # OR stereo, taking channel 0 exactly like the WAV
+                    # path above — and profile MP3 decode to logical
                     # channel-0 PCM, so identical audio hashes the same
                     # regardless of container — the audio twin of the
-                    # image matrix's cross-format dHash.
+                    # image matrix's cross-format dHash. (A stereo WAV
+                    # hashes channel 0; dropping the same audio's stereo
+                    # FLAC would be container-dependent behavior.)
                     try:
-                        _sr, pcm = _flac_pcm_samples(data)
+                        _sr, _nch, pcm2 = _flac_decode(data)
+                        pcm = pcm2[:, 0]
                     except NotImplementedError:
                         try:
                             _sr, pcm = _mp3_decode(data)

@@ -1751,6 +1751,41 @@ def test_stream_phash_audio_gate_accepts_flac(spark):
     assert hashes[0] == hashes[1]  # gate keys on bands: identical -> match
 
 
+def test_wav_phash_stereo_flac_matches_stereo_wav(spark):
+    """Round 14: a STEREO clip must hash identically as stereo WAV and
+    stereo FLAC — the envelope is defined on channel 0, and dropping
+    the FLAC form (the pre-fix behavior: the route used the mono-only
+    wrapper) was container-dependent behavior."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        synth_flac_stereo,
+        synth_wav,
+        wav_phash,
+    )
+
+    rng = np.random.default_rng(3)
+    rows_w, rows_f = [], []
+    for i in range(10):
+        n = 2 * int(rng.integers(40, 600))
+        st = rng.integers(-3000, 3000, n).astype("<i2")
+        rows_w.append((i, synth_wav(st.tobytes(), 16000, 2)))
+        rows_f.append((i, synth_flac_stereo(st.tobytes())))
+    hw = {
+        r["doc_id"]: r["phash_hex"]
+        for r in wav_phash(
+            spark.createDataFrame(rows_w, "doc_id long, payload binary")
+        ).collect()
+    }
+    hf = {
+        r["doc_id"]: r["phash_hex"]
+        for r in wav_phash(
+            spark.createDataFrame(rows_f, "doc_id long, payload binary")
+        ).collect()
+    }
+    assert hw == hf and len(hw) == 10
+
+
 def test_stream_phash_audio_gate_accepts_mp3(spark):
     """Round 14: the same gate accepts MP3 — audio arriving as a
     profile Layer III stream hashes to the identical envelope bands as
