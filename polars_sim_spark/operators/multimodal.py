@@ -3833,7 +3833,13 @@ def _png_logical_pixels(data: bytes):
     rows pin. Palette images (color type 3, round 14) contribute their
     PLTE-expanded RGB (tRNS alpha, when present, is ignored for the
     logical-pixel hash the way the dHash ignores RGBA alpha); other
-    color types raise here and are served by :func:`_png_decode`."""
+    color types widened round 14: RGBA (6) and palette-with-tRNS
+    contribute their RGB with alpha dropped, grayscale (0) and
+    gray+alpha (4) replicate the gray channel — so EVERY 8-bit PNG
+    color type reaches the container-invariant dHash/resize chain
+    (web PNGs are commonly RGBA; dropping them was a container-
+    dependent hole). 16-bit stays out (no 8-bit logical contract;
+    served by :func:`png16_stats`)."""
     import numpy as np
 
     h, w, color, arr = _png_decode(data)
@@ -3844,11 +3850,11 @@ def _png_logical_pixels(data: bytes):
         )
     if color == 2:
         return arr
-    if color == 3:
+    if color in (3, 6):
         return arr[:, :, :3]
-    raise NotImplementedError(
-        "alpha color type: this PNG decodes via _png_decode"
-    )
+    # grayscale / gray+alpha: replicate the gray channel (the dHash
+    # averages channels, so gray×3 is the consistent logical image)
+    return np.repeat(arr[:, :, :1], 3, axis=2)
 
 
 #: Adam7 pass geometry (x-origin, y-origin, x-stride, y-stride) in

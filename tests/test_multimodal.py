@@ -1059,10 +1059,14 @@ def test_png_nonpalette_color_types_decode(spark):
     # 14: color type 3 itself now decodes — see the palette tests)
     with pytest.raises(NotImplementedError, match="missing PLTE"):
         _png_decode(build(3, 1, 6, 9, bytes(54)))
-    # the truecolor wrapper refuses RGBA (its rows pin (h, w, 3))
+    # round 14: the logical-pixel wrapper accepts EVERY 8-bit color
+    # type — RGBA drops alpha, grayscale replicates the gray channel
     rgba = synth_png_rgba(bytes(range(240)), 5)
-    with pytest.raises(NotImplementedError, match="color type"):
-        _png_logical_pixels(rgba)
+    assert (_png_logical_pixels(rgba) == _png_decode(rgba)[3][:, :, :3]).all()
+    gray_png = build(0, 1, 6, 9, bytes(range(54)))
+    lp = _png_logical_pixels(gray_png)
+    assert lp.shape == (9, 6, 3)
+    assert (lp == np.frombuffer(bytes(range(54)), np.uint8).reshape(9, 6, 1)).all()
     # stats operator: RGBA only, alpha first-class, RGB PNGs dropped
     df = spark.createDataFrame(
         [(1, bytearray(rgba)), (2, bytearray(synth_png(bytes(range(240)), 5)))],

@@ -282,6 +282,38 @@ def test_phash_cross_format_ppm_equals_palette_png(spark):
     assert hp == hg and len(hp) == 25
 
 
+def test_phash_rgba_png_equals_rgb_twin(spark):
+    """Round 14: an RGBA PNG must hash to the identical 64 bits as a
+    PPM holding just its RGB channels — alpha is invisible to the
+    container-invariant dHash (web PNGs are commonly RGBA; the
+    pre-fix behavior dropped them from the hash entirely)."""
+    from polars_sim_spark.operators.multimodal import synth_png_rgba
+
+    rng = np.random.default_rng(46)
+    ppm_rows, rgba_rows = [], []
+    for i in range(15):
+        w = 4 + i % 8
+        h = int(rng.integers(1, 18))
+        rgba = rng.integers(0, 256, size=(h * w, 4), dtype=np.uint8)
+        rgba_rows.append((i, synth_png_rgba(rgba.tobytes(), w)))
+        ppm_rows.append((i, synth_ppm(rgba[:, :3].tobytes(), w)))
+    hp = {
+        r["doc_id"]: r["phash_hex"]
+        for r in ppm_phash(
+            spark.createDataFrame(ppm_rows, "doc_id long, payload binary"),
+            n_bands=8,
+        ).collect()
+    }
+    ha = {
+        r["doc_id"]: r["phash_hex"]
+        for r in ppm_phash(
+            spark.createDataFrame(rgba_rows, "doc_id long, payload binary"),
+            n_bands=8,
+        ).collect()
+    }
+    assert hp == ha and len(hp) == 15
+
+
 def test_multiformat_corpus_hashes_equal_ppm_twin(spark):
     """Round 11 (PNG added r12): dHashes over the MIXED-container corpus
     (PPM/BMP/GIF/PNG by id mod 4, attach_multiformat_payload) must be
