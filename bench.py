@@ -224,6 +224,7 @@ HEADLINE = [
     "multimodal_png_rgba_stats",
     "multimodal_png_palette_stats",
     "multimodal_png16_stats",
+    "multimodal_bmp8_stats",
     "multimodal_jpeg_cmyk_stats",
     "multimodal_png_adam7_stats",
     "multimodal_wav8_stats",

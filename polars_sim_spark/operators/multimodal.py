@@ -2808,11 +2808,13 @@ def synth_bmp(data: bytes, width: int) -> bytes | None:
 
 
 def _parse_bmp(data: bytes):
-    """Parse an uncompressed 24-bit BMP header: returns (width, height,
-    pixel offset, top_down, row stride). ``height`` is the magnitude;
-    ``top_down`` is True when the stored height is negative (rows
-    already top-to-bottom). Raises NotImplementedError for anything but
-    BI_RGB 24-bit (compressed/paletted BMPs need a real codec)."""
+    """Parse an uncompressed BMP header: returns (width, height, pixel
+    offset, top_down, row stride, bitcount). ``height`` is the
+    magnitude; ``top_down`` is True when the stored height is negative
+    (rows already top-to-bottom). 24-bit (BGR) and — round 14 — 8-bit
+    PALETTED (one index byte per pixel, BGRX color table after the
+    40-byte info header) BI_RGB DIBs parse; RLE-compressed and other
+    depths raise NotImplementedError."""
     import struct
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -2821,28 +2823,126 @@ def _parse_bmp(data: bytes):
     w, h = struct.unpack_from("<ii", data, 18)
     bitcount = struct.unpack_from("<H", data, 28)[0]
     compression = struct.unpack_from("<I", data, 30)[0]
-    if bitcount != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP is codec-free")
+    if bitcount not in (8, 24) or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 8-bit-paletted/24-bit BMP is codec-free"
+        )
     if w < 1 or h == 0 or off < 54:
         raise NotImplementedError("malformed BMP header")
-    stride = ((w * 3 + 3) // 4) * 4
-    return int(w), abs(int(h)), int(off), h < 0, stride
+    stride = ((w * (bitcount // 8) + 3) // 4) * 4
+    return int(w), abs(int(h)), int(off), h < 0, stride, bitcount
 
 
 def _bmp_logical_pixels(data: bytes):
-    """(h, w, 3) RGB uint8 array of a 24-bit BMP's LOGICAL image (row 0 =
-    top), inverting bottom-up order, BGR interleave and row padding.
-    Raises NotImplementedError on non-BMP / truncated payloads."""
+    """(h, w, 3) RGB uint8 array of a BMP's LOGICAL image (row 0 =
+    top), inverting bottom-up order, BGR interleave and row padding —
+    8-bit paletted DIBs (round 14) additionally look every index up
+    through the BGRX color table (biClrUsed entries, 256 when 0).
+    Raises NotImplementedError on non-BMP / truncated payloads or
+    indices beyond the table."""
+    import struct
+
     import numpy as np
 
-    w, h, off, top_down, stride = _parse_bmp(data)
+    w, h, off, top_down, stride, bitcount = _parse_bmp(data)
     if len(data) - off < stride * h:
         raise NotImplementedError("truncated BMP pixel data")
     raw = np.frombuffer(data, dtype=np.uint8, offset=off, count=stride * h)
-    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bitcount == 24:
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1]  # BGR → RGB
+    n_pal = struct.unpack_from("<I", data, 46)[0] or 256
+    if 54 + 4 * n_pal > min(off, len(data)):
+        raise NotImplementedError("truncated BMP color table")
+    table = np.frombuffer(data, dtype=np.uint8, offset=54, count=4 * n_pal)
+    lut = table.reshape(n_pal, 4)[:, 2::-1]  # BGRX → RGB
+    idx = raw.reshape(h, stride)[:, :w]
+    if int(idx.max()) >= n_pal:
+        raise NotImplementedError("BMP palette index out of range")
+    rows = lut[idx]
     if not top_down:
         rows = rows[::-1]
-    return rows[:, :, ::-1]  # BGR → RGB
+    return rows
+
+
+def synth_bmp8(data: bytes, width: int) -> bytes | None:
+    """Deterministic 8-bit PALETTED BMP (round 14 — the legacy-archive
+    twin of the palette PNG): pixel (y, x) carries color-table INDEX
+    ``data[y·w + x]``, stored the way real paletted DIBs are — 256-entry
+    BGRX color table after the 40-byte info header, bottom-up rows,
+    4-byte row stride. The table rows follow the SAME closed-form rule
+    as :func:`synth_png_palette` (``m = 2·(w mod 4) + 1``; pal_r =
+    (m·i + h) mod 256, pal_g = (3·m·i + 2h + 1), pal_b =
+    (5·m·i + 3h + 2)), so the two containers' oracles share one channel
+    formula and a palette-PNG / paletted-BMP pair of the same indices
+    is a cross-container hash twin. Returns None when fewer than one
+    full row fits."""
+    import struct
+
+    import numpy as np
+
+    height = len(data) // width
+    if height < 1:
+        return None
+    m = 2 * (width % 4) + 1
+    table = bytearray()
+    for i in range(256):
+        table += bytes(
+            (
+                (5 * m * i + 3 * height + 2) % 256,  # B
+                (3 * m * i + 2 * height + 1) % 256,  # G
+                (m * i + height) % 256,  # R
+                0,
+            )
+        )
+    idx = np.frombuffer(
+        data[: height * width], dtype=np.uint8
+    ).reshape(height, width)
+    stride = ((width + 3) // 4) * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width] = idx[::-1]  # bottom-up
+    body = rows.tobytes()
+    off = 54 + len(table)
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(body), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body), 0, 0, 256, 0
+    )
+    return header + bytes(table) + body
+
+
+def attach_bmp8_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paletted-BMP corpus attacher: EVERY document whose text holds at
+    least one full index row becomes a real 8-bit paletted BMP
+    (:func:`synth_bmp8`, width = 4 + id % 8 over 1-byte pixels);
+    shorter rows stay raw utf-8."""
+    return _attach_payload(
+        df,
+        {0: synth_bmp8, 1: synth_bmp8, 2: synth_bmp8},
+        text_col,
+        id_col,
+    )
+
+
+def bmp8_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for 8-bit PALETTED BMP payloads
+    (round 14): color-table lookup + bottom-up/stride inversion through
+    the shared :func:`_bmp_logical_pixels` chain. 24-bit and non-BMP
+    payloads are dropped. Output: the pixel-stats family schema."""
+    import numpy as np
+
+    def decode(data: bytes):
+        if _parse_bmp(data)[5] != 8:
+            raise NotImplementedError("not a paletted BMP")
+        return _bmp_logical_pixels(data)
+
+    return _pixel_stats(df, decode, id_col, payload_col)
 
 
 def attach_bmp_payload(

@@ -973,6 +973,77 @@ def multimodal_png_adam7_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp8_stats",
+    """
+WITH bm AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (
+  SELECT *, dlen // w AS h, 2 * (w % 4) + 1 AS m
+  FROM bm WHERE dlen // w >= 1
+),
+px AS (SELECT doc_id, hx, w, h, m, unnest(range(w * h)) AS k FROM valid),
+iv AS (
+  SELECT doc_id, w, h, m,
+         CAST(('0x' || substr(hx, CAST(k * 2 + 1 AS BIGINT), 2)) AS BIGINT) AS v
+  FROM px
+),
+ch AS (
+  SELECT doc_id,
+         (m * v + h) % 256 AS r,
+         (3 * m * v + 2 * h + 1) % 256 AS g,
+         (5 * m * v + 3 * h + 2) % 256 AS b
+  FROM iv
+),
+agg AS (
+  SELECT doc_id,
+         sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+         max(r) AS pr, max(g) AS pg, max(b) AS pb
+  FROM ch GROUP BY 1
+)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(a.sr AS BIGINT) AS sum_r, CAST(a.sg AS BIGINT) AS sum_g,
+       CAST(a.sb AS BIGINT) AS sum_b,
+       CAST(a.pr AS INT) AS peak_r, CAST(a.pg AS INT) AS peak_g,
+       CAST(a.pb AS INT) AS peak_b
+FROM valid v JOIN agg a USING (doc_id)
+""",
+)
+def multimodal_bmp8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit PALETTED BMP decode (round 14 — the legacy-archive twin of
+    the palette-PNG row): the fixture corpus
+    (operators/multimodal.py:attach_bmp8_payload — real paletted DIBs
+    with a 256-entry BGRX color table, bottom-up rows, 4-byte stride,
+    the SAME closed-form per-image palette rule as
+    :func:`synth_png_palette`) decoded by :func:`bmp8_pixel_stats`
+    through color-table lookup + row-order/stride inversion. The
+    oracle predicts every channel byte from the text alone; a decoder
+    that reads the table as RGBX instead of BGRX, skips the stride
+    padding, or forgets the bottom-up flip is a hash mismatch."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_bmp8_payload,
+        bmp8_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bmp8_pixel_stats(attach_bmp8_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
+@register(
     "multimodal_png16_stats",
     """
 WITH png AS (

@@ -366,7 +366,7 @@ def test_bmp_parse_and_pixel_stats(spark):
 
     data = bytes(range(256)) * 3
     b = synth_bmp(data, 5)  # w=5 → row 15 bytes → stride 16 (padding real)
-    w, h, off, top_down, stride = _parse_bmp(b)
+    w, h, off, top_down, stride, _bits = _parse_bmp(b)
     assert (w, h, off, top_down, stride) == (5, 51, 54, False, 16)
     logical = _bmp_logical_pixels(b)
     assert logical.tobytes() == data[: 5 * 51 * 3]  # ≡ the PPM layout
@@ -385,7 +385,13 @@ def test_bmp_parse_and_pixel_stats(spark):
     with pytest.raises(NotImplementedError):
         _parse_bmp(b"JUNK")
     bad = bytearray(b)
-    struct.pack_into("<H", bad, 28, 8)  # 8-bit paletted
+    # 8-bit paletted PARSES as of round 14; a 24-bit body relabeled
+    # 8-bit must still DROP cleanly at the pixel layer (the color
+    # table would overlap the pixel offset)
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(NotImplementedError):
+        _bmp_logical_pixels(bytes(bad))
+    struct.pack_into("<H", bad, 28, 4)  # 4-bit stays gated
     with pytest.raises(NotImplementedError):
         _parse_bmp(bytes(bad))
     assert synth_bmp(b"xy", 5) is None
@@ -1077,6 +1083,59 @@ def test_png_nonpalette_color_types_decode(spark):
     want = np.frombuffer(bytes(range(240)), np.uint8).reshape(-1, 4).astype(np.int64)
     assert list(rows_out[1]["sum_rgba"]) == [int(x) for x in want.sum(axis=0)]
     assert list(rows_out[1]["peak_rgba"]) == [int(x) for x in want.max(axis=0)]
+
+
+def test_bmp8_paletted_decode_and_stats(spark):
+    """Round 14: 8-bit paletted BMP — BGRX color table, bottom-up rows,
+    4-byte stride — decodes to the shared palette rule, hashes
+    identically to the palette PNG of the same indices, and the stats
+    operator drops 24-bit BMPs."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _bmp_logical_pixels,
+        bmp8_pixel_stats,
+        ppm_phash,
+        synth_bmp,
+        synth_bmp8,
+        synth_png_palette,
+    )
+
+    rng = np.random.default_rng(48)
+    b8_rows, pal_rows = [], []
+    for i in range(12):
+        w = 4 + i % 8
+        h = int(rng.integers(1, 16))
+        idx = rng.integers(0, 256, h * w, dtype=np.uint8)
+        b8_rows.append((i, synth_bmp8(idx.tobytes(), w)))
+        pal_rows.append((i, synth_png_palette(idx.tobytes(), w)))
+    hb = {
+        r["doc_id"]: r["phash_hex"]
+        for r in ppm_phash(
+            spark.createDataFrame(b8_rows, "doc_id long, payload binary"),
+            n_bands=8,
+        ).collect()
+    }
+    hp = {
+        r["doc_id"]: r["phash_hex"]
+        for r in ppm_phash(
+            spark.createDataFrame(pal_rows, "doc_id long, payload binary"),
+            n_bands=8,
+        ).collect()
+    }
+    assert hb == hp and len(hb) == 12  # cross-container palette twins
+
+    b8 = b8_rows[0][1]
+    px = _bmp_logical_pixels(b8)
+    df = spark.createDataFrame(
+        [(1, bytearray(b8)), (2, bytearray(synth_bmp(bytes(range(240)), 5)))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in bmp8_pixel_stats(df).collect()}
+    assert list(got) == [1]
+    flat = px.reshape(-1, 3).astype(np.int64)
+    assert list(got[1]["sum_rgb"]) == [int(x) for x in flat.sum(axis=0)]
+    assert list(got[1]["peak_rgb"]) == [int(x) for x in flat.max(axis=0)]
 
 
 def test_png16_decode_and_stats(spark):
