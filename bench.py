@@ -210,6 +210,7 @@ HEADLINE = [
     "dedup_video_vhash",
     "split_documents_cluster_safe",
     "dedup_video_frames",
+    "dedup_video_pixel_crossformat",
     # round 13:
     "tpch_q11_important_stock",
     "tpch_q16_part_supplier_counts",

@@ -1659,21 +1659,44 @@ FRAME_BYTES = 64
 FRAME_DUR_MS = 40
 
 
-def synth_mp4(data: bytes, width: int, height: int, duration_ms: int) -> bytes:
+def synth_mp4(
+    data: bytes,
+    width: int,
+    height: int,
+    duration_ms: int,
+    *,
+    frame_sizes: list[int] | None = None,
+    codec: bytes = b"mp4v",
+) -> bytes:
     """Deterministic minimal ISO-BMFF container around ``data``:
     ftyp + moov(mvhd timescale=1000 + trak(tkhd width×height +
     mdia/minf/stbl with REAL stsd/stts/stsc/stsz/stco sample tables
     cutting mdat into FRAME_BYTES-byte frames)) + mdat. The fixture both
     :func:`_try_mp4_header` (header fields) and
     :func:`mp4_frame_sample` (per-frame offsets/sizes/timestamps) must
-    invert exactly."""
+    invert exactly.
+
+    ``frame_sizes`` (round 14) overrides the fixed FRAME_BYTES cut with
+    explicit per-sample sizes (they must sum to ``len(data)``) — what a
+    real muxer writes for variable-size codec frames; ``codec`` sets the
+    stsd sample-entry fourcc (``b"raw "`` for the uncompressed-gray
+    video profile). Defaults reproduce the round-11 layout byte for
+    byte."""
     import struct
 
-    n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
-    sizes = [
-        FRAME_BYTES if (i + 1) * FRAME_BYTES <= len(data) else len(data) - i * FRAME_BYTES
-        for i in range(n_frames)
-    ]
+    if len(codec) != 4:
+        raise ValueError(f"codec fourcc must be 4 bytes, got {codec!r}")
+    if frame_sizes is None:
+        n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+        sizes = [
+            FRAME_BYTES if (i + 1) * FRAME_BYTES <= len(data) else len(data) - i * FRAME_BYTES
+            for i in range(n_frames)
+        ]
+    else:
+        if sum(frame_sizes) != len(data) or any(s < 1 for s in frame_sizes):
+            raise ValueError("frame_sizes must be positive and sum to len(data)")
+        n_frames = len(frame_sizes)
+        sizes = list(frame_sizes)
 
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + btype + payload
@@ -1718,7 +1741,7 @@ def synth_mp4(data: bytes, width: int, height: int, duration_ms: int) -> bytes:
         b"stsd",
         struct.pack(">II", 0, 1)
         + struct.pack(">I", 16)
-        + b"mp4v"
+        + codec
         + b"\x00" * 6
         + struct.pack(">H", 1),
     )
@@ -1842,6 +1865,145 @@ def _parse_mp4_samples(data: bytes):
             if samples or n == 0:
                 return samples
     raise NotImplementedError("BMFF without a parseable sample table")
+
+
+def synth_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, *, codec: bytes = b"MJPG"
+) -> bytes:
+    """Deterministic minimal RIFF AVI around ``frames`` — the SECOND
+    video container (round 14; RIFF is the chunk grammar the WAV
+    fixture already exercises, here with the AVI list structure real
+    muxers write): ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    strf)) LIST('movi' '00dc'×n) idx1)``. strh declares a ``vids``
+    stream with the ``codec`` fourcc (MJPG = frames are standalone
+    baseline JPEGs — the motion-JPEG convention), strf is a real
+    BITMAPINFOHEADER, every movi chunk is word-aligned per the RIFF
+    rule, and idx1 carries keyframe entries with movi-relative offsets.
+    :func:`_parse_avi_frames` must invert exactly."""
+    import struct
+
+    if len(codec) != 4:
+        raise ValueError(f"codec fourcc must be 4 bytes, got {codec!r}")
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            40000,  # microseconds per frame (25 fps)
+            0,  # max bytes per second (advisory)
+            0,  # padding granularity
+            0x10,  # AVIF_HASINDEX
+            len(frames),
+            0,  # initial frames
+            1,  # streams
+            max((len(f) for f in frames), default=0),  # suggested buffer
+            width,
+            height,
+            0, 0, 0, 0,  # reserved
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + codec
+        + struct.pack(
+            "<IHHIIIIIIIIHHHH",
+            0,  # flags
+            0, 0,  # priority, language
+            0,  # initial frames
+            1, 25,  # scale / rate = 25 fps
+            0,  # start
+            len(frames),  # length (frames)
+            max((len(f) for f in frames), default=0),  # buffer size
+            0xFFFFFFFF,  # quality (default)
+            0,  # sample size (0 = varying)
+            0, 0, width, height,  # rcFrame
+        ),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,  # biSize
+            width,
+            height,
+            1,  # planes
+            24,  # bit count (advisory for compressed streams)
+            codec,  # biCompression
+            sum(len(f) for f in frames),
+            0, 0, 0, 0,  # resolution / color table
+        ),
+    )
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
+    movi_payload = b"movi"
+    idx = []
+    for f in frames:
+        # idx1 offsets point at the chunk HEADER, relative to the
+        # 'movi' fourcc (the convention every mainstream reader uses)
+        idx.append((len(movi_payload), len(f)))
+        movi_payload += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_payload)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, size) for off, size in idx
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi_frames(data: bytes):
+    """(width, height, [(offset, size)] per video frame) out of a RIFF
+    AVI payload: walks the real chunk grammar — LIST hdrl for the
+    stream geometry (strf BITMAPINFOHEADER; avih as the fallback), LIST
+    movi for the ``00dc``/``00db`` frame chunks (word-aligned per the
+    RIFF rule) — no codec involvement, the exact analogue of the BMFF
+    sample-table walk (:func:`_parse_mp4_samples`). Non-AVI input and
+    payloads whose declared chunks run past the bytes that arrived
+    raise NotImplementedError (the malformed-input drop contract)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF AVI payload")
+    width = height = None
+    spans: list[tuple[int, int]] = []
+    saw_movi = False
+
+    def walk(start: int, end: int):
+        nonlocal width, height, saw_movi
+        pos = start
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body, nxt = pos + 8, pos + 8 + size + (size % 2)
+            if body + size > end:
+                raise NotImplementedError("AVI chunk runs past payload")
+            if cid == b"LIST":
+                if size < 4:
+                    raise NotImplementedError("AVI LIST too short")
+                ltype = data[body : body + 4]
+                if ltype == b"movi":
+                    saw_movi = True
+                walk(body + 4, body + size)
+            elif cid == b"strf" and size >= 16 and width is None:
+                w, h = struct.unpack_from("<ii", data, body + 4)
+                width, height = abs(w), abs(h)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                spans.append((body, size))
+            pos = nxt
+
+    walk(12, len(data))
+    if not saw_movi:
+        raise NotImplementedError("AVI without a movi list")
+    if width is None or height is None:
+        raise NotImplementedError("AVI without a strf geometry header")
+    return width, height, spans
 
 
 def mp4_frame_sample(
@@ -2438,6 +2600,66 @@ def attach_audio_mp3_twin_payload(
                 ids.append(int(i) + AUDIO_TWIN_OFFSET)
                 payloads.append(
                     synth_wav(pcm.astype("<i2").tobytes(), 32000, 1)
+                )
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"), "payload": payloads}
+            )
+
+    return df.select(F.col(id_name), F.col(text_name)).mapInPandas(
+        op, "doc_id long, payload binary"
+    )
+
+
+def attach_video_pixel_twin_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Video twin corpus (round 14 — the decoded-pixel video tier's
+    proof fixture, the video analogue of
+    :func:`attach_audio_mp3_twin_payload`): every document with ≥1
+    full 8×8 frame of text emits TWO payload rows whose sampled frames
+    decode to IDENTICAL pixels —
+
+    * at ``doc_id``: an MJPEG **AVI** (:func:`synth_avi_mjpeg`) whose
+      ``00dc`` chunks are standalone baseline JPEGs, one per 64-byte
+      text block (:func:`synth_jpeg`);
+    * at ``doc_id + AUDIO_TWIN_OFFSET``: an **MP4** whose samples are
+      the raw 8-bit grayscale OUTPUT of decoding those JPEGs
+      (``codec=b"raw "``, explicit 64-byte sample sizes).
+
+    JPEG is lossy, so the shared pixels are the decode's output — the
+    MJPEG side only lands in the raw side's hash buckets if the AVI
+    walk, the per-frame JPEG decode AND the BMFF sample walk are all
+    exact. Texts below one frame emit nothing."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = ("" if t is None else str(t)).encode("utf-8")
+                nb = len(data) // 64
+                if nb < 1:
+                    continue
+                jpegs = [
+                    synth_jpeg(data[k * 64 : (k + 1) * 64]) for k in range(nb)
+                ]
+                decoded = b"".join(
+                    _jpeg_gray_pixels(j).tobytes() for j in jpegs
+                )
+                ids.append(int(i))
+                payloads.append(synth_avi_mjpeg(jpegs, 8, 8))
+                ids.append(int(i) + AUDIO_TWIN_OFFSET)
+                payloads.append(
+                    synth_mp4(
+                        decoded,
+                        8,
+                        8,
+                        nb * FRAME_DUR_MS,
+                        frame_sizes=[64] * nb,
+                        codec=b"raw ",
+                    )
                 )
             if not ids:
                 continue
@@ -6559,6 +6781,112 @@ def mp4_frame_phash(
                         continue
                     fb = frame[(np.arange(65) * m) // 65].astype(np.int64)
                     bits = (fb[:64] < fb[1:]).astype(np.int64)
+                    vals, hx = _pack_bands(bits, n_bands, bpb)
+                    ids.append(i)
+                    fidx.append(fi)
+                    for j in range(n_bands):
+                        bands[j].append(vals[j])
+                    hexes.append(hx)
+            cols = {
+                "doc_id": pd.Series(ids, dtype=object),
+                "frame_idx": pd.array(fidx, dtype="int64"),
+            }
+            for j in range(n_bands):
+                cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
+            cols["phash_hex"] = pd.Series(hexes, dtype=object)
+            yield pd.DataFrame(cols)
+
+    id_type = dict(df.dtypes)[id_col]
+    band_schema = ", ".join(f"band{j} int" for j in range(n_bands))
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"doc_id {id_type}, frame_idx long, {band_schema}, phash_hex string"
+    )
+
+
+def video_frame_pixel_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    every_n: int = 1,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Per-frame 64-bit dHash over DECODED PIXELS for video payloads
+    (round 14 — video joins images and audio in the decoded tier; the
+    byte-envelope hashes :func:`mp4_vhash`/:func:`mp4_frame_phash`
+    remain the cheap container-level path). Two real container walks
+    feed one pixel hash:
+
+    * **ISO-BMFF** — frames from the sample tables
+      (:func:`_parse_mp4_samples`), geometry from ``tkhd``;
+    * **RIFF AVI** — frames from the ``movi`` list
+      (:func:`_parse_avi_frames`), geometry from ``strf``;
+
+    and two frame payload classes decode:
+
+    * a frame starting with the JPEG SOI marker goes through the full
+      baseline decoder (:func:`_jpeg_gray_pixels`) — the MOTION-JPEG
+      convention (fourcc MJPG: every frame is a standalone JPEG);
+    * a frame of exactly ``w·h`` bytes is raw 8-bit grayscale (the
+      ``raw `` sample-entry profile).
+
+    The hash is the :func:`ppm_phash` construction verbatim — 9×8
+    point-sampled grid, horizontal gradient sign — over the decoded
+    gray matrix, so a video frame hashes IDENTICALLY to the same
+    pixels in any image container (gray = (v+v+v) div 3 = v), and the
+    banded Hamming machinery (:func:`~polars_sim_spark.operators.dedup.
+    video_frame_match_pairs`) applies unchanged. Because the hash is
+    defined on pixels, not bytes, an MJPEG AVI and an MP4 carrying the
+    decode's raw output land in the same buckets — the lossy twin
+    construction that PROVES the frame decode chain, exactly as the
+    MP3→WAV audio twin does. Undecodable frames and non-video payloads
+    are dropped. Scale: one Arrow ``mapInPandas`` pass, zero shuffle;
+    cost is the per-frame JPEG entropy decode, which divides by
+    executor count."""
+    import numpy as np
+
+    bpb = _require_bands(n_bands)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, bands, hexes = [], [], [[] for _ in range(n_bands)], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                data = bytes(b)
+                try:
+                    if data[:4] == b"RIFF":
+                        w, h, spans = _parse_avi_frames(data)
+                    else:
+                        w, h, _dur = _try_mp4_header(data)
+                        spans = [
+                            (off, size)
+                            for off, size, _t in _parse_mp4_samples(data)
+                        ]
+                except NotImplementedError:
+                    continue
+                for fi in range(0, len(spans), every_n):
+                    off, size = spans[fi]
+                    if off + size > len(data):
+                        continue  # truncated payload: skip, don't crash
+                    f = data[off : off + size]
+                    if f[:2] == b"\xff\xd8":
+                        try:
+                            gray = _jpeg_gray_pixels(f)
+                        except NotImplementedError:
+                            continue
+                    elif w and h and size == w * h:
+                        gray = np.frombuffer(f, np.uint8).reshape(h, w)
+                    else:
+                        continue
+                    fh, fw = gray.shape
+                    if fh < 1 or fw < 1:
+                        continue
+                    ys = (np.arange(8) * fh) // 8
+                    xs = (np.arange(9) * fw) // 9
+                    g = gray[ys][:, xs].astype(np.int64)
+                    bits = (g[:, :8] < g[:, 1:]).astype(np.int64).ravel()
                     vals, hx = _pack_bands(bits, n_bands, bpb)
                     ids.append(i)
                     fidx.append(fi)

@@ -2302,3 +2302,66 @@ def test_jpeg_entropy_property_random_blocks():
             assert (got[b * 8 : (b + 1) * 8, :] == pix).all()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# RIFF AVI container (round 14: the second video container)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_round_trip():
+    from polars_sim_spark.operators.multimodal import (
+        _parse_avi_frames,
+        synth_avi_mjpeg,
+    )
+
+    # odd-length frames exercise the RIFF word-alignment rule
+    frames = [b"\xff\xd8" + bytes(range(k + 1)) + b"\xff\xd9" for k in range(5)]
+    avi = synth_avi_mjpeg(frames, 12, 7)
+    w, h, spans = _parse_avi_frames(avi)
+    assert (w, h) == (12, 7)
+    assert [avi[o : o + s] for o, s in spans] == frames
+
+
+def test_avi_malformed_drops():
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _parse_avi_frames,
+        synth_avi_mjpeg,
+    )
+
+    avi = synth_avi_mjpeg([b"\xff\xd8QQ\xff\xd9"], 8, 8)
+    for bad in (b"", b"nonsense bytes here", b"RIFF\x08\x00\x00\x00WAVEdata", avi[:44]):
+        with pytest.raises(NotImplementedError):
+            _parse_avi_frames(bad)
+
+
+def test_synth_mp4_frame_sizes_and_codec():
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        FRAME_BYTES,
+        _parse_mp4_samples,
+        synth_mp4,
+    )
+
+    data = bytes((7 * i) % 256 for i in range(150))
+    # explicit sizes equal to the default cut reproduce the default bytes
+    cut = [FRAME_BYTES, FRAME_BYTES, len(data) - 2 * FRAME_BYTES]
+    assert synth_mp4(data, 4, 4, 120) == synth_mp4(
+        data, 4, 4, 120, frame_sizes=cut, codec=b"mp4v"
+    )
+    # variable sizes round-trip through the sample-table walk
+    sizes = [10, 100, 40]
+    m4 = synth_mp4(data, 4, 4, 120, frame_sizes=sizes, codec=b"raw ")
+    got = _parse_mp4_samples(m4)
+    assert [s for _o, s, _t in got] == sizes
+    pos = 0
+    for (o, s, _t) in got:
+        assert m4[o : o + s] == data[pos : pos + s]
+        pos += s
+    with pytest.raises(ValueError):
+        synth_mp4(data, 4, 4, 120, frame_sizes=[10, 10])  # doesn't sum
+    with pytest.raises(ValueError):
+        synth_mp4(data, 4, 4, 120, codec=b"toolong")

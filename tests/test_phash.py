@@ -511,3 +511,84 @@ def test_phash_identical_across_ppm_and_png(spark):
     hp = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(pdf, n_bands=8).collect()}
     hg = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(gdf, n_bands=8).collect()}
     assert hp == hg and len(hp) == len(images)
+
+
+# ---------------------------------------------------------------------------
+# Decoded-pixel video tier (round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_video_pixel_phash_cross_container_twin(spark):
+    """The MJPEG AVI at doc_id and the raw-gray MP4 at doc_id + 10^6
+    must produce IDENTICAL per-frame pixel hashes — the lossy twin
+    identity the dedup row's oracle certifies."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_video_pixel_twin_payload,
+        video_frame_pixel_phash,
+    )
+
+    texts = [
+        (0, "A" * 64),  # one frame, constant block
+        (1, "".join(chr(32 + (k * 11) % 90) for k in range(200))),  # 3 frames
+        (2, "short"),  # below one frame: emits nothing
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    ph = video_frame_pixel_phash(attach_video_pixel_twin_payload(docs))
+    rows = {(r["doc_id"], r["frame_idx"]): r["phash_hex"] for r in ph.collect()}
+    assert rows, "no frames hashed"
+    assert not any(d % 1_000_000 == 2 for d, _f in rows)
+    left = {(d, f): h for (d, f), h in rows.items() if d < 1_000_000}
+    right = {(d - 1_000_000, f): h for (d, f), h in rows.items() if d >= 1_000_000}
+    assert left == right
+    assert sum(1 for (d, _f) in left if d == 1) == 3  # 200 // 64 frames
+
+
+def test_video_frame_pixel_hash_matches_image_hash(spark):
+    """A video frame hashes identically to the SAME decoded pixels in
+    an image container (ppm_phash) — the hash is defined on logical
+    pixels, so modality is invisible."""
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+        synth_avi_mjpeg,
+        synth_jpeg,
+        video_frame_pixel_phash,
+    )
+
+    data = bytes((13 * k + 5) % 256 for k in range(64))
+    jpeg = synth_jpeg(data)
+    gray = _jpeg_gray_pixels(jpeg)
+    avi_df = spark.createDataFrame(
+        [(0, synth_avi_mjpeg([jpeg], 8, 8))], "doc_id long, payload binary"
+    )
+    vh = video_frame_pixel_phash(avi_df, n_bands=8).collect()
+    ppm_df = _ppm_df(spark, [(0, 8, np.repeat(gray.ravel(), 3).tobytes())])
+    ih = ppm_phash(ppm_df, n_bands=8).collect()
+    assert len(vh) == 1 and len(ih) == 1
+    assert vh[0]["phash_hex"] == ih[0]["phash_hex"]
+    assert all(vh[0][f"band{j}"] == ih[0][f"band{j}"] for j in range(8))
+
+
+def test_video_pixel_phash_drops_undecodable(spark):
+    """Garbage payloads, non-video containers and undecodable frames
+    are dropped, never crash the task."""
+    from polars_sim_spark.operators.multimodal import (
+        synth_avi_mjpeg,
+        synth_jpeg,
+        video_frame_pixel_phash,
+    )
+
+    good = synth_avi_mjpeg([synth_jpeg(bytes(64))], 8, 8)
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, b"not a container"),
+            (2, good[:50]),  # truncated AVI
+            (3, synth_avi_mjpeg([b"\xff\xd8 corrupt jpeg"], 8, 8)),
+            (4, synth_avi_mjpeg([b"raw bytes of the wrong length"], 8, 8)),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = video_frame_pixel_phash(df).collect()
+    assert [r["doc_id"] for r in got] == [0]
