@@ -2099,6 +2099,39 @@ def video_frame_match_pairs(
         )
     if min_frames < 1:
         raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    if max_dist == 0:
+        # Hamming 0 ⟺ full-hash equality, so candidates key on the
+        # WHOLE hash, not per-band values (round 14, measured on the
+        # decoded-pixel video corpus): fixed-width bands accumulate
+        # birthday mass once rows-per-(frame,band) outgrow the band
+        # value space — the ×100 probe's per-band candidate join went
+        # superlinear while full-hash equality only materializes true
+        # duplicate groups and stays one linear shuffle. The cap
+        # applies to full-hash groups (a frozen-frame mode is still a
+        # mega-group).
+        key = ["__f", *[f"__b{j}" for j in range(nb)]]
+        g = ph.select(
+            F.col(id_col).alias("id"),
+            F.col(frame_col).alias("__f"),
+            *[F.col(c).alias(f"__b{j}") for j, c in enumerate(band_cols)],
+        )
+        if max_bucket_size is not None:
+            sizes = g.groupBy(*key).agg(F.count(F.lit(1)).alias("__n"))
+            keep = sizes.where(F.col("__n") <= max_bucket_size).select(*key)
+            g = g.join(keep, key)
+        a = g.select(*key, F.col("id").alias("l_id"))
+        b = g.select(*key, F.col("id").alias("r_id"))
+        matched = (
+            a.join(b, key)
+            .where(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id", "__f")
+            .distinct()
+        )
+        return (
+            matched.groupBy("l_id", "r_id")
+            .agg(F.count(F.lit(1)).alias("n_frames_matched"))
+            .where(F.col("n_frames_matched") >= min_frames)
+        )
     bands_df = ph.select(
         F.col(id_col).alias("id"),
         F.col(frame_col).alias("__f"),

@@ -592,3 +592,46 @@ def test_video_pixel_phash_drops_undecodable(spark):
     )
     got = video_frame_pixel_phash(df).collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+def test_video_frame_match_pairs_d0_fast_path(spark):
+    """max_dist=0 routes through full-hash equality (round 14): output
+    must equal the brute-force frame-aligned Hamming-0 pair set."""
+    import itertools
+
+    import pandas as pd
+
+    from polars_sim_spark.operators.dedup import video_frame_match_pairs
+
+    rows = []
+    rng = np.random.default_rng(3)
+    hashes = {}
+    for vid in range(12):
+        for f in range(vid % 4 + 1):
+            # quarter of the frames reuse a shared hash -> real groups
+            if (vid + f) % 4 == 0:
+                h = 0xDEADBEEF << (f % 3)
+            else:
+                h = int(rng.integers(0, 1 << 62))
+            hashes[(vid, f)] = h
+            rows.append(
+                (vid, f, *[(h >> (16 * j)) & 0xFFFF for j in range(4)])
+            )
+    ph = spark.createDataFrame(
+        rows, "doc_id long, frame_idx long, band0 int, band1 int, band2 int, band3 int"
+    )
+    got = {
+        (r["l_id"], r["r_id"]): r["n_frames_matched"]
+        for r in video_frame_match_pairs(ph, max_dist=0, min_frames=1).collect()
+    }
+    expect: dict = {}
+    for (v1, f1), h1 in hashes.items():
+        for (v2, f2), h2 in hashes.items():
+            if v1 < v2 and f1 == f2 and h1 == h2:
+                expect[(v1, v2)] = expect.get((v1, v2), 0) + 1
+    assert got == expect
+    # min_frames filters on the fast path too
+    got2 = video_frame_match_pairs(ph, max_dist=0, min_frames=2).collect()
+    assert {(r["l_id"], r["r_id"]) for r in got2} == {
+        p for p, n in expect.items() if n >= 2
+    }
