@@ -1975,8 +1975,13 @@ def _parse_avi_frames(data: bytes):
     spans: list[tuple[int, int]] = []
     saw_movi = False
 
-    def walk(start: int, end: int):
+    def walk(start: int, end: int, depth: int = 0):
         nonlocal width, height, saw_movi
+        if depth > 16:
+            # real AVI nesting is ~3 deep; a hostile payload nesting
+            # LISTs thousands deep must hit the drop contract, not
+            # RecursionError (which would crash the Spark task)
+            raise NotImplementedError("AVI LIST nesting too deep")
         pos = start
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
@@ -1990,7 +1995,7 @@ def _parse_avi_frames(data: bytes):
                 ltype = data[body : body + 4]
                 if ltype == b"movi":
                     saw_movi = True
-                walk(body + 4, body + size)
+                walk(body + 4, body + size, depth + 1)
             elif cid == b"strf" and size >= 16 and width is None:
                 w, h = struct.unpack_from("<ii", data, body + 4)
                 width, height = abs(w), abs(h)

@@ -2365,3 +2365,19 @@ def test_synth_mp4_frame_sizes_and_codec():
         synth_mp4(data, 4, 4, 120, frame_sizes=[10, 10])  # doesn't sum
     with pytest.raises(ValueError):
         synth_mp4(data, 4, 4, 120, codec=b"toolong")
+
+
+def test_avi_hostile_nesting_drops_not_crashes():
+    import struct
+
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import _parse_avi_frames
+
+    # 5000 nested LISTs: must hit the drop contract, not RecursionError
+    inner = b"strl"
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", len(inner)) + inner
+    avi = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(NotImplementedError):
+        _parse_avi_frames(avi)
