@@ -23,9 +23,9 @@ from polars_sim_spark import queries as q
 from polars_sim_spark.session import get_spark
 
 ROWS = [
-    "graph_part_pagerank_seeded",
+    "dedup_audio_mp3_crossformat",
     "entity_resolve_customers",
-    "graph_part_clustering",
+    "graph_part_communities",
     "ann_topk_ivf",
 ]
 CANARY = ["text_fingerprint", "text_token_count", "tpch_q6_forecast_revenue"]
@@ -76,19 +76,19 @@ def main() -> None:
         # official (whose 184-row shared total is 15% BELOW r13 raw) —
         # all iterative/multi-job shapes with the documented
         # super-proportional jitter amplification.
-        "r14_official": {
-            "graph_part_pagerank_seeded": 10.751,
-            "entity_resolve_customers": 9.801,
-            "graph_part_clustering": 7.669,
-            "ann_topk_ivf": 4.925,
-            "canary": 0.449,
+        "r14_final_official": {
+            "dedup_audio_mp3_crossformat": 22.67,
+            "entity_resolve_customers": 6.76,
+            "graph_part_communities": 8.49,
+            "ann_topk_ivf": 4.12,
+            "canary": 0.439,
         },
-        "r13_official": {
-            "graph_part_pagerank_seeded": 7.385,
-            "entity_resolve_customers": 6.511,
-            "graph_part_clustering": 4.788,
-            "ann_topk_ivf": 3.08,
-            "canary": 0.578,
+        "r14_prior_official": {
+            "dedup_audio_mp3_crossformat": 18.41,
+            "entity_resolve_customers": 4.93,
+            "graph_part_communities": 6.73,
+            "ann_topk_ivf": 2.39,
+            "canary": 0.391,
         },
     }
     out = os.path.join(
