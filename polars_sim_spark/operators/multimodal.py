@@ -6808,6 +6808,115 @@ def mp4_frame_phash(
     )
 
 
+def _video_decoded_frames(data: bytes, every_n: int):
+    """Yield ``(frame_idx, gray ndarray)`` for every ``every_n``-th
+    decodable frame of a video payload — the shared dispatch of the
+    decoded-pixel tier (round 14): ISO-BMFF or RIFF AVI container walk,
+    then JPEG-SOI → baseline decode / w·h bytes → raw 8-bit gray per
+    frame. Raises NotImplementedError for non-video payloads (the drop
+    contract); undecodable or truncated FRAMES are skipped silently."""
+    import numpy as np
+
+    if data[:4] == b"RIFF":
+        w, h, spans = _parse_avi_frames(data)
+    else:
+        w, h, _dur = _try_mp4_header(data)
+        spans = [(off, size) for off, size, _t in _parse_mp4_samples(data)]
+    for fi in range(0, len(spans), every_n):
+        off, size = spans[fi]
+        if off + size > len(data):
+            continue  # truncated payload: skip, don't crash
+        f = data[off : off + size]
+        if f[:2] == b"\xff\xd8":
+            try:
+                gray = _jpeg_gray_pixels(f)
+            except NotImplementedError:
+                continue
+        elif w and h and size == w * h:
+            gray = np.frombuffer(f, np.uint8).reshape(h, w)
+        else:
+            continue
+        if gray.shape[0] < 1 or gray.shape[1] < 1:
+            continue
+        yield fi, gray
+
+
+def _gray_dhash_bits(gray):
+    """The 64 ppm_phash gradient bits of a gray matrix: 9×8
+    point-sampled grid, bit y·8+x = 1 iff g(y,x) < g(y,x+1)."""
+    import numpy as np
+
+    fh, fw = gray.shape
+    ys = (np.arange(8) * fh) // 8
+    xs = (np.arange(9) * fw) // 9
+    g = gray[ys][:, xs].astype(np.int64)
+    return (g[:, :8] < g[:, 1:]).astype(np.int64).ravel()
+
+
+def video_pixel_vhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    every_n: int = 1,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Whole-video 64-bit hash over DECODED PIXELS (round 14) — the
+    majority-vote fold of :func:`mp4_vhash` applied to the decoded
+    tier's per-frame dHashes (:func:`video_frame_pixel_phash`): bit j
+    of the video hash is 1 iff a STRICT majority of sampled decodable
+    frames set bit j (ties → 0). One row per video in the shared
+    :func:`ppm_phash` band schema, so the banded Hamming joins, the
+    two-sided streaming match (operators/dedup.py:phash_match_pairs)
+    and the ingest gate (streaming/stream_ops.py:stream_phash_match
+    ``modality=\"video_pixels\"``) consume it unchanged. Because the
+    fold is over pixel hashes, the SAME content hashes identically from
+    an MJPEG AVI or a raw-gray MP4 — container-invariance carries from
+    the frame tier. Payloads with zero decodable sampled frames are
+    dropped. Scale: one Arrow ``mapInPandas`` pass, zero shuffle; the
+    cost is the per-frame JPEG decode (BASELINE.md round-14 video
+    table)."""
+    import numpy as np
+
+    bpb = _require_bands(n_bands)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    id_name = id_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, hexes = [], [[] for _ in range(n_bands)], []
+            for i, b in zip(pdf[id_name], pdf[payload_col]):
+                data = bytes(b)
+                votes = np.zeros(64, dtype=np.int64)
+                used = 0
+                try:
+                    for _fi, gray in _video_decoded_frames(data, every_n):
+                        votes += _gray_dhash_bits(gray)
+                        used += 1
+                except NotImplementedError:
+                    continue
+                if used == 0:
+                    continue
+                bits = (2 * votes > used).astype(np.int64)  # strict majority
+                vals, hx = _pack_bands(bits, n_bands, bpb)
+                ids.append(i)
+                for j in range(n_bands):
+                    bands[j].append(vals[j])
+                hexes.append(hx)
+            cols = {"doc_id": pd.Series(ids, dtype=object)}
+            for j in range(n_bands):
+                cols[f"band{j}"] = pd.array(bands[j], dtype="int32")
+            cols["phash_hex"] = pd.Series(hexes, dtype=object)
+            yield pd.DataFrame(cols)
+
+    id_type = dict(df.dtypes)[id_col]
+    band_schema = ", ".join(f"band{j} int" for j in range(n_bands))
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        op, f"doc_id {id_type}, {band_schema}, phash_hex string"
+    )
+
+
 def video_frame_pixel_phash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -6848,8 +6957,6 @@ def video_frame_pixel_phash(
     are dropped. Scale: one Arrow ``mapInPandas`` pass, zero shuffle;
     cost is the per-frame JPEG entropy decode, which divides by
     executor count."""
-    import numpy as np
-
     bpb = _require_bands(n_bands)
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
@@ -6861,37 +6968,11 @@ def video_frame_pixel_phash(
             for i, b in zip(pdf[id_name], pdf[payload_col]):
                 data = bytes(b)
                 try:
-                    if data[:4] == b"RIFF":
-                        w, h, spans = _parse_avi_frames(data)
-                    else:
-                        w, h, _dur = _try_mp4_header(data)
-                        spans = [
-                            (off, size)
-                            for off, size, _t in _parse_mp4_samples(data)
-                        ]
+                    frames = list(_video_decoded_frames(data, every_n))
                 except NotImplementedError:
                     continue
-                for fi in range(0, len(spans), every_n):
-                    off, size = spans[fi]
-                    if off + size > len(data):
-                        continue  # truncated payload: skip, don't crash
-                    f = data[off : off + size]
-                    if f[:2] == b"\xff\xd8":
-                        try:
-                            gray = _jpeg_gray_pixels(f)
-                        except NotImplementedError:
-                            continue
-                    elif w and h and size == w * h:
-                        gray = np.frombuffer(f, np.uint8).reshape(h, w)
-                    else:
-                        continue
-                    fh, fw = gray.shape
-                    if fh < 1 or fw < 1:
-                        continue
-                    ys = (np.arange(8) * fh) // 8
-                    xs = (np.arange(9) * fw) // 9
-                    g = gray[ys][:, xs].astype(np.int64)
-                    bits = (g[:, :8] < g[:, 1:]).astype(np.int64).ravel()
+                for fi, gray in frames:
+                    bits = _gray_dhash_bits(gray)
                     vals, hx = _pack_bands(bits, n_bands, bpb)
                     ids.append(i)
                     fidx.append(fi)

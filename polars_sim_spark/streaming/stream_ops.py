@@ -1623,15 +1623,20 @@ def stream_phash_match(
     ``max_dist`` — the ingest-time "have we already trained on this?"
     check, run before the bytes land.
 
-    ``modality`` selects the hasher (round 11 — all three emit the same
-    band schema, so history tables, band joins and this gate are shared
+    ``modality`` selects the hasher (round 11 — all emit the same band
+    schema, so history tables, band joins and this gate are shared
     machinery): ``"image"`` →
     :func:`~polars_sim_spark.operators.multimodal.ppm_phash` (PPM/BMP/
     GIF payloads, container-invariant), ``"audio"`` →
     :func:`~polars_sim_spark.operators.multimodal.wav_phash` (WAV PCM
     envelope), ``"video"`` →
     :func:`~polars_sim_spark.operators.multimodal.mp4_vhash` (BMFF
-    frame-hash majority fold).
+    frame-hash majority fold), ``"video_pixels"`` (round 14) →
+    :func:`~polars_sim_spark.operators.multimodal.video_pixel_vhash`
+    (majority fold over DECODED per-frame pixel dHashes — MJPEG AVI
+    and raw-gray MP4 arrivals with the same content match each other
+    and the stored index regardless of container, at the per-frame
+    JPEG-decode cost).
 
     One code path with the batch operator
     (:func:`~polars_sim_spark.operators.dedup.phash_match_pairs`), so
@@ -1646,10 +1651,16 @@ def stream_phash_match(
     from polars_sim_spark.operators.multimodal import (
         mp4_vhash,
         ppm_phash,
+        video_pixel_vhash,
         wav_phash,
     )
 
-    hashers = {"image": ppm_phash, "audio": wav_phash, "video": mp4_vhash}
+    hashers = {
+        "image": ppm_phash,
+        "audio": wav_phash,
+        "video": mp4_vhash,
+        "video_pixels": video_pixel_vhash,
+    }
     if modality not in hashers:
         raise ValueError(
             f"modality must be one of {sorted(hashers)}; got {modality!r}"

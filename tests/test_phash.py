@@ -635,3 +635,34 @@ def test_video_frame_match_pairs_d0_fast_path(spark):
     assert {(r["l_id"], r["r_id"]) for r in got2} == {
         p for p, n in expect.items() if n >= 2
     }
+
+
+def test_video_pixel_vhash_fold_and_container_invariance(spark):
+    """video_pixel_vhash = strict-majority fold of the per-frame pixel
+    dHashes, and the AVI twin folds to the SAME hash as the raw MP4."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_video_pixel_twin_payload,
+        video_frame_pixel_phash,
+        video_pixel_vhash,
+    )
+
+    texts = [(i, "".join(chr(33 + (i * 7 + k * 13) % 90) for k in range(64 * (1 + i % 4))))
+             for i in range(8)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    twins = attach_video_pixel_twin_payload(docs)
+    vh = {r["doc_id"]: r["phash_hex"] for r in video_pixel_vhash(twins, n_bands=8).collect()}
+    assert len(vh) == 16
+    for i in range(8):
+        assert vh[i] == vh[i + 1_000_000]
+    # fold law: majority over the frame tier's bits
+    fr = video_frame_pixel_phash(twins, n_bands=8).collect()
+    per_doc: dict = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(int(r["phash_hex"], 16))
+    for d, hs in per_doc.items():
+        bits = 0
+        for k in range(64):
+            votes = sum((h >> k) & 1 for h in hs)
+            if 2 * votes > len(hs):
+                bits |= 1 << k
+        assert f"{bits:016x}" == vh[d].lower()

@@ -2022,3 +2022,61 @@ def test_stream_phash_match_audio_equals_batch(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="modality"):
         stream_phash_match(idx_path, sink, modality="text")
+
+
+def test_stream_phash_match_video_pixels_equals_batch(spark, sf_small, tmp_path):
+    """Round 14: the ingest gate at modality='video_pixels' —
+    availableNow MJPEG-AVI arrivals gated against a STORED raw-gray-MP4
+    pixel-hash index match their cross-container twins at Hamming 0,
+    and equal the batch two-sided match (same code path)."""
+    import uuid as _uuid
+
+    from polars_sim_spark.operators.dedup import phash_match_pairs
+    from polars_sim_spark.operators.multimodal import (
+        attach_video_pixel_twin_payload,
+        video_pixel_vhash,
+    )
+    from polars_sim_spark.streaming.stream_ops import stream_phash_match
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    twins = attach_video_pixel_twin_payload(docs)
+    arrivals = twins.where(F.col("doc_id") < 1_000_000)  # MJPEG AVI side
+    hist = twins.where(F.col("doc_id") >= 1_000_000)  # raw-gray MP4 side
+
+    idx_path = str(tmp_path / "vpix_idx")
+    video_pixel_vhash(hist, n_bands=8).write.parquet(idx_path)
+    src = str(tmp_path / "src")
+    arrivals.write.parquet(src)
+    sink = str(tmp_path / "matched")
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    qn = f"vpixmatch_{_uuid.uuid4().hex[:8]}"
+    (
+        stream.writeStream.foreachBatch(
+            stream_phash_match(
+                idx_path, sink, n_bands=8, max_dist=0, modality="video_pixels"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .queryName(qn)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.l_id, r.r_id, r.hamming) for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.l_id, r.r_id, r.hamming)
+        for r in phash_match_pairs(
+            video_pixel_vhash(arrivals, n_bands=8),
+            spark.read.parquet(idx_path),
+            id_col="doc_id",
+            band_cols=tuple(f"band{j}" for j in range(8)),
+            max_dist=0,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every arrival matches its own +10^6 twin at Hamming 0
+    n_arrivals = arrivals.count()
+    assert {(l, l + 1_000_000, 0) for (l, _r, _h) in got} <= got
+    assert len({l for (l, r, h) in got if r == l + 1_000_000 and h == 0}) == n_arrivals
