@@ -203,14 +203,36 @@ def synth_mp3(data: bytes, bitrate_kbps: int, sample_rate: int, channels: int = 
     return bytes(out)
 
 
+def _skip_id3v2(data: bytes) -> bytes:
+    """Strip a leading ID3v2 tag — the metadata block virtually every
+    real-world MP3 starts with (round 14): ``ID3`` + version + flags +
+    28-bit SYNCHSAFE size (each size byte < 0x80 per the spec, so the
+    tag length can never alias a frame sync), plus a 10-byte footer
+    when flag 0x10 is set. Returns the bytes after the tag; payloads
+    without a tag pass through untouched, and malformed tags
+    (non-synchsafe size bytes, declared size past the payload) raise
+    NotImplementedError per the module's drop contract."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return data
+    if any(b & 0x80 for b in data[6:10]):
+        raise NotImplementedError("ID3v2 tag with non-synchsafe size")
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    end = 10 + size + (10 if data[5] & 0x10 else 0)
+    if end > len(data):
+        raise NotImplementedError("ID3v2 tag runs past payload")
+    return data[end:]
+
+
 def _try_mp3_header(data: bytes):
     """MPEG-1 Layer III header parse: (sample_rate, channels,
     duration_ms) from the frame-header walk — each frame's length comes
     from ITS OWN header's bitrate/padding bits (VBR-safe), duration =
     frames · 1152 / sample_rate. Pure byte arithmetic over the public
-    ISO/IEC 11172-3 tables; a truncated trailing frame is ignored, and
+    ISO/IEC 11172-3 tables; a leading ID3v2 tag is skipped
+    (:func:`_skip_id3v2`), a truncated trailing frame is ignored, and
     anything that is not an MPEG-1 Layer III stream raises
     NotImplementedError."""
+    data = _skip_id3v2(data)
     if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE0) != 0xE0:
         raise NotImplementedError("not an MPEG audio frame sync")
     if (data[1] >> 3) & 0x3 != 0x3 or (data[1] >> 1) & 0x3 != 0x1:
@@ -1334,6 +1356,7 @@ def _mp3_decode_frames(data: bytes):
     NotImplementedError drop contract)."""
     import numpy as np
 
+    data = _skip_id3v2(data)
     sr, ch, _dur = _try_mp3_header(data)
     if ch != 1:
         raise NotImplementedError("only mono MP3 PCM is decoded")

@@ -172,3 +172,39 @@ def test_mp3_joins_wav_phash_routing(spark):
     hm = {r["doc_id"]: r["phash_hex"] for r in wav_phash(m, n_bands=4).collect()}
     hw = {r["doc_id"]: r["phash_hex"] for r in wav_phash(w, n_bands=4).collect()}
     assert hm == hw and len(hm) == 12
+
+
+def test_mp3_id3v2_tag_skipped():
+    """Real-world MP3s start with an ID3v2 tag: the header walk and the
+    PCM decode must see through it (round 14), and malformed tags hit
+    the drop contract."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _mp3_decode,
+        _skip_id3v2,
+        _try_mp3_header,
+        synth_mp3_pcm,
+    )
+
+    mp3 = synth_mp3_pcm(bytes(range(200)))
+    assert mp3 is not None
+    body = b"X" * 345  # arbitrary tag frames
+    size = len(body)
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    ) + body
+    tagged = tag + mp3
+    assert _try_mp3_header(tagged) == _try_mp3_header(mp3)
+    sr0, pcm0 = _mp3_decode(mp3)
+    sr1, pcm1 = _mp3_decode(tagged)
+    assert sr1 == sr0 and np.array_equal(pcm1, pcm0)
+    # footer flag adds 10 bytes
+    ftag = b"ID3\x04\x00\x10" + tag[6:10] + body + b"3DI" + tag[3:10]
+    assert _try_mp3_header(ftag + mp3) == _try_mp3_header(mp3)
+    # non-synchsafe size byte and truncated tag drop, not crash
+    with pytest.raises(NotImplementedError):
+        _skip_id3v2(b"ID3\x04\x00\x00\x00\x00\x00\x80" + mp3)
+    with pytest.raises(NotImplementedError):
+        _try_mp3_header(tag[: len(tag) // 2])
