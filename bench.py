@@ -211,6 +211,7 @@ HEADLINE = [
     "split_documents_cluster_safe",
     "dedup_video_frames",
     "dedup_video_pixel_crossformat",
+    "multimodal_tiff_stats",
     # round 13:
     "tpch_q11_important_stock",
     "tpch_q16_part_supplier_counts",

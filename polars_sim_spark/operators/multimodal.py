@@ -3223,9 +3223,9 @@ def _ppm_logical_pixels(data: bytes):
 
 def _any_logical_pixels(data: bytes):
     """(h, w, 3) RGB uint8 logical pixels of ANY codec-free container
-    this module decodes (PPM, BMP, GIF, PNG — tried in that order);
-    raises NotImplementedError when none parses. The shared decode
-    chain behind the container-invariant operators (ppm_phash,
+    this module decodes (PPM, BMP, GIF, PNG, TIFF — tried in that
+    order); raises NotImplementedError when none parses. The shared
+    decode chain behind the container-invariant operators (ppm_phash,
     ppm_resize): the hash/pool is defined on LOGICAL pixels, so the
     container must be invisible."""
     for decode in (
@@ -3233,6 +3233,7 @@ def _any_logical_pixels(data: bytes):
         _bmp_logical_pixels,
         _gif_logical_pixels,
         _png_logical_pixels,
+        _tiff_logical_pixels,
     ):
         try:
             return decode(data)
@@ -3296,6 +3297,304 @@ def bmp_pixel_stats(
     oracle recomputes every value from the fixture text bytes — a wrong
     flip, swap or stride is a hash mismatch, not a fuzzy diff."""
     return _pixel_stats(df, _bmp_logical_pixels, id_col, payload_col)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits (the TIFF Compression=32773 codec, public since
+    the 1984 Macintosh Toolbox): runs of ≥2 identical bytes (≤128)
+    become ``(257−n, byte)``; everything else accumulates into literal
+    groups of ≤128 prefixed by ``len−1``. Deterministic, so fixture
+    bytes are reproducible; the decoder below inverts it exactly."""
+    out = bytearray()
+    i, n = 0, len(row)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(row[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`_packbits_encode` per the spec: header
+    0–127 → copy ``header+1`` literal bytes, 129–255 → repeat the next
+    byte ``257−header`` times, 128 → no-op. Stops at ``expected``
+    output bytes; short or overlong streams raise NotImplementedError
+    (the drop contract)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise NotImplementedError("PackBits stream ends early")
+        h = data[i]
+        i += 1
+        if h < 128:
+            if i + h + 1 > n:
+                raise NotImplementedError("PackBits literal runs past stream")
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise NotImplementedError("PackBits run missing its byte")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per the spec
+    if len(out) != expected:
+        raise NotImplementedError("PackBits output overruns the strip size")
+    return bytes(out)
+
+
+def synth_tiff(
+    data: bytes,
+    width: int,
+    *,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes | None:
+    """Deterministic baseline TIFF around ``data`` — the SIXTH
+    codec-free pixel container (round 14; TIFF is what scan/print/
+    document archives actually carry). The LOGICAL image is the
+    :func:`synth_ppm` rule — pixel (y, x, ch∈RGB) = ``data[(y·w+x)·3 +
+    ch]``, whole rows only (None if no full row fits) — stored the way
+    real TIFF writers do: an 8-byte header (``II``/``MM`` byte order +
+    magic 42 + IFD pointer), pixel data cut into strips of
+    ``rows_per_strip`` rows (default: one strip), optional PackBits
+    compression per strip (Compression 32773), and a single sorted IFD
+    (ImageWidth/ImageLength/BitsPerSample 8,8,8/Compression/
+    Photometric RGB/StripOffsets/SamplesPerPixel/RowsPerStrip/
+    StripByteCounts — short values inline, the 6-byte BitsPerSample and
+    multi-strip arrays external, per TIFF 6.0).
+    :func:`_tiff_logical_pixels` must invert both byte orders, both
+    compressions and any strip cut to the identical logical pixels."""
+    import struct
+
+    height = (len(data) // 3) // width
+    if height < 1:
+        return None
+    e = ">" if big_endian else "<"
+    used = height * width * 3
+    raster = data[:used]
+    rps = height if rows_per_strip is None else max(1, min(rows_per_strip, height))
+    n_strips = (height + rps - 1) // rps
+    strips = []
+    for s in range(n_strips):
+        rows = min(rps, height - s * rps)
+        chunk = raster[s * rps * width * 3 : (s * rps + rows) * width * 3]
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+
+    # layout: header | strip data... | external arrays | IFD
+    pos = 8
+    strip_offs = []
+    for sdat in strips:
+        strip_offs.append(pos)
+        pos += len(sdat)
+    ext = bytearray()
+
+    def external(fmt: str, values) -> int:
+        nonlocal ext
+        off = pos + len(ext)
+        ext += struct.pack(f"{e}{len(values)}{fmt}", *values)
+        return off
+
+    bps_off = external("H", (8, 8, 8))
+    if n_strips > 1:
+        soff_val = external("I", strip_offs)
+        scnt_val = external("I", [len(s) for s in strips])
+    else:
+        soff_val, scnt_val = strip_offs[0], len(strips[0])
+    ifd_off = pos + len(ext)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # when the value doesn't fit the 4-byte field, `value` is an
+        # external OFFSET and is always a LONG regardless of the type
+        size = {3: 2, 4: 4}[typ]
+        vfmt = {3: "H", 4: "I"}[typ] if size * count <= 4 else "I"
+        packed = struct.pack(f"{e}{vfmt}", value)
+        return struct.pack(f"{e}HHI", tag, typ, count) + packed + b"\x00" * (
+            4 - len(packed)
+        )
+
+    entries = [
+        entry(256, 4, 1, width),  # ImageWidth
+        entry(257, 4, 1, height),  # ImageLength
+        entry(258, 3, 3, bps_off),  # BitsPerSample -> external array
+        entry(259, 3, 1, 32773 if packbits else 1),  # Compression
+        entry(262, 3, 1, 2),  # Photometric: RGB
+        entry(273, 4, n_strips, soff_val),  # StripOffsets
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 4, 1, rps),  # RowsPerStrip
+        entry(279, 4, n_strips, scnt_val),  # StripByteCounts
+    ]
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
+        f"{e}I", 0
+    )
+    header = (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, ifd_off)
+    return header + b"".join(strips) + bytes(ext) + ifd
+
+
+def _tiff_logical_pixels(data: bytes):
+    """(h, w, 3) RGB uint8 logical pixels of a baseline TIFF — the
+    endian-aware IFD walk real readers do (TIFF 6.0): ``II``/``MM``
+    byte order, SHORT/LONG tag values (inline when ≤4 bytes, external
+    otherwise), strip assembly from StripOffsets/StripByteCounts/
+    RowsPerStrip, Compression 1 (none) or 32773 (PackBits,
+    :func:`_packbits_decode`), Photometric 1 (gray, replicated to RGB)
+    or 2 (RGB) at 8 bits per sample. Tiled, predictor-differenced,
+    LZW/JPEG-compressed, other depths and malformed structures raise
+    NotImplementedError with named reasons (the drop contract)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise NotImplementedError("not a TIFF payload")
+    e = "<" if data[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(f"{e}HI", data, 2)
+    if magic != 42:
+        raise NotImplementedError("TIFF magic is not 42 (BigTIFF unsupported)")
+
+    def read_values(typ: int, count: int, field_off: int):
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise NotImplementedError(f"TIFF value type {typ} unsupported")
+        total = size * count
+        if total <= 4:
+            src = field_off
+        else:
+            (src,) = struct.unpack_from(f"{e}I", data, field_off)
+        if src + total > len(data):
+            raise NotImplementedError("TIFF value runs past payload")
+        fmt = {3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(f"{e}{count}{fmt}", data, src))
+
+    if ifd_off + 2 > len(data):
+        raise NotImplementedError("TIFF IFD offset past payload")
+    (n_entries,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(data):
+        raise NotImplementedError("TIFF IFD runs past payload")
+    tags: dict = {}
+    for k in range(n_entries):
+        ep = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(f"{e}HHI", data, ep)
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279):
+            tags[tag] = read_values(typ, count, ep + 8)
+
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise NotImplementedError(f"TIFF missing required tag {req}")
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    bps = tags.get(258, [8] * spp)
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} is not codec-free (only none/PackBits)"
+        )
+    if photometric not in (1, 2) or spp not in (1, 3) or (photometric == 2) != (
+        spp == 3
+    ):
+        raise NotImplementedError(
+            "only 8-bit grayscale/RGB TIFF decodes codec-free"
+        )
+    if len(bps) != spp or any(b != 8 for b in bps):
+        raise NotImplementedError("only 8-bit-per-sample TIFF decodes")
+    if w < 1 or h < 1:
+        raise NotImplementedError("malformed TIFF geometry")
+    offs, cnts = tags[273], tags[279]
+    if len(offs) != len(cnts) or len(offs) != (h + rps - 1) // rps:
+        raise NotImplementedError("TIFF strip table inconsistent")
+    parts = []
+    for s, (off, cnt) in enumerate(zip(offs, cnts)):
+        if off + cnt > len(data):
+            raise NotImplementedError("TIFF strip runs past payload")
+        rows = min(rps, h - s * rps)
+        expected = rows * w * spp
+        raw = data[off : off + cnt]
+        if comp == 32773:
+            parts.append(_packbits_decode(raw, expected))
+        else:
+            if cnt < expected:
+                raise NotImplementedError("TIFF strip shorter than its rows")
+            parts.append(raw[:expected])
+    px = np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
+def attach_tiff_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize the TIFF fixture corpus: every document whose text
+    holds at least one full pixel row becomes a real baseline TIFF
+    (width = 4 + id % 8) exercising the container's whole variation
+    surface by id — byte order ``MM`` on odd ids, PackBits compression
+    on ids ≡ 0 (mod 3), a two-strip cut on ids ≡ 0 (mod 5) — while the
+    LOGICAL pixels stay the closed-form PPM rule, so one oracle covers
+    every variant. Too-short texts stay raw utf-8 (dropped by the
+    decoder)."""
+    id_name, text_name = id_col, text_col
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_name], pdf[text_name]):
+                data = ("" if t is None else str(t)).encode("utf-8")
+                i = int(i)
+                w = 4 + i % 8
+                h = (len(data) // 3) // w
+                p = synth_tiff(
+                    data,
+                    w,
+                    big_endian=bool(i % 2),
+                    packbits=i % 3 == 0,
+                    rows_per_strip=(h + 1) // 2 if (i % 5 == 0 and h > 1) else None,
+                )
+                payloads.append(p if p is not None else data)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+    return df.mapInPandas(op, schema)
+
+
+def tiff_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-channel pixel statistics for baseline TIFF payloads — the
+    TIFF member of the :func:`ppm_pixel_stats` family (same output
+    schema), decoding the real structure: endian-aware IFD walk, strip
+    assembly, optional PackBits. Exact integers only, so the contract
+    oracle recomputes every value from the fixture text bytes — a
+    wrong byte order, strip boundary or run length is a hash
+    mismatch."""
+    return _pixel_stats(df, _tiff_logical_pixels, id_col, payload_col)
 
 
 def ppm_pixel_stats(

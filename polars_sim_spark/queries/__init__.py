@@ -166,6 +166,7 @@ _MANIFEST = [
     # where the majority fold clusters (BASELINE round-11 analysis).
     "dedup_video_frames",
     "dedup_video_pixel_crossformat",
+    "multimodal_tiff_stats",
     # round 10: TF-IDF-weighted join_sim (the reference's own TODO,
     # src/cossim.rs:45-48).
     "join_sim_parts_tfidf",

@@ -2328,6 +2328,67 @@ def dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_tiff_stats",
+    """
+WITH tiff AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+         CAST(4 + doc_id % 8 AS BIGINT) AS w
+  FROM documents
+),
+valid AS (SELECT *, (dlen // 3) // w AS h FROM tiff WHERE (dlen // 3) // w >= 1),
+px AS (SELECT doc_id, hx, w, h, unnest(range(w * h)) AS k FROM valid),
+sm AS (
+  SELECT p.doc_id, c.c,
+         CAST(('0x' || substr(p.hx, CAST((p.k * 3 + c.c) * 2 + 1 AS INT), 2)) AS BIGINT) AS v
+  FROM px p CROSS JOIN (VALUES (0), (1), (2)) AS c(c)
+),
+agg AS (SELECT doc_id, c, sum(v) AS s, max(v) AS pk FROM sm GROUP BY 1, 2)
+SELECT v.doc_id AS doc_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+       CAST(max(CASE WHEN a.c = 0 THEN a.s END) AS BIGINT) AS sum_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.s END) AS BIGINT) AS sum_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.s END) AS BIGINT) AS sum_b,
+       CAST(max(CASE WHEN a.c = 0 THEN a.pk END) AS INT) AS peak_r,
+       CAST(max(CASE WHEN a.c = 1 THEN a.pk END) AS INT) AS peak_g,
+       CAST(max(CASE WHEN a.c = 2 THEN a.pk END) AS INT) AS peak_b
+FROM valid v JOIN agg a USING (doc_id)
+GROUP BY 1, 2, 3
+""",
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode (round 14 — the SIXTH codec-free image
+    container, the one scan/print/document archives actually carry):
+    the fixture corpus (operators/multimodal.py:attach_tiff_payload —
+    real TIFF 6.0 structures whose id-keyed variants sweep BOTH byte
+    orders (``II``/``MM``), PackBits compression (32773) and
+    multi-strip cuts, while the logical pixels stay the closed-form
+    PPM rule) decoded by :func:`tiff_pixel_stats` through the
+    endian-aware IFD walk + strip assembly + PackBits inverse. One
+    oracle covers every variant BECAUSE the container must be
+    invisible: a wrong endian read, strip boundary, run length or
+    inline-vs-offset value fetch perturbs pixels on exactly the ids
+    carrying that variant and fails the hash."""
+    from polars_sim_spark.operators.multimodal import (
+        attach_tiff_payload,
+        tiff_pixel_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = tiff_pixel_stats(attach_tiff_payload(docs))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("sum_rgb", 1).alias("sum_r"),
+        F.element_at("sum_rgb", 2).alias("sum_g"),
+        F.element_at("sum_rgb", 3).alias("sum_b"),
+        F.element_at("peak_rgb", 1).alias("peak_r"),
+        F.element_at("peak_rgb", 2).alias("peak_g"),
+        F.element_at("peak_rgb", 3).alias("peak_b"),
+    )
+
+
 def _duck_video_pixel_dedup_sql() -> str:
     """Oracle for the decoded-pixel video dedup row: the baseline-JPEG
     fixed-point chain (see `_duck_jpeg_sql`) replayed per 64-byte text

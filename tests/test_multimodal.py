@@ -2381,3 +2381,78 @@ def test_avi_hostile_nesting_drops_not_crashes():
     avi = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
     with pytest.raises(NotImplementedError):
         _parse_avi_frames(avi)
+
+
+# ---------------------------------------------------------------------------
+# TIFF container (round 14: the sixth codec-free image container)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_round_trip_all_variants():
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _tiff_logical_pixels,
+        synth_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        w = int(rng.integers(1, 13))
+        n = int(rng.integers(3, 700))
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        h = (n // 3) // w
+        for be in (False, True):
+            for pb in (False, True):
+                for rps in (None, 1, max(1, h // 2)):
+                    t = synth_tiff(
+                        data, w, big_endian=be, packbits=pb, rows_per_strip=rps
+                    )
+                    if h < 1:
+                        assert t is None
+                        continue
+                    used = h * w * 3
+                    expect = np.frombuffer(data[:used], np.uint8).reshape(h, w, 3)
+                    assert (_tiff_logical_pixels(t) == expect).all(), (
+                        trial, be, pb, rps,
+                    )
+
+
+def test_packbits_round_trip():
+    import numpy as np
+
+    from polars_sim_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(100):
+        n = int(rng.integers(0, 600))
+        alphabet = 3 if rng.random() < 0.5 else 256  # runs vs literals
+        row = bytes(rng.integers(0, alphabet, n, dtype=np.uint8))
+        assert _packbits_decode(_packbits_encode(row), n) == row
+    # spec cases: max-length run and literal group boundaries
+    assert _packbits_decode(_packbits_encode(b"\x07" * 300), 300) == b"\x07" * 300
+    lit = bytes(range(250)) + bytes(range(6))
+    assert _packbits_decode(_packbits_encode(lit), 256) == lit
+
+
+def test_tiff_malformed_drops():
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _tiff_logical_pixels,
+        synth_tiff,
+    )
+
+    good = synth_tiff(bytes(range(90)), 5)
+    for bad in (
+        b"",
+        b"not a tiff at all",
+        b"II+\x00\x08\x00\x00\x00",  # BigTIFF magic 43
+        good[:30],  # IFD truncated away
+        good[:2] + b"\x2a\x00" + b"\xff\xff\xff\x7f" + good[8:],  # IFD off OOB
+    ):
+        with pytest.raises(NotImplementedError):
+            _tiff_logical_pixels(bad)

@@ -666,3 +666,29 @@ def test_video_pixel_vhash_fold_and_container_invariance(spark):
             if 2 * votes > len(hs):
                 bits |= 1 << k
         assert f"{bits:016x}" == vh[d].lower()
+
+
+def test_tiff_hashes_identically_to_ppm_twin(spark):
+    """The dHash is defined on logical pixels: a TIFF (either endian,
+    PackBits or not, multi-strip or not) hashes identically to the PPM
+    carrying the same pixels — the round-14 sixth container joins the
+    cross-format identity family."""
+    from polars_sim_spark.operators.multimodal import synth_tiff
+
+    images = _rand_images(21, 24)
+    ppm = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(_ppm_df(spark, images), n_bands=8).collect()}
+    rows = []
+    for i, w, data in images:
+        h = (len(data) // 3) // w
+        t = synth_tiff(
+            data, w, big_endian=bool(i % 2), packbits=i % 3 == 0,
+            rows_per_strip=(h + 1) // 2 if (i % 5 == 0 and h > 1) else None,
+        )
+        if t is not None:
+            rows.append((i, t))
+    tif = {r["doc_id"]: r["phash_hex"] for r in ppm_phash(
+        spark.createDataFrame(rows, "doc_id long, payload binary"), n_bands=8
+    ).collect()}
+    assert len(tif) == len(rows) and len(rows) > 0
+    for i, _p in rows:
+        assert tif[i] == ppm[i]
