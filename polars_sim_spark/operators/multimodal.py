@@ -3983,7 +3983,11 @@ def attach_multiformat_payload(
     order) and ids ≡ 7 (mod 8) their PNG as Adam7 — same logical
     pixels, permuted storage, so the contract oracle (hashes are
     functions of LOGICAL pixels = text bytes + the width rule) is
-    provably unchanged while the decode surface widens. Rows whose
+    provably unchanged while the decode surface widens. Round 14 also
+    replaces the residue-4/5 PPM/BMP repeats with the two TIFF
+    variants (≡ 4: little-endian uncompressed, ≡ 5: big-endian
+    PackBits) — six containers, three compression schemes, one
+    invariant hash, pair set again provably unchanged. Rows whose
     text is too short stay raw utf-8."""
     return _attach_payload(
         df,
@@ -3992,8 +3996,8 @@ def attach_multiformat_payload(
             1: synth_bmp,
             2: synth_gif,
             3: synth_png,
-            4: synth_ppm,
-            5: synth_bmp,
+            4: synth_tiff,
+            5: lambda d, w: synth_tiff(d, w, big_endian=True, packbits=True),
             6: lambda d, w: synth_gif(d, w, interlace=True),
             7: synth_png_adam7,
         },

@@ -2727,9 +2727,11 @@ def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming join. ``cross_format`` marks pairs whose two sides live in
     different containers — the pairs only a format-blind hash can find.
     The oracle recomputes every distance from the text bytes all-pairs
-    with no format column at all: hash-equality proves the FOUR
+    with no format column at all: hash-equality proves the FIVE
     decoders (raw read, DIB inversion, LZW inflate, DEFLATE inflate +
-    row unfilter) land on identical grids."""
+    row unfilter, and — round 14 — the endian-aware TIFF strip walk
+    with PackBits on the ≡ 4/5 (mod 8) residues) land on identical
+    grids."""
     from polars_sim_spark.operators import dedup
     from polars_sim_spark.operators.multimodal import (
         attach_multiformat_payload,
