@@ -6,7 +6,7 @@ and method as the r12/r13 probes.
 
 Usage: python tools/bench_round14_decode.py [legs]
   legs: comma-separated subset of
-  {palette,adam7,png16,cmyk,mp3,wav8,flac24} (default: all).
+  {palette,adam7,png16,cmyk,mp3,wav8,flac24,tiff} (default: all).
 Timed — run SOLO like bench.py.
 """
 
@@ -83,6 +83,16 @@ def _mp3(docs):
     )
 
     return mp3_pcm_stats(attach_mp3_pcm_payload(docs))
+
+
+@leg("tiff")
+def _tiff(docs):
+    from polars_sim_spark.operators.multimodal import (
+        attach_tiff_payload,
+        tiff_pixel_stats,
+    )
+
+    return tiff_pixel_stats(attach_tiff_payload(docs))
 
 
 @leg("wav8")
