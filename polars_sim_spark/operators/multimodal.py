@@ -1984,7 +1984,7 @@ def synth_avi_mjpeg(
 def _parse_avi_frames(data: bytes):
     """(width, height, [(offset, size)] per video frame) out of a RIFF
     AVI payload: walks the real chunk grammar — LIST hdrl for the
-    stream geometry (strf BITMAPINFOHEADER; avih as the fallback), LIST
+    stream geometry (strf BITMAPINFOHEADER), LIST
     movi for the ``00dc``/``00db`` frame chunks (word-aligned per the
     RIFF rule) — no codec involvement, the exact analogue of the BMFF
     sample-table walk (:func:`_parse_mp4_samples`). Non-AVI input and
@@ -3476,6 +3476,10 @@ def _tiff_logical_pixels(data: bytes):
         size = {3: 2, 4: 4}.get(typ)
         if size is None:
             raise NotImplementedError(f"TIFF value type {typ} unsupported")
+        if count < 1:
+            # a zero-count entry would surface as IndexError at the
+            # tag reads below — keep it inside the drop contract
+            raise NotImplementedError("TIFF IFD entry with zero count")
         total = size * count
         if total <= 4:
             src = field_off
@@ -3495,7 +3499,7 @@ def _tiff_logical_pixels(data: bytes):
     for k in range(n_entries):
         ep = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack_from(f"{e}HHI", data, ep)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
             tags[tag] = read_values(typ, count, ep + 8)
 
     for req in (256, 257, 273, 279):
@@ -3507,6 +3511,10 @@ def _tiff_logical_pixels(data: bytes):
     spp = tags.get(277, [1])[0]
     rps = tags.get(278, [h])[0] or h
     bps = tags.get(258, [8] * spp)
+    if tags.get(284, [1])[0] != 1:
+        # PlanarConfiguration 2 stores separate R/G/B planes; reshaping
+        # them as interleaved would be silently wrong pixels, so drop
+        raise NotImplementedError("planar (PlanarConfiguration=2) TIFF unsupported")
     if comp not in (1, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} is not codec-free (only none/PackBits)"

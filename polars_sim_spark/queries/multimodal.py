@@ -2709,7 +2709,15 @@ bits AS (
 )
 SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
        CAST(sum(abs(a.bit - b.bit)) AS INT) AS hamming,
-       CASE WHEN a.doc_id % 4 = b.doc_id % 4 THEN 0 ELSE 1 END AS cross_format
+       CASE WHEN (CASE WHEN a.doc_id % 8 = 5 THEN 4
+                       WHEN a.doc_id % 8 = 6 THEN 2
+                       WHEN a.doc_id % 8 = 7 THEN 3
+                       ELSE a.doc_id % 8 END)
+               = (CASE WHEN b.doc_id % 8 = 5 THEN 4
+                       WHEN b.doc_id % 8 = 6 THEN 2
+                       WHEN b.doc_id % 8 = 7 THEN 3
+                       ELSE b.doc_id % 8 END)
+            THEN 0 ELSE 1 END AS cross_format
 FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING CAST(sum(abs(a.bit - b.bit)) AS INT) <= 7
@@ -2718,9 +2726,10 @@ HAVING CAST(sum(abs(a.bit - b.bit)) AS INT) <= 7
 def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format image near-dup detection (round 11; PNG added
     round 12) — the corpus shape a real multimodal pipeline faces: the
-    same logical-pixel rule arrives as raw PPM (ids ≡ 0 mod 4), 24-bit
-    BMP (≡ 1), LZW-compressed GIF (≡ 2) and DEFLATE-compressed PNG
-    (≡ 3) through one table
+    same logical-pixel rule arrives as raw PPM (ids ≡ 0 mod 8), 24-bit
+    BMP (≡ 1), LZW-compressed GIF (≡ 2, interlaced on ≡ 6),
+    DEFLATE-compressed PNG (≡ 3, Adam7 on ≡ 7) and — round 14 — TIFF
+    (≡ 4 little-endian, ≡ 5 big-endian PackBits) through one table
     (operators/multimodal.py:attach_multiformat_payload), and the dHash
     (defined on LOGICAL pixels, so container-invariant by construction)
     surfaces near-dup pairs ACROSS containers via the same banded
@@ -2746,11 +2755,25 @@ def dedup_images_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_cols=tuple(f"band{j}" for j in range(8)),
         max_dist=7,
     )
+
+    def container_class(c):
+        # id % 8 -> container: 0 PPM, 1 BMP, 2/6 GIF, 3/7 PNG, 4/5 TIFF
+        # (interlaced/endian variants are the SAME container)
+        m = c % 8
+        return (
+            F.when(m == 5, F.lit(4))
+            .when(m == 6, F.lit(2))
+            .when(m == 7, F.lit(3))
+            .otherwise(m)
+        )
+
     return pairs.select(
         F.col("l_id").alias("l_doc"),
         F.col("r_id").alias("r_doc"),
         "hamming",
-        (F.col("l_id") % 4 != F.col("r_id") % 4).cast("int").alias("cross_format"),
+        (container_class(F.col("l_id")) != container_class(F.col("r_id")))
+        .cast("int")
+        .alias("cross_format"),
     )
 
 

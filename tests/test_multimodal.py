@@ -2456,3 +2456,52 @@ def test_tiff_malformed_drops():
     ):
         with pytest.raises(NotImplementedError):
             _tiff_logical_pixels(bad)
+
+
+def test_tiff_hostile_structures_drop_not_crash():
+    """Review findings (round 14): zero-count IFD entries and planar
+    (PlanarConfiguration=2) TIFFs must hit the drop contract, never
+    IndexError or silently-scrambled pixels."""
+    import struct
+
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _tiff_logical_pixels,
+        synth_tiff,
+    )
+
+    good = synth_tiff(bytes(range(90)), 5)
+
+    def patch_entry(t: bytes, tag: int, count=None, value=None) -> bytes:
+        ifd_off = struct.unpack_from("<I", t, 4)[0]
+        n = struct.unpack_from("<H", t, ifd_off)[0]
+        out = bytearray(t)
+        for k in range(n):
+            ep = ifd_off + 2 + 12 * k
+            if struct.unpack_from("<H", t, ep)[0] == tag:
+                if count is not None:
+                    struct.pack_into("<I", out, ep + 4, count)
+                if value is not None:
+                    struct.pack_into("<I", out, ep + 8, value)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not found")
+
+    # zero-count ImageWidth / Compression entries -> drop
+    for tag in (256, 259):
+        with pytest.raises(NotImplementedError):
+            _tiff_logical_pixels(patch_entry(good, tag, count=0))
+    # planar configuration: append a 284=2 entry by patching an unused
+    # path — simplest: rebuild IFD is overkill, patch SamplesPerPixel's
+    # tag id to 284 with value 2 (spp then defaults to 1, photometric
+    # stays 2 -> the planar check must fire before the spp mismatch)
+    ifd_off = struct.unpack_from("<I", good, 4)[0]
+    n = struct.unpack_from("<H", good, ifd_off)[0]
+    out = bytearray(good)
+    for k in range(n):
+        ep = ifd_off + 2 + 12 * k
+        if struct.unpack_from("<H", good, ep)[0] == 277:
+            struct.pack_into("<H", out, ep, 284)
+            struct.pack_into("<H", out, ep + 8, 2)
+    with pytest.raises(NotImplementedError):
+        _tiff_logical_pixels(bytes(out))
