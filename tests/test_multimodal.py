@@ -2505,3 +2505,58 @@ def test_tiff_hostile_structures_drop_not_crash():
             struct.pack_into("<H", out, ep + 8, 2)
     with pytest.raises(NotImplementedError):
         _tiff_logical_pixels(bytes(out))
+
+
+def test_tiff_property_round_trip():
+    """Hypothesis sweep (round 14): the TIFF decoder must invert
+    synth_tiff for arbitrary payloads across both byte orders, both
+    compressions and arbitrary strip cuts — adversarially shrunk
+    widths hit 1-pixel rows, single-row strips and partial tails."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _tiff_logical_pixels,
+        synth_tiff,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        payload=st.binary(min_size=3, max_size=1500),
+        width=st.integers(min_value=1, max_value=12),
+        big_endian=st.booleans(),
+        packbits=st.booleans(),
+        rps=st.integers(min_value=1, max_value=8),
+    )
+    def check(payload, width, big_endian, packbits, rps) -> None:
+        t = synth_tiff(
+            payload, width, big_endian=big_endian, packbits=packbits,
+            rows_per_strip=rps,
+        )
+        h = (len(payload) // 3) // width
+        if h < 1:
+            assert t is None
+            return
+        used = h * width * 3
+        expect = np.frombuffer(payload[:used], np.uint8).reshape(h, width, 3)
+        assert (_tiff_logical_pixels(t) == expect).all()
+
+    check()
+
+
+def test_packbits_property_round_trip():
+    """Hypothesis sweep: PackBits decode inverts encode for arbitrary
+    byte rows (runs, literals, 128-boundaries shrunk adversarially)."""
+    from hypothesis import given, settings, strategies as st
+
+    from polars_sim_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(row=st.binary(max_size=1200))
+    def check(row: bytes) -> None:
+        assert _packbits_decode(_packbits_encode(row), len(row)) == row
+
+    check()
