@@ -2770,14 +2770,16 @@ def synth_ppm(data: bytes, width: int) -> bytes | None:
 
 
 def _parse_ppm(data: bytes):
-    """Parse a binary PPM (P6) header: returns (width, height, offset of
-    the first pixel byte). Whitespace/comment handling per the netpbm
-    spec: three decimal fields (w, h, maxval) separated by whitespace or
+    """Parse a binary PPM (P6) or PGM (P5, round 14 — the grayscale
+    netpbm twin real corpora carry alongside P6) header: returns
+    (width, height, offset of the first pixel byte, channels — 3 for
+    P6, 1 for P5). Whitespace/comment handling per the netpbm spec:
+    three decimal fields (w, h, maxval) separated by whitespace or
     ``#`` comments, then EXACTLY ONE whitespace byte before pixel data.
     Raises NotImplementedError for anything else (incl. maxval > 255 —
     2-byte samples are out of scope for the uint8 stats path)."""
-    if len(data) < 2 or data[:2] != b"P6":
-        raise NotImplementedError("not a binary PPM")
+    if len(data) < 2 or data[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError("not a binary PPM/PGM")
     vals, i, n = [], 2, len(data)
     while i < n and len(vals) < 3:
         c = data[i]
@@ -2798,7 +2800,7 @@ def _parse_ppm(data: bytes):
         raise NotImplementedError("malformed PPM header")
     if vals[2] > 255:
         raise NotImplementedError("16-bit PPM samples unsupported")
-    return vals[0], vals[1], i + 1
+    return vals[0], vals[1], i + 1, 3 if data[:2] == b"P6" else 1
 
 
 def ppm_resize(
@@ -3207,18 +3209,22 @@ def attach_bmp_payload(
 
 
 def _ppm_logical_pixels(data: bytes):
-    """(h, w, 3) RGB uint8 array of a binary-PPM payload's pixels.
-    Raises NotImplementedError on non-PPM / truncated payloads (the
-    shared-stats drop contract)."""
+    """(h, w, 3) RGB uint8 array of a binary PPM (P6) — or, round 14,
+    PGM (P5) — payload's pixels; grayscale replicates to RGB like every
+    single-channel path (TIFF gray, 8-bit gray PNG), so the dHash sees
+    the identical logical image. Raises NotImplementedError on
+    non-PPM/PGM / truncated payloads (the shared-stats drop
+    contract)."""
     import numpy as np
 
-    w, h, off = _parse_ppm(data)
+    w, h, off, ch = _parse_ppm(data)
     n_px = w * h
-    if w < 1 or h < 1 or len(data) - off < n_px * 3:
+    if w < 1 or h < 1 or len(data) - off < n_px * ch:
         raise NotImplementedError("truncated PPM pixel data")
-    return np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * 3).reshape(
-        h, w, 3
+    px = np.frombuffer(data, dtype=np.uint8, offset=off, count=n_px * ch).reshape(
+        h, w, ch
     )
+    return np.repeat(px, 3, axis=2) if ch == 1 else px
 
 
 def _any_logical_pixels(data: bytes):

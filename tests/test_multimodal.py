@@ -326,11 +326,11 @@ def test_ppm_parse_and_pixel_stats(spark):
 
     data = bytes(range(256)) * 3
     p = synth_ppm(data, 5)
-    w, h, off = _parse_ppm(p)
-    assert (w, h) == (5, 51) and p[off:] == data[: w * h * 3]
+    w, h, off, ch = _parse_ppm(p)
+    assert (w, h, ch) == (5, 51, 3) and p[off:] == data[: w * h * 3]
     # comments + arbitrary whitespace per netpbm spec
     wc = b"P6 # cmt\n5\t2 # another\n255\n" + bytes(30)
-    assert _parse_ppm(wc) == (5, 2, 27)
+    assert _parse_ppm(wc) == (5, 2, 27, 3)
     with pytest.raises(NotImplementedError):
         _parse_ppm(b"P6\n5 2\n65535\n" + bytes(60))  # 16-bit samples
     with pytest.raises(NotImplementedError):
@@ -2560,3 +2560,28 @@ def test_packbits_property_round_trip():
         assert _packbits_decode(_packbits_encode(row), len(row)) == row
 
     check()
+
+
+def test_pgm_p5_decodes_and_matches_replicated_ppm():
+    """Round 14: binary PGM (P5) — the grayscale netpbm twin — decodes
+    through the shared chain, replicating gray to RGB exactly like the
+    other single-channel paths."""
+    import numpy as np
+    import pytest
+
+    from polars_sim_spark.operators.multimodal import (
+        _any_logical_pixels,
+        _ppm_logical_pixels,
+    )
+
+    gray = bytes((7 * k + 3) % 256 for k in range(35))  # 7x5
+    pgm = b"P5\n# comment\n7 5\n255\n" + gray
+    px = _ppm_logical_pixels(pgm)
+    expect = np.repeat(
+        np.frombuffer(gray, np.uint8).reshape(5, 7, 1), 3, axis=2
+    )
+    assert (px == expect).all()
+    assert (_any_logical_pixels(pgm) == expect).all()
+    # truncated P5 still drops
+    with pytest.raises(NotImplementedError):
+        _ppm_logical_pixels(pgm[:-10])
