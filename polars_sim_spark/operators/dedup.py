@@ -1006,6 +1006,19 @@ def phash_match_pairs(
             f"max_dist={max_dist} voids the band recall guarantee for "
             f"{nb} bands (requires max_dist <= {nb - 1})"
         )
+    # Each side is referenced twice (band explode + verify side); cache
+    # the tiny (id, bands) projection so a decode-chain input is
+    # evaluated once, not twice (same rationale as phash_near_pairs).
+    # Streaming inputs (the ingest-gate path) can't persist and keep
+    # their per-batch evaluation.
+    if not left.isStreaming:
+        left = cache_registry.track(
+            left.select(F.col(id_col), *[F.col(c) for c in band_cols])
+        )
+    if not right.isStreaming:
+        right = cache_registry.track(
+            right.select(F.col(id_col), *[F.col(c) for c in band_cols])
+        )
 
     def bands_of(df: DataFrame, out: str) -> DataFrame:
         return df.select(
@@ -1096,6 +1109,23 @@ def phash_near_pairs(
             f"max_dist={max_dist} voids the band recall guarantee for "
             f"{nb} bands (requires max_dist <= {nb - 1}); add bands or "
             "lower the threshold"
+        )
+    # Cache the (id, bands) projection ONCE before fanning out
+    # (optimization round 14, guide §2.4/§5): this function references
+    # its input up to six times — band explode (self-joined twice),
+    # the bucket-size scout, the cap-guard probe, and the l/r verify
+    # sides — and when ``ph`` is an Arrow decode chain (ppm_phash /
+    # wav_phash / mp4_vhash over a synthesized corpus) every reference
+    # re-decoded the whole corpus: the dedup_audio_mp3_crossformat plan
+    # carried FOUR full MapInPandas decode chains. The projection is
+    # |corpus| rows of one id + nb ints — kilobytes per million docs —
+    # while each avoided evaluation is a full decode pass. Tracked via
+    # the session cache registry (released by the owner's
+    # ``unpersist_all``), and skipped for streaming inputs where
+    # persist() is unsupported and the trigger owns batch scope.
+    if not ph.isStreaming:
+        ph = cache_registry.track(
+            ph.select(F.col(id_col), *[F.col(c) for c in band_cols])
         )
     bands_df = ph.select(
         F.col(id_col).alias("id"),
@@ -2099,6 +2129,18 @@ def video_frame_match_pairs(
         )
     if min_frames < 1:
         raise ValueError(f"min_frames must be >= 1, got {min_frames}")
+    # Cache the (id, frame, bands) projection before fanning out — this
+    # function references its input 2–5 times (bucket self-join sides,
+    # the cap scout, the l/r verify sides), and when ``ph`` is the
+    # per-frame Arrow decode chain every reference re-decoded the whole
+    # video corpus (same multi-evaluation the phash_near_pairs cache
+    # fixed; the dedup_video_pixel_crossformat plan carried the MJPEG
+    # decode twice). Kilobytes per million frames, released by the
+    # session owner's unpersist_all.
+    if not ph.isStreaming:
+        ph = cache_registry.track(
+            ph.select(F.col(id_col), F.col(frame_col), *[F.col(c) for c in band_cols])
+        )
     if max_dist == 0:
         # Hamming 0 ⟺ full-hash equality, so candidates key on the
         # WHOLE hash, not per-band values (round 14, measured on the
@@ -2220,6 +2262,15 @@ def video_near_pairs_auto(
     frame route a ``UserWarning`` carrying the probe statistics is
     emitted, so the routing decision is visible in job logs
     (VERDICT r12 #7)."""
+    # Cache the fold projection FIRST: the probe below is eager, so
+    # without this it evaluates the whole-video hash chain once and the
+    # chosen fold route evaluates it again (phash_near_pairs' own cache
+    # only helps references made after it). The probe now materializes
+    # the cache the pair path reuses.
+    if not ph_fold.isStreaming:
+        ph_fold = cache_registry.track(
+            ph_fold.select(F.col(id_col), *[F.col(c) for c in fold_band_cols])
+        )
     routed_frames = False
     if max_bucket_size is not None:
         diag = diagnose_hot_buckets(

@@ -2831,7 +2831,13 @@ def dedup_remove_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_sim_spark.operators.multimodal import attach_image_payload, ppm_phash
 
     docs = load_table(spark, sf_dir, "documents")
-    ph = ppm_phash(attach_image_payload(docs), n_bands=8)
+    # Cache the hash frame: it is referenced by BOTH the pair path and
+    # the CC node set below, and each uncached reference re-ran the
+    # whole attach+decode chain (optimization round 14 — the
+    # phash_near_pairs-internal cache can't cover the node-set
+    # reference made outside it). Tiny frame, released by the session
+    # owner's unpersist_all.
+    ph = cache_registry.track(ppm_phash(attach_image_payload(docs), n_bands=8))
     # band-local star contraction (round 10): identical components —
     # the oracle's reachability closure re-proves it every run — with
     # within-band chains collapsed to depth 1 before the global rounds.
