@@ -1260,6 +1260,49 @@ def diagnose_hot_buckets(
     }
 
 
+_SEED_EDGES_PER_PART = 2_000_000  # ~32 MB of (src, dst) int64 per seed task
+
+
+def _local_min_roots(batches):
+    """Partition-local union-find for the CC seed pass: contract the
+    partition's edge subset to min-root stars in vectorized numpy
+    (min-hook + full pointer doubling, the FastSV shape — every sweep is
+    O(E) C-speed). Emits ``(id, cluster_id)`` for every node seen in the
+    partition, ``cluster_id`` = the smallest node of its partition-local
+    component. Terminates provably: a hook strictly decreases some
+    parent index while any edge still spans two roots, and indices are
+    bounded below; at quiescence a connected local component cannot hold
+    two roots (some edge would span them), so the single root is the
+    component min."""
+    import numpy as np
+    import pandas as pd
+
+    srcs, dsts = [], []
+    for b in batches:
+        srcs.append(b["src"].to_numpy(dtype="int64"))
+        dsts.append(b["dst"].to_numpy(dtype="int64"))
+    if not srcs:
+        return
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    if s.size == 0:
+        return
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    u, v = inv[: s.size], inv[s.size :]
+    p = np.arange(nodes.size)
+    while True:
+        pu, pv = p[u], p[v]
+        if not np.any(pu != pv):
+            break
+        np.minimum.at(p, np.maximum(pu, pv), np.minimum(pu, pv))
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+    yield pd.DataFrame({"id": nodes, "cluster_id": nodes[p]})
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -1334,12 +1377,43 @@ def connected_components(
     # |nodes|) pay one extra distinct over the edge frame, noise next
     # to their per-round joins.
     full_base = nodes.select(F.col(id_col).alias("id"))
-    incident = (
-        both.select(F.col("src").alias("id"))
-        .unionByName(both.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    # SEED labels by partition-local union-find (optimization round 14,
+    # guide §1.2 "fix the distributed algorithm first"): label
+    # propagation over a FIXED edge set needs O(component eccentricity)
+    # rounds — the pointer jump can't shortcut paths the min label has
+    # not reached yet — and each round is a full neighbor-min join +
+    # jump join + checkpoint job. Measured on the sf0.1 mutual-kNN
+    # entity graph (968-node, eccentricity-54 component): 22 rounds.
+    # The seed contracts every partition's edge subset to min-root
+    # stars in ONE vectorized numpy pass (min-hook + pointer-doubling
+    # union-find, C-speed per sweep), combines per-partition roots with
+    # a node-keyed min, and hands the loop labels whose remaining
+    # distance-to-fixpoint is the diameter of the CONTRACTED graph —
+    # 1 verification round on every contract corpus (measured: this
+    # row's CC went 22 rounds → 1). Exactness is untouched: seeded
+    # labels are component members (local roots are edge endpoints),
+    # labels only ever decrease via F.least, and the loop's fixpoint
+    # certificate (neighbor-min quiescence) is initialization-agnostic.
+    # Scale posture: the coalesce target derives from the measured edge
+    # count (~2M edges ≈ 32 MB per task, numpy peak well under worker
+    # overhead); a 100 TB edge set keeps thousands of partitions and
+    # simply contracts within each, while the cross-partition chains
+    # the loop must still walk shrink by the per-partition contraction
+    # factor. The seed costs one narrow pass over the checkpointed
+    # edges + one (node, root) shuffle — on converge-in-1-round graphs
+    # (the common dedup shape) it replaces the old fused round 1 at the
+    # same job count, so the tiny-cluster rows pay nothing.
+    n_both = both.count()
+    cur_parts = max(1, both.rdd.getNumPartitions())
+    target = max(1, min(cur_parts, -(-n_both // _SEED_EDGES_PER_PART)))
+    seed_src = both.coalesce(target) if target < cur_parts else both
+    seed = seed_src.mapInPandas(_local_min_roots, "id long, cluster_id long")
+    if target > 1:
+        seed = seed.groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+    seed = seed.localCheckpoint(eager=True)
+    # the seed's id set IS the incident set (every edge endpoint, once)
+    incident = seed.select("id")
 
     def _with_isolated(labels: DataFrame) -> DataFrame:
         isolated = full_base.join(incident, "id", "left_anti").select(
@@ -1347,38 +1421,21 @@ def connected_components(
         )
         return labels.unionByName(isolated)
 
-    # Round-1 fusion (round 5): initial labels are identities, so round
-    # 1's neighbor-min needs neither an edge ⋈ label join (min neighbor
-    # id comes straight off the checkpointed edge frame) nor an initial
-    # label checkpoint. Rounds 2+ keep the round-4 structure unchanged.
-    # (A fuller jump-first restructure that also skipped round 1's
-    # pointer jump and probed right after each neighbor-min was measured
-    # SLOWER at sf0.1 — median 6.1 s vs 4.6 s on dedup_cluster_docs —
-    # because the un-checkpointed jump product is referenced twice by
-    # the next neighbor-min and re-evaluates; honest negative result,
-    # BASELINE.md round 5.)
-    base = incident  # iterate over touched nodes only (exact; see above)
-    labels: DataFrame | None = None  # None ⇒ identity labels (round 1)
+    # The loop starts from the SEEDED labels (the round-5 "round-1
+    # fusion" identity fast-path is subsumed: the seed's local
+    # union-find + node-keyed min-combine is strictly stronger than the
+    # identity-start neighbor-min it replaced, at the same job count).
+    labels: DataFrame = seed.select("id", "cluster_id")
     done = 0
     while done < max_iter:
-        if labels is None:
-            cur = base.select(
-                "id",
-                F.col("id").alias("cluster_id"),
-                F.col("id").alias("__old"),
-            )
-        else:
-            cur = labels.withColumn("__old", F.col("cluster_id"))
+        cur = labels.withColumn("__old", F.col("cluster_id"))
         for r in range(min(rounds_per_check, max_iter - done)):
             # 1. Neighbor-min: label := min(own, min over neighbors').
-            if labels is None and r == 0:
-                nbr = both.groupBy("dst").agg(F.min("src").alias("nbr_min"))
-            else:
-                nbr = (
-                    both.join(cur, both.src == cur.id)
-                    .groupBy("dst")
-                    .agg(F.min("cluster_id").alias("nbr_min"))
-                )
+            nbr = (
+                both.join(cur, both.src == cur.id)
+                .groupBy("dst")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
             stepped = cur.join(nbr, cur.id == nbr.dst, "left").select(
                 "id",
                 F.least(

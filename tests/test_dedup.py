@@ -458,15 +458,71 @@ def test_connected_components_deep_chain_graph(spark):
     assert got == want
 
 
-def test_connected_components_raises_on_round_exhaustion(spark):
-    """Unconverged labels are never returned: a path needing more rounds
-    than max_iter raises instead of silently mis-clustering."""
-    import pytest as _pytest
+def test_connected_components_seed_multipartition_matches_reference(spark, monkeypatch):
+    """Round-14 seed pass, multi-partition path: with the seed's
+    edges-per-partition budget pinned tiny, the partition-local
+    union-find runs on many partitions, the (id, min root) combine
+    shuffle actually merges conflicting local roots, and the loop still
+    has cross-partition propagation to do — the result must equal the
+    python reachability reference exactly (labels = component min)."""
+    import collections
 
+    from polars_sim_spark.operators import dedup as dedup_mod
     from polars_sim_spark.operators.dedup import connected_components
 
+    monkeypatch.setattr(dedup_mod, "_SEED_EDGES_PER_PART", 8)
+    # one 60-node path, two rings, singletons — shuffled so partition
+    # subsets are non-contiguous chain fragments
+    edges = [(i, i + 1) for i in range(59)]
+    edges += [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    edges += [(200 + i, 200 + (i + 1) % 7) for i in range(7)]
+    import random
+
+    random.Random(14).shuffle(edges)
+    nodes = list(range(60)) + list(range(100, 110)) + list(range(200, 207)) + [900, 901]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(edges, "l_id long, r_id long").repartition(16)
+    out = connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id")
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in nodes:
+        if n in want:
+            continue
+        comp, q = {n}, [n]
+        while q:
+            u = q.pop()
+            for v in adj.get(u, ()):
+                if v not in comp:
+                    comp.add(v)
+                    q.append(v)
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
+
+
+def test_connected_components_raises_on_round_exhaustion(spark, monkeypatch):
+    """Unconverged labels are never returned: a path needing more rounds
+    than max_iter raises instead of silently mis-clustering. The round-14
+    seed pass would contract this tiny chain in one task, so the test
+    pins the seed's edges-per-partition budget to 1 and spreads the edge
+    frame one edge per partition — the loop itself must walk the chain,
+    and with max_iter=2 it cannot."""
+    import pytest as _pytest
+
+    from polars_sim_spark.operators import dedup as dedup_mod
+    from polars_sim_spark.operators.dedup import connected_components
+
+    monkeypatch.setattr(dedup_mod, "_SEED_EDGES_PER_PART", 1)
     ndf = spark.createDataFrame([(i,) for i in range(64)], "id long")
-    edf = spark.createDataFrame([(i, i + 1) for i in range(63)], "l_id long, r_id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "l_id long, r_id long"
+    ).repartition(63)
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(ndf, edf, id_col="id", src_col="l_id", dst_col="r_id", max_iter=2)
 
