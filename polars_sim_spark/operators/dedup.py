@@ -1363,7 +1363,12 @@ def connected_components(
     both = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    both = both.localCheckpoint(eager=True)
+    # LAZY checkpoint + count in one job (optimization round 14): the
+    # seed pass below needs the edge count anyway, and a lazy
+    # localCheckpoint materializes its blocks during the first action —
+    # so the count() doubles as the checkpoint materialization, saving
+    # one blocking job per CC call versus eager-checkpoint-then-count.
+    both = both.localCheckpoint(eager=False)
 
     # INCIDENT-ONLY iteration (round 10): only nodes touched by an edge
     # can ever change label, so the loop iterates over edge endpoints

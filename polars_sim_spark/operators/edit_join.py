@@ -104,15 +104,21 @@ def _deletion_sigs(df: DataFrame, k: int) -> DataFrame:
         "transform(sequence(1, length(sig)), i -> "
         "concat(substring(sig, 1, i - 1), substring(sig, i + 1, length(sig) - i)))"
     )
-    sigs = df.select("rid", F.col("s").alias("sig"))
+    sigs = df.select("rid", "s", F.col("s").alias("sig"))
     frontier = sigs
     for _ in range(k):
-        frontier = frontier.select("rid", F.explode(dels).alias("sig"))
+        frontier = frontier.select("rid", "s", F.explode(dels).alias("sig"))
         sigs = sigs.unionByName(frontier)
     # Distinct before hashing: deleting positions {i, j} in either order
     # yields the same variant, and duplicate (rid, sig) rows would
-    # multiply the candidate join output.
-    return sigs.distinct().select("rid", F.xxhash64("sig").alias("h"))
+    # multiply the candidate join output.  The original string ``s``
+    # rides along (rid determines s, so distinct cardinality is
+    # unchanged): the candidate join can then verify the DP directly on
+    # its own output instead of re-attaching strings through two extra
+    # joins of the (much larger) candidate set (optimization round 14,
+    # guide §2.3 — the string is a few dozen bytes per variant row,
+    # while each removed join shuffles the full candidate pair set).
+    return sigs.distinct().select("rid", "s", F.xxhash64("sig").alias("h"))
 
 
 def edit_join(
@@ -167,11 +173,27 @@ def edit_join(
         sr = sl if self_join else _deletion_sigs(
             r.select(F.col("r_id").alias("rid"), F.col("r_s").alias("s")), k
         )
+        # Strings ride the variant rows (see _deletion_sigs), so the
+        # verify DP filters the candidate join's own output map-side —
+        # no back-joins of the candidate set, two fewer exchanges.
         cand = (
-            sl.select(F.col("rid").alias(_L), "h")
-            .join(sr.select(F.col("rid").alias(_R), "h"), "h")
-            .select(_L, _R)
+            sl.select(F.col("rid").alias(_L), F.col("s").alias("l_s"), "h")
+            .join(
+                sr.select(F.col("rid").alias(_R), F.col("s").alias("r_s"), "h"),
+                "h",
+            )
+            .select(_L, "l_s", _R, "r_s")
         )
+        if self_join:
+            cand = cand.where(F.col(_L) < F.col(_R))
+        verified = cand.where(
+            F.abs(F.length("l_s") - F.length("r_s")) <= k
+        ).withColumn("edit_dist", F.levenshtein("l_s", "r_s", k)).where(
+            F.col("edit_dist") >= 0
+        )
+        return verified.select(
+            F.col(_L).alias("l_id"), F.col(_R).alias("r_id"), "edit_dist"
+        ).distinct()
     else:
         gl = _grams(l, "l_id", "l_s", q)
         gr = gl if self_join else _grams(r, "r_id", "r_s", q)

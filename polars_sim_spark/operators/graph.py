@@ -45,6 +45,14 @@ from pyspark.sql import functions as F
 #: any realistic node count, and 100 * SCALE < 2^63.
 PR_SCALE = 1_000_000_000_000
 
+#: Unrolled-iteration plan-depth bound for the linear iterative loops
+#: (pagerank, label_propagation): checkpoint only every k-th round.
+#: Each un-checkpointed round saves a blocking job + a full |V|-row
+#: block-storage materialization; 4 rounds of join+agg keep the
+#: Catalyst plan (and Spark 4's LogicalRDD size-estimate growth, see
+#: connected_components) comfortably bounded.
+_PR_CHECKPOINT_EVERY = 4
+
 
 def cooccurrence_edges(
     df: DataFrame,
@@ -204,18 +212,23 @@ def pagerank(
         flags = deg.select("n").join(
             F.broadcast(seedset.select("n", F.lit(True).alias("__seed"))), "n", "left"
         )
+        # ranks-init is referenced exactly once (round 1's neighbor join),
+        # so it needs no checkpoint of its own — one less blocking job
+        # (optimization round 14, guide §1.2/§2.4: remove materializations
+        # that don't cut recomputation). tele_table IS referenced every
+        # round, so its checkpoint stays.
         ranks = flags.select(
             "n",
             F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
             .cast("long")
             .alias("rank_micro"),
-        ).localCheckpoint()
+        )
         tele_col = F.when(F.col("__seed"), F.lit(tele_val)).otherwise(F.lit(0)).cast("long")
         tele_table = flags.select("n", tele_col.alias("__tele")).localCheckpoint()
     else:
         base = int(PR_SCALE) // n_nodes  # teleport-free initial mass per node
         teleport = (int(PR_SCALE) * (100 - damping_pct)) // (100 * n_nodes)
-        ranks = deg.select("n", F.lit(base).cast("long").alias("rank_micro")).localCheckpoint()
+        ranks = deg.select("n", F.lit(base).cast("long").alias("rank_micro"))
         tele_table = deg.select("n", F.lit(teleport).cast("long").alias("__tele")).localCheckpoint()
     # The rank table is |V| rows vs the |E|-row adjacency: broadcast it so
     # each iteration is one map-side join + one partial-agg shuffle of |V|
@@ -224,7 +237,20 @@ def pagerank(
     # memory (~hundreds of millions of nodes) drop the hint — plan shape
     # survives, with an extra exchange.
     bcast = n_nodes <= 5_000_000
-    for _ in range(int(iterations)):
+    # The per-iteration chain is LINEAR — each ranks frame is referenced
+    # exactly once (by the next iteration's neighbor join) — so unlike
+    # connected_components (whose label frame is referenced twice per
+    # round and measurably regressed when batched) the iterations can be
+    # unrolled into ONE plan with no recomputation: each intermediate
+    # ranks is evaluated exactly once (as its broadcast/shuffle subtree)
+    # inside the single final action. Dropping the per-iteration
+    # localCheckpoint removes one blocking job + one full |V|-row
+    # materialization to block storage PER ROUND (at 100 TB that
+    # materialization is real I/O, not just job latency). A checkpoint
+    # every ``_PR_CHECKPOINT_EVERY`` rounds still bounds plan depth and
+    # the Spark-4 stats-estimate growth for large iteration counts
+    # (optimization round 14, guide §1.2 + §2.4).
+    for i in range(int(iterations)):
         rsrc = ranks.withColumnRenamed("n", "src")
         inflow = (
             adj.join(F.broadcast(rsrc) if bcast else rsrc, "src")
@@ -240,19 +266,15 @@ def pagerank(
         )
         # Every node has inflow (symmetric edges), but keep the join left
         # + coalesce so a future directed-graph caller degrades safely.
-        ranks = (
-            tele_table.join(inflow, "n", "left")
-            .select(
-                "n",
-                (
-                    F.col("__tele")
-                    + F.expr(
-                        f"({int(damping_pct)}L * coalesce(__in, 0L)) div 100"
-                    )
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint()
+        ranks = tele_table.join(inflow, "n", "left").select(
+            "n",
+            (
+                F.col("__tele")
+                + F.expr(f"({int(damping_pct)}L * coalesce(__in, 0L)) div 100")
+            ).alias("rank_micro"),
         )
+        if (i + 1) % _PR_CHECKPOINT_EVERY == 0 and (i + 1) < int(iterations):
+            ranks = ranks.localCheckpoint()
     return ranks.withColumnRenamed("n", "node")
 
 
@@ -408,6 +430,14 @@ def label_propagation(
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     directed = directed.localCheckpoint()
 
+    # NOTE (optimization round 14): unrolling these rounds into one plan
+    # the way :func:`pagerank` now does was MEASURED SLOWER here (warm
+    # ~10.6 s -> ~20 s on the sf0.1 co-purchase graph, 3 reps) despite
+    # the same linear reference structure — the per-round
+    # row_number window (a full sort per round, no partial agg) chains
+    # badly inside a single AQE execution, while the checkpointed
+    # per-round plan lets each round's window run against a
+    # materialized, accurately-sized input.  Kept per-round.
     labels = _degrees(edges).select("n", F.col("n").alias("lbl")).localCheckpoint()
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
     for _ in range(int(iterations)):
