@@ -110,10 +110,62 @@ def _centroid_scores(cent_rows) -> Column:
     makes lexicographic struct-max / sort-desc reproduce the
     ``ORDER BY sim DESC, c_id ASC`` tiebreak of the windowed formulation
     (and of the DuckDB oracle) exactly. Struct comparison never reaches
-    the c_id field because tie is unique per centroid, so c_id may be any
-    type. Plan size grows with num_centroids × dim literals — fine for
-    the coarse quantizers this targets (≤ a few hundred centroids).
+    the c_id field because tie is unique per centroid, so c_id may be
+    any type (int and string ship the one-literal fast path; other
+    types fall back to per-element literals).
+
+    Shape (optimization round 14): ONE ``transform`` lambda over ONE
+    array<struct> literal holding the whole quantizer, instead of
+    num_centroids independent zip_with/aggregate chains over
+    num_centroids × dim individual ``F.lit`` nodes. The old form cost
+    ~2.5 s of py4j round-trips at every plan construction (16×384
+    centroids) plus a generated method sized to the whole quantizer at
+    codegen/JIT time (the kmeans contract row measured ~19 s driver
+    time per run, 100+ s cold). The literal is rendered once as SQL
+    text — ``CAST('<repr>' AS DOUBLE)`` round-trips every double
+    bit-exactly (verified against F.lit element-wise) — and the dot /
+    norm arithmetic inside the lambda is the identical left-to-right
+    zip_with/aggregate chain, so oracle exactness is untouched.
     """
+
+    def _d(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    def _cid_sql(v):
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return None
+        if isinstance(v, int):
+            return f"{v}L"
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    cid_lits = [_cid_sql(row["c_id"]) for row in cent_rows]
+    if cent_rows and all(c is not None for c in cid_lits):
+        entries_sql = ",".join(
+            "named_struct('vec',array({v}),'cnorm',{n},'tie',{t},'c_id',{c})".format(
+                v=",".join(_d(x) for x in row["__centroid"]),
+                n=_d(row["__cnorm"]),
+                t=-rank,
+                c=cid_lits[rank],
+            )
+            for rank, row in enumerate(cent_rows)
+        )
+        meta = F.expr(f"array({entries_sql})")
+
+        def entry(c):
+            denom = F.col("__vn") * c["cnorm"]
+            sim = F.round(
+                F.when(denom > F.lit(0.0), dot(F.col("__v"), c["vec"]) / denom)
+                .otherwise(F.lit(0.0)),
+                6,
+            )
+            return F.struct(
+                sim.alias("sim"), c["tie"].alias("tie"), c["c_id"].alias("c_id")
+            )
+
+        return F.transform(meta, entry)
+
+    # Fallback for exotic c_id types: the original per-centroid literal
+    # construction (same values, bigger plan).
     entries = []
     for rank, row in enumerate(cent_rows):
         cv = F.array(*[F.lit(float(x)) for x in row["__centroid"]])
