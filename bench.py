@@ -277,6 +277,51 @@ def main() -> None:
     ).split():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # JIT warmup (optimization round 14, guide §1 "measure correctly"):
+    # the first queries of a run otherwise carry the JVM's C2
+    # compilation of Spark's join/aggregate/window/codegen machinery —
+    # measured on an idle host: the first headline query read 17-22 s
+    # against a 2.6 s steady state, and the discarded canary trio
+    # (scan-only plans) does not touch those code paths. This warmer is
+    # SYNTHETIC — a generated frame pushed through the common physical
+    # shapes (shuffle join, hash aggregate, window, array lambdas, a
+    # pandas-iterator pass) — so it cannot precompute or cache anything
+    # any timed query reuses; it only compiles engine code, exactly
+    # like the table-footer warmup above (round-4 precedent, recorded
+    # in BASELINE.md).
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    _jit = spark.range(200_000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        F.expr("array(cast(id as double), cast(id + 1 as double))").alias("v"),
+    )
+    _jit2 = _jit.groupBy("k").agg(F.sum("id").alias("s"))
+    _w = _W.partitionBy("k").orderBy(F.desc("id"))
+    (
+        _jit.join(_jit2, "k")
+        .withColumn("rn", F.row_number().over(_w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "k",
+            F.aggregate(
+                F.transform("v", lambda x: x * F.lit(2.0)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("agg"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    def _jit_pandas(it):
+        for b in it:
+            yield b
+
+    _jit.select("id").mapInPandas(_jit_pandas, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # Prepare: materialize the persisted ANN indexes the *_prebuilt
     # serving rows read, OUTSIDE the timed region — index build is a
     # once-per-corpus cost production amortizes across every query batch
