@@ -322,6 +322,32 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Second warmup wave: the grouped-pandas, broadcast-join, string
+    # expression and localCheckpoint machinery (the CC/dedup family's
+    # physical shapes). A repeated CC-shaped query measured 48.9 ->
+    # 27.1 -> 13.7 -> 10.0 -> 6.7 -> 4.8 s across six same-session
+    # reps — the C2 ramp for these paths is minutes long and otherwise
+    # lands on whichever timed queries run it first.
+    def _jit_grouped(key, pdf):
+        return pdf
+
+    (
+        _jit.select("k", "id")
+        .groupBy("k")
+        .applyInPandas(_jit_grouped, "k long, id long")
+        .join(F.broadcast(_jit2), "k")
+        .select(
+            "k",
+            F.xxhash64(F.concat_ws(",", F.col("id"), F.col("s"))).alias("h"),
+            F.levenshtein(
+                F.col("id").cast("string"), F.col("s").cast("string"), 2
+            ).alias("d"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    _ck = _jit2.localCheckpoint()
+    _ck.where(F.col("s") < 0).isEmpty()
+
     # Prepare: materialize the persisted ANN indexes the *_prebuilt
     # serving rows read, OUTSIDE the timed region — index build is a
     # once-per-corpus cost production amortizes across every query batch
