@@ -401,6 +401,15 @@ def main() -> None:
         # the timed region: rounds 1-3 timed queries without cleanup, so
         # keeping it out preserves round-over-round comparability.
         cache_registry.unpersist_all()
+        # …and the localCheckpoint blocks the tracked registry can't see
+        # (optimization round 14): iterative operators now release their
+        # superseded ROUNDS inline, but each call's FINAL checkpoint
+        # stays resident until driver GC + ContextCleaner get to it. No
+        # frame crosses query boundaries in this loop (each query starts
+        # from parquet), so the end-of-query sweep is safe — and keeps
+        # ~200 queries' terminal checkpoints from accreting in the block
+        # manager. Outside the timed region, like unpersist_all above.
+        cache_registry.sweep_persistent_rdds(spark)
 
     canary_samples.append(canary_sample())
     total = round(sum(timings.values()), 3)

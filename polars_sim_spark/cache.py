@@ -125,3 +125,82 @@ def unpersist_all(blocking: bool = False) -> int:
             # release; never let cleanup raise.
             pass
     return n
+
+
+def chain_local_checkpoint(df: DataFrame, prev: object | None) -> tuple[DataFrame, object | None]:
+    """Eager ``localCheckpoint`` for ITERATIVE LOOP bodies: materialize
+    ``df``, then release the blocks of the PREVIOUS round's checkpoint
+    (optimization round 14, guide §5 — storage blocks are execution
+    memory's competitor).
+
+    A loop that checkpoints each round (connected_components, k_core,
+    label_propagation, pagerank) supersedes round r's blocks the moment
+    round r+1 is materialized: the new checkpoint truncates lineage, so
+    nothing can ever read the old blocks again. Without an explicit
+    release they wait for a driver JVM GC + ContextCleaner pass (py4j
+    holds the Python-side references), and in a long multi-query session
+    the dead rounds pile up in the block manager — measured in the bench
+    session as rising GC time on the checkpoint-heavy rows
+    (graph_part_communities: 34.7 s GC of 194 s task time at rep 2).
+
+    Contract: ``prev`` must be a handle whose blocks are referenced ONLY
+    through lineage that ``df`` replaces — i.e. pass the handle returned
+    by the previous same-loop call, never a checkpoint something else
+    still reads. Returns ``(checkpointed_df, handle)``; release of the
+    final round's handle is the caller's choice (usually: don't — the
+    returned frame still serves it).
+    """
+    out = df.localCheckpoint(eager=True)
+    try:
+        handle = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        handle = None
+    release_handle(prev)
+    return out, handle
+
+
+def checkpoint_handle(df: DataFrame) -> object | None:
+    """JVM RDD handle backing an already-materialized localCheckpoint of
+    ``df`` (for a later :func:`release_handle`), or None if unresolvable."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return None
+
+
+def release_handle(handle: object | None) -> None:
+    """Best-effort block release of a JVM RDD handle from
+    :func:`chain_local_checkpoint`. Never raises."""
+    if handle is None:
+        return
+    try:
+        handle.unpersist(False)
+    except Exception:
+        pass
+
+
+def sweep_persistent_rdds(spark) -> int:
+    """Unpersist EVERY persistent RDD in the session — the end-of-query
+    sweep for a session owner (bench loop, driver harness) that knows no
+    cross-query frame survives. localCheckpoint blocks are per-RDD (not
+    CacheManager entries), so neither ``unpersist_all`` nor
+    ``spark.catalog.clearCache()`` reaches them; this does. NEVER call
+    it while a returned-but-unconsumed checkpointed frame is still
+    pending — a localCheckpoint's lineage is truncated, so dropped
+    blocks cannot recompute. Returns the number of RDDs released."""
+    try:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.values().iterator()
+        n = 0
+        while it.hasNext():
+            try:
+                it.next().unpersist(False)
+                n += 1
+            except Exception:
+                pass
+    except Exception:
+        return 0
+    with _LOCK:
+        _CKPT_SLOTS.clear()
+        _TRACKED.clear()
+    return n

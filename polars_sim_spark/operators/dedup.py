@@ -1438,6 +1438,13 @@ def connected_components(
     # identity-start neighbor-min it replaced, at the same job count).
     labels: DataFrame = seed.select("id", "cluster_id")
     done = 0
+    # Superseded-round block release (optimization round 14): each
+    # round's checkpoint makes the previous round's blocks unreachable
+    # (lineage is truncated), so they are freed inline instead of
+    # waiting for a driver GC + ContextCleaner pass. The seed and the
+    # final round are never released (prev starts None; the returned
+    # frame reads the last checkpoint).
+    prev_ckpt = None
     while done < max_iter:
         cur = labels.withColumn("__old", F.col("cluster_id"))
         for r in range(min(rounds_per_check, max_iter - done)):
@@ -1483,10 +1490,14 @@ def connected_components(
             if done % 6 == 5:
                 nxt = nxt.persist()
                 nxt.count()
-                cur = nxt.localCheckpoint(eager=True)
+                cur, prev_ckpt = cache_registry.chain_local_checkpoint(
+                    nxt, prev_ckpt
+                )
                 nxt.unpersist()
             else:
-                cur = nxt.localCheckpoint(eager=True)
+                cur, prev_ckpt = cache_registry.chain_local_checkpoint(
+                    nxt, prev_ckpt
+                )
             done += 1
         labels = cur.select("id", "cluster_id")
         if cur.where(F.col("cluster_id") != F.col("__old")).isEmpty():

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_sim_spark import cache as cache_registry
+
 #: PageRank mass scale: 10^12 micro-micro-units. n * SCALE fits int64 for
 #: any realistic node count, and 100 * SCALE < 2^63.
 PR_SCALE = 1_000_000_000_000
@@ -250,6 +252,7 @@ def pagerank(
     # every ``_PR_CHECKPOINT_EVERY`` rounds still bounds plan depth and
     # the Spark-4 stats-estimate growth for large iteration counts
     # (optimization round 14, guide §1.2 + §2.4).
+    prev_ckpt = None
     for i in range(int(iterations)):
         rsrc = ranks.withColumnRenamed("n", "src")
         inflow = (
@@ -274,7 +277,12 @@ def pagerank(
             ).alias("rank_micro"),
         )
         if (i + 1) % _PR_CHECKPOINT_EVERY == 0 and (i + 1) < int(iterations):
-            ranks = ranks.localCheckpoint()
+            # Superseded plan-depth checkpoints release their
+            # predecessor's blocks inline (optimization round 14) —
+            # the new checkpoint truncates all lineage to them.
+            ranks, prev_ckpt = cache_registry.chain_local_checkpoint(
+                ranks, prev_ckpt
+            )
     return ranks.withColumnRenamed("n", "node")
 
 
@@ -336,6 +344,13 @@ def k_core(
         # job, amortized against 6+ peel rounds either way
         incident_only = cur.count() >= _KCORE_INCIDENT_MIN_EDGES
     if not incident_only:
+        # Superseded peel rounds release their predecessor's blocks
+        # inline (optimization round 14): after cur_{r+1} materializes,
+        # cur_r and low_r are unreachable (lineage truncated). The
+        # initial edge checkpoint is round 0's cur — chained like the
+        # rest (at scale it is the largest block set in the loop).
+        prev_cur = cache_registry.checkpoint_handle(cur)
+        prev_low = None
         for _ in range(int(max_iter)):
             deg = _degrees(cur)
             low = deg.where(F.col("deg") < k).select("n").localCheckpoint()
@@ -343,12 +358,14 @@ def k_core(
                 return deg.select(
                     F.col("n").alias("node"), F.col("deg").alias("core_deg")
                 )
-            cur = (
+            cur, prev_cur = cache_registry.chain_local_checkpoint(
                 cur.join(low.withColumnRenamed("n", "a"), "a", "left_anti")
                 .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
-                .select("a", "b")
-                .localCheckpoint()
+                .select("a", "b"),
+                prev_cur,
             )
+            cache_registry.release_handle(prev_low)
+            prev_low = cache_registry.checkpoint_handle(low)
         raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
 
     # The edge frame stays FIXED (checkpointed once): an edge (a, b)
@@ -364,6 +381,11 @@ def k_core(
     # round and measured SLOWER than the recompute at ×100 — 325 vs
     # 291 s; this shape removes that cost).
     deg = _degrees(cur).localCheckpoint()
+    # Chained release of superseded degree/low rounds (optimization
+    # round 14); `cur` stays resident by design (fixed edge frame,
+    # scanned every round).
+    prev_deg = cache_registry.checkpoint_handle(deg)
+    prev_low = None
     for _ in range(int(max_iter)):
         low = deg.where(F.col("deg") < k).select("n").localCheckpoint()
         if low.isEmpty():
@@ -388,15 +410,18 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("__dec"))
         )
-        deg = (
+        new_deg, prev_deg = cache_registry.chain_local_checkpoint(
             deg.join(low, "n", "left_anti")
             .join(dec, "n", "left")
             .select(
                 "n",
                 (F.col("deg") - F.coalesce(F.col("__dec"), F.lit(0))).alias("deg"),
-            )
-            .localCheckpoint()
+            ),
+            prev_deg,
         )
+        deg = new_deg
+        cache_registry.release_handle(prev_low)
+        prev_low = cache_registry.checkpoint_handle(low)
     raise RuntimeError(f"k_core: no fixpoint within max_iter={max_iter} rounds")
 
 
@@ -440,18 +465,29 @@ def label_propagation(
     # materialized, accurately-sized input.  Kept per-round.
     labels = _degrees(edges).select("n", F.col("n").alias("lbl")).localCheckpoint()
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
+    # Superseded-round release (optimization round 14): once round r+1's
+    # labels are checkpointed, round r's blocks are unreachable — free
+    # them inline rather than letting dead rounds pile up in the block
+    # manager for the session's lifetime. The initial labels frame is
+    # chained too (it is only read by round 1); `edges` is read by both
+    # `directed` and the init labels, both materialized by now, so its
+    # blocks are also dead.
+    prev = None
+    cache_registry.release_handle(cache_registry.checkpoint_handle(edges))
     for _ in range(int(iterations)):
         freq = (
             directed.join(labels.withColumnRenamed("n", "src"), "src")
             .groupBy(F.col("dst").alias("n"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        stepped = (
             freq.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select("n", "lbl")
-            .localCheckpoint()
         )
+        if prev is None:
+            prev = cache_registry.checkpoint_handle(labels)
+        labels, prev = cache_registry.chain_local_checkpoint(stepped, prev)
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("community"))
 
 

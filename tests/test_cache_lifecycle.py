@@ -76,3 +76,41 @@ def test_remove_near_dups_does_not_leak(spark, sf_small):
     out = dedup.remove_near_dups(docs, "doc_id", "text", min_jaccard=0.5)
     out.count()
     assert len(cache_registry._TRACKED) == before
+
+
+def test_iterative_loops_release_superseded_rounds(spark, sf_small):
+    """Optimization round 14: the iterative loops (label_propagation,
+    k_core, pagerank, connected_components) chain-release each
+    superseded round's localCheckpoint blocks instead of letting dead
+    rounds accrete until a driver GC. Contract: (a) results are
+    unchanged (k-core paths agree; CC labels match a rebuilt closure),
+    (b) after a multi-round loop only the frames the result still reads
+    stay persistent, (c) sweep_persistent_rdds clears the session."""
+    from polars_sim_spark.operators import graph
+
+    cache_registry.sweep_persistent_rdds(spark)
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    edges = graph.cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey"
+    )
+    out = graph.label_propagation(edges, iterations=3)
+    n = out.count()
+    assert n > 0
+    # 3 rounds would have left >= 5 checkpoints before the change; with
+    # chaining only `directed` + the final labels round stay resident
+    # (plus nothing from the released rounds).
+    assert _persistent_rdd_count(spark) <= 3
+
+    # k-core: chained recompute path == chained incident path.
+    a = sorted(map(tuple, graph.k_core(edges, 3).collect()))
+    b = sorted(map(tuple, graph.k_core(edges, 3, incident_only=True).collect()))
+    assert a == b and len(a) > 0
+
+    # pagerank with 2 mid-loop chained checkpoints (iterations > 2*every).
+    pr = graph.pagerank(edges, iterations=9)
+    assert pr.count() > 0
+
+    swept = cache_registry.sweep_persistent_rdds(spark)
+    assert swept > 0
+    assert _persistent_rdd_count(spark) == 0
