@@ -440,10 +440,12 @@ def label_propagation(
     floats anywhere).
 
     Per round: one |E|-row join label->neighbor, one (node, label)
-    count agg (map-side combined), one per-node argmax window (groups =
-    a node's distinct neighbor labels — bounded by degree, no hot
-    partition).  ``localCheckpoint`` per round caps plan growth (the
-    connected-components contract).
+    count agg (map-side combined), one per-node argmax AGGREGATE
+    (``min_by(lbl, struct(-c, lbl))`` — most frequent label, ties to the
+    smallest; replaced the row_number window in optimization round 14:
+    identical output element-wise, but the agg partially combines
+    map-side and drops the per-round full sort).  ``localCheckpoint``
+    per round caps plan growth (the connected-components contract).
     """
     if iterations < 0:
         raise ValueError(
@@ -464,7 +466,12 @@ def label_propagation(
     # per-round plan lets each round's window run against a
     # materialized, accurately-sized input.  Kept per-round.
     labels = _degrees(edges).select("n", F.col("n").alias("lbl")).localCheckpoint()
-    w = Window.partitionBy("n").orderBy(F.col("c").desc(), "lbl")
+    # NOT broadcast-joined per round: an interleaved A/B (10 reps each,
+    # same session, optimization round 14) measured broadcast-labels ==
+    # shuffle-labels at the median (1.33 vs 1.32 s/round) — the per-round
+    # driver collect+broadcast buys nothing the 40 MB adjacency shuffle
+    # wasn't already giving, unlike pagerank's case where the rank join
+    # feeds a wide agg. Kept shuffle (one less driver round-trip/round).
     # Superseded-round release (optimization round 14): once round r+1's
     # labels are checkpointed, round r's blocks are unreachable — free
     # them inline rather than letting dead rounds pile up in the block
@@ -480,10 +487,18 @@ def label_propagation(
             .groupBy(F.col("dst").alias("n"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        stepped = (
-            freq.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("n", "lbl")
+        # Per-node argmax as a SECOND AGGREGATE instead of a row_number
+        # window (optimization round 14, guide §2.3 "aggregate before
+        # you shuffle"): min_by(lbl, struct(-c, lbl)) picks the most
+        # frequent label with ties to the smallest — EXACTLY the old
+        # window's (c DESC, lbl ASC) first row (c >= 1 so -c never
+        # overflows; lexicographic struct order == the window's
+        # two-key sort order). Unlike the window, the agg partially
+        # combines map-side, so the second exchange carries one row per
+        # (map partition, node) instead of one per (node, label) — and
+        # the per-round full sort disappears from the plan.
+        stepped = freq.groupBy("n").agg(
+            F.expr("min_by(lbl, struct(-c, lbl))").alias("lbl")
         )
         if prev is None:
             prev = cache_registry.checkpoint_handle(labels)
