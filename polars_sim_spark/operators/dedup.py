@@ -1432,6 +1432,22 @@ def connected_components(
         )
         return labels.unionByName(isolated)
 
+    if target == 1:
+        # SINGLE-PARTITION EXACT FAST PATH (optimization round 14, guide
+        # §1.2 — don't run rounds the algebra says are no-ops): with one
+        # seed partition the union-find saw EVERY edge, so its labels
+        # are already the component-min fixpoint by the seed's own
+        # termination proof (`_local_min_roots` docstring: at quiescence
+        # a connected component cannot hold two roots). The propagation
+        # loop would only VERIFY quiescence — one |E|-row neighbor-min
+        # join, a label pointer-jump join, a checkpoint and a probe per
+        # CC call, all spent confirming a theorem. Skipped. At scale
+        # (target > 1) the loop below runs unchanged; this threshold is
+        # edge-count-derived (~32 MB per seed task), not a local core
+        # count, and the loop-path equivalence is pinned against a
+        # Python reachability reference in tests/test_dedup.py.
+        return _with_isolated(seed.select("id", "cluster_id"))
+
     # The loop starts from the SEEDED labels (the round-5 "round-1
     # fusion" identity fast-path is subsumed: the seed's local
     # union-find + node-keyed min-combine is strictly stronger than the
