@@ -443,9 +443,10 @@ def label_propagation(
     count agg (map-side combined), one per-node argmax AGGREGATE
     (``min_by(lbl, struct(-c, lbl))`` — most frequent label, ties to the
     smallest; replaced the row_number window in optimization round 14:
-    identical output element-wise, but the agg partially combines
-    map-side and drops the per-round full sort).  ``localCheckpoint``
-    per round caps plan growth (the connected-components contract).
+    identical output element-wise, and the agg partially combines
+    map-side so the argmax exchange shrinks to one row per (map
+    partition, node)).  ``localCheckpoint`` per round caps plan growth
+    (the connected-components contract).
     """
     if iterations < 0:
         raise ValueError(
@@ -492,11 +493,16 @@ def label_propagation(
         # you shuffle"): min_by(lbl, struct(-c, lbl)) picks the most
         # frequent label with ties to the smallest — EXACTLY the old
         # window's (c DESC, lbl ASC) first row (c >= 1 so -c never
-        # overflows; lexicographic struct order == the window's
-        # two-key sort order). Unlike the window, the agg partially
-        # combines map-side, so the second exchange carries one row per
-        # (map partition, node) instead of one per (node, label) — and
-        # the per-round full sort disappears from the plan.
+        # overflows; lexicographic struct order == the window's two-key
+        # sort order; verified element-wise identical on the sf0.1
+        # graph). Plan reality check (plans/r14/graph_part_communities
+        # _round_{before,after}.txt): the struct-buffered min_by
+        # compiles to SortAggregate, so per-partition sorts REMAIN —
+        # the win is that the aggregate partially combines MAP-SIDE,
+        # so the second exchange carries one row per (map partition,
+        # node) instead of one per (node, label), and the
+        # WindowGroupLimit pipeline drops out. Measured 0.32 vs 0.36
+        # s/round interleaved.
         stepped = freq.groupBy("n").agg(
             F.expr("min_by(lbl, struct(-c, lbl))").alias("lbl")
         )
