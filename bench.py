@@ -369,6 +369,40 @@ def main() -> None:
     q.ensure_bpe_fit(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t_prep, 3)
 
+    # Python-worker pool warmup (optimization round 14, guide §1.4 +
+    # §4.5 — same warmup category as the JIT waves above; the timed
+    # loop, action and query set are UNCHANGED). A pipelined chain of
+    # N MapInPandas nodes holds N live Python workers PER TASK, so the
+    # first timed query with a multi-stage Python pipeline otherwise
+    # spawns ~2-3x defaultParallelism fresh workers (daemon fork +
+    # pandas/numpy/pyarrow import each) inside its timed region:
+    # multimodal_media_meta read 14.5-28.5 s across four full runs on
+    # a contended host with the idle pool at 3-5 workers immediately
+    # before it (polled via pgrep), vs 2.7 s with a warmed pool.
+    # Three chained pass-through evals over a synthetic range spawn
+    # ~3x parallelism workers OUTSIDE the timed region; idle workers
+    # have no timeout (spark.python.worker.idleTimeoutSeconds=0), so
+    # the pool persists for the run. Placed AFTER prep because early-
+    # out actions in the index builds kill borrowed workers rather
+    # than pooling them (observed: pool 35 -> 3 across the prep
+    # phase). Pass-through over generated ids — compiles and spawns
+    # engine machinery only; no contract query, fixture table or
+    # index is touched.
+    def _pool_passthrough(it):
+        for b in it:
+            yield b
+
+    (
+        spark.range(100_000)
+        .select("id")
+        .mapInPandas(_pool_passthrough, "id long")
+        .mapInPandas(_pool_passthrough, "id long")
+        .mapInPandas(_pool_passthrough, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     def canary_sample() -> float:
         """One dedicated timed pass over the canary trio (outside the
         headline totals; ~1-2 s at sf0.1)."""

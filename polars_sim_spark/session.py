@@ -29,6 +29,24 @@ def get_spark(app_name: str = "polars_sim_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1":
+        # Fork workers from a daemon that has pandas/numpy/pyarrow and
+        # the operator modules already imported (worker_preload module
+        # doc): a cold pool otherwise pays the import chain per worker,
+        # concurrently, inside whichever query spawns the burst. The
+        # daemon process must be able to import this package, so the
+        # repo root rides PYTHONPATH into the JVM-spawned daemon (set
+        # before the JVM launches; a no-op when already present, e.g.
+        # under pytest).
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        parts = os.environ.get("PYTHONPATH", "")
+        if repo_root not in parts.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo_root + (os.pathsep + parts if parts else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module", "polars_sim_spark.worker_preload"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,67 @@
+"""The preloaded worker daemon (optimization round 14).
+
+``session.py`` selects ``polars_sim_spark.worker_preload`` as
+``spark.python.daemon.module`` so forked Python workers inherit the
+pandas/numpy/pyarrow imports copy-on-write instead of paying the
+import chain per spawned worker. These tests pin the contract the
+session factory relies on: the module is importable with no side
+effects beyond imports, it exposes the stock daemon's ``manager``
+entry point, and a live session under the custom daemon runs a
+multi-stage Python pipeline correctly (the exact shape whose cold
+worker burst motivated the change).
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+
+def test_preload_module_importable_and_delegates():
+    mod = importlib.import_module("polars_sim_spark.worker_preload")
+    # Delegation target: the stock daemon's fork loop.
+    assert hasattr(mod._daemon, "manager") and callable(mod._daemon.manager)
+    # The heavy stack is resident after import (what forked workers
+    # inherit); the operator surface too.
+    for name in ("numpy", "pandas", "pyarrow",
+                 "polars_sim_spark.operators.multimodal"):
+        assert name in sys.modules
+
+
+def test_session_configures_daemon_module(spark):
+    # The shared test session itself runs under the preload daemon
+    # (unless the escape hatch is set), so the whole suite exercises
+    # forked workers end to end; pin the wiring explicitly here.
+    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") == "1":
+        return
+    assert (
+        spark.conf.get("spark.python.daemon.module", None)
+        == "polars_sim_spark.worker_preload"
+    )
+    # The daemon process imports this package by PYTHONPATH; the
+    # factory must have put the repo root there before JVM launch.
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(
+            importlib.import_module("polars_sim_spark").__file__))
+    )
+    assert repo_root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+
+
+def test_multistage_python_pipeline_under_preload_daemon(spark):
+    # Two chained mapInPandas evals => two concurrent forked workers
+    # per task — the shape that spawns worker bursts. Verifies results
+    # survive the custom daemon bit-for-bit.
+    def double(it):
+        for pdf in it:
+            pdf["v"] = pdf["v"] * 2
+            yield pdf
+
+    df = spark.range(1000).selectExpr("id", "id as v")
+    out = (
+        df.mapInPandas(double, "id long, v long")
+        .mapInPandas(double, "id long, v long")
+    )
+    rows = {r["id"]: r["v"] for r in out.collect()}
+    assert len(rows) == 1000
+    assert all(v == 4 * k for k, v in rows.items())
