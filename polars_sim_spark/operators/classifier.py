@@ -82,7 +82,18 @@ def _probe_features(
     docs_ny is (id, n, y)."""
     spark = df.sparkSession
     toks = _tokens(df, id_col, text_col)
-    counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # counts is the fan-out point: the vocab top-k, the feature join
+    # AND (via the n = Σc rewrite below) docs_ny all read it — and the
+    # vocab sort+limit+collect additionally re-submits its plan in
+    # executeTake's staged jobs (1 partition, then scale-up). Without
+    # the checkpoint the corpus tokenization re-ran up to 5× per fit
+    # (profiled: 27 jobs with 3 evaluations of this subtree at sf0.1 —
+    # optimization round 14, guide §5 caching / §1.2 don't recompute).
+    counts = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     vocab = [
         r["tok"]
         for r in counts.groupBy("tok")
@@ -92,15 +103,21 @@ def _probe_features(
         .collect()
     ]
     vdf = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    # n (tokens per doc) = Σ c over the doc's grouped counts — identical
+    # to counting toks rows per id (docs with zero tokens are absent
+    # from both), but reads the cached counts instead of re-tokenizing.
+    # Checkpointed: the fit references docs_ny three more times (bias
+    # rows, n_docs, the X^Ty join).
     docs_ny = (
-        toks.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts.groupBy("id")
+        .agg(F.sum("c").alias("n"))
         .join(
             df.select(
                 F.col(id_col).alias("id"), F.col(label_col).cast("long").alias("y")
             ),
             "id",
         )
+        .localCheckpoint()
     )
     # Exact micro-unit features; the bias pseudo-token rides along so one
     # pair-join builds the full (V+1)×(V+1) statistic including the
