@@ -159,6 +159,37 @@ def chain_local_checkpoint(df: DataFrame, prev: object | None) -> tuple[DataFram
     return out, handle
 
 
+def materialize_count(df: DataFrame) -> int:
+    """Exact row count via the JVM internal-row RDD — ONE job with no
+    exchange. ``Dataset.count()`` plans a global aggregate whose final
+    stage is a separate AQE job, so in iterative loops a per-round
+    count costs two jobs; the RDD count is the same full scan without
+    the shuffle (and without PySpark's ``df.rdd`` pickling wrapper).
+
+    Used to FUSE probe + checkpoint (optimization round 15): on a
+    ``localCheckpoint(eager=False)`` frame the count computes every
+    partition, persisting the checkpoint blocks as it goes, and the
+    end-of-job ``doCheckpoint`` finds none missing — one job where
+    eager-checkpoint-then-probe costs two. Falls back to
+    ``Dataset.count()`` if the internal handle is unavailable."""
+    try:
+        return int(df._jdf.queryExecution().toRdd().count())
+    except Exception:
+        return int(df.count())
+
+
+def num_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical RDD without constructing
+    PySpark's pickled ``df.rdd`` wrapper (which plans a row-conversion
+    per call — pure driver overhead on deep plans). ``toRdd`` is cached
+    on the query execution, so after :func:`materialize_count` this is
+    free."""
+    try:
+        return int(df._jdf.queryExecution().toRdd().getNumPartitions())
+    except Exception:
+        return int(df.rdd.getNumPartitions())
+
+
 def checkpoint_handle(df: DataFrame) -> object | None:
     """JVM RDD handle backing an already-materialized localCheckpoint of
     ``df`` (for a later :func:`release_handle`), or None if unresolvable."""

@@ -52,6 +52,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_sim_spark import cache as cache_registry
+
 MICRO = 1_000_000
 
 #: Pseudo-token carrying the intercept column: its feature value is the
@@ -86,13 +88,17 @@ def _probe_features(
     # AND (via the n = Σc rewrite below) docs_ny all read it — and the
     # vocab sort+limit+collect additionally re-submits its plan in
     # executeTake's staged jobs (1 partition, then scale-up). Without
-    # the checkpoint the corpus tokenization re-ran up to 5× per fit
+    # the reuse point the corpus tokenization re-ran up to 5× per fit
     # (profiled: 27 jobs with 3 evaluations of this subtree at sf0.1 —
     # optimization round 14, guide §5 caching / §1.2 don't recompute).
-    counts = (
-        toks.groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+    # persist() not localCheckpoint() (round-15 ADVICE): the same reuse
+    # across every consumer, but recomputable on executor/block loss
+    # (a lost localCheckpoint block is fatal on a real cluster), lazy
+    # (no job at DataFrame-construction time — the first consumer
+    # materializes it), and registry-tracked so the session owner's
+    # unpersist_all releases it instead of pinning blocks per fit.
+    counts = cache_registry.track(
+        toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = [
         r["tok"]
@@ -106,9 +112,9 @@ def _probe_features(
     # n (tokens per doc) = Σ c over the doc's grouped counts — identical
     # to counting toks rows per id (docs with zero tokens are absent
     # from both), but reads the cached counts instead of re-tokenizing.
-    # Checkpointed: the fit references docs_ny three more times (bias
+    # Persisted: the fit references docs_ny three more times (bias
     # rows, n_docs, the X^Ty join).
-    docs_ny = (
+    docs_ny = cache_registry.track(
         counts.groupBy("id")
         .agg(F.sum("c").alias("n"))
         .join(
@@ -117,12 +123,11 @@ def _probe_features(
             ),
             "id",
         )
-        .localCheckpoint()
     )
     # Exact micro-unit features; the bias pseudo-token rides along so one
     # pair-join builds the full (V+1)×(V+1) statistic including the
     # intercept row/column.
-    feat = (
+    feat = cache_registry.track(
         counts.join(F.broadcast(vdf), "tok")
         .join(docs_ny.select("id", "n"), "id")
         .select("id", "tok", F.expr(f"c * {MICRO} div n").alias("x"))
@@ -131,7 +136,6 @@ def _probe_features(
                 "id", F.lit(BIAS_TOKEN).alias("tok"), F.lit(MICRO).cast("long").alias("x")
             )
         )
-        .localCheckpoint()
     )
     return feat, docs_ny, vocab
 
@@ -176,10 +180,36 @@ def probe_sufficient_stats(
         )
     pub = lambda c: F.when(F.col(c) == BIAS_TOKEN, F.lit("__bias__")).otherwise(F.col(c))  # noqa: E731
     f2 = feat.select(F.col("tok").alias("tok2"), F.col("x").alias("x2"), "id")
-    xtx = (
+    # X^T X is SYMMETRIC: s(t,u) = Σ_d x_{d,t}·x_{d,u} = s(u,t) — exact
+    # integer sums, so the equality is bit-exact, not approximate. The
+    # pair join therefore enumerates only the tok <= tok2 half (the
+    # where() filters map-side, inside the join's output stage, before
+    # the partial agg), HALVING the query's dominant cost — the
+    # per-doc vocab² pair fan-out through DECIMAL multiply+aggregate
+    # (profiled at sf0.1: the agg stages carry ~85% of the fit's task
+    # time). The mirrored half is re-emitted by a projection over the
+    # agg OUTPUT (≤ (V+1)² rows), not by re-running the agg
+    # (optimization round 15, guide §1.2 — don't compute what algebra
+    # gives you for free).
+    half = (
         feat.join(f2, "id")
+        .where(F.col("tok") <= F.col("tok2"))
         .groupBy("tok", "tok2")
         .agg(F.sum((F.col("x") * F.col("x2")).cast("decimal(38,0)")).cast("long").alias("s"))
+    )
+    mirrored = F.when(
+        F.col("tok") == F.col("tok2"),
+        F.array(F.struct("tok", "tok2", "s")),
+    ).otherwise(
+        F.array(
+            F.struct("tok", "tok2", "s"),
+            F.struct(
+                F.col("tok2").alias("tok"), F.col("tok").alias("tok2"), "s"
+            ),
+        )
+    )
+    xtx = half.select(F.explode(mirrored).alias("e")).select(
+        "e.tok", "e.tok2", "e.s"
     )
     xty = (
         feat.join(docs_ny.select("id", "y"), "id")
@@ -224,13 +254,19 @@ def fit_linear_probe(
     if n_docs == 0:
         raise ValueError("fit_linear_probe: no documents with tokens")
     f2 = feat.select(F.col("tok").alias("tok2"), F.col("x").alias("x2"), "id")
-    xtx = {
-        (r["tok"], r["tok2"]): int(r["s"])
-        for r in feat.join(f2, "id")
+    # Same symmetric-half pair join as probe_sufficient_stats (s(t,u) ==
+    # s(u,t) exactly); the mirror is filled driver-side into the dict.
+    xtx: dict = {}
+    for r in (
+        feat.join(f2, "id")
+        .where(F.col("tok") <= F.col("tok2"))
         .groupBy("tok", "tok2")
         .agg(F.sum((F.col("x") * F.col("x2")).cast("decimal(38,0)")).alias("s"))
         .collect()
-    }
+    ):
+        s = int(r["s"])
+        xtx[(r["tok"], r["tok2"])] = s
+        xtx[(r["tok2"], r["tok"])] = s
     xty = {
         r["tok"]: int(r["s"])
         for r in feat.join(docs_ny.select("id", "y"), "id")

@@ -1415,8 +1415,13 @@ def connected_components(
     # edges + one (node, root) shuffle — on converge-in-1-round graphs
     # (the common dedup shape) it replaces the old fused round 1 at the
     # same job count, so the tiny-cluster rows pay nothing.
-    n_both = both.count()
-    cur_parts = max(1, both.rdd.getNumPartitions())
+    # Shuffle-free JVM count (round 15): Dataset.count()'s global agg
+    # costs a second AQE stage job per CC call; the RDD count is the
+    # same full scan (and still materializes the lazy checkpoint), and
+    # the partition probe then reuses the cached toRdd instead of
+    # building PySpark's pickled df.rdd wrapper.
+    n_both = cache_registry.materialize_count(both)
+    cur_parts = max(1, cache_registry.num_partitions(both))
     target = max(1, min(cur_parts, -(-n_both // _SEED_EDGES_PER_PART)))
     seed_src = both.coalesce(target) if target < cur_parts else both
     seed = seed_src.mapInPandas(_local_min_roots, "id long, cluster_id long")

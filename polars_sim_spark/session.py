@@ -29,15 +29,24 @@ def get_spark(app_name: str = "polars_sim_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
-    if os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1":
+    want_preload = os.environ.get("SPARK_GRAFT_NO_DAEMON_PRELOAD") != "1"
+    from pyspark import SparkContext
+
+    jvm_up = SparkContext._active_spark_context is not None
+    if want_preload and not jvm_up:
         # Fork workers from a daemon that has pandas/numpy/pyarrow and
         # the operator modules already imported (worker_preload module
         # doc): a cold pool otherwise pays the import chain per worker,
         # concurrently, inside whichever query spawns the burst. The
         # daemon process must be able to import this package, so the
-        # repo root rides PYTHONPATH into the JVM-spawned daemon (set
-        # before the JVM launches; a no-op when already present, e.g.
-        # under pytest).
+        # repo root rides PYTHONPATH into the JVM-spawned daemon. Both
+        # the env mutation and the config only matter at JVM LAUNCH
+        # (getOrCreate attaching to a live JVM ignores them), so they
+        # are applied only when this call actually creates the JVM
+        # (round-15 ADVICE: don't leak PYTHONPATH into unrelated
+        # subprocesses of a caller that never launched Spark here). The
+        # env entry stays for the session's lifetime by necessity — the
+        # daemon is (re)spawned lazily at first Python task.
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         parts = os.environ.get("PYTHONPATH", "")
         if repo_root not in parts.split(os.pathsep):
@@ -48,5 +57,23 @@ def get_spark(app_name: str = "polars_sim_spark", shuffle_partitions: int | None
             "spark.python.daemon.module", "polars_sim_spark.worker_preload"
         )
     spark = builder.getOrCreate()
+    if want_preload and jvm_up:
+        # Attached to a pre-existing JVM: the daemon config (had we set
+        # it) would have been silently ignored. Say so once instead of
+        # letting the perf posture drift invisibly (round-15 ADVICE).
+        try:
+            configured = spark.conf.get("spark.python.daemon.module", None)
+        except Exception:
+            configured = None
+        if configured != "polars_sim_spark.worker_preload":
+            import warnings
+
+            warnings.warn(
+                "get_spark attached to an existing SparkSession without the "
+                "preloaded worker daemon (spark.python.daemon.module is set "
+                "at JVM launch); Python worker spawns pay per-fork imports",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -33,11 +33,26 @@ cost round 14 Change 3 moved out of the batch loop) with no Spark
 session or JVM interaction at import time.
 """
 
-import numpy  # noqa: F401
-import pandas  # noqa: F401
-import pyarrow  # noqa: F401
+# The preload is an OPTIMIZATION, never a requirement: a broken import
+# in the worker environment (stale wheel, missing native lib) must
+# degrade to stock-daemon behavior — workers re-import per fork as
+# before — instead of killing every Python task in the session with an
+# opaque daemon-startup error. SPARK_GRAFT_NO_DAEMON_PRELOAD therefore
+# stays a perf knob, not a recovery requirement (round-15 ADVICE).
+try:
+    import numpy  # noqa: F401
+    import pandas  # noqa: F401
+    import pyarrow  # noqa: F401
 
-import polars_sim_spark.operators.multimodal  # noqa: F401
+    import polars_sim_spark.operators.multimodal  # noqa: F401
+except Exception as _preload_err:  # pragma: no cover - env-dependent
+    import sys as _sys
+
+    print(
+        f"polars_sim_spark.worker_preload: preload skipped ({_preload_err!r}); "
+        "workers fall back to per-fork imports",
+        file=_sys.stderr,
+    )
 
 import pyspark.daemon as _daemon
 
