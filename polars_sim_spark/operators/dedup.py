@@ -280,6 +280,8 @@ def _verify_jaccard_pairs(
     through a shuffle + re-aggregation); at 10x data that expansion was
     the whole query's bottleneck, while the array plan moves each
     shingle set once per candidate side and aggregates nothing."""
+    from polars_sim_spark.operators.skew import cpu_floor_repartition
+
     arrs = (
         _hashed_postings(postings)
         .groupBy("id")
@@ -289,6 +291,15 @@ def _verify_jaccard_pairs(
     b = arrs.select(F.col("id").alias("r_id"), F.col("arr").alias("__rb"), F.col("n").alias("nb"))
     k = F.size(F.array_intersect("__la", "__rb")).cast("double")
     carry = ["__bucket"] if "__bucket" in cands.columns else []
+    # CPU-parallelism floor (round 15): candidate rows are ~16 bytes, so
+    # AQE byte-coalescing legally serialized this verify (1-2 tasks at
+    # sf0.1 on 32 cores) — and the per-candidate array_intersect is the
+    # query's CPU. The explicit-width repartition pins the verify stage
+    # wide when the doc-array side broadcasts (the common case — the
+    # intersect then runs in the candidates' own partitioning); when it
+    # sort-merges instead, the post-join rows carry both arrays and AQE's
+    # byte proxy is CPU-proportional again.
+    cands = cpu_floor_repartition(cands, "l_id", "r_id")
     jac = (
         cands.join(a, "l_id")
         .join(b, "r_id")
@@ -1040,6 +1051,11 @@ def phash_match_pairs(
         .select("l_id", "r_id")
         .distinct()
     )
+    # Round-15 CPU floor (no-op for streaming inputs — the helper
+    # passes streaming frames through).
+    from polars_sim_spark.operators.skew import cpu_floor_repartition
+
+    cand = cpu_floor_repartition(cand, "l_id", "r_id")
     lt = left.select(
         F.col(id_col).alias("l_id"),
         *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],
@@ -1163,6 +1179,12 @@ def phash_near_pairs(
                 stacklevel=2,
             )
     cand = lsh_candidate_pairs(bands_df, max_bucket_size)
+    # Round-15 CPU floor before the xor/bit_count verify — same
+    # byte-coalescing exposure as the Jaccard verify (thin pair rows),
+    # same fix (skew.cpu_floor_repartition doc).
+    from polars_sim_spark.operators.skew import cpu_floor_repartition
+
+    cand = cpu_floor_repartition(cand, "l_id", "r_id")
     lt = ph.select(
         F.col(id_col).alias("l_id"),
         *[F.col(c).alias(f"__l{j}") for j, c in enumerate(band_cols)],

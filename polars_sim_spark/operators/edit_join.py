@@ -186,11 +186,19 @@ def edit_join(
         )
         if self_join:
             cand = cand.where(F.col(_L) < F.col(_R))
-        verified = cand.where(
-            F.abs(F.length("l_s") - F.length("r_s")) <= k
-        ).withColumn("edit_dist", F.levenshtein("l_s", "r_s", k)).where(
-            F.col("edit_dist") >= 0
-        )
+        # Cheap filters first (pair order + length band, map-side in the
+        # candidate join's stage), then a CPU-parallelism floor before
+        # the threshold DP: candidate rows are two ids + two short
+        # strings, so AQE byte-coalescing can serialize the Levenshtein
+        # stage — the round-15 floor pins it at cluster width and also
+        # spreads hot variant-hash keys the equi-join concentrated
+        # (skew.cpu_floor_repartition doc).
+        from polars_sim_spark.operators.skew import cpu_floor_repartition
+
+        survivors = cand.where(F.abs(F.length("l_s") - F.length("r_s")) <= k)
+        verified = cpu_floor_repartition(survivors, _L, _R).withColumn(
+            "edit_dist", F.levenshtein("l_s", "r_s", k)
+        ).where(F.col("edit_dist") >= 0)
         return verified.select(
             F.col(_L).alias("l_id"), F.col(_R).alias("r_id"), "edit_dist"
         ).distinct()
@@ -242,13 +250,19 @@ def edit_join(
     # 11M-candidate `distinct()` cost 16s while distinct-after-verify
     # touches only the ~260k survivors.  Strings attach via two joins on
     # the (small relative to candidates) keyed inputs.
-    verified = (
+    from polars_sim_spark.operators.skew import cpu_floor_repartition
+
+    attached = (
         cand.join(l.withColumnRenamed("l_id", _L), _L)
         .join(r.withColumnRenamed("r_id", _R), _R)
         .where(F.abs(F.length("l_s") - F.length("r_s")) <= k)
-        .withColumn("edit_dist", F.levenshtein("l_s", "r_s", k))
-        .where(F.col("edit_dist") >= 0)
     )
+    # Same round-15 CPU floor as the neighborhood path: the string
+    # attach joins are key-partitioned and byte-coalescible; the DP
+    # stage must not inherit either property.
+    verified = cpu_floor_repartition(attached, _L, _R).withColumn(
+        "edit_dist", F.levenshtein("l_s", "r_s", k)
+    ).where(F.col("edit_dist") >= 0)
     return verified.select(
         F.col(_L).alias("l_id"), F.col(_R).alias("r_id"), "edit_dist"
     ).distinct()

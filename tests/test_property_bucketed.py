@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 from polars_sim_spark.operators import dedup
 
+# Round 15: this module is the heavyweight hypothesis tier (~240 s of
+# suite wall — dozens of full operator pipelines per example); it runs
+# in the `slow` lane (`pytest tests/ -m slow`) so the driver's default
+# verification lane completes inside its capture window (pytest.ini).
+pytestmark = pytest.mark.slow
+
 VOCAB = ["alpha", "beta", "gamma", "delta"]
 
 docs_strategy = st.lists(

@@ -1023,7 +1023,28 @@ def test_substring_gate_ttl(spark):
             .trigger(availableNow=True)
             .start()
         )
-        qy.awaitTermination(120)
+        # A TTL query holds ProcessingTime timers, and under
+        # AvailableNow such a query does NOT self-terminate when the
+        # data is consumed — it keeps scheduling no-data micro-batches
+        # to fire expiry callbacks (streaming_dedup_first_seen's
+        # documented operational caveat, whose own advice is to stop()
+        # once the input is through). Waiting out a flat
+        # awaitTermination(120) made this ONE test ~6.5 min of suite
+        # wall (round 15). Instead: once a committed progress entry
+        # reports zero input rows, every DATA batch has committed — the
+        # sink is complete (expiry batches only drop state, they never
+        # emit) — so stop the query and read the sink.
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            qy.awaitTermination(2)
+            if not qy.isActive:
+                break
+            lp = qy.lastProgress
+            if lp is not None and lp["numInputRows"] == 0:
+                break
+        if qy.isActive:
+            qy.stop()
+        qy.awaitTermination(60)
         return sorted(
             (r["doc_id"], r["i"], r["wtext"])
             for r in spark.read.schema("doc_id long, i long, wtext string").parquet(dst).collect()

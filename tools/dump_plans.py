@@ -1,5 +1,5 @@
 """Dump ``.explain("formatted")`` for named contract queries into
-plans/r14/<query>_<tag>.txt — the optimization round's before/after
+plans/r15/<query>_<tag>.txt — the optimization round's before/after
 plan evidence (guide §1: capture the plan shape for every query you
 touch, before and after).
 
@@ -31,7 +31,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
