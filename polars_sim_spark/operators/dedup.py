@@ -2003,6 +2003,23 @@ def embedding_ivf_near_dup_pairs(
             )
             .select("__vid", F.col("__s").getField("c_id").alias("c_id"))
         )
+    # Checkpoint at the fan-out (optimization round 15, the Change-16
+    # pattern): `assigned` is the costliest projection of the query —
+    # the full 16-centroid HOF scoring (expr) or the Arrow GEMM
+    # (kernel) over every corpus vector — and it is referenced by BOTH
+    # self-join sides, and on the capped path additionally by the
+    # cell-size agg and the hot/cold splits. Catalyst shares no
+    # projection subtrees across references, so the uncapped plan
+    # carried 8 parquet scans and the capped plan 36 (zero
+    # ReusedExchange) — the scoring ran per reference. The frame is
+    # (vid, c_id) — two narrow columns. LAZY localCheckpoint, not
+    # persist: the first consuming stage materializes it (no extra
+    # blocking job), and the truncated plan also collapses the capped
+    # path's analysis/codegen blow-up — an A/B with persist() measured
+    # 41 jobs / 11.2 s task time (AQE re-plans every InMemoryTableScan
+    # reference) vs 17 / 5.8 before and 12 / 4.9 with the checkpoint.
+    if not df.isStreaming:
+        assigned = assigned.localCheckpoint(eager=False)
     if max_cell_fraction is None:
         a = assigned.select("c_id", F.col("__vid").alias("l_id"))
         b = assigned.select("c_id", F.col("__vid").alias("r_id"))

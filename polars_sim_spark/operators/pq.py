@@ -136,16 +136,17 @@ def pq_fit(
     """
     import numpy as np
 
+    from polars_sim_spark import cache as cache_registry
     from polars_sim_spark.operators.similarity import pick_centroids
 
-    head = corpus.select(vec_col).first()
-    if head is None:
-        raise ValueError("pq_fit: empty corpus — nothing to fit codebooks on")
-    dim = len(head[vec_col])
-    if dim % m != 0:
-        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
-    vecs = _norm_vecs(corpus, id_col, vec_col, normalize)
+    # The normalized-vector frame is the fit's fan-out point: the init
+    # pick, every Lloyd iteration's assignment kernel, and (via the
+    # cache manager's plan match) pq_encode in a fit-then-serve caller
+    # all read it — without the persist each action re-scanned and
+    # re-normalized the corpus (optimization round 15, Change-16
+    # pattern; registry-tracked so the session owner's unpersist_all
+    # releases it).
+    vecs = cache_registry.track(_norm_vecs(corpus, id_col, vec_col, normalize))
 
     init_rows = pick_centroids(
         vecs.select(F.col("id").alias(id_col), F.col("__v").alias(vec_col)),
@@ -154,6 +155,14 @@ def pq_fit(
         k,
     ).collect()
     init_rows.sort(key=lambda r: r["c_id"])
+    # dim comes from the init rows — the old corpus.select(vec_col)
+    # .first() probe was a whole extra job per fit (round 15).
+    if not init_rows:
+        raise ValueError("pq_fit: empty corpus — nothing to fit codebooks on")
+    dim = len(init_rows[0]["__centroid"])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     # Init on the same 6-decimal grid the iteration means land on, so
     # the whole fit lives on a grid any engine can reproduce exactly.
     cb = np.round(
