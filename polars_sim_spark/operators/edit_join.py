@@ -176,29 +176,41 @@ def edit_join(
         # Strings ride the variant rows (see _deletion_sigs), so the
         # verify DP filters the candidate join's own output map-side —
         # no back-joins of the candidate set, two fewer exchanges.
+        #
+        # CPU-parallelism floor (round 15, VERDICT r14 next-#2) on the
+        # JOIN INPUTS, not the join output: Catalyst pushes the
+        # deterministic threshold-DP filter down through any
+        # post-join repartition INTO the join condition (verified in
+        # plans/r15/edit_join_verify_*.txt), so the Levenshtein work
+        # runs in the candidate join's own stage — the stage that must
+        # therefore carry the explicit width. Flooring each side by the
+        # variant hash replaces the exchanges the equi-join plans
+        # anyway (same key, same count — EnsureRequirements adds
+        # nothing), and the explicit count opts the DP-bearing stage
+        # out of AQE byte coalescing.
+        from polars_sim_spark.operators.skew import cpu_floor_repartition
+
         cand = (
-            sl.select(F.col("rid").alias(_L), F.col("s").alias("l_s"), "h")
+            cpu_floor_repartition(
+                sl.select(F.col("rid").alias(_L), F.col("s").alias("l_s"), "h"),
+                "h",
+            )
             .join(
-                sr.select(F.col("rid").alias(_R), F.col("s").alias("r_s"), "h"),
+                cpu_floor_repartition(
+                    sr.select(F.col("rid").alias(_R), F.col("s").alias("r_s"), "h"),
+                    "h",
+                ),
                 "h",
             )
             .select(_L, "l_s", _R, "r_s")
         )
         if self_join:
             cand = cand.where(F.col(_L) < F.col(_R))
-        # Cheap filters first (pair order + length band, map-side in the
-        # candidate join's stage), then a CPU-parallelism floor before
-        # the threshold DP: candidate rows are two ids + two short
-        # strings, so AQE byte-coalescing can serialize the Levenshtein
-        # stage — the round-15 floor pins it at cluster width and also
-        # spreads hot variant-hash keys the equi-join concentrated
-        # (skew.cpu_floor_repartition doc).
-        from polars_sim_spark.operators.skew import cpu_floor_repartition
-
-        survivors = cand.where(F.abs(F.length("l_s") - F.length("r_s")) <= k)
-        verified = cpu_floor_repartition(survivors, _L, _R).withColumn(
-            "edit_dist", F.levenshtein("l_s", "r_s", k)
-        ).where(F.col("edit_dist") >= 0)
+        verified = cand.where(
+            F.abs(F.length("l_s") - F.length("r_s")) <= k
+        ).withColumn("edit_dist", F.levenshtein("l_s", "r_s", k)).where(
+            F.col("edit_dist") >= 0
+        )
         return verified.select(
             F.col(_L).alias("l_id"), F.col(_R).alias("r_id"), "edit_dist"
         ).distinct()
@@ -252,17 +264,20 @@ def edit_join(
     # the (small relative to candidates) keyed inputs.
     from polars_sim_spark.operators.skew import cpu_floor_repartition
 
-    attached = (
-        cand.join(l.withColumnRenamed("l_id", _L), _L)
-        .join(r.withColumnRenamed("r_id", _R), _R)
-        .where(F.abs(F.length("l_s") - F.length("r_s")) <= k)
+    # Round-15 CPU floor, input-side for the same pushdown reason as
+    # the neighborhood path: the DP filter sinks into the second
+    # attach join, so that join's stream side carries the explicit
+    # width (its exchange is replaced, not added — the join needs _R
+    # clustering regardless).
+    attached_l = cpu_floor_repartition(
+        cand.join(l.withColumnRenamed("l_id", _L), _L), _R
     )
-    # Same round-15 CPU floor as the neighborhood path: the string
-    # attach joins are key-partitioned and byte-coalescible; the DP
-    # stage must not inherit either property.
-    verified = cpu_floor_repartition(attached, _L, _R).withColumn(
-        "edit_dist", F.levenshtein("l_s", "r_s", k)
-    ).where(F.col("edit_dist") >= 0)
+    verified = (
+        attached_l.join(r.withColumnRenamed("r_id", _R), _R)
+        .where(F.abs(F.length("l_s") - F.length("r_s")) <= k)
+        .withColumn("edit_dist", F.levenshtein("l_s", "r_s", k))
+        .where(F.col("edit_dist") >= 0)
+    )
     return verified.select(
         F.col(_L).alias("l_id"), F.col(_R).alias("r_id"), "edit_dist"
     ).distinct()

@@ -536,8 +536,8 @@ def label_propagation(
         # block-storage materialization. Round 14's FULL unroll of this
         # loop measured 2× slower — but that was the row_number-window
         # round body; with the min_by agg (map-side partial combine) a
-        # 2-round plan chains fine (interleaved A/B at sf0.1: cadence-2
-        # ≤ per-round wall, jobs 21 → 17 on graph_part_communities).
+        # 2-round plan chains fine (measured at sf0.1: jobs 21 → 18 on
+        # graph_part_communities, fresh-session walls flat-or-better).
         # The final round never checkpoints — the caller's action
         # evaluates it once directly (the linear-chain argument of
         # pagerank's unroll, bounded to depth 2).
